@@ -1,0 +1,50 @@
+"""Text-analysis function surface ([EXT], SURVEY §2.11).
+
+Dialect-portable building blocks: each is expressible with the same
+semantics in Spark SQL and DuckDB SQL (the oracle), so quality scoring
+and language-ID heuristics stay hash-checkable.  Everything is
+map-side column math — no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny fixed stopword lists for the language-ID heuristic; counting
+# occurrences via length-delta after replace() is dialect-portable
+# (regexp flavors are not).
+STOPWORDS = {
+    "en": ["the", "a", "data"],
+    "es": ["el", "la", "los"],
+    "fr": ["le", "la", "les"],
+    "de": ["der", "die", "das"],
+    "zh": ["de", "le", "shi"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count without regex-dialect risk:
+    ``len(text) - len(replace(text,' ','')) + 1`` on trimmed text."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + F.lit(1)
+    )
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    """Number of occurrences of ``needle`` via length delta."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def punct_count(text: Column) -> Column:
+    return sum(occurrence_count(text, c) for c in [".", ",", "!", "?"])
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """Occurrences of ``" word "`` (space-delimited) summed over words."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return sum(occurrence_count(padded, f" {w} ") for w in words)

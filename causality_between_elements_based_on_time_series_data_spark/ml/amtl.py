@@ -1,0 +1,159 @@
+"""AMTL causality training loop (SURVEY.md §3.3, milestone 3).
+
+Re-expresses the reference's objective (``/root/reference/
+model.py:166-184``) on Spark:
+
+    total = Σ_t (1 + μ‖B[t,:]‖₁) · CE_t/√n_t  +  λ Σ_t ‖w_t − Σ_j B[j,t]·w_j‖²
+
+- Per-task logistic heads w_t (model.py:150-151) and the task×task
+  causality matrix B with fixed zero diagonal (model.py:86-101).
+- The *data-dependent* loss/gradient is distributed: one
+  ``applyInPandas`` pass per iteration, grouped by task, each group
+  emitting a single partial row (n, Σloss, Σgrad) — the map-side
+  combine shape, so only T tiny rows reach the driver regardless of
+  data size.
+- The *parameter-space* AMTL terms touch only the [T×D] weight matrix
+  and [T×T] B — pure numpy on the driver, exactly like the reference
+  keeps them in the TF graph.
+- The iteration loop is driver-side (model.py:232's range loop); the
+  featurized input is cached once before the loop (SURVEY §4.2).
+
+The learned B is the engine's causality output: B[i][j] = how much
+task i's knowledge transfers to task j (model.py:296-310's dump).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class AMTLConfig:
+    """Hyperparameters; defaults mirror run.py:24-37."""
+
+    lr: float = 1e-1
+    mu: float = 0.005
+    lambda_: float = 0.005
+    total_iter: int = 20
+    check_iter: int = 5
+    seed: int = 42
+    history: list[float] = field(default_factory=list)
+
+
+class AMTLTrainer:
+    """Asymmetric multi-task trainer over a featurized DataFrame
+    ``(entity_id, task, x ARRAY<DOUBLE>, y DOUBLE)``."""
+
+    def __init__(self, config: AMTLConfig | None = None):
+        self.config = config or AMTLConfig()
+        self.tasks: list[str] = []
+        self.W: np.ndarray | None = None  # [T, D] per-task heads (incl. bias)
+        self.B: np.ndarray | None = None  # [T, T], zero diagonal
+
+    # ---- distributed piece -------------------------------------------------
+
+    @staticmethod
+    def _partial_grad_fn(W_rows: dict[str, list[float]]):
+        """Grouped-map kernel: per task, sigmoid-CE loss sum + gradient
+        sum for the current broadcast weights (model.py:159 math)."""
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            task = pdf["task"].iloc[0]
+            w = np.asarray(W_rows[task], dtype=np.float64)
+            X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["x"]])
+            X = np.hstack([X, np.ones((len(X), 1))])  # bias column
+            y = pdf["y"].to_numpy(dtype=np.float64)
+            z = X @ w
+            # stable CE: max(z,0) - z*y + log1p(exp(-|z|))  (model.py:159)
+            loss = np.maximum(z, 0) - z * y + np.log1p(np.exp(-np.abs(z)))
+            p = 1.0 / (1.0 + np.exp(-z))
+            grad = X.T @ (p - y)
+            return pd.DataFrame(
+                {
+                    "task": [task],
+                    "n": [float(len(X))],
+                    "loss_sum": [float(loss.sum())],
+                    "grad": [grad.tolist()],
+                }
+            )
+
+        return fn
+
+    def _distributed_partials(self, feats: DataFrame) -> dict[str, tuple[float, float, np.ndarray]]:
+        fn = self._partial_grad_fn({t: self.W[i].tolist() for i, t in enumerate(self.tasks)})
+        rows = (
+            feats.groupBy("task")
+            .applyInPandas(fn, schema="task string, n double, loss_sum double, grad array<double>")
+            .collect()
+        )
+        return {r["task"]: (r["n"], r["loss_sum"], np.asarray(r["grad"])) for r in rows}
+
+    # ---- driver-side AMTL math ---------------------------------------------
+
+    def fit(self, feats: DataFrame) -> "AMTLTrainer":
+        cfg = self.config
+        feats = feats.select("entity_id", "task", "x", "y")
+        feats.persist()  # cached once; the loop re-reads it every iteration
+        self.tasks = [r["task"] for r in feats.select("task").distinct().orderBy("task").collect()]
+        T = len(self.tasks)
+        D = len(feats.select("x").first()["x"]) + 1  # + bias
+        rng = np.random.default_rng(cfg.seed)
+        self.W = rng.normal(0.0, 0.01, size=(T, D))
+        self.B = np.zeros((T, T))
+
+        for it in range(cfg.total_iter):
+            partials = self._distributed_partials(feats)
+            n = np.array([partials[t][0] for t in self.tasks])
+            loss = np.array([partials[t][1] for t in self.tasks]) / n
+            grad = np.vstack([partials[t][2] for t in self.tasks]) / n[:, None]
+
+            sqrt_n = np.sqrt(n)
+            b_l1 = np.abs(self.B).sum(axis=1)  # ‖b_o_t‖₁ per source task (model.py:178)
+            scale = (1.0 + cfg.mu * b_l1) / sqrt_n
+
+            # residual r_t = w_t − Σ_j B[j,t]·w_j   (model.py:179-181)
+            recon = self.B.T @ self.W
+            resid = self.W - recon
+
+            grad_W = scale[:, None] * grad + 2.0 * cfg.lambda_ * resid
+            # dλ‖r_j‖²/dw_t also has −2λ B[t,j]·r_j cross terms:
+            grad_W -= 2.0 * cfg.lambda_ * (self.B @ resid)
+
+            grad_B = cfg.mu * np.sign(self.B) * (loss / sqrt_n)[:, None]
+            grad_B += -2.0 * cfg.lambda_ * (self.W @ resid.T).T  # d/dB[j,t] = −2λ rᵗ·w_j
+            np.fill_diagonal(grad_B, 0.0)  # diagonal fixed at 0 (model.py:92)
+
+            self.W -= cfg.lr * grad_W
+            self.B -= cfg.lr * grad_B
+            np.fill_diagonal(self.B, 0.0)
+
+            total = float((scale * loss).sum() + cfg.lambda_ * (resid**2).sum())
+            if it % cfg.check_iter == 0 or it == cfg.total_iter - 1:
+                cfg.history.append(total)
+
+        feats.unpersist()
+        return self
+
+    def b_matrix_df(self, spark: SparkSession) -> DataFrame:
+        """The causality output as a DataFrame — the engine's analog of
+        the B_matrix text dump (model.py:296-310). Diagonal absent by
+        construction (src ≠ dst)."""
+        rows = [
+            (self.tasks[i], self.tasks[j], float(self.B[i, j]))
+            for i in range(len(self.tasks))
+            for j in range(len(self.tasks))
+            if i != j
+        ]
+        df = spark.createDataFrame(rows, schema="src_task string, dst_task string, weight double")
+        return df.select("src_task", "dst_task", F.round("weight", 6).alias("weight"))
+
+    def write_b_matrix(self, spark: SparkSession, path: str, round_no: int) -> None:
+        """Per-round partitioned parquet append — the B-matrix sink."""
+        self.b_matrix_df(spark).withColumn("round", F.lit(round_no)).write.mode("append").partitionBy(
+            "round"
+        ).parquet(path)

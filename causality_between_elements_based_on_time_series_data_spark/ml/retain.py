@@ -1,0 +1,66 @@
+"""RETAIN-semantics feature pipeline (SURVEY.md §2.5, milestone 2).
+
+The reference's per-entity temporal aggregation
+(``/root/reference/model.py:131-147``): embed each step, α-softmax
+attention over (reverse) time, β tanh gate, context vector
+``c_i = Σ_t α_t · (β_t ∘ v_t)``.  Here the whole pipeline is declared
+as DataFrame expressions — softmax as a window-normalized aggregate,
+the gate as elementwise tanh, the context as a grouped sum — so
+Catalyst fuses it into one shuffle on the (entity, task) key.
+
+The tall ``events`` table plays the role of the reference's per-task
+tensors: entity=user_id, task=event_type, step=time order, scalar
+feature=value (FIXTURES.md §B role mapping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.scalar import softmax_over
+
+
+def retain_entity_features(events: DataFrame) -> DataFrame:
+    """Per-(entity, task) RETAIN-style features.
+
+    Output: ``(entity_id, task, n_steps, context, recency_value,
+    mean_value)`` where ``context`` is the α·tanh(β-gated) aggregation
+    of model.py:147 in scalar-feature form and ``recency_value`` is
+    the reverse-time decay aggregate (model.py:138 semantics).
+    """
+    w = W.partitionBy("user_id", "event_type")
+    w_rev = w.orderBy(F.desc("ts"), F.desc("event_id"))
+    alpha = softmax_over(F.col("value"), w)
+    steps_back = F.row_number().over(w_rev) - 1
+    decay = F.exp(F.lit(-0.1) * steps_back)
+    return (
+        events.select(
+            F.col("user_id").alias("entity_id"),
+            F.col("event_type").alias("task"),
+            (alpha * F.tanh("value")).alias("weighted"),
+            (decay * F.col("value")).alias("wv"),
+            decay.alias("w"),
+            F.col("value"),
+        )
+        .groupBy("entity_id", "task")
+        .agg(
+            F.count("*").alias("n_steps"),
+            F.round(F.sum("weighted"), 6).alias("context"),
+            F.round(F.sum("wv") / F.sum("w"), 6).alias("recency_value"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+        )
+    )
+
+
+def attach_labels(features: DataFrame) -> DataFrame:
+    """Deterministic binary labels for the training demo: entity's
+    mean value above its task's median (the reference's labels come
+    from files, run.py:46-55 — any per-(entity, task) 0/1 column fits
+    the contract)."""
+    med = W.partitionBy("task")
+    return features.withColumn(
+        "label",
+        (F.col("mean_value") > F.expr("percentile_approx(mean_value, 0.5)").over(med)).cast("double"),
+    )

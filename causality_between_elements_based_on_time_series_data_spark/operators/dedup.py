@@ -1,0 +1,138 @@
+"""Deduplication operators — [EXT] SURVEY.md §2.11.
+
+Four tiers, all shuffle-disciplined for 100 TB:
+
+- **exact**: group by ``sha2(text)`` (32-byte keys shuffle instead of
+  full documents; collision-safe at any realistic corpus size).
+- **MinHash + LSH banding**: shingles → k min-hashes → b bands; only
+  band-equal pairs are candidates, keeping the join out of O(n²).
+- **SimHash**: 64-bit near-dup fingerprint, map-side only.
+- **n-gram Jaccard**: exact token-set similarity for candidate pairs
+  via an inverted-index (explode + equi-join) formulation.
+
+Hash functions are Spark's ``xxhash64`` (JVM-side, codegen); hash
+values are engine-specific, so LSH/SimHash queries take the driver's
+rows-only check while exact-dedup and Jaccard have full SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Affine permutation constants for MinHash: h_i(x) = (a_i * x + b_i) mod p.
+# Mersenne prime 2^31−1 keeps a*x + b inside a 64-bit long (a,x < 2^31 →
+# product < 2^62) — Spark runs ANSI mode and faults on overflow.
+MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_consts(num_hashes: int) -> list[tuple[int, int]]:
+    # Deterministic odd multipliers / offsets derived from a fixed LCG,
+    # mirroring the reference's fixed-constant config style (run.py:7-37).
+    out, state = [], 0x9E3779B97F4A7C15
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state | 1) % MERSENNE_P
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE_P
+        out.append((a, b))
+    return out
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: canonical survivor (min id) per content hash."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+def _shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a whitespace-tokenized document."""
+    toks = F.split(F.trim(text_col), " +")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: min over shingle hashes for each
+    of ``num_hashes`` affine permutations of xxhash64. Map-side only."""
+    sh = _shingles(F.col(text_col), shingle_n)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(base, lambda h: (h * a + b) % MERSENNE_P))
+            for a, b in _perm_consts(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: a pair is a candidate iff it collides in ≥1 band.
+    Shuffle is on (band_id, band_hash) — never the full O(n²) pairs."""
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sign of the sum
+    of ±1 votes from each token's xxhash64 bit. Pure map-side column
+    math (bit ops + aggregate over the token array)."""
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), " +"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(63)  # 63 bits keeps the OR inside a signed long
+    ]
+    sim = bits[0]
+    for b in bits[1:]:
+        sim = sim.bitwiseOR(b)
+    return df.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,77 @@
+"""Similarity search over embedding columns — [EXT] SURVEY.md §2.11.
+
+Two paths:
+
+- ``brute_force_cosine_topk`` — exact baseline: broadcast the (small)
+  query set against the full corpus, cosine via higher-order array
+  functions (JVM codegen, no UDF), per-query top-k via ranking window.
+  At 100 TB the corpus side stays partitioned; only queries move.
+- ``lsh_cosine_topk`` — scale path: MLlib BucketedRandomProjectionLSH
+  buckets both sides so candidate generation is sub-quadratic; exact
+  cosine re-rank on candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.arrays import cosine_similarity
+
+
+def brute_force_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (qid, nid, sim, rn). Self-matches excluded; deterministic
+    tie-break on neighbor id.
+    """
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    pairs = c.join(F.broadcast(q), F.col("nid") != F.col("qid")).select(
+        "qid", "nid", cosine_similarity(F.col("qvec"), F.col("nvec")).alias("sim")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+    candidate_ratio: float = 10.0,
+) -> DataFrame:
+    """Approximate top-k: random-projection LSH candidate generation,
+    exact cosine re-rank of candidates. Sub-quadratic at scale."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")).withColumn(
+        "features", array_to_vector(F.col("nvec").cast("array<double>"))
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")).withColumn(
+        "features", array_to_vector(F.col("qvec").cast("array<double>"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=bucket_length, numHashTables=num_tables, seed=42
+    )
+    model = lsh.fit(c)
+    # Euclidean-distance candidates, re-ranked by exact cosine.
+    cand = model.approxSimilarityJoin(q, c, float("inf") if candidate_ratio <= 0 else 8.0, distCol="dist")
+    pairs = cand.select(
+        F.col("datasetA.qid").alias("qid"),
+        F.col("datasetB.nid").alias("nid"),
+        cosine_similarity(F.col("datasetA.qvec"), F.col("datasetB.nvec")).alias("sim"),
+    ).filter(F.col("qid") != F.col("nid"))
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -1,0 +1,290 @@
+"""[EXT] LLM-data-pipeline operators (SURVEY.md §2.11) over the
+``documents`` / ``embeddings`` fixtures: dedup tiers, similarity
+search, text analysis, multimodal plumbing.
+
+Hash-based ops (MinHash LSH, SimHash) use Spark's xxhash64 — engine-
+specific values, so they take the rows-only check; everything else
+carries a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import stopword_hits, token_count
+from ..operators.dedup import dedup_exact, lsh_candidate_pairs, minhash_signatures, simhash64
+from ..operators.multimodal import decode_features, to_media_table
+from ..operators.similarity import brute_force_cosine_topk, lsh_cosine_topk
+from ..sources.catalog import load_table
+from .registry import register
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    doc="Exact dedup: survivor = min doc_id per content group. Spark "
+    "side groups by sha2(text,256) so only 32-byte keys shuffle — the "
+    "100 TB-safe form; oracle groups by raw text (same partition of "
+    "rows absent a SHA-256 collision).",
+    tags=("llm", "dedup", "bench"),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+    q AS (SELECT * FROM tok WHERE doc_id % 100 = 0),
+    inter AS (
+        SELECT q.doc_id AS id_a, t.doc_id AS id_b, count(*) AS n_common
+        FROM q JOIN tok t ON q.w = t.w AND t.doc_id > q.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE)
+                 / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
+    """,
+    doc="Token-set Jaccard near-dup via the inverted-index join "
+    "(explode tokens → equi-join on token → count intersections): "
+    "never materializes O(n²) pairs, only pairs sharing ≥1 token. At "
+    "100 TB, add a document-frequency cut on hot tokens before the "
+    "join (same plan shape).",
+    tags=("llm", "dedup", "similarity"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    q = tok.filter(F.col("doc_id") % 100 == 0)
+    t = tok.alias("t")
+    inter = (
+        q.alias("q")
+        .join(t, (F.col("q.w") == F.col("t.w")) & (F.col("t.doc_id") > F.col("q.doc_id")))
+        .groupBy(F.col("q.doc_id").alias("id_a"), F.col("t.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sizes.alias("sa")), F.col("sa.doc_id") == F.col("id_a"))
+        .join(F.broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(jac >= 0.2)
+    )
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=None,  # xxhash64 minhashes are engine-specific — rows-only
+    doc="MinHash(16) + LSH banding (4×4) candidate pairs "
+    "(shingle → minhash → band → bucket equi-join). Sub-quadratic "
+    "near-dup discovery; verify stage = ngram_jaccard on candidates.",
+    tags=("llm", "dedup", "lsh"),
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_signatures(docs))
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=None,  # xxhash64-based — rows-only
+    doc="64-bit SimHash per document (sign-of-vote over token hash "
+    "bits) — map-side only, no shuffle.",
+    tags=("llm", "dedup"),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash64(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint_md5",
+    oracle="""
+    SELECT doc_id, md5(text) AS fingerprint FROM documents
+    """,
+    doc="Document content fingerprint (md5 — identical bytes on both "
+    "engines, unlike xxhash). Map-side only.",
+    tags=("llm", "text"),
+)
+def doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("fingerprint"))
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    pairs AS (
+        SELECT qid, vec_id AS nid,
+               list_cosine_similarity(qvec, CAST(embedding AS DOUBLE[])) AS sim
+        FROM q, embeddings
+        WHERE vec_id <> qid
+    ),
+    ranked AS (
+        SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+        FROM pairs
+    )
+    SELECT qid, nid, round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="Exact ANN baseline: broadcast query subset × corpus, cosine "
+    "via zip_with/aggregate (JVM codegen), ranking-window top-3. "
+    "Corpus never moves — only the small query side broadcasts.",
+    tags=("llm", "similarity", "bench"),
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_cosine_topk(emb, queries, k=3).select(
+        "qid", "nid", F.round("sim", 6).alias("sim"), F.col("rn").cast("bigint").alias("rn")
+    )
+
+
+@register(
+    "cosine_topk_lsh",
+    oracle=None,  # LSH candidate set is probabilistic — rows-only; recall tested in pytest
+    doc="Scale-path ANN: BucketedRandomProjectionLSH candidates + "
+    "exact cosine re-rank. Recall vs brute force asserted in tests.",
+    tags=("llm", "similarity", "lsh"),
+)
+def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return lsh_cosine_topk(emb, queries, k=3)
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               length(trim(text))
+                 - length(replace(trim(text), ' ', '')) + 1 AS n_tokens,
+               length(text) AS n_chars_m,
+               length(concat(' ', text, ' '))
+                 - length(replace(concat(' ', text, ' '), ' the ', '')) AS the_delta
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chars_m AS BIGINT) AS n_chars_measured,
+           round(CAST(n_chars_m - n_tokens + 1 AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+           CAST(floor(the_delta / 5.0) AS BIGINT) AS the_hits,
+           CAST(floor(CAST(n_chars_m - n_tokens + 1 AS DOUBLE) / 4 + 0.5) AS BIGINT) AS bpe_token_estimate
+    FROM t
+    """,
+    doc="Per-document quality/token statistics: whitespace token "
+    "count, avg token length, stopword hits, BPE-ish token estimate "
+    "(~4 chars/token) — all dialect-portable string arithmetic, pure "
+    "map-side.",
+    tags=("llm", "text"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nt = token_count(F.col("text"))
+    nc = F.length("text")
+    alpha_chars = (nc - nt + 1).cast("double")
+    return docs.select(
+        "doc_id",
+        nt.cast("bigint").alias("n_tokens"),
+        nc.cast("bigint").alias("n_chars_measured"),
+        F.round(alpha_chars / nt, 6).alias("avg_token_len"),
+        stopword_hits(F.col("text"), ["the"]).cast("bigint").alias("the_hits"),
+        F.floor(alpha_chars / 4 + 0.5).cast("bigint").alias("bpe_token_estimate"),
+    )
+
+
+@register(
+    "lang_stats_heuristic",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               length(trim(text))
+                 - length(replace(trim(text), ' ', '')) + 1 AS n_tokens,
+               CASE WHEN length(concat(' ', text, ' '))
+                         - length(replace(concat(' ', text, ' '), ' the ', '')) > 0
+                    THEN 1 ELSE 0 END AS pred_en
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(CAST(pred_en AS DOUBLE)), 6) AS pred_en_rate,
+           round(avg(CAST(n_tokens AS DOUBLE)), 4) AS avg_tokens
+    FROM t
+    GROUP BY lang
+    """,
+    doc="Language-ID n-gram/stopword heuristic evaluated against the "
+    "lang column: English-marker hit-rate and size stats per language.",
+    tags=("llm", "text"),
+)
+def lang_stats_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred_en = (stopword_hits(F.col("text"), ["the"]) > 0).cast("int")
+    return (
+        docs.select("lang", token_count(F.col("text")).alias("n_tokens"), pred_en.alias("pred_en"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.col("pred_en").cast("double")), 6).alias("pred_en_rate"),
+            F.round(F.avg(F.col("n_tokens").cast("double")), 4).alias("avg_tokens"),
+        )
+    )
+
+
+@register(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(octet_length(encode(text)) >= 200 AS INTEGER) AS is_large
+    FROM documents
+    """,
+    doc="Multimodal binary-column plumbing: text encoded to an opaque "
+    "BINARY payload, byte-length metadata derived columnar-side. The "
+    "decode/feature stage (deterministic stub) is the rows-only "
+    "multimodal_decode_features query.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = to_media_table(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        (F.col("meta.n_bytes") >= 200).cast("int").alias("is_large"),
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=None,  # stubbed decoder — rows-only; schema/batch shape tested in pytest
+    doc="mapInPandas decode/feature-extract stage over the multimodal "
+    "table (Arrow-batched; deterministic stub kernel — a real codec "
+    "drops into the feat kernel in decode_features).",
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = to_media_table(load_table(spark, sf_dir, "documents"))
+    decoded = decode_features(media)
+    return decoded.select(
+        "doc_id", "mime", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )

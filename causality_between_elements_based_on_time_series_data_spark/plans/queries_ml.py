@@ -1,0 +1,94 @@
+"""ML-lifecycle queries: RETAIN feature pipeline, AMTL causality
+training, and the streaming skin (SURVEY.md milestones 2, 3, 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml.amtl import AMTLConfig, AMTLTrainer
+from ..ml.retain import retain_entity_features
+from ..sources.catalog import load_table
+from .registry import register, sql_tanh
+
+
+@register(
+    "retain_entity_features",
+    oracle=f"""
+    WITH m AS (
+        SELECT user_id, event_type, ts, event_id, value,
+               max(value) OVER (PARTITION BY user_id, event_type) AS mx
+        FROM events
+    ),
+    a AS (
+        SELECT user_id, event_type, value,
+               exp(value - mx)
+               / sum(exp(value - mx)) OVER (PARTITION BY user_id, event_type) AS alpha,
+               exp(-0.1 * (row_number() OVER (PARTITION BY user_id, event_type
+                                              ORDER BY ts DESC, event_id DESC) - 1)) AS decay
+        FROM m
+    )
+    SELECT user_id AS entity_id, event_type AS task,
+           count(*) AS n_steps,
+           round(sum(alpha * {sql_tanh("value")}), 6)   AS context,
+           round(sum(decay * value) / sum(decay), 6) AS recency_value,
+           round(avg(value), 6)                 AS mean_value
+    FROM a
+    GROUP BY user_id, event_type
+    """,
+    doc="The full RETAIN feature pipeline (embed → α softmax → β tanh "
+    "→ context, model.py:131-147) per (entity, task), fused by "
+    "Catalyst into a single shuffle on the entity-task key.",
+    tags=("ml", "retain", "bench"),
+)
+def retain_entity_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retain_entity_features(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "amtl_causality_matrix",
+    oracle=None,  # iterative training — rows-only check (T·(T−1) rows);
+    # numerics validated against a numpy golden model in tests/test_amtl.py
+    doc="AMTL causality matrix B after a short deterministic training "
+    "run (model.py:166-184 objective; diagonal structurally absent, "
+    "model.py:92). Distributed partial-gradient aggregation via "
+    "applyInPandas; driver-side parameter updates.",
+    tags=("ml", "amtl"),
+)
+def amtl_causality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    feats = retain_entity_features(events)
+    med = feats.groupBy("task").agg(F.expr("percentile_approx(mean_value, 0.5)").alias("med"))
+    ds = (
+        feats.join(F.broadcast(med), "task")
+        .select(
+            "entity_id",
+            "task",
+            F.array("context", "recency_value", F.log1p("n_steps")).alias("x"),
+            (F.col("mean_value") > F.col("med")).cast("double").alias("y"),
+        )
+    )
+    trainer = AMTLTrainer(AMTLConfig(total_iter=10)).fit(ds)
+    return trainer.b_matrix_df(spark)
+
+
+@register(
+    "streaming_tumbling_rollup",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts) AS hour_start,
+           count(*)               AS n,
+           round(sum(value), 4)   AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming tumbling-window rollup with watermark, "
+    "driven to completion on the parquet fixture. The oracle is the "
+    "equivalent BATCH aggregate — batch/stream parity is the check.",
+    tags=("streaming", "timeseries"),
+)
+def streaming_tumbling_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import streaming_tumbling_rollup
+
+    return streaming_tumbling_rollup(spark, sf_dir)

@@ -1,0 +1,468 @@
+"""Relational operator surface (SURVEY.md §2.2-2.4, §2.6-2.8).
+
+The reference has no relational engine — its joins are positional list
+alignment (``/root/reference/run.py:44-55``, ``model.py:161-164``) and
+its projections are hard-coded tensor slices (``model.py:132``).  Here
+the full surface is exposed declaratively so Catalyst supplies
+pushdown, pruning, join selection, and partial aggregation for free
+(SURVEY §4.2).
+
+Every query aliases computed columns identically in the Spark plan and
+the DuckDB oracle, rounds float aggregates on both sides, and casts
+DuckDB integer SUMs to BIGINT (DuckDB widens to HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+CUTOFF = "1998-09-02"
+Q3_DATE = "1996-06-30"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                   AS sum_qty,
+           round(sum(l_extendedprice), 4)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: filter -> groupBy -> 8 aggregates. "
+    "Partial (map-side) aggregation + whole-stage codegen are Catalyst-automatic.",
+    tags=("relational", "agg", "bench"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(net), 4).alias("sum_disc_price"),
+            F.round(F.sum(net * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+      AND l_shipdate  > TIMESTAMP '{Q3_DATE} 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: selective 3-way join -> agg -> distributed top-k "
+    "(TakeOrderedAndProject; no full sort at scale).",
+    tags=("relational", "join", "topk", "bench"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5: 6-way join with two broadcast dims (nation, region); "
+    "Catalyst join reordering + AQE pick the physical order.",
+    tags=("relational", "join", "bench"),
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "filter_project_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    doc="Projection + conjunctive predicate; both reach the parquet scan "
+    "(PushedFilters / pruned ReadSchema) — SURVEY §2.2 [GAP] surface.",
+    tags=("relational", "filter"),
+)
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45) & (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+    )
+
+
+@register(
+    "semi_join_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    doc="LEFT SEMI join (EXISTS) — SURVEY §2.3 [GAP]; semi-join avoids "
+    "materializing the probe side's payload columns.",
+    tags=("relational", "join"),
+)
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_no_big_orders",
+    oracle="""
+    SELECT c_custkey, c_nationkey
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    doc="LEFT ANTI join (NOT EXISTS) — SURVEY §2.3 [GAP].",
+    tags=("relational", "join"),
+)
+def anti_join_no_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select("c_custkey", "c_nationkey")
+
+
+@register(
+    "broadcast_dim_brand_volume",
+    oracle="""
+    SELECT p_brand,
+           round(sum(l_quantity), 4) AS sum_qty,
+           count(*)                  AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="Fact⋈dim with an explicit broadcast hint on the dimension "
+    "(SURVEY §2.3: B-matrix broadcast analog, model.py:179) — no shuffle "
+    "of the fact table for the join, only for the final agg.",
+    tags=("relational", "join", "broadcast", "bench"),
+)
+def broadcast_dim_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count("*").alias("n_lines"))
+    )
+
+
+@register(
+    "agg_distinct_parts_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS distinct_parts,
+           count(DISTINCT l_suppkey) AS distinct_supps,
+           count(*)                  AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Multi-distinct aggregation — SURVEY §2.4 [GAP]; Spark expands "
+    "to a two-phase distinct-agg plan automatically.",
+    tags=("relational", "agg"),
+)
+def agg_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "rollup_sales",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals — SURVEY §2.4 [GAP] grouping sets.",
+    tags=("relational", "agg"),
+)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           round(sum(o_totalprice), 2)      AS total,
+           count(*)                         AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dimensions — SURVEY §2.4 [GAP] grouping sets.",
+    tags=("relational", "agg"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "total",
+            "n",
+        )
+    )
+
+
+@register(
+    "pivot_linestatus",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 4) AS qty_open,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4) AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pivot with a fixed value list (Spark .pivot ≡ FILTERed aggregates); "
+    "fixed values keep it one pass, no extra distinct job.",
+    tags=("relational", "agg"),
+)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+@register(
+    "top_k_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Global top-k — SURVEY §2.6; Spark plans TakeOrderedAndProject "
+    "(per-partition heap + driver merge), never a full sort.",
+    tags=("relational", "topk"),
+)
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_totalprice").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    ).limit(10)
+
+
+@register(
+    "set_union_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="UNION (distinct) — SURVEY §2.7; unionByName + dropDuplicates.",
+    tags=("relational", "setop"),
+)
+def set_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).dropDuplicates()
+
+
+@register(
+    "set_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="INTERSECT — SURVEY §2.7.",
+    tags=("relational", "setop"),
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="EXCEPT — SURVEY §2.7.",
+    tags=("relational", "setop"),
+)
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT DISTINCT semantics (exceptAll keeps multiplicity)
+
+
+@register(
+    "scalar_function_surface",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(1.0 / (1.0 + exp(-(l_discount * 10 - 0.3))), 6) AS sig,
+           round((CASE WHEN (l_tax * 5) >= 0 THEN 1 - 2 / (exp(2 * (l_tax * 5)) + 1)
+                       ELSE 2 / (exp(-2 * (l_tax * 5)) + 1) - 1 END), 6) AS th,
+           round(sqrt(l_quantity), 6)                            AS sqrt_qty,
+           round(ln(1 + l_extendedprice), 6)                     AS log_price,
+           round(abs(l_discount - 0.05), 6)                      AS abs_disc,
+           CAST(l_quantity >= 25 AS INTEGER)                     AS qty_ge_25
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+    doc="Scalar math surface of SURVEY §2.8 in one row-level query: "
+    "sigmoid (model.py:154), tanh (model.py:77), sqrt (model.py:178), "
+    "log1p, abs, bool cast + >= threshold (model.py:158).",
+    tags=("relational", "scalar"),
+)
+def scalar_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import sigmoid
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(sigmoid(F.col("l_discount") * 10 - 0.3), 6).alias("sig"),
+        F.round(F.tanh(F.col("l_tax") * 5), 6).alias("th"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.log1p("l_extendedprice"), 6).alias("log_price"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_disc"),
+        (F.col("l_quantity") >= 25).cast("int").alias("qty_ge_25"),
+    )
+
+
+@register(
+    "date_parts_order_volume",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER)  AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           count(*)                            AS n,
+           round(sum(o_totalprice), 2)         AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="Datetime function surface (SURVEY §2.8 datetime row): "
+    "year/month extraction + grouped agg.",
+    tags=("relational", "datetime"),
+)
+def date_parts_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "correlated_subquery_above_avg",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+    doc="Scalar subquery predicate — Catalyst rewrites to a broadcast "
+    "of the single-row aggregate (no per-row recompute).",
+    tags=("relational", "subquery"),
+)
+def correlated_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        """
+    )

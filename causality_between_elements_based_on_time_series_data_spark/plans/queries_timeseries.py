@@ -1,0 +1,421 @@
+"""Time-series / RETAIN-semantics operator surface (SURVEY.md §2.5, §2.8).
+
+The reference's computational core — per-step embedding matmul
+(``/root/reference/model.py:131-135``), reverse-time α softmax
+attention (``model.py:70-75,138``), β tanh gates (``model.py:77-78``),
+attention-weighted context aggregation (``model.py:147``), stable
+sigmoid cross-entropy (``model.py:159``), AMTL norms
+(``model.py:178-181``), streaming AUC / accuracy (``model.py:157-158``)
+— re-expressed over the ``events`` and ``embeddings`` fixtures as
+window-normalized aggregates and higher-order array functions.  All
+JVM-side; no Python UDF in any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.arrays import det_vector, dot_with_const
+from ..functions.scalar import sigmoid, sigmoid_cross_entropy, softmax_over
+from ..sources.catalog import load_table
+from .registry import register, sql_tanh
+
+EMB_DIM = 64
+PROJ_VEC = det_vector(EMB_DIM)
+_VEC_SQL = "CAST([" + ", ".join(repr(v) for v in PROJ_VEC) + "] AS DOUBLE[])"
+# Shared projection expression: the reference's fixed embedding matmul
+# (model.py:132) against a deterministic constant vector, identical
+# literal on the Spark and DuckDB sides.
+_PROJ_SQL = f"list_dot_product(CAST(embedding AS DOUBLE[]), {_VEC_SQL})"
+
+
+@register(
+    "tumbling_hourly_rollup",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts)  AS hour_start,
+           count(*)                AS n,
+           round(sum(value), 4)    AS total_value,
+           round(avg(value), 4)    AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour time-bucket rollup — the batch form of the "
+    "streaming windowed agg (same result as the streaming skin).",
+    tags=("timeseries", "agg", "bench"),
+)
+def tumbling_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "alpha_softmax_weights",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, event_id, value,
+               max(value) OVER (PARTITION BY user_id) AS mx
+        FROM events
+    )
+    SELECT user_id, event_id,
+           round(exp(value - mx)
+                 / sum(exp(value - mx)) OVER (PARTITION BY user_id), 6) AS alpha
+    FROM m
+    """,
+    doc="α-attention (model.py:70-75): softmax over each entity's "
+    "sequence as a window-normalized aggregate, max-shifted for "
+    "stability. Property: Σα = 1 per entity.",
+    tags=("timeseries", "window", "retain"),
+)
+def alpha_softmax_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(softmax_over(F.col("value"), w), 6).alias("alpha"),
+    )
+
+
+@register(
+    "attention_context_vector",
+    oracle=f"""
+    WITH m AS (
+        SELECT user_id, value,
+               max(value) OVER (PARTITION BY user_id) AS mx
+        FROM events
+    ),
+    a AS (
+        SELECT user_id, value,
+               exp(value - mx)
+               / sum(exp(value - mx)) OVER (PARTITION BY user_id) AS alpha
+        FROM m
+    )
+    SELECT user_id,
+           round(sum(alpha * {sql_tanh('value')}), 6) AS context,
+           count(*) AS steps
+    FROM a
+    GROUP BY user_id
+    """,
+    doc="RETAIN context vector c_i = Σ_t α_t·(β_t ∘ v_t) "
+    "(model.py:147) in scalar-feature form: α = softmax over the "
+    "entity window, β = tanh gate (model.py:77-78). One shuffle on "
+    "the entity key serves window + final agg.",
+    tags=("timeseries", "retain", "bench"),
+)
+def attention_context_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    alpha = softmax_over(F.col("value"), w)
+    return (
+        ev.select("user_id", (alpha * F.tanh("value")).alias("weighted"))
+        .groupBy("user_id")
+        .agg(F.round(F.sum("weighted"), 6).alias("context"), F.count("*").alias("steps"))
+    )
+
+
+@register(
+    "reverse_time_decay",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) - 1 AS steps_back
+        FROM events
+    )
+    SELECT user_id,
+           round(sum(exp(-0.1 * steps_back) * value)
+                 / sum(exp(-0.1 * steps_back)), 6) AS recency_value
+    FROM r
+    GROUP BY user_id
+    """,
+    doc="Reverse-time recency weighting — the Spark form of RETAIN's "
+    "tf.reverse over the time axis (model.py:138): window sorted "
+    "DESC gives steps-from-present, exponential decay weights.",
+    tags=("timeseries", "retain"),
+)
+def reverse_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    decay = F.exp(F.lit(-0.1) * (F.row_number().over(w) - 1))
+    return (
+        ev.select("user_id", (decay * F.col("value")).alias("wv"), decay.alias("w"))
+        .groupBy("user_id")
+        .agg(F.round(F.sum("wv") / F.sum("w"), 6).alias("recency_value"))
+    )
+
+
+@register(
+    "tensorize_order_checksum",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS step
+        FROM events
+    )
+    SELECT user_id,
+           CAST(max(step) AS BIGINT)        AS n_steps,
+           round(sum(step * value), 6)      AS order_checksum
+    FROM s
+    GROUP BY user_id
+    """,
+    doc="Tensorization correctness probe: step indices assigned by "
+    "(ts, id) window ordering, checked via the order-sensitive "
+    "Σ step·value checksum — validates the collect_list tensorizer "
+    "(SURVEY §1.2) without hashing arrays.",
+    tags=("timeseries", "tensorize"),
+)
+def tensorize_order_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "value", F.row_number().over(w).alias("step"))
+        .groupBy("user_id")
+        .agg(
+            F.max("step").cast("bigint").alias("n_steps"),
+            F.round(F.sum(F.col("step") * F.col("value")), 6).alias("order_checksum"),
+        )
+    )
+
+
+@register(
+    "embedding_projection",
+    oracle=f"""
+    SELECT vec_id, round({_PROJ_SQL}, 6) AS proj
+    FROM embeddings
+    """,
+    doc="Per-row embedding·V matmul (model.py:132) as zip_with + "
+    "aggregate higher-order functions — stays in whole-stage codegen, "
+    "no UDF, map-side only.",
+    tags=("timeseries", "retain", "embedding"),
+)
+def embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.round(dot_with_const(F.col("embedding"), PROJ_VEC), 6).alias("proj")
+    )
+
+
+@register(
+    "sigmoid_ce_by_label",
+    oracle=f"""
+    WITH scored AS (
+        SELECT label, {_PROJ_SQL} AS z FROM embeddings
+    )
+    SELECT label,
+           round(avg(greatest(z, 0) - z * label + ln(1 + exp(-abs(z)))), 6) AS mean_ce,
+           round(avg(1.0 / (1.0 + exp(-z))), 6)                             AS mean_sigmoid,
+           count(*)                                                          AS n
+    FROM scored
+    GROUP BY label
+    """,
+    doc="Numerically-stable sigmoid cross-entropy with logits "
+    "(model.py:159, TF-documented form max(z,0) − z·y + log1p(e^−|z|)) "
+    "+ mean sigmoid score, grouped by label.",
+    tags=("timeseries", "retain", "loss"),
+)
+def sigmoid_ce_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    z = dot_with_const(F.col("embedding"), PROJ_VEC)
+    scored = emb.select("label", z.alias("z"))
+    return scored.groupBy("label").agg(
+        F.round(F.avg(sigmoid_cross_entropy(F.col("z"), F.col("label").cast("double"))), 6).alias(
+            "mean_ce"
+        ),
+        F.round(F.avg(sigmoid(F.col("z"))), 6).alias("mean_sigmoid"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "task_norms_and_scaling",
+    oracle="""
+    SELECT event_type AS task,
+           round(sum(abs(value)), 4)           AS l1_norm,
+           round(sqrt(sum(value * value)), 6)  AS l2_norm,
+           round(1.0 / sqrt(count(*)), 6)      AS inv_sqrt_n,
+           count(*)                            AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="AMTL regularizer building blocks per task: L1 norm "
+    "(model.py:178), L2 norm (model.py:180), 1/√n sample scaling "
+    "(model.py:178) — distributed grouped aggregates.",
+    tags=("timeseries", "amtl"),
+)
+def task_norms_and_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("task")).agg(
+        F.round(F.sum(F.abs("value")), 4).alias("l1_norm"),
+        F.round(F.sqrt(F.sum(F.col("value") * F.col("value"))), 6).alias("l2_norm"),
+        F.round(F.lit(1.0) / F.sqrt(F.count("*")), 6).alias("inv_sqrt_n"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "auc_mann_whitney",
+    oracle=f"""
+    WITH scored AS (
+        SELECT vec_id, label, {_PROJ_SQL} AS score FROM embeddings
+    ),
+    ranked AS (
+        SELECT label,
+               CAST(row_number() OVER (ORDER BY score, vec_id) AS DOUBLE) AS r
+        FROM scored
+    )
+    SELECT round(
+             (sum(CASE WHEN label = 1 THEN r ELSE 0 END)
+              - sum(CASE WHEN label = 1 THEN 1.0 ELSE 0 END)
+                * (sum(CASE WHEN label = 1 THEN 1.0 ELSE 0 END) + 1) / 2)
+             / (sum(CASE WHEN label = 1 THEN 1.0 ELSE 0 END)
+                * sum(CASE WHEN label = 0 THEN 1.0 ELSE 0 END)), 6) AS auc
+    FROM ranked
+    """,
+    doc="AUC (model.py:157) via the rank-based Mann-Whitney identity — "
+    "one global sort instead of TF's accumulator; exact, not "
+    "trapezoid-approximated, and SQL-checkable.",
+    tags=("timeseries", "metric"),
+)
+def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = dot_with_const(F.col("embedding"), PROJ_VEC)
+    ranked = emb.select(
+        "label",
+        F.row_number().over(W.orderBy(score.alias("score"), F.col("vec_id"))).cast("double").alias("r"),
+    )
+    pos = F.sum(F.when(F.col("label") == 1, 1.0).otherwise(0.0))
+    neg = F.sum(F.when(F.col("label") == 0, 1.0).otherwise(0.0))
+    sum_r_pos = F.sum(F.when(F.col("label") == 1, F.col("r")).otherwise(0.0))
+    return ranked.agg(
+        F.round((sum_r_pos - pos * (pos + 1) / 2) / (pos * neg), 6).alias("auc")
+    )
+
+
+@register(
+    "accuracy_at_threshold",
+    oracle=f"""
+    WITH scored AS (
+        SELECT label, 1.0 / (1.0 + exp(-{_PROJ_SQL})) AS p FROM embeddings
+    )
+    SELECT round(100.0 * avg(CAST((p >= 0.5) = (label = 1) AS DOUBLE)), 4) AS accuracy_pct,
+           count(*) AS n
+    FROM scored
+    """,
+    doc="Thresholded accuracy ×100 (model.py:158): preds≥0.5 vs bool "
+    "labels, as a single global aggregate.",
+    tags=("timeseries", "metric"),
+)
+def accuracy_at_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = sigmoid(dot_with_const(F.col("embedding"), PROJ_VEC))
+    return emb.select(
+        ((p >= 0.5) == (F.col("label") == 1)).cast("double").alias("hit")
+    ).agg(
+        F.round(100.0 * F.avg("hit"), 4).alias("accuracy_pct"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "asof_last_click_before_purchase",
+    oracle="""
+    SELECT p.user_id, p.event_id,
+           round(p.value, 4) AS purchase_value,
+           round((SELECT c.value FROM events c
+                  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                    AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+                  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), 4) AS last_click_value
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="As-of join (SURVEY §2.3 [GAP]): for each purchase, the most "
+    "recent prior click by the same user. Implemented shuffle-once as "
+    "a last(ignoreNulls) window over the merged stream — no range-join "
+    "explosion, scales linearly in events per user.",
+    tags=("timeseries", "asof", "join", "bench"),
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_lookup
+
+    ev = load_table(spark, sf_dir, "events")
+    return asof_lookup(
+        ev,
+        entity_col="user_id",
+        time_cols=("ts", "event_id"),
+        probe_filter=F.col("event_type") == "purchase",
+        build_filter=F.col("event_type") == "click",
+        value_col="value",
+    ).select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.round("asof_value", 4).alias("last_click_value"),
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(props->>'$.k' AS DOUBLE)), 4) AS avg_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured JSON column surface (SURVEY §2.8 [GAP] json "
+    "row): get_json_object extraction + typed aggregate over "
+    "events.props.",
+    tags=("timeseries", "json"),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "batch_sample_without_replacement",
+    oracle=None,  # seeded rand() is engine-specific — rows-only check
+    doc="Seeded per-task sampling without replacement (model.py:191): "
+    "rand(seed) + row_number ≤ batch_size per task partition. "
+    "Deterministic for a fixed seed and partitioning within Spark, but "
+    "not reproducible in another engine — rows-only check.",
+    tags=("timeseries", "sampling"),
+)
+def batch_sample_without_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    batch_size = 32
+    w = W.partitionBy("event_type").orderBy(F.rand(42), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= batch_size)
+        .select("event_type", "event_id", "user_id", "value")
+    )
+
+
+@register(
+    "dropout_mask",
+    oracle=None,  # seeded rand() is engine-specific — rows-only check
+    doc="Inverted-dropout Bernoulli mask (model.py:115,204,207): "
+    "when(rand(seed) < keep_prob, x/keep_prob).otherwise(0) — the "
+    "train/eval switch is just keep_prob=1.",
+    tags=("timeseries", "sampling"),
+)
+def dropout_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keep_prob = 0.5
+    masked = F.when(F.rand(7) < keep_prob, F.col("value") / keep_prob).otherwise(F.lit(0.0))
+    return ev.select("event_id", "user_id", masked.alias("dropped_value"))

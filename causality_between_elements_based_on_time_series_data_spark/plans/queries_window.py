@@ -1,0 +1,214 @@
+"""Window-function family (SURVEY.md §2.5-2.6).
+
+The reference's sequence handling is fixed-shape tensor slicing
+(``/root/reference/model.py:132``, ``model.py:71``) plus running-min
+tracking with argmin (``model.py:219-262``).  The idiomatic Spark port
+of both is the window family: lag/lead features replace step
+tensorization, ranking replaces argmin, explicit frames replace the
+running accumulators.  Every window here is partitioned on the entity
+key so one hash shuffle serves the whole stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+
+@register(
+    "window_lag_lead_prices",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS price,
+           round(lag(o_totalprice)  OVER w, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w, 2) AS next_price,
+           round(o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice), 2) AS delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag/lead over per-customer order history — the §2.5 [GAP] "
+    "lag-feature replacement for the reference's step tensorization.",
+    tags=("window",),
+)
+def window_lag_lead_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(
+            F.col("o_totalprice") - F.coalesce(F.lag("o_totalprice").over(w), F.col("o_totalprice")), 2
+        ).alias("delta"),
+    )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="row_number/rank/dense_rank/ntile — SURVEY §2.5 [GAP] ranking "
+    "family; deterministic tie-breaks on the key column.",
+    tags=("window",),
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    wg = W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(wg).cast("int").alias("quartile"),
+    )
+
+
+@register(
+    "window_running_sum_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty,
+           round(avg(l_quantity) OVER (PARTITION BY l_suppkey
+                                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+    FROM lineitem
+    """,
+    doc="Explicit ROWS frames: running sum (the reference's running-min "
+    "tracker shape, model.py:248-262) + 3-row moving average.",
+    tags=("window", "bench"),
+)
+def window_running_sum_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    base = W.partitionBy("l_suppkey").orderBy(*order)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(base.rowsBetween(W.unboundedPreceding, 0)), 4).alias(
+            "running_qty"
+        ),
+        F.round(F.avg("l_quantity").over(base.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+    )
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="Top-k per group via ranking window — the distributed argmin "
+    "pattern replacing the reference's per-task min tracking "
+    "(model.py:256-262).",
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "argmin_eval_loss",
+    oracle="""
+    SELECT task, event_id AS argmin_event, round(value, 6) AS min_value
+    FROM (
+        SELECT event_type AS task, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn
+        FROM events)
+    WHERE rn = 1
+    """,
+    doc="Per-task argmin — the exact shape of the reference's "
+    "min-eval-loss + step tracking (model.py:248-262): min value and "
+    "the row where it occurred, with a deterministic tie-break.",
+    tags=("window", "agg"),
+)
+def argmin_eval_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("task"),
+            F.col("event_id"),
+            F.col("value"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("task", F.col("event_id").alias("argmin_event"), F.round("value", 6).alias("min_value"))
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, round(sum(value), 4) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min gap): lag + cumulative-sum "
+    "window then grouped agg — the batch analog of streaming "
+    "session_window, one shuffle on user_id total.",
+    tags=("window", "timeseries", "bench"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.withColumn("session_id", F.sum("new_session").over(run).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+    )

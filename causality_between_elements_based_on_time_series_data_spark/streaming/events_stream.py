@@ -1,0 +1,73 @@
+"""Structured Streaming skin over the events table (SURVEY.md §2.9).
+
+The reference is pure batch (model.py's loop over in-memory numpy),
+so streaming is an engine extension: the same tumbling-window rollup
+as the batch ``tumbling_hourly_rollup`` query, expressed as a
+readStream → windowed agg → memory sink pipeline.  Batch/stream
+parity is the correctness claim — the streaming result must equal the
+batch GROUP BY date_trunc('hour') exactly, which is what the DuckDB
+oracle checks.
+
+For local runs the parquet fixture drives the stream to completion
+synchronously (``processAllAvailable``); on a real cluster the source
+would be Kafka/files-in-arrival and the sink a Delta/parquet append
+with ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.catalog import TABLES
+
+# The fixture's ts is physically TIMESTAMP(NANOS); the stream source
+# reads it as nanos-since-epoch and converts (see catalog.load_table).
+_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+        for f in TABLES["events"].fields
+    ]
+)
+
+
+def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the 1-hour tumbling rollup as a real streaming query and
+    return the (batch) result table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Glob rather than a bare file path: the file stream source requires
+    # a directory basePath; the glob's non-glob prefix (sf_dir) is it.
+    stream = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .parquet(f"{sf_dir}/events.parque*")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return out.select(
+        "event_type",
+        F.col("win.start").alias("hour_start"),
+        "n",
+        "total_value",
+    )
