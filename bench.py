@@ -1,0 +1,60 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Queries are the registry entries tagged "bench" — the shuffle-heavy /
+join-heavy representatives of each operator family.  Each query is
+forced end-to-end with a noop write (full execution, no driver
+collect), timed after a JVM/scan warmup pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from causality_between_elements_based_on_time_series_data_spark.plans import REGISTRY
+    from causality_between_elements_based_on_time_series_data_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    bench_queries = {name: q for name, q in REGISTRY.items() if "bench" in q.tags}
+
+    # Warmup: JVM JIT + parquet footer caches, one light pass.
+    warm = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    warm.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(bench_queries.items()):
+        t0 = time.monotonic()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -35,21 +35,32 @@ def retain_entity_features(events: DataFrame) -> DataFrame:
     alpha = softmax_over(F.col("value"), w)
     steps_back = F.row_number().over(w_rev) - 1
     decay = F.exp(F.lit(-0.1) * steps_back)
+    # Group on the original column names and alias afterwards: renaming
+    # before the groupBy hides the window's hash partitioning from
+    # EnsureRequirements and costs an extra (pointless) exchange.
     return (
         events.select(
-            F.col("user_id").alias("entity_id"),
-            F.col("event_type").alias("task"),
+            "user_id",
+            "event_type",
             (alpha * F.tanh("value")).alias("weighted"),
             (decay * F.col("value")).alias("wv"),
             decay.alias("w"),
             F.col("value"),
         )
-        .groupBy("entity_id", "task")
+        .groupBy("user_id", "event_type")
         .agg(
             F.count("*").alias("n_steps"),
             F.round(F.sum("weighted"), 6).alias("context"),
             F.round(F.sum("wv") / F.sum("w"), 6).alias("recency_value"),
             F.round(F.avg("value"), 6).alias("mean_value"),
+        )
+        .select(
+            F.col("user_id").alias("entity_id"),
+            F.col("event_type").alias("task"),
+            "n_steps",
+            "context",
+            "recency_value",
+            "mean_value",
         )
     )
 

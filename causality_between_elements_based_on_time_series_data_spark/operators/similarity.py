@@ -49,10 +49,15 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     bucket_length: float = 2.0,
     num_tables: int = 3,
-    candidate_ratio: float = 10.0,
+    distance_threshold: float = 12.0,
 ) -> DataFrame:
     """Approximate top-k: random-projection LSH candidate generation,
-    exact cosine re-rank of candidates. Sub-quadratic at scale."""
+    exact cosine re-rank of candidates. Sub-quadratic at scale.
+
+    ``distance_threshold`` is the Euclidean candidate cut for
+    ``approxSimilarityJoin`` — size it to the embedding norm scale
+    (≈ √2·‖x‖ keeps most true neighbors for unit-ish data).
+    """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -67,7 +72,7 @@ def lsh_cosine_topk(
     )
     model = lsh.fit(c)
     # Euclidean-distance candidates, re-ranked by exact cosine.
-    cand = model.approxSimilarityJoin(q, c, float("inf") if candidate_ratio <= 0 else 8.0, distCol="dist")
+    cand = model.approxSimilarityJoin(q, c, distance_threshold, distCol="dist")
     pairs = cand.select(
         F.col("datasetA.qid").alias("qid"),
         F.col("datasetB.nid").alias("nid"),

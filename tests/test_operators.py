@@ -1,0 +1,130 @@
+"""Operator property tests (SURVEY.md §5.2 item 3): softmax
+normalization, dedup idempotence, as-of semantics on crafted data,
+MinHash-LSH recall on planted near-duplicates, tensorize ordering.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from causality_between_elements_based_on_time_series_data_spark.functions.scalar import (
+    softmax_over,
+)
+from causality_between_elements_based_on_time_series_data_spark.operators.asof import asof_lookup
+from causality_between_elements_based_on_time_series_data_spark.operators.dedup import (
+    dedup_exact,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from causality_between_elements_based_on_time_series_data_spark.operators.similarity import (
+    brute_force_cosine_topk,
+    lsh_cosine_topk,
+)
+from causality_between_elements_based_on_time_series_data_spark.operators.tensorize import (
+    steps_from_timestamps,
+    tensorize,
+)
+from causality_between_elements_based_on_time_series_data_spark.sources.catalog import load_table
+
+
+def test_softmax_sums_to_one(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    sums = (
+        ev.select("user_id", softmax_over(F.col("value"), w).alias("alpha"))
+        .groupBy("user_id")
+        .agg(F.sum("alpha").alias("s"))
+        .collect()
+    )
+    assert all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+
+
+def test_dedup_exact_idempotent_and_dup_aware(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    once = dedup_exact(docs).orderBy("keep_doc_id").toPandas()
+    twice = dedup_exact(doubled).orderBy("keep_doc_id").toPandas()
+    # same survivors (min id wins), every copy counted
+    assert list(once.keep_doc_id) == list(twice.keep_doc_id)
+    assert (twice.n_copies == 2 * once.n_copies).all()
+
+
+def test_asof_semantics_crafted(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(minutes=0), 1, "click", 5.0),
+        (2, t0 + timedelta(minutes=10), 1, "purchase", 100.0),
+        (3, t0 + timedelta(minutes=20), 1, "click", 7.0),
+        (4, t0 + timedelta(minutes=30), 1, "purchase", 200.0),
+        (5, t0 + timedelta(minutes=5), 2, "purchase", 300.0),  # no prior click
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_lookup(
+            df,
+            entity_col="user_id",
+            time_cols=("ts", "event_id"),
+            probe_filter=F.col("event_type") == "purchase",
+            build_filter=F.col("event_type") == "click",
+            value_col="value",
+        ).collect()
+    }
+    assert out == {2: 5.0, 4: 7.0, 5: None}
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    # plant near-duplicates: same text with one extra token at the end
+    dups = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    sigs = minhash_signatures(docs.unionByName(dups))
+    cands = lsh_candidate_pairs(sigs).toPandas()
+    planted_found = sum(
+        1 for _, r in cands.iterrows() if r.id_b - r.id_a == 10_000
+    )
+    # 16 hashes / 4×4 bands on ~1-token perturbations: expect most pairs
+    assert planted_found >= 60, f"found only {planted_found}/100 planted near-dups"
+
+
+def test_lsh_cosine_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_cosine_topk(emb, queries, k=3).select("qid", "nid").toPandas()
+    approx = lsh_cosine_topk(emb, queries, k=3).select("qid", "nid").toPandas()
+    exact_pairs = set(zip(exact.qid, exact.nid))
+    approx_pairs = set(zip(approx.qid, approx.nid))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_tensorize_orders_steps(spark):
+    rows = [
+        (1, "a", 2, [3.0]),
+        (1, "a", 0, [1.0]),
+        (1, "a", 1, [2.0]),
+        (2, "a", 0, [9.0]),
+    ]
+    df = spark.createDataFrame(rows, "entity_id long, task string, step int, features array<double>")
+    out = {r["entity_id"]: r for r in tensorize(df).collect()}
+    assert out[1]["features_seq"] == [[1.0], [2.0], [3.0]]
+    assert out[1]["n_steps"] == 3
+    assert out[2]["features_seq"] == [[9.0]]
+
+
+def test_steps_from_timestamps_dense(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    stepped = steps_from_timestamps(ev, "user_id", "event_type", "ts", "event_id")
+    agg = stepped.groupBy("user_id", "event_type").agg(
+        F.min("step").alias("lo"), F.max("step").alias("hi"), F.count("*").alias("n")
+    )
+    bad = agg.filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)).count()
+    assert bad == 0
