@@ -11,6 +11,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     queries_llm,
     queries_ml,
     queries_relational,
+    queries_sources,
     queries_timeseries,
     queries_window,
 )

@@ -174,6 +174,42 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS id_a, CAST(embedding AS DOUBLE[]) AS va
+        FROM embeddings WHERE vec_id % 50 = 0
+    )
+    SELECT id_a, vec_id AS id_b,
+           round(list_cosine_similarity(va, CAST(embedding AS DOUBLE[])), 6) AS sim
+    FROM q, embeddings
+    WHERE vec_id > id_a
+      AND list_cosine_similarity(va, CAST(embedding AS DOUBLE[])) >= 0.3
+    """,
+    doc="Embedding-cosine near-dup detection: threshold pairs over a "
+    "broadcast anchor subset. At 100 TB the anchor side comes from "
+    "LSH buckets (cosine_topk_lsh) instead of a modulus sample — same "
+    "threshold/re-rank plan.",
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.arrays import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    others = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        others.join(F.broadcast(anchors), F.col("id_b") > F.col("id_a"))
+        .select("id_a", "id_b", sim.alias("raw_sim"))
+        .filter(F.col("raw_sim") >= 0.3)
+        .select("id_a", "id_b", F.round("raw_sim", 6).alias("sim"))
+    )
+
+
+@register(
     "text_quality_scores",
     oracle="""
     WITH t AS (

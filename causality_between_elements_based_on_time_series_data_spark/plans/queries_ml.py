@@ -74,6 +74,21 @@ def amtl_causality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retain_fidelity_predictions",
+    oracle=None,  # recurrent forward pass — not SQL-expressible;
+    # validated against an independent numpy oracle in tests/test_rnn.py
+    doc="RNN-fidelity mode: exact RETAIN forward semantics (reverse-"
+    "time LSTM → α/β attention → context → task head, model.py:61-147) "
+    "as a self-contained applyInPandas kernel per (entity, task).",
+    tags=("ml", "retain", "rnn"),
+)
+def retain_fidelity_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.rnn import retain_fidelity
+
+    return retain_fidelity(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "streaming_tumbling_rollup",
     oracle="""
     SELECT event_type,

@@ -446,6 +446,85 @@ def date_parts_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentile_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles (Spark percentile ≡ DuckDB "
+    "quantile_cont). At 100 TB swap to percentile_approx (t-digest "
+    "sketch, one pass, mergeable) — same plan shape.",
+    tags=("relational", "agg"),
+)
+def percentile_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "grouping_sets_explicit",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (beyond rollup/cube) — SURVEY §2.4 "
+    "[GAP]; one shuffle, Expand-node fan-out.",
+    tags=("relational", "agg"),
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           round(l_quantity, 4) AS val
+    FROM lineitem WHERE l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric,
+           round(l_extendedprice, 4) AS val
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+    doc="Unpivot (wide → tall) — the inverse of pivot; Spark's "
+    "df.unpivot ≡ UNION ALL of per-column projections.",
+    tags=("relational", "setop"),
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice"],
+            "metric",
+            "raw_val",
+        )
+        .select("l_orderkey", "l_linenumber", "metric", F.round("raw_val", 4).alias("val"))
+    )
+
+
+@register(
     "correlated_subquery_above_avg",
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

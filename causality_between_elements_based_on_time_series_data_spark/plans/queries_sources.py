@@ -1,0 +1,103 @@
+"""Source/sink format coverage beyond parquet (SURVEY.md §2.1 [GAP]
+row: engine supports parquet/csv/json via DataFrameReader with
+declared schemas — never inferSchema).
+
+Each round-trip query WRITES a derived dataset in the target format
+and reads it back with the declared schema before aggregating; the
+oracle aggregates the original parquet directly, so the check proves
+the format encode/decode is lossless for the covered types
+(timestamps included).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+IO_ROOT = "/tmp/spark_graft_io"
+
+
+def _io_dir(sf_dir: str, name: str) -> str:
+    return os.path.join(IO_ROOT, os.path.basename(sf_dir.rstrip("/")), name)
+
+
+@register(
+    "csv_roundtrip_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    doc="CSV sink + schema-declared CSV scan round-trip: open orders "
+    "written as CSV, read back (explicit schema, header), aggregated. "
+    "Oracle reads the original parquet — losslessness is the check.",
+    tags=("sources", "csv"),
+)
+def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    path = _io_dir(sf_dir, "orders_csv")
+    orders.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.option("header", "true").schema(orders.schema).csv(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "json_roundtrip_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_us
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON-lines sink + schema-declared JSON scan round-trip over "
+    "events (timestamps survive microsecond-exact).",
+    tags=("sources", "json"),
+)
+def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    path = _io_dir(sf_dir, "events_json")
+    # default JSON timestampFormat truncates to milliseconds — pin a
+    # microsecond format so the round-trip is lossless
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev.write.mode("overwrite").option("timestampFormat", ts_fmt).json(path)
+    back = spark.read.schema(ev.schema).option("timestampFormat", ts_fmt).json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.min(F.unix_micros("ts")).alias("first_us"),
+    )
+
+
+@register(
+    "parquet_partitioned_sink",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS qty
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    GROUP BY l_returnflag
+    """,
+    doc="Partitioned parquet sink (partitionBy returnflag — the "
+    "B-matrix round-partitioned dump pattern, model.py:296-310) + "
+    "partition-pruning-capable re-scan.",
+    tags=("sources", "parquet"),
+)
+def parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    path = _io_dir(sf_dir, "lineitem_part")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty")
+    )

@@ -1,0 +1,91 @@
+"""RNN-fidelity oracle test (SURVEY.md §5.2 item 2): the distributed
+applyInPandas kernel must match an independently-written numpy
+implementation of the same RETAIN forward math, rtol 1e-6.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+from causality_between_elements_based_on_time_series_data_spark.ml.rnn import (
+    fidelity_weights,
+    retain_fidelity,
+)
+
+
+def numpy_retain_oracle(values: list[float], w: dict) -> tuple[float, float]:
+    """Independent re-derivation of the RETAIN forward pass
+    (reverse-time LSTM -> alpha/beta attention -> context -> head)."""
+    V = np.asarray(w["V"])
+    Wx, Wh, b = np.asarray(w["Wx"]), np.asarray(w["Wh"]), np.asarray(w["b"])
+    hid = Wh.shape[0]
+    emb = np.asarray(values, dtype=np.float64)[:, None] @ V
+
+    h, c, states = np.zeros(hid), np.zeros(hid), []
+    for v in emb[::-1]:
+        z = v @ Wx + h @ Wh + b
+        i, f, g, o = np.split(z, 4)
+        sig = lambda a: 1 / (1 + np.exp(-a))
+        c = sig(f) * c + sig(i) * np.tanh(g)
+        h = sig(o) * np.tanh(c)
+        states.append(h.copy())
+    H = np.array(states)[::-1]
+
+    s = H @ np.asarray(w["w_alpha"]) + np.asarray(w["b_alpha"])
+    s = s - s.max()
+    alpha = np.exp(s) / np.exp(s).sum()
+    beta = np.tanh(H @ np.asarray(w["W_beta"]) + np.asarray(w["b_beta"]))
+    ctx = (alpha * beta * emb).sum(axis=0)
+    logit = float(ctx @ np.asarray(w["w_out"]) + np.asarray(w["b_out"]))
+    return logit, float(1 / (1 + np.exp(-logit)))
+
+
+@pytest.fixture(scope="module")
+def tiny_sequences(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    rng = np.random.default_rng(11)
+    for uid in range(5):
+        for task in ["click", "purchase"]:
+            for step in range(7):
+                rows.append(
+                    (
+                        uid * 100 + step,
+                        t0 + timedelta(minutes=step),
+                        uid,
+                        task,
+                        float(rng.normal()),
+                    )
+                )
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_fidelity_matches_numpy_oracle(spark, tiny_sequences):
+    w = fidelity_weights()
+    out = retain_fidelity(tiny_sequences).collect()
+    assert len(out) == 10
+    pdf = tiny_sequences.toPandas()
+    for r in out:
+        g = pdf[(pdf.user_id == r["entity_id"]) & (pdf.event_type == r["task"])]
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        logit, pred = numpy_retain_oracle(list(g.value), w)
+        assert r["n_steps"] == len(g)
+        np.testing.assert_allclose(r["logit"], round(logit, 6), rtol=1e-6)
+        np.testing.assert_allclose(r["pred"], round(pred, 6), rtol=1e-6)
+
+
+def test_fidelity_reverse_time_matters(spark, tiny_sequences):
+    """Reversing the sequence must change the output (the recurrence
+    is genuinely order-sensitive — guards against a kernel that
+    ignores time order)."""
+    w = fidelity_weights()
+    pdf = tiny_sequences.toPandas()
+    g = pdf[(pdf.user_id == 0) & (pdf.event_type == "click")].sort_values("ts")
+    fwd, _ = numpy_retain_oracle(list(g.value), w)
+    rev, _ = numpy_retain_oracle(list(g.value)[::-1], w)
+    assert abs(fwd - rev) > 1e-9
