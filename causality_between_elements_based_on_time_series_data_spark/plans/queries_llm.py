@@ -288,6 +288,111 @@ def lang_stats_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term,
+               round(tf * (ln((n.n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="TF-IDF top-3 terms per document as pure DataFrame ops "
+    "(explode → tf groupBy → df countDistinct → smoothed idf join → "
+    "ranking window). The document-frequency side is a broadcast "
+    "(vocabulary ≪ corpus); corpus shuffles once on doc_id.",
+    tags=("llm", "text", "bench"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # KMeans-clustered inverted lists — probabilistic; recall tested in pytest
+    doc="IVF ANN: MLlib KMeans inverted lists, per-query n_probe "
+    "cluster pruning, exact cosine re-rank on candidates only — the "
+    "scale path when LSH recall is poor on the data distribution.",
+    tags=("llm", "similarity", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivf import ivf_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_cosine_topk(emb, queries, k=3)
+
+
+@register(
+    "mllib_logistic_head",
+    oracle=None,  # iterative LBFGS training — rows-only
+    doc="Per-task supervised head (model.py:150-159) trained with "
+    "MLlib LogisticRegression on the embeddings table; emits per-label "
+    "prediction summary. The MLlib-estimator counterpart of the "
+    "hand-rolled AMTL loop.",
+    tags=("ml", "mllib"),
+)
+def mllib_logistic_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ds = emb.select(
+        F.col("label").cast("double").alias("label"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    lr = LogisticRegression(maxIter=20, regParam=0.01)
+    pred = lr.fit(ds).transform(ds)
+    return (
+        pred.select(
+            "label", F.element_at(vector_to_array("probability"), 2).alias("p1"), "prediction"
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("p1"), 4).alias("avg_p1"),
+            F.round(F.avg((F.col("prediction") == F.col("label")).cast("double")), 4).alias("acc"),
+        )
+    )
+
+
+@register(
     "multimodal_payload_stats",
     oracle="""
     SELECT doc_id,

@@ -107,3 +107,30 @@ def streaming_tumbling_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events_stream import streaming_tumbling_rollup
 
     return streaming_tumbling_rollup(spark, sf_dir)
+
+
+@register(
+    "streaming_sliding_rollup",
+    oracle="""
+    WITH expanded AS (
+        SELECT event_type, value,
+               unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                       date_trunc('hour', ts)]) AS ws
+        FROM events
+    )
+    SELECT event_type,
+           CAST(epoch_us(ws) AS BIGINT) AS window_start_us,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM expanded
+    GROUP BY event_type, ws
+    """,
+    doc="Structured Streaming sliding windows (2 h size, 1 h slide, "
+    "watermark, complete mode). Oracle expands each event into its "
+    "two covering windows in batch SQL — stream/batch parity again.",
+    tags=("streaming", "timeseries"),
+)
+def streaming_sliding_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import streaming_sliding_rollup
+
+    return streaming_sliding_rollup(spark, sf_dir)

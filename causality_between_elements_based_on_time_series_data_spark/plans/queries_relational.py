@@ -446,6 +446,41 @@ def date_parts_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_hot_key_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity), 4)      AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*)                       AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Two-phase salted aggregation over a 3-value hot key (the "
+    "reference's task column shape): phase 1 groups by (key, salt) to "
+    "fan out across reducers, phase 2 combines. Result identical to "
+    "the direct groupBy — the oracle proves it; the salt only "
+    "reshapes the shuffle for skew (SURVEY §4.2 / 100 TB).",
+    tags=("relational", "agg", "skew"),
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        sums={"raw_qty": F.col("l_quantity"), "raw_price": F.col("l_extendedprice")},
+        count_alias="n",
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("raw_qty", 4).alias("sum_qty"),
+        F.round("raw_price", 2).alias("sum_price"),
+        "n",
+    )
+
+
+@register(
     "percentile_by_status",
     oracle="""
     SELECT o_orderstatus,

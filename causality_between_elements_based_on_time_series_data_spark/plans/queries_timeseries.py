@@ -387,6 +387,49 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_rollup",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+           count(*) AS n_events,
+           round(sum(value), 4) AS session_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    doc="Native session_window aggregation (30-min gap) — Spark's "
+    "built-in session assignment; oracle is the equivalent lag+cumsum "
+    "sessionization (new session at gap ≥ 30 min, matching "
+    "session_window's exclusive end).",
+    tags=("timeseries", "window", "streaming"),
+)
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
     "batch_sample_without_replacement",
     oracle=None,  # seeded rand() is engine-specific — rows-only check
     doc="Seeded per-task sampling without replacement (model.py:191): "

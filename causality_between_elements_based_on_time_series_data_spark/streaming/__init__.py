@@ -1,3 +1,3 @@
-from .events_stream import streaming_tumbling_rollup
+from .events_stream import streaming_sliding_rollup, streaming_tumbling_rollup
 
-__all__ = ["streaming_tumbling_rollup"]
+__all__ = ["streaming_sliding_rollup", "streaming_tumbling_rollup"]

@@ -71,3 +71,30 @@ def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows advancing hourly — each event lands in
+    two windows; complete-mode memory sink."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(_STREAM_SCHEMA)
+        .parquet(f"{sf_dir}/events.parque*")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = stream.groupBy(
+        F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "event_type",
+        F.unix_micros(F.col("win.start")).alias("window_start_us"),
+        "n",
+        "total_value",
+    )

@@ -106,6 +106,42 @@ def test_lsh_cosine_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
 
 
+def test_ivf_cosine_recall_vs_bruteforce(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.operators.ivf import (
+        ivf_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_cosine_topk(emb, queries, k=3).select("qid", "nid").toPandas()
+    approx = ivf_cosine_topk(emb, queries, k=3, n_clusters=8, n_probe=3).select(
+        "qid", "nid"
+    ).toPandas()
+    exact_pairs = set(zip(exact.qid, exact.nid))
+    approx_pairs = set(zip(approx.qid, approx.nid))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.operators.skew import (
+        salted_agg,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = {
+        r["l_returnflag"]: (round(r["s"], 4), r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (round(r["s"], 4), r["n"])
+        for r in salted_agg(li, ["l_returnflag"], {"s": F.col("l_quantity")}, "n").collect()
+    }
+    assert direct == salted
+
+
 def test_tensorize_orders_steps(spark):
     rows = [
         (1, "a", 2, [3.0]),
