@@ -29,23 +29,42 @@ def retain_entity_features(events: DataFrame) -> DataFrame:
     mean_value)`` where ``context`` is the α·tanh(β-gated) aggregation
     of model.py:147 in scalar-feature form and ``recency_value`` is
     the reverse-time decay aggregate (model.py:138 semantics).
+
+    Attention scores are standardized within the entity-task window
+    before the softmax — the reference scores steps through learned
+    projections of hidden state (model.py:70-75), not raw magnitudes;
+    raw values here span ~[0, 330] and would saturate both the softmax
+    and the tanh gate to a constant 1.0.
     """
     w = W.partitionBy("user_id", "event_type")
     w_rev = w.orderBy(F.desc("ts"), F.desc("event_id"))
-    alpha = softmax_over(F.col("value"), w)
+    z = F.coalesce(
+        (F.col("value") - F.avg("value").over(w))
+        / F.nullif(F.stddev_samp("value").over(w), F.lit(0.0)),
+        F.lit(0.0),
+    )
     steps_back = F.row_number().over(w_rev) - 1
     decay = F.exp(F.lit(-0.1) * steps_back)
+    staged = events.select(
+        "user_id",
+        "event_type",
+        z.alias("z"),
+        (decay * F.col("value")).alias("wv"),
+        decay.alias("w"),
+        F.col("value"),
+    )
+    alpha = softmax_over(F.col("z"), w)
     # Group on the original column names and alias afterwards: renaming
     # before the groupBy hides the window's hash partitioning from
     # EnsureRequirements and costs an extra (pointless) exchange.
     return (
-        events.select(
+        staged.select(
             "user_id",
             "event_type",
-            (alpha * F.tanh("value")).alias("weighted"),
-            (decay * F.col("value")).alias("wv"),
-            decay.alias("w"),
-            F.col("value"),
+            (alpha * F.tanh("z")).alias("weighted"),
+            "wv",
+            "w",
+            "value",
         )
         .groupBy("user_id", "event_type")
         .agg(

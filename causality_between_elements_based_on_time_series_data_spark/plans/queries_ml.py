@@ -16,22 +16,29 @@ from .registry import register, sql_tanh
 @register(
     "retain_entity_features",
     oracle=f"""
-    WITH m AS (
+    WITH s AS (
         SELECT user_id, event_type, ts, event_id, value,
-               max(value) OVER (PARTITION BY user_id, event_type) AS mx
+               coalesce((value - avg(value) OVER w)
+                        / nullif(stddev_samp(value) OVER w, 0), 0) AS z
         FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type)
+    ),
+    m AS (
+        SELECT user_id, event_type, ts, event_id, value, z,
+               max(z) OVER (PARTITION BY user_id, event_type) AS mz
+        FROM s
     ),
     a AS (
-        SELECT user_id, event_type, value,
-               exp(value - mx)
-               / sum(exp(value - mx)) OVER (PARTITION BY user_id, event_type) AS alpha,
+        SELECT user_id, event_type, value, z,
+               exp(z - mz)
+               / sum(exp(z - mz)) OVER (PARTITION BY user_id, event_type) AS alpha,
                exp(-0.1 * (row_number() OVER (PARTITION BY user_id, event_type
                                               ORDER BY ts DESC, event_id DESC) - 1)) AS decay
         FROM m
     )
     SELECT user_id AS entity_id, event_type AS task,
            count(*) AS n_steps,
-           round(sum(alpha * {sql_tanh("value")}), 6)   AS context,
+           round(sum(alpha * {sql_tanh("z")}), 6)   AS context,
            round(sum(decay * value) / sum(decay), 6) AS recency_value,
            round(avg(value), 6)                 AS mean_value
     FROM a
@@ -134,3 +141,21 @@ def streaming_sliding_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events_stream import streaming_sliding_rollup
 
     return streaming_sliding_rollup(spark, sf_dir)
+
+
+@register(
+    "streaming_stateful_user_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Arbitrary stateful streaming (applyInPandasWithState): "
+    "per-user running (count, sum) state in update mode; the final "
+    "emitted state must equal the batch GROUP BY.",
+    tags=("streaming", "stateful"),
+)
+def streaming_stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import streaming_stateful_user_totals
+
+    return streaming_stateful_user_totals(spark, sf_dir)

@@ -560,6 +560,67 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "string_function_surface",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                       AS name_upper,
+           substr(c_name, 1, 8)                AS name_prefix,
+           concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           CAST(length(c_name) AS INTEGER)     AS name_len,
+           replace(c_name, '0', 'x')           AS name_sub,
+           CAST(strpos(c_name, '1') AS INTEGER) AS pos_1
+    FROM customer
+    """,
+    doc="String function surface (SURVEY §2.8 string row): case, "
+    "substring, concat_ws, length, replace, position — all map-side "
+    "column expressions.",
+    tags=("relational", "scalar"),
+)
+def string_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("0"), F.lit("x")).alias("name_sub"),
+        F.instr("c_name", "1").cast("int").alias("pos_1"),
+    )
+
+
+@register(
+    "date_function_surface",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(day(o_orderdate) AS INTEGER)     AS dom,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           last_day(CAST(o_orderdate AS DATE))   AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+    doc="Datetime function surface (SURVEY §2.8 datetime row): "
+    "quarter/day extraction, month truncation, last_day, datediff, "
+    "interval arithmetic.",
+    tags=("relational", "datetime"),
+)
+def date_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_add("o_orderdate", 30).alias("due_date"),
+    )
+
+
+@register(
     "correlated_subquery_above_avg",
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

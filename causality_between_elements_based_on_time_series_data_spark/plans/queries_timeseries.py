@@ -430,6 +430,36 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "from_json_typed_struct",
+    oracle="""
+    SELECT event_type,
+           CAST(max(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k,
+           CAST(sum(CASE WHEN CAST(props->>'$.k' AS INTEGER) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_k_gt_50,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Typed JSON parsing: from_json into a declared struct schema "
+    "(vs the stringly get_json_object path) + predicate on the typed "
+    "field.",
+    tags=("timeseries", "json"),
+)
+def from_json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_k_gt_50"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
     "batch_sample_without_replacement",
     oracle=None,  # seeded rand() is engine-specific — rows-only check
     doc="Seeded per-task sampling without replacement (model.py:191): "

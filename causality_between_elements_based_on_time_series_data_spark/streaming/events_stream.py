@@ -73,6 +73,55 @@ def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, sum) state, emitted on update — the
+    engine's arbitrary-state surface (SURVEY §2.9 engine decision;
+    the reference's closest analog is TF's streaming AUC accumulator,
+    model.py:157). With the fixture driven in one micro-batch the
+    emitted state equals the batch GROUP BY — the oracle checks that.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = spark.readStream.schema(_STREAM_SCHEMA).parquet(f"{sf_dir}/events.parque*")
+
+    def update(key, pdfs, state: GroupState):
+        # self-contained kernel: stdlib + pandas only (worker sys.path)
+        import pandas as _pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "total_value": [round(total, 4)]}
+        )
+
+    out = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # one emission per user per micro-batch; keep the latest state
+    latest = spark.table(name).groupBy("user_id").agg(
+        F.max("n").alias("n"), F.max("total_value").alias("total_value")
+    )
+    return latest
+
+
 def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 2-hour windows advancing hourly — each event lands in
     two windows; complete-mode memory sink."""
