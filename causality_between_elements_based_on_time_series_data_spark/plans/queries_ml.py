@@ -81,6 +81,33 @@ def amtl_causality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "amtl_training_history",
+    oracle=None,  # iterative training — rows-only; monotone-decrease
+    # property asserted in tests/test_ml.py
+    doc="Training-lifecycle metrics: total AMTL objective at each "
+    "checkpoint (the reference's eval-loop console stream + min "
+    "tracking, model.py:236-262) as a queryable DataFrame.",
+    tags=("ml", "amtl"),
+)
+def amtl_training_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    feats = retain_entity_features(events)
+    med = feats.groupBy("task").agg(F.expr("percentile_approx(mean_value, 0.5)").alias("med"))
+    ds = feats.join(F.broadcast(med), "task").select(
+        "entity_id",
+        "task",
+        F.array("context", "recency_value", F.log1p("n_steps")).alias("x"),
+        (F.col("mean_value") > F.col("med")).cast("double").alias("y"),
+    )
+    cfg = AMTLConfig(total_iter=10, check_iter=2)
+    AMTLTrainer(cfg).fit(ds)
+    rows = [(i, float(v)) for i, v in enumerate(cfg.history)]
+    return spark.createDataFrame(rows, "checkpoint int, total_loss double").select(
+        "checkpoint", F.round("total_loss", 6).alias("total_loss")
+    )
+
+
+@register(
     "retain_fidelity_predictions",
     oracle=None,  # recurrent forward pass — not SQL-expressible;
     # validated against an independent numpy oracle in tests/test_rnn.py

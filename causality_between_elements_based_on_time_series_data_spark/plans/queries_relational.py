@@ -560,6 +560,23 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_approx_distinct",
+    oracle=None,  # HLL++ sketch values are engine-specific — rows-only;
+    # tolerance vs exact countDistinct asserted in tests/test_operators.py
+    doc="approx_count_distinct (HyperLogLog++) per group — the "
+    "mergeable-sketch path that replaces exact distinct counting at "
+    "100 TB (one pass, constant memory, no distinct expansion).",
+    tags=("relational", "agg", "sketch"),
+)
+def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+@register(
     "string_function_surface",
     oracle="""
     SELECT c_custkey,

@@ -1,0 +1,74 @@
+"""Physical-plan quality gates (SURVEY.md §4.2): these assertions pin
+the *plan shapes* the 100 TB design depends on — filter/column
+pushdown reaching the parquet scan, dimension joins going broadcast,
+entity-keyed pipelines shuffling exactly once, global top-k avoiding a
+full sort. A correctness-preserving change that regresses one of
+these is a perf bug; this file makes it a test failure.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from causality_between_elements_based_on_time_series_data_spark.plans import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def count_exchanges(plan: str) -> int:
+    # count Exchange operators, excluding reused ones
+    return len(re.findall(r"\(\d+\)\s+Exchange", plan))
+
+
+def test_filter_and_columns_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_project_pushdown")
+    assert "PushedFilters: [IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity,45.0)" in plan
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "l_returnflag" not in read_schema, "column pruning failed"
+    assert "l_partkey" not in read_schema, "column pruning failed"
+
+
+def test_q3_joins_are_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q3_shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_retain_features_single_data_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "retain_entity_features")
+    # one exchange feeding windows+agg on the same entity-task key
+    assert count_exchanges(plan) == 1, plan
+
+
+def test_asof_single_shuffle_and_pushed_disjunction(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "asof_last_click_before_purchase")
+    assert count_exchanges(plan) == 1, plan
+    assert "Or(EqualTo(event_type,purchase),EqualTo(event_type,click))" in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "top_k_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_per_group_uses_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "window_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "cosine_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    for name in ["q5_region_revenue", "ngram_jaccard_pairs", "tfidf_top_terms"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
