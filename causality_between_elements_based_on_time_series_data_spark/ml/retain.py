@@ -84,13 +84,3 @@ def retain_entity_features(events: DataFrame) -> DataFrame:
     )
 
 
-def attach_labels(features: DataFrame) -> DataFrame:
-    """Deterministic binary labels for the training demo: entity's
-    mean value above its task's median (the reference's labels come
-    from files, run.py:46-55 — any per-(entity, task) 0/1 column fits
-    the contract)."""
-    med = W.partitionBy("task")
-    return features.withColumn(
-        "label",
-        (F.col("mean_value") > F.expr("percentile_approx(mean_value, 0.5)").over(med)).cast("double"),
-    )

@@ -430,6 +430,38 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_function_surface",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER)                         AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6)                  AS e0,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS emax,
+           round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS emin,
+           round(list_sum(list_transform(embedding[1:8],
+                                         x -> CAST(x AS DOUBLE))), 6)  AS head_sum
+    FROM embeddings
+    """,
+    doc="Array/higher-order function surface (SURVEY §2.8 reshape/"
+    "concat row analog): size, element_at, array_max/min, slice + "
+    "aggregate — all codegen'd column expressions over ARRAY<FLOAT>.",
+    tags=("timeseries", "array"),
+)
+def array_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = F.slice("embedding", 1, 8)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("emax"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("emin"),
+        F.round(
+            F.aggregate(head, F.lit(0.0), lambda a, x: a + x.cast("double")), 6
+        ).alias("head_sum"),
+    )
+
+
+@register(
     "from_json_typed_struct",
     oracle="""
     SELECT event_type,
