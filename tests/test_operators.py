@@ -142,6 +142,24 @@ def test_salted_agg_matches_direct(spark, sf_dir):
     assert direct == salted
 
 
+def test_scd2_history_tracking(spark):
+    from causality_between_elements_based_on_time_series_data_spark.operators.upsert import (
+        scd2_apply,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 1, True), (2, "b", 1, True)],
+        "id long, val string, version int, is_current boolean",
+    )
+    updates = spark.createDataFrame([(1, "a2")], "id long, val string")
+    out = scd2_apply(target, updates, "id").orderBy("id", "version").collect()
+    assert [(r.id, r.val, r.version, r.is_current) for r in out] == [
+        (1, "a", 1, False),
+        (1, "a2", 2, True),
+        (2, "b", 1, True),
+    ]
+
+
 def test_tensorize_orders_steps(spark):
     rows = [
         (1, "a", 2, [3.0]),
