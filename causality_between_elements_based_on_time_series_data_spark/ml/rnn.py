@@ -65,11 +65,21 @@ def retain_fidelity(
 
     The kernel closure is self-contained (numpy/pandas only — Spark
     workers cannot import this repo; see operators/multimodal.py).
+
+    Execution shape: sequences are first materialized per (entity,
+    task) with ``array_sort(collect_list(...))`` (one shuffle), then a
+    ``mapInPandas`` kernel runs the LSTM *vectorized across the whole
+    Arrow batch* with end-padding + masking.  The per-group
+    ``applyInPandas`` formulation pays Python dispatch per group
+    (~16 s for 7.5k groups at sf0.1); batching brings it to ~one call
+    per partition with the recurrence looping only over max sequence
+    length.  The padded positions contribute nothing: α is masked to
+    0 and the padded embeddings are 0.
     """
     w = weights or fidelity_weights()
     ocols = list(order_cols)
 
-    def kernel(pdf):
+    def kernel(batches):
         import numpy as np
         import pandas as pd
 
@@ -80,45 +90,69 @@ def retain_fidelity(
         w_o, b_o = np.asarray(w["w_out"]), np.asarray(w["b_out"])
         hid = Wh.shape[0]
 
-        pdf = pdf.sort_values(ocols, kind="mergesort")
-        x = pdf["value"].to_numpy(dtype=np.float64)[:, None]  # [T, 1]
-        emb = x @ V  # per-step embedding (model.py:132)
-        rev = emb[::-1]  # reverse time (model.py:138)
+        def sig(a):
+            return 1.0 / (1.0 + np.exp(-a))
 
-        h = np.zeros(hid)
-        c = np.zeros(hid)
-        hs = np.empty((len(rev), hid))
-        for t, v in enumerate(rev):  # dynamic_rnn (model.py:61-63)
-            gates = v @ Wx + h @ Wh + b
-            i, f, g, o = np.split(gates, 4)
-            i, f, o = 1 / (1 + np.exp(-i)), 1 / (1 + np.exp(-f)), 1 / (1 + np.exp(-o))
-            c = f * c + i * np.tanh(g)
-            h = o * np.tanh(c)
-            hs[t] = h
-        hs = hs[::-1]  # attentions flipped back (model.py:142-144)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seqs = [np.asarray(v, dtype=np.float64) for v in pdf["vals"]]
+            lens = np.array([len(s) for s in seqs])
+            B, T = len(seqs), int(lens.max())
+            X = np.zeros((B, T))
+            for i, s in enumerate(seqs):
+                X[i, : lens[i]] = s[::-1]  # reverse time (model.py:138), pad at end
+            mask = np.arange(T)[None, :] < lens[:, None]  # [B, T]
 
-        score = hs @ w_a + b_a  # [T, 1]
-        score = score - score.max()
-        alpha = np.exp(score) / np.exp(score).sum()  # softmax (model.py:75)
-        beta = np.tanh(hs @ W_b + b_b)  # [T, emb]   (model.py:77-78)
-        ctx = (alpha * beta * emb).sum(axis=0)  # context  (model.py:147)
-        logit = float(ctx @ w_o + b_o)
-        return pd.DataFrame(
-            {
-                "entity_id": [int(pdf.iloc[0]["__entity"])],
-                "task": [pdf.iloc[0]["__task"]],
-                "n_steps": [len(x)],
-                "logit": [round(logit, 6)],
-                "pred": [round(1 / (1 + np.exp(-logit)), 6)],
-            }
-        )
+            emb = X[..., None] * V[0][None, None, :]  # embedding (model.py:132) [B,T,E]
+            h = np.zeros((B, hid))
+            c = np.zeros((B, hid))
+            HS = np.zeros((B, T, hid))
+            for t in range(T):  # dynamic_rnn (model.py:61-63), batch-wide
+                gates = emb[:, t, :] @ Wx + h @ Wh + b
+                i_, f_, g_, o_ = np.split(gates, 4, axis=1)
+                c_new = sig(f_) * c + sig(i_) * np.tanh(g_)
+                h_new = sig(o_) * np.tanh(c_new)
+                m = mask[:, t : t + 1]
+                c = np.where(m, c_new, c)
+                h = np.where(m, h_new, h)
+                HS[:, t, :] = np.where(m, h_new, 0.0)
 
-    prepared = df.select(
-        F.col(entity_col).alias("__entity"),
-        F.col(task_col).alias("__task"),
-        *[F.col(c) for c in ocols],
-        F.col(value_col).alias("value"),
+            # α softmax over valid steps (model.py:70-75); the context
+            # sum is position-aligned in reversed coordinates, and a
+            # sum is order-invariant, so no un-reversing is needed.
+            score = HS @ w_a + b_a  # [B,T,1]
+            score = np.where(mask[..., None], score, -np.inf)
+            score = score - score.max(axis=1, keepdims=True)
+            e = np.where(mask[..., None], np.exp(score), 0.0)
+            alpha = e / e.sum(axis=1, keepdims=True)
+            beta = np.tanh(HS @ W_b + b_b)  # β gate (model.py:77-78)
+            ctx = (alpha * beta * emb).sum(axis=1)  # context (model.py:147)
+            logit = (ctx @ w_o).ravel() + b_o[0]
+            pred = sig(logit)
+            yield pd.DataFrame(
+                {
+                    "entity_id": pdf["__entity"].astype("int64"),
+                    "task": pdf["__task"],
+                    "n_steps": lens.astype("int64"),
+                    "logit": np.round(logit, 6),
+                    "pred": np.round(pred, 6),
+                }
+            )
+
+    seq_struct = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c).alias(f"o{i}") for i, c in enumerate(ocols)], F.col(value_col).alias("v")))
     )
-    return prepared.groupBy("__entity", "__task").applyInPandas(
+    prepared = (
+        df.select(
+            F.col(entity_col).alias("__entity"),
+            F.col(task_col).alias("__task"),
+            *[F.col(c) for c in ocols],
+            F.col(value_col),
+        )
+        .groupBy("__entity", "__task")
+        .agg(F.transform(seq_struct, lambda x: x["v"]).alias("vals"))
+    )
+    return prepared.mapInPandas(
         kernel, schema="entity_id long, task string, n_steps long, logit double, pred double"
     )
