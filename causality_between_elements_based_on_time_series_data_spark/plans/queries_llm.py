@@ -288,6 +288,26 @@ def lang_stats_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "posexplode_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS INTEGER) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id % 50 = 0
+    """,
+    doc="Positional explode (UDTF-style lateral view, SURVEY §2.10): "
+    "token with 1-based position per document.",
+    tags=("llm", "text"),
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")
+
+
+@register(
     "tfidf_top_terms",
     oracle="""
     WITH tok AS (

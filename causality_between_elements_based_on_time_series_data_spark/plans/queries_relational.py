@@ -840,6 +840,124 @@ def date_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "regexp_function_surface",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '[0-9]+')                    AS first_digits,
+           CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INTEGER) AS digit_count,
+           regexp_replace(c_name, '[0-9]', '#', 'g')           AS masked,
+           CAST(regexp_matches(c_name, '[0-9]{3}') AS INTEGER) AS has_3digits
+    FROM customer
+    """,
+    doc="Regexp function surface (SURVEY §2.8 [GAP]): extract, count, "
+    "global replace, match predicate — patterns restricted to the "
+    "POSIX-compatible subset both engines implement identically.",
+    tags=("relational", "scalar", "regexp"),
+)
+def regexp_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "[0-9]+", 0).alias("first_digits"),
+        F.regexp_count("c_name", F.lit("[0-9]")).cast("int").alias("digit_count"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+        F.col("c_name").rlike("[0-9]{3}").cast("int").alias("has_3digits"),
+    )
+
+
+@register(
+    "conditional_null_surface",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 35 THEN 'mid'
+                ELSE 'high' END                          AS qty_band,
+           round(coalesce(nullif(l_discount, 0.0), -1.0), 4) AS disc_or_flag,
+           round(greatest(l_tax, l_discount), 4)         AS max_rate,
+           round(least(l_tax, l_discount), 4)            AS min_rate
+    FROM lineitem
+    WHERE l_linenumber = 2
+    """,
+    doc="Conditional / null-handling surface: CASE chains, "
+    "nullif+coalesce, greatest/least (SURVEY §2.8 comparison rows).",
+    tags=("relational", "scalar"),
+)
+def conditional_null_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 35, "mid")
+        .otherwise("high")
+        .alias("qty_band"),
+        F.round(F.coalesce(F.nullif("l_discount", F.lit(0.0)), F.lit(-1.0)), 4).alias(
+            "disc_or_flag"
+        ),
+        F.round(F.greatest("l_tax", "l_discount"), 4).alias("max_rate"),
+        F.round(F.least("l_tax", "l_discount"), 4).alias("min_rate"),
+    )
+
+
+@register(
+    "set_intersect_all_multiset",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="Multiset INTERSECT ALL (min multiplicity per value) — "
+    "completes the §2.7 set-op family with bag semantics.",
+    tags=("relational", "setop"),
+)
+def set_intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@register(
+    "set_except_all_multiset",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="Multiset EXCEPT ALL (multiplicity subtraction) — §2.7.",
+    tags=("relational", "setop"),
+)
+def set_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+@register(
+    "correlated_min_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+    doc="TPC-H Q2-style correlated aggregate subquery (cheapest order "
+    "per customer); Catalyst decorrelates it into an aggregate + "
+    "self-join — no per-row re-execution.",
+    tags=("relational", "subquery"),
+)
+def correlated_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders o
+        WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
     "correlated_subquery_above_avg",
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
