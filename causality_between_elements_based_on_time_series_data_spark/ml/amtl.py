@@ -43,6 +43,7 @@ class AMTLConfig:
     check_iter: int = 5
     seed: int = 42
     history: list[float] = field(default_factory=list)
+    eval_history: list[dict[str, float]] = field(default_factory=list)
 
 
 class AMTLTrainer:
@@ -54,6 +55,9 @@ class AMTLTrainer:
         self.tasks: list[str] = []
         self.W: np.ndarray | None = None  # [T, D] per-task heads (incl. bias)
         self.B: np.ndarray | None = None  # [T, T], zero diagonal
+        # per-task minimum eval loss and the iteration it occurred —
+        # the reference's min-tracking (model.py:248-262)
+        self.eval_min: dict[str, tuple[float, int]] = {}
 
     # ---- distributed piece -------------------------------------------------
 
@@ -95,10 +99,18 @@ class AMTLTrainer:
 
     # ---- driver-side AMTL math ---------------------------------------------
 
-    def fit(self, feats: DataFrame) -> "AMTLTrainer":
+    def _eval_losses(self, eval_feats: DataFrame) -> dict[str, float]:
+        """Mean eval CE per task with the current weights (the
+        reference's keep_prob=1.0 eval pass, model.py:236-246)."""
+        partials = self._distributed_partials(eval_feats)
+        return {t: partials[t][1] / partials[t][0] for t in self.tasks if t in partials}
+
+    def fit(self, feats: DataFrame, eval_feats: DataFrame | None = None) -> "AMTLTrainer":
         cfg = self.config
         feats = feats.select("entity_id", "task", "x", "y")
         feats.persist()  # cached once; the loop re-reads it every iteration
+        if eval_feats is not None:
+            eval_feats = eval_feats.select("entity_id", "task", "x", "y").persist()
         self.tasks = [r["task"] for r in feats.select("task").distinct().orderBy("task").collect()]
         T = len(self.tasks)
         D = len(feats.select("x").first()["x"]) + 1  # + bias
@@ -135,9 +147,23 @@ class AMTLTrainer:
             total = float((scale * loss).sum() + cfg.lambda_ * (resid**2).sum())
             if it % cfg.check_iter == 0 or it == cfg.total_iter - 1:
                 cfg.history.append(total)
+                if eval_feats is not None:
+                    ev = self._eval_losses(eval_feats)
+                    cfg.eval_history.append(ev)
+                    for t, l in ev.items():  # min + argmin iter (model.py:248-262)
+                        if t not in self.eval_min or l < self.eval_min[t][0]:
+                            self.eval_min[t] = (l, it)
 
         feats.unpersist()
+        if eval_feats is not None:
+            eval_feats.unpersist()
         return self
+
+    def eval_min_df(self, spark: SparkSession) -> DataFrame:
+        """Per-task minimum eval loss + the iteration it occurred —
+        the queryable form of the reference's console min-tracking."""
+        rows = [(t, float(l), int(i)) for t, (l, i) in sorted(self.eval_min.items())]
+        return spark.createDataFrame(rows, "task string, min_eval_loss double, at_iter int")
 
     def b_matrix_df(self, spark: SparkSession) -> DataFrame:
         """The causality output as a DataFrame — the engine's analog of

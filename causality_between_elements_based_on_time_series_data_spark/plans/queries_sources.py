@@ -81,6 +81,54 @@ def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "reference_text_ingestion",
+    oracle=None,  # float32 text round-trip noise makes value oracles
+    # fragile; exact value/shape checks live in tests/test_reference_format.py
+    doc="The reference's native input contract (missing data_loader, "
+    "run.py:3,44-55): whitespace text lines of steps x features + "
+    "label, ingested distributed (text scan -> split -> slice-reshape "
+    "to the long format) — no driver-side numpy. This query writes a "
+    "small fixture-derived dataset in that format and loads it back.",
+    tags=("sources", "text", "reference"),
+)
+def reference_text_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.reference_format import load_data
+
+    steps, feats = 4, 1
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    w_cols = ["user_id"]
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*w_cols).orderBy("ts", "event_id")
+    seq = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= steps)
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("rn", "value"))).alias("sv"),
+            F.count("*").alias("n"),
+            F.avg("value").alias("avg_v"),
+        )
+        .filter(F.col("n") == steps)
+    )
+    lines = seq.select(
+        F.concat_ws(
+            " ",
+            F.concat_ws(" ", F.transform("sv", lambda x: F.format_string("%.6f", x["value"]))),
+            (F.col("avg_v") > 50).cast("int").cast("string"),
+        ).alias("value")
+    )
+    path = _io_dir(sf_dir, "reference_txt")
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    long_df = load_data(spark, feats, steps, path, "*.txt", task="click")
+    return long_df.groupBy("task", "step").agg(
+        F.count("*").alias("n_entities"),
+        F.round(F.sum(F.element_at("features", 1).cast("double")), 1).alias("step_sum"),
+        F.sum("label").alias("n_pos"),
+    )
+
+
+@register(
     "parquet_partitioned_sink",
     oracle="""
     SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS qty
