@@ -64,19 +64,7 @@ def retain_entity_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ml", "amtl"),
 )
 def amtl_causality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    feats = retain_entity_features(events)
-    med = feats.groupBy("task").agg(F.expr("percentile_approx(mean_value, 0.5)").alias("med"))
-    ds = (
-        feats.join(F.broadcast(med), "task")
-        .select(
-            "entity_id",
-            "task",
-            F.array("context", "recency_value", F.log1p("n_steps")).alias("x"),
-            (F.col("mean_value") > F.col("med")).cast("double").alias("y"),
-        )
-    )
-    trainer = AMTLTrainer(AMTLConfig(total_iter=10)).fit(ds)
+    trainer = AMTLTrainer(AMTLConfig(total_iter=10)).fit(_featurized_events(spark, sf_dir))
     return trainer.b_matrix_df(spark)
 
 
@@ -90,20 +78,64 @@ def amtl_causality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ml", "amtl"),
 )
 def amtl_training_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    feats = retain_entity_features(events)
+    cfg = AMTLConfig(total_iter=10, check_iter=2)
+    AMTLTrainer(cfg).fit(_featurized_events(spark, sf_dir))
+    rows = [(i, float(v)) for i, v in enumerate(cfg.history)]
+    return spark.createDataFrame(rows, "checkpoint int, total_loss double").select(
+        "checkpoint", F.round("total_loss", 6).alias("total_loss")
+    )
+
+
+def _featurized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = retain_entity_features(load_table(spark, sf_dir, "events"))
     med = feats.groupBy("task").agg(F.expr("percentile_approx(mean_value, 0.5)").alias("med"))
-    ds = feats.join(F.broadcast(med), "task").select(
+    return feats.join(F.broadcast(med), "task").select(
         "entity_id",
         "task",
         F.array("context", "recency_value", F.log1p("n_steps")).alias("x"),
         (F.col("mean_value") > F.col("med")).cast("double").alias("y"),
     )
-    cfg = AMTLConfig(total_iter=10, check_iter=2)
-    AMTLTrainer(cfg).fit(ds)
-    rows = [(i, float(v)) for i, v in enumerate(cfg.history)]
-    return spark.createDataFrame(rows, "checkpoint int, total_loss double").select(
-        "checkpoint", F.round("total_loss", 6).alias("total_loss")
+
+
+@register(
+    "amtl_eval_metrics",
+    oracle=None,  # depends on trained weights — rows-only; metric math
+    # itself is oracle-checked by auc_mann_whitney / accuracy_at_threshold
+    doc="Post-training eval metrics per task (the reference's console "
+    "block, model.py:241-292): AUC (rank-based) and accuracy of the "
+    "trained AMTL heads, computed distributed from broadcast weights.",
+    tags=("ml", "amtl", "metric"),
+)
+def amtl_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.arrays import dot_product
+    from ..functions.scalar import sigmoid
+
+    ds = _featurized_events(spark, sf_dir)
+    trainer = AMTLTrainer(AMTLConfig(total_iter=10)).fit(ds)
+    w_rows = [
+        (t, [float(v) for v in trainer.W[i][:-1]], float(trainer.W[i][-1]))
+        for i, t in enumerate(trainer.tasks)
+    ]
+    w_df = spark.createDataFrame(w_rows, "task string, w array<double>, bias double")
+    scored = ds.join(F.broadcast(w_df), "task").select(
+        "task",
+        "entity_id",
+        "y",
+        sigmoid(dot_product(F.col("x"), F.col("w")) + F.col("bias")).alias("p"),
+    )
+    rk = W.partitionBy("task").orderBy("p", "entity_id")
+    ranked = scored.withColumn("r", F.row_number().over(rk).cast("double"))
+    pos = F.sum(F.when(F.col("y") == 1.0, 1.0).otherwise(0.0))
+    neg = F.sum(F.when(F.col("y") == 0.0, 1.0).otherwise(0.0))
+    sum_r_pos = F.sum(F.when(F.col("y") == 1.0, F.col("r")).otherwise(0.0))
+    return ranked.groupBy("task").agg(
+        F.round((sum_r_pos - pos * (pos + 1) / 2) / (pos * neg), 4).alias("auc"),
+        F.round(100.0 * F.avg(((F.col("p") >= 0.5) == (F.col("y") == 1.0)).cast("double")), 2).alias(
+            "accuracy_pct"
+        ),
+        F.count("*").alias("n"),
     )
 
 
