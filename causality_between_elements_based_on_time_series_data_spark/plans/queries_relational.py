@@ -840,6 +840,87 @@ def date_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "left_outer_order_counts",
+    oracle="""
+    SELECT c_custkey,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    doc="LEFT OUTER join preserving customers with zero orders "
+    "(count over the nullable side + coalesced sum) — §2.3 outer "
+    "family.",
+    tags=("relational", "join", "outer"),
+)
+def left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "full_outer_nation_presence",
+    oracle="""
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           CAST(c.n_cust IS NOT NULL AS INTEGER) AS has_customers,
+           CAST(s.n_supp IS NOT NULL AS INTEGER) AS has_suppliers
+    FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+          FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+          FROM supplier GROUP BY 1) s
+    USING (nationkey)
+    """,
+    doc="FULL OUTER join over two aggregated sides with null-presence "
+    "flags — §2.3 outer family.",
+    tags=("relational", "join", "outer"),
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, "nationkey", "full_outer").select(
+        "nationkey",
+        F.col("n_cust").isNotNull().cast("int").alias("has_customers"),
+        F.col("n_supp").isNotNull().cast("int").alias("has_suppliers"),
+    )
+
+
+@register(
+    "cross_join_region_pairs",
+    oracle="""
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey < b.r_regionkey
+    """,
+    doc="Explicit CROSS JOIN (tiny dimension self-pairing) — the only "
+    "sanctioned cartesian in the engine; everything larger goes "
+    "through inverted-index / LSH / broadcast candidate generation.",
+    tags=("relational", "join"),
+)
+def cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_regionkey").alias("ka"), F.col("r_name").alias("region_a"))
+    b = r.select(F.col("r_regionkey").alias("kb"), F.col("r_name").alias("region_b"))
+    return a.crossJoin(b).filter(F.col("ka") < F.col("kb")).select("region_a", "region_b")
+
+
+@register(
     "regexp_function_surface",
     oracle="""
     SELECT c_custkey,
