@@ -170,6 +170,37 @@ def argmin_eval_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame_trailing_hour",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT)   AS n_last_hour,
+           round(sum(value) OVER w, 4)       AS sum_last_hour
+    FROM (SELECT user_id, event_id, value,
+                 epoch_us(ts) // 1000000 AS ts_s
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    doc="RANGE frame (value-based, not row-based): per event, count "
+    "and sum over the trailing 3600-second window — time-based "
+    "sliding aggregates without a window table; completes the §2.5 "
+    "frame-spec family (ROWS frames are window_running_sum_frame).",
+    tags=("window", "timeseries"),
+)
+def window_range_frame_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_s", (F.unix_micros("ts") / 1_000_000).cast("long")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("sum_last_hour"),
+    )
+
+
+@register(
     "window_first_last_nth",
     oracle="""
     SELECT o_custkey, o_orderkey,
