@@ -28,10 +28,10 @@ Q3_DATE = "1996-06-30"
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                                   AS sum_qty,
-           round(sum(l_extendedprice), 4)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
            round(avg(l_quantity), 4)                                   AS avg_qty,
            round(avg(l_extendedprice), 4)                              AS avg_price,
            round(avg(l_discount), 4)                                   AS avg_disc,
@@ -51,10 +51,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(net), 4).alias("sum_disc_price"),
-            F.round(F.sum(net * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(net), 2).alias("sum_disc_price"),
+            F.round(F.sum(net * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -198,7 +198,7 @@ def anti_join_no_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast_dim_brand_volume",
     oracle="""
     SELECT p_brand,
-           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_quantity), 2) AS sum_qty,
            count(*)                  AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
@@ -214,7 +214,7 @@ def broadcast_dim_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count("*").alias("n_lines"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_lines"))
     )
 
 
@@ -449,7 +449,7 @@ def date_parts_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_hot_key_agg",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_quantity), 4)      AS sum_qty,
+           round(sum(l_quantity), 2)      AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_price,
            count(*)                       AS n
     FROM lineitem
@@ -474,7 +474,7 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "l_returnflag",
-        F.round("raw_qty", 4).alias("sum_qty"),
+        F.round("raw_qty", 2).alias("sum_qty"),
         F.round("raw_price", 2).alias("sum_price"),
         "n",
     )
