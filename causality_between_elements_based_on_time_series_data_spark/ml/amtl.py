@@ -8,10 +8,16 @@ model.py:166-184``) on Spark:
 - Per-task logistic heads w_t (model.py:150-151) and the task×task
   causality matrix B with fixed zero diagonal (model.py:86-101).
 - The *data-dependent* loss/gradient is distributed: one
-  ``applyInPandas`` pass per iteration, grouped by task, each group
-  emitting a single partial row (n, Σloss, Σgrad) — the map-side
-  combine shape, so only T tiny rows reach the driver regardless of
-  data size.
+  ``applyInPandas`` pass per iteration grouped by ``(task, salt)``
+  where ``salt = pmod(hash(entity_id), grad_salt)`` — each of the
+  T·grad_salt groups emits one partial row (n, Σloss, Σgrad), and the
+  driver combines the ≤ T·grad_salt tiny rows (sums are associative,
+  so numerics match the unsalted pass up to float reordering).
+  Salting matters because a plain ``groupBy(task)`` with T≈5 tasks
+  would materialize ~1/T of the *whole dataset* inside one Python
+  worker — the hot-key degenerate case ``operators/skew.py`` exists
+  for; with salting no group exceeds ~|data|/(T·grad_salt) rows.
+  Size ``grad_salt`` ≈ shuffle-partitions/T on a real cluster.
 - The *parameter-space* AMTL terms touch only the [T×D] weight matrix
   and [T×T] B — pure numpy on the driver, exactly like the reference
   keeps them in the TF graph.
@@ -42,6 +48,7 @@ class AMTLConfig:
     total_iter: int = 20
     check_iter: int = 5
     seed: int = 42
+    grad_salt: int = 8  # partial-aggregation fan-out per task
     history: list[float] = field(default_factory=list)
     eval_history: list[dict[str, float]] = field(default_factory=list)
 
@@ -89,15 +96,63 @@ class AMTLTrainer:
         return fn
 
     def _distributed_partials(self, feats: DataFrame) -> dict[str, tuple[float, float, np.ndarray]]:
+        """Salted two-stage partial aggregation: groups are
+        ``(task, salt)`` so no single Python worker ever receives a
+        whole task's rows; the T·grad_salt partial rows are combined
+        here (associative sums — numerics equal the unsalted pass)."""
         fn = self._partial_grad_fn({t: self.W[i].tolist() for i, t in enumerate(self.tasks)})
+        salted = feats.withColumn(
+            "__salt", F.pmod(F.hash("entity_id"), F.lit(self.config.grad_salt))
+        )
         rows = (
-            feats.groupBy("task")
+            salted.groupBy("task", "__salt")
             .applyInPandas(fn, schema="task string, n double, loss_sum double, grad array<double>")
             .collect()
         )
-        return {r["task"]: (r["n"], r["loss_sum"], np.asarray(r["grad"])) for r in rows}
+        out: dict[str, tuple[float, float, np.ndarray]] = {}
+        for r in rows:
+            g = np.asarray(r["grad"])
+            if r["task"] in out:
+                n0, l0, g0 = out[r["task"]]
+                out[r["task"]] = (n0 + r["n"], l0 + r["loss_sum"], g0 + g)
+            else:
+                out[r["task"]] = (r["n"], r["loss_sum"], g)
+        return out
 
     # ---- driver-side AMTL math ---------------------------------------------
+
+    @staticmethod
+    def _amtl_grads(
+        W: np.ndarray,
+        B: np.ndarray,
+        n: np.ndarray,
+        loss_mean: np.ndarray,
+        grad_mean: np.ndarray,
+        mu: float,
+        lambda_: float,
+    ) -> tuple[np.ndarray, np.ndarray, float]:
+        """Analytic gradients + objective value for
+        total = Σ_t (1 + μ‖B[t,:]‖₁)·CE_t/√n_t + λ Σ_t ‖w_t − Σ_j B[j,t]·w_j‖²
+        (model.py:166-184).  Verified against central finite
+        differences in tests/test_ml.py."""
+        sqrt_n = np.sqrt(n)
+        b_l1 = np.abs(B).sum(axis=1)  # ‖b_o_t‖₁ per source task (model.py:178)
+        scale = (1.0 + mu * b_l1) / sqrt_n
+
+        # residual r_t = w_t − Σ_j B[j,t]·w_j   (model.py:179-181)
+        resid = W - B.T @ W
+
+        grad_W = scale[:, None] * grad_mean + 2.0 * lambda_ * resid
+        # dλ‖r_s‖²/dw_t also has −2λ B[t,s]·r_s cross terms:
+        grad_W -= 2.0 * lambda_ * (B @ resid)
+
+        grad_B = mu * np.sign(B) * (loss_mean / sqrt_n)[:, None]
+        # d/dB[j,t] = −2λ w_j·r_t = −2λ (W @ resid.T)[j,t]
+        grad_B += -2.0 * lambda_ * (W @ resid.T)
+        np.fill_diagonal(grad_B, 0.0)  # diagonal fixed at 0 (model.py:92)
+
+        total = float((scale * loss_mean).sum() + lambda_ * (resid**2).sum())
+        return grad_W, grad_B, total
 
     def _eval_losses(self, eval_feats: DataFrame) -> dict[str, float]:
         """Mean eval CE per task with the current weights (the
@@ -124,27 +179,13 @@ class AMTLTrainer:
             loss = np.array([partials[t][1] for t in self.tasks]) / n
             grad = np.vstack([partials[t][2] for t in self.tasks]) / n[:, None]
 
-            sqrt_n = np.sqrt(n)
-            b_l1 = np.abs(self.B).sum(axis=1)  # ‖b_o_t‖₁ per source task (model.py:178)
-            scale = (1.0 + cfg.mu * b_l1) / sqrt_n
-
-            # residual r_t = w_t − Σ_j B[j,t]·w_j   (model.py:179-181)
-            recon = self.B.T @ self.W
-            resid = self.W - recon
-
-            grad_W = scale[:, None] * grad + 2.0 * cfg.lambda_ * resid
-            # dλ‖r_j‖²/dw_t also has −2λ B[t,j]·r_j cross terms:
-            grad_W -= 2.0 * cfg.lambda_ * (self.B @ resid)
-
-            grad_B = cfg.mu * np.sign(self.B) * (loss / sqrt_n)[:, None]
-            grad_B += -2.0 * cfg.lambda_ * (self.W @ resid.T).T  # d/dB[j,t] = −2λ rᵗ·w_j
-            np.fill_diagonal(grad_B, 0.0)  # diagonal fixed at 0 (model.py:92)
+            grad_W, grad_B, total = self._amtl_grads(
+                self.W, self.B, n, loss, grad, cfg.mu, cfg.lambda_
+            )
 
             self.W -= cfg.lr * grad_W
             self.B -= cfg.lr * grad_B
             np.fill_diagonal(self.B, 0.0)
-
-            total = float((scale * loss).sum() + cfg.lambda_ * (resid**2).sum())
             if it % cfg.check_iter == 0 or it == cfg.total_iter - 1:
                 cfg.history.append(total)
                 if eval_feats is not None:
@@ -183,3 +224,61 @@ class AMTLTrainer:
         self.b_matrix_df(spark).withColumn("round", F.lit(round_no)).write.mode("append").partitionBy(
             "round"
         ).parquet(path)
+
+    # ---- persistence (the checkpoint sink, model.py:216-217 analog) --------
+
+    def save(self, spark: SparkSession, path: str) -> None:
+        """Full-precision model checkpoint: W and B as parquet plus a
+        JSON meta row (tasks, config, eval-min tracking) — the engine's
+        ``tf.train.Saver`` analog.  Unlike ``write_b_matrix`` (a
+        rounded, diagonal-free *report*), this stores raw weights so
+        ``load`` reproduces the trainer bit-for-bit."""
+        import json
+
+        w_rows = [(t, self.W[i].tolist()) for i, t in enumerate(self.tasks)]
+        spark.createDataFrame(w_rows, "task string, w array<double>").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/W")
+        b_rows = [
+            (self.tasks[i], self.tasks[j], float(self.B[i, j]))
+            for i in range(len(self.tasks))
+            for j in range(len(self.tasks))
+        ]
+        spark.createDataFrame(b_rows, "src_task string, dst_task string, weight double").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/B")
+        cfg = self.config
+        meta = {
+            "tasks": self.tasks,
+            "eval_min": {t: [float(l), int(i)] for t, (l, i) in self.eval_min.items()},
+            "config": {
+                "lr": cfg.lr,
+                "mu": cfg.mu,
+                "lambda_": cfg.lambda_,
+                "total_iter": cfg.total_iter,
+                "check_iter": cfg.check_iter,
+                "seed": cfg.seed,
+                "grad_salt": cfg.grad_salt,
+            },
+        }
+        spark.createDataFrame([(json.dumps(meta),)], "meta string").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "AMTLTrainer":
+        """Restore a trainer saved by :meth:`save`; the reloaded weights
+        reproduce eval metrics exactly (round-trip pytest)."""
+        import json
+
+        meta = json.loads(spark.read.parquet(f"{path}/meta").first()["meta"])
+        trainer = cls(AMTLConfig(**meta["config"]))
+        trainer.tasks = list(meta["tasks"])
+        trainer.eval_min = {t: (float(l), int(i)) for t, (l, i) in meta["eval_min"].items()}
+        idx = {t: i for i, t in enumerate(trainer.tasks)}
+        wmap = {r["task"]: r["w"] for r in spark.read.parquet(f"{path}/W").collect()}
+        trainer.W = np.asarray([wmap[t] for t in trainer.tasks], dtype=np.float64)
+        trainer.B = np.zeros((len(trainer.tasks),) * 2)
+        for r in spark.read.parquet(f"{path}/B").collect():
+            trainer.B[idx[r["src_task"]], idx[r["dst_task"]]] = r["weight"]
+        return trainer

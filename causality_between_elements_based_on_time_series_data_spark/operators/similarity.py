@@ -9,6 +9,9 @@ Two paths:
 - ``lsh_cosine_topk`` — scale path: MLlib BucketedRandomProjectionLSH
   buckets both sides so candidate generation is sub-quadratic; exact
   cosine re-rank on candidates only.
+- ``embedding_near_dup_lsh`` — corpus-wide near-dup pairs: LSH
+  self-join candidates, exact cosine threshold. The 100 TB path for
+  embedding dedup (nothing broadcasts, no all-pairs stage).
 """
 
 from __future__ import annotations
@@ -39,6 +42,52 @@ def brute_force_cosine_topk(
     )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def embedding_near_dup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+) -> DataFrame:
+    """Corpus-wide embedding near-dup pairs at 100 TB scale: LSH
+    self-join for sub-quadratic candidates, exact cosine threshold on
+    candidates only.  Output: (id_a, id_b, sim), id_a < id_b.
+
+    For unit-norm embeddings cosine ≥ t ⟺ Euclidean distance ≤
+    √(2−2t), so the ``approxSimilarityJoin`` distance cut loses no
+    precision — only bucket-collision recall is probabilistic (recall
+    vs the exact baseline asserted in tests).  Neither side is
+    broadcast and no all-pairs stage exists anywhere.
+    """
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    d = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
+        "features", array_to_vector(F.col("vec").cast("array<double>"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=bucket_length, numHashTables=num_tables, seed=42
+    )
+    model = lsh.fit(d)
+    # small slack on the distance cut; the exact cosine filter below is
+    # what defines the result set
+    dist_cut = math.sqrt(max(2.0 - 2.0 * threshold, 0.0)) * 1.05
+    cand = model.approxSimilarityJoin(d, d, dist_cut, distCol="dist")
+    sim = cosine_similarity(F.col("datasetA.vec"), F.col("datasetB.vec"))
+    return (
+        cand.select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("sim") >= threshold))
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def lsh_cosine_topk(

@@ -40,9 +40,16 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     oracle="""
-    WITH tok AS (
+    WITH tok0 AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
         FROM documents
+    ),
+    dfreq AS (SELECT w, count(*) AS df FROM tok0 GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    tok AS (
+        SELECT t.doc_id, t.w
+        FROM tok0 t JOIN dfreq USING (w) CROSS JOIN nd
+        WHERE df <= 0.8 * n_docs
     ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
     q AS (SELECT * FROM tok WHERE doc_id % 100 = 0),
@@ -61,16 +68,29 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Token-set Jaccard near-dup via the inverted-index join "
     "(explode tokens → equi-join on token → count intersections): "
-    "never materializes O(n²) pairs, only pairs sharing ≥1 token. At "
-    "100 TB, add a document-frequency cut on hot tokens before the "
-    "join (same plan shape).",
+    "never materializes O(n²) pairs, only pairs sharing ≥1 token. The "
+    "max_df cut (drop tokens in > 80% of documents) removes the hot "
+    "stopword tokens whose posting lists would otherwise degenerate "
+    "the inverted-index join toward all-pairs at 100 TB — applied "
+    "identically on the oracle side, so Jaccard is over the filtered "
+    "token space on both engines.",
     tags=("llm", "dedup", "similarity"),
 )
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, max_df_frac: float = 0.8) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok0 = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w")
     )
+    # hot-token document-frequency cut: tok0 rows are distinct per doc,
+    # so count(*) per token IS its document frequency
+    dfreq = tok0.groupBy("w").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    keep = (
+        dfreq.crossJoin(F.broadcast(nd))
+        .filter(F.col("df") <= max_df_frac * F.col("n_docs"))
+        .select("w")
+    )
+    tok = tok0.join(keep, "w")
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
     q = tok.filter(F.col("doc_id") % 100 == 0)
     t = tok.alias("t")
@@ -178,7 +198,7 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
         SELECT vec_id AS id_a, CAST(embedding AS DOUBLE[]) AS va
-        FROM embeddings WHERE vec_id % 50 = 0
+        FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 5000
     )
     SELECT id_a, vec_id AS id_b,
            round(list_cosine_similarity(va, CAST(embedding AS DOUBLE[])), 6) AS sim
@@ -186,17 +206,20 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE vec_id > id_a
       AND list_cosine_similarity(va, CAST(embedding AS DOUBLE[])) >= 0.3
     """,
-    doc="Embedding-cosine near-dup detection: threshold pairs over a "
-    "broadcast anchor subset. At 100 TB the anchor side comes from "
-    "LSH buckets (cosine_topk_lsh) instead of a modulus sample — same "
-    "threshold/re-rank plan.",
+    doc="Embedding-cosine near-dup EXACTNESS BASELINE: threshold pairs "
+    "over a hard-capped anchor set (≤100 anchors regardless of corpus "
+    "size, so the broadcast is bounded and work is O(n·C), linear in "
+    "the corpus). The corpus-wide scale path is "
+    "dedup_embedding_cosine_lsh — this query exists to oracle-check "
+    "the cosine/threshold math.",
     tags=("llm", "dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.arrays import cosine_similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") % 50 == 0).select(
+    # hard cap: modulus sample AND id < 5000 → ≤100 anchors at any SF
+    anchors = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 5000)).select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
     )
     others = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
@@ -206,6 +229,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", sim.alias("raw_sim"))
         .filter(F.col("raw_sim") >= 0.3)
         .select("id_a", "id_b", F.round("raw_sim", 6).alias("sim"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine_lsh",
+    oracle=None,  # LSH bucket collisions are probabilistic — rows-only; recall vs exact tested in pytest
+    doc="Corpus-wide embedding near-dup at scale: LSH self-join "
+    "candidates (approxSimilarityJoin), exact cosine ≥ 0.3 on "
+    "candidates only. Nothing broadcasts, no all-pairs stage — the "
+    "100 TB path; dedup_embedding_cosine is its capped oracle "
+    "baseline.",
+    tags=("llm", "dedup", "similarity", "lsh"),
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_lsh(emb, threshold=0.3).select(
+        "id_a", "id_b", F.round("sim", 6).alias("sim")
     )
 
 
@@ -332,8 +374,11 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TF-IDF top-3 terms per document as pure DataFrame ops "
     "(explode → tf groupBy → df countDistinct → smoothed idf join → "
-    "ranking window). The document-frequency side is a broadcast "
-    "(vocabulary ≪ corpus); corpus shuffles once on doc_id.",
+    "ranking window). The tf⋈df join shuffles on term — NOT a "
+    "vocabulary broadcast: by Heaps' law the vocabulary grows with the "
+    "corpus and at 100 TB is billions of terms, far past broadcast "
+    "size. Both sides are already term-keyed so the hash join is the "
+    "right plan; only the single-row corpus count broadcasts.",
     tags=("llm", "text", "bench"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,7 +390,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfq), "term")
+        tf.join(dfq, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

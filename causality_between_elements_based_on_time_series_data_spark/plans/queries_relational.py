@@ -114,8 +114,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND r_name = 'ASIA'
     GROUP BY n_name
     """,
-    doc="TPC-H Q5: 6-way join with two broadcast dims (nation, region); "
-    "Catalyst join reordering + AQE pick the physical order.",
+    doc="TPC-H Q5: 6-way join with two broadcast dims (nation, region). "
+    "Only the fixed-size dims carry broadcast hints — supplier grows "
+    "linearly with SF, so AQE decides its join strategy at runtime "
+    "(BHJ while it fits, SMJ beyond); Catalyst join reordering + AQE "
+    "pick the physical order.",
     tags=("relational", "join", "bench"),
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,7 +131,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")

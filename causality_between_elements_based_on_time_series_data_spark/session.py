@@ -11,8 +11,26 @@ timezone so timestamp semantics match the DuckDB oracle.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a runtime SQL conf for the duration of a block, restoring
+    (or unsetting) the prior value afterwards — for confs a *read* must
+    see (the reader captures its hadoop conf at ``spark.read`` time)
+    without leaving a session-wide mutation behind."""
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def default_parallelism() -> int:
@@ -35,6 +53,10 @@ def get_spark(app_name: str = "causality-ts-spark", shuffle_partitions: int | No
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # single configuration point for TIMESTAMP(NANOS) parquet scans
+        # (events.ts); sources.catalog.load_table additionally scopes
+        # the flag per-read so foreign sessions behave identically
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

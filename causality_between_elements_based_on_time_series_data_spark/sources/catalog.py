@@ -128,17 +128,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     same µs truncation DuckDB applies to TIMESTAMP_NS, so oracle
     comparisons agree. Integer ``div`` keeps full precision (a double
     division would lose bits above 2^53).
+
+    The ``nanosAsLong`` flag is *scoped* to the read (saved/restored —
+    the reader captures its hadoop conf at ``spark.read`` time, so the
+    materialized scan is unaffected by the restore): a permanently
+    mutated session conf would silently turn every later
+    TIMESTAMP(NANOS) scan in the same session into LongType.  Engine
+    sessions also set it in ``session.get_spark`` as the single
+    documented point of configuration; the scoping here covers foreign
+    sessions (e.g. the driver's).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        flag = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(flag, None)
+        spark.conf.set(flag, "true")
+        try:
+            return spark.read.parquet(path).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(flag)
+            else:
+                spark.conf.set(flag, prev)
     return spark.read.parquet(path)
 
 

@@ -30,22 +30,40 @@ def load_data(
     path: str,
     file_name: str,
     task: str = "default",
+    stable_ids: bool = False,
 ) -> DataFrame:
     """Distributed implementation of the reference's ``load_data``
     contract, returning the long-format DataFrame
     ``(entity_id, task, step, features ARRAY<FLOAT>, label INT)``
     instead of in-memory numpy tensors.
 
-    ``entity_id`` is the line number within the file (the reference
-    aligns samples and labels positionally — run.py:44-55).
+    Per-line x/label alignment is within-line (each line carries its
+    own label — run.py:44-55), so it never depends on entity_id.  The
+    id itself comes in two flavors:
+
+    - default (``stable_ids=False``): ``monotonically_increasing_id``
+      — unique but OPAQUE and partitioning-dependent (partition-offset
+      based, so neither dense line numbers nor stable across re-reads
+      of a multi-split file).  The scalable choice: no coalesce, no
+      extra pass.
+    - ``stable_ids=True``: dense 0-based line numbers via a
+      single-partition ``zipWithIndex`` — exact reference parity
+      (entity identity reproducible across re-reads), at the cost of
+      single-task ingestion; for the reference's own single-node-sized
+      text files, not the 100 TB path.
     """
     full = os.path.join(path, file_name)
     width = steps * num_features
-    lines = (
-        spark.read.text(full)
-        .filter(F.length(F.trim("value")) > 0)
-        .withColumn("entity_id", F.monotonically_increasing_id())
-    )
+    raw = spark.read.text(full).filter(F.length(F.trim("value")) > 0)
+    if stable_ids:
+        lines = (
+            raw.coalesce(1)
+            .rdd.zipWithIndex()
+            .map(lambda t: (t[0]["value"], t[1]))
+            .toDF(["value", "entity_id"])
+        )
+    else:
+        lines = raw.withColumn("entity_id", F.monotonically_increasing_id())
     vals = F.transform(F.split(F.trim("value"), r"\s+"), lambda s: s.cast("float"))
     parsed = lines.select(
         "entity_id",

@@ -22,7 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import scoped_conf
 from ..sources.catalog import TABLES
+
+_NANOS_FLAG = "spark.sql.legacy.parquet.nanosAsLong"
 
 # The fixture's ts is physically TIMESTAMP(NANOS); the stream source
 # reads it as nanos-since-epoch and converts (see catalog.load_table).
@@ -37,33 +40,36 @@ _STREAM_SCHEMA = T.StructType(
 def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the 1-hour tumbling rollup as a real streaming query and
     return the (batch) result table."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Glob rather than a bare file path: the file stream source requires
     # a directory basePath; the glob's non-glob prefix (sf_dir) is it.
-    stream = (
-        spark.readStream.schema(_STREAM_SCHEMA)
-        .parquet(f"{sf_dir}/events.parque*")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "1 hour")
-    )
-    agg = (
-        stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+    # The nanos flag is scoped to the whole run-to-completion — micro-
+    # batches re-plan the file scan, so it must hold until the stream
+    # stops (unlike batch reads, which capture their conf at read time).
+    with scoped_conf(spark, _NANOS_FLAG, "true"):
+        stream = (
+            spark.readStream.schema(_STREAM_SCHEMA)
+            .parquet(f"{sf_dir}/events.parque*")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ts", "1 hour")
         )
-    )
-    name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+        )
+        name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = spark.table(name)
     return out.select(
         "event_type",
@@ -83,9 +89,6 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = spark.readStream.schema(_STREAM_SCHEMA).parquet(f"{sf_dir}/events.parque*")
-
     def update(key, pdfs, state: GroupState):
         # self-contained kernel: stdlib + pandas only (worker sys.path)
         import pandas as _pd
@@ -99,25 +102,33 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
             {"user_id": [key[0]], "n": [n], "total_value": [round(total, 4)]}
         )
 
-    out = (
-        stream.groupBy("user_id")
-        .applyInPandasWithState(
-            update,
-            outputStructType="user_id long, n long, total_value double",
-            stateStructType="n long, total double",
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+    with scoped_conf(spark, _NANOS_FLAG, "true"):
+        stream = spark.readStream.schema(_STREAM_SCHEMA).parquet(f"{sf_dir}/events.parque*")
+        out = (
+            stream.groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, n long, total_value double",
+                stateStructType="n long, total double",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
         )
-    )
-    name = f"stream_state_{uuid.uuid4().hex[:8]}"
-    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    # one emission per user per micro-batch; keep the latest state
+        name = f"stream_state_{uuid.uuid4().hex[:8]}"
+        q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # one emission per user per micro-batch; keep the row from the
+    # LATEST emission (max n — n is monotone per user).  Column-wise
+    # max(n), max(total_value) would be wrong if the source ever split
+    # the fixture into multiple micro-batches: value is signed, so the
+    # running sum is not monotone and max(total_value) could come from
+    # an earlier emission than max(n) — a state that never existed.
     latest = spark.table(name).groupBy("user_id").agg(
-        F.max("n").alias("n"), F.max("total_value").alias("total_value")
+        F.max("n").alias("n"),
+        F.expr("max_by(total_value, n)").alias("total_value"),
     )
     return latest
 
@@ -125,22 +136,22 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
 def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 2-hour windows advancing hourly — each event lands in
     two windows; complete-mode memory sink."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(_STREAM_SCHEMA)
-        .parquet(f"{sf_dir}/events.parque*")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "1 hour")
-    )
-    agg = stream.groupBy(
-        F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
-    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_conf(spark, _NANOS_FLAG, "true"):
+        stream = (
+            spark.readStream.schema(_STREAM_SCHEMA)
+            .parquet(f"{sf_dir}/events.parque*")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ts", "1 hour")
+        )
+        agg = stream.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+        ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+        q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name).select(
         "event_type",
         F.unix_micros(F.col("win.start")).alias("window_start_us"),

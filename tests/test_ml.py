@@ -64,6 +64,95 @@ def test_distributed_gradient_matches_numpy(spark, synthetic_feats):
         np.testing.assert_allclose(grad_d, grad, rtol=1e-9)
 
 
+def _stable_ce(z, y):
+    return np.maximum(z, 0) - z * y + np.log1p(np.exp(-np.abs(z)))
+
+
+def _objective(W, B, data, mu, lam):
+    """The full AMTL objective (model.py:166-184), recomputed from raw
+    data — independent of the trainer's gradient code path."""
+    n = np.array([len(y) for _, y in data])
+    ce = np.array([_stable_ce(X @ W[i], y).mean() for i, (X, y) in enumerate(data)])
+    b_l1 = np.abs(B).sum(axis=1)
+    resid = W - B.T @ W
+    return float((((1.0 + mu * b_l1) / np.sqrt(n)) * ce).sum() + lam * (resid**2).sum())
+
+
+def test_finite_difference_full_objective():
+    """Central finite differences over every W entry and every
+    off-diagonal B entry must match the analytic gradients — this is
+    the check that caught the transposed λ-coupling grad_B."""
+    rng = np.random.default_rng(0)
+    T, D = 3, 4
+    mu, lam = 0.05, 0.07
+    data = [
+        (rng.normal(size=(20, D)), (rng.random(20) > 0.5).astype(float)) for _ in range(T)
+    ]
+    W = rng.normal(size=(T, D))
+    B = rng.normal(size=(T, T)) * 0.3 + 0.2  # keep |B| away from the sign() kink
+    np.fill_diagonal(B, 0.0)
+
+    n = np.array([len(y) for _, y in data])
+    loss_mean = np.array([_stable_ce(X @ W[i], y).mean() for i, (X, y) in enumerate(data)])
+    grad_mean = np.vstack(
+        [X.T @ (1.0 / (1.0 + np.exp(-(X @ W[i]))) - y) / len(y) for i, (X, y) in enumerate(data)]
+    )
+    grad_W, grad_B, total = AMTLTrainer._amtl_grads(W, B, n, loss_mean, grad_mean, mu, lam)
+    np.testing.assert_allclose(total, _objective(W, B, data, mu, lam), rtol=1e-12)
+
+    eps = 1e-6
+    for i in range(T):
+        for j in range(D):
+            Wp, Wm = W.copy(), W.copy()
+            Wp[i, j] += eps
+            Wm[i, j] -= eps
+            fd = (_objective(Wp, B, data, mu, lam) - _objective(Wm, B, data, mu, lam)) / (2 * eps)
+            np.testing.assert_allclose(grad_W[i, j], fd, rtol=1e-5, atol=1e-8)
+    for i in range(T):
+        for j in range(T):
+            if i == j:
+                continue
+            Bp, Bm = B.copy(), B.copy()
+            Bp[i, j] += eps
+            Bm[i, j] -= eps
+            fd = (_objective(W, Bp, data, mu, lam) - _objective(W, Bm, data, mu, lam)) / (2 * eps)
+            np.testing.assert_allclose(grad_B[i, j], fd, rtol=1e-5, atol=1e-8)
+
+
+def test_salted_partials_match_unsalted(spark, synthetic_feats):
+    """Partial sums must be independent of the salt fan-out."""
+    t1 = AMTLTrainer(AMTLConfig(grad_salt=1))
+    t8 = AMTLTrainer(AMTLConfig(grad_salt=8))
+    for tr in (t1, t8):
+        tr.tasks = TASKS
+        rng = np.random.default_rng(3)
+        tr.W = rng.normal(0.0, 0.1, size=(len(TASKS), 3))
+    d1 = t1._distributed_partials(synthetic_feats)
+    d8 = t8._distributed_partials(synthetic_feats)
+    for task in TASKS:
+        assert d1[task][0] == d8[task][0]
+        np.testing.assert_allclose(d1[task][1], d8[task][1], rtol=1e-12)
+        np.testing.assert_allclose(d1[task][2], d8[task][2], rtol=1e-12)
+
+
+def test_trainer_save_load_roundtrip(spark, synthetic_feats, tmp_path):
+    """Reloaded weights must reproduce eval losses exactly (the
+    checkpoint-sink row, model.py:216-217 analog)."""
+    trainer = AMTLTrainer(AMTLConfig(total_iter=5, check_iter=2)).fit(
+        synthetic_feats, eval_feats=synthetic_feats
+    )
+    path = str(tmp_path / "amtl_ckpt")
+    trainer.save(spark, path)
+    back = AMTLTrainer.load(spark, path)
+    assert back.tasks == trainer.tasks
+    np.testing.assert_array_equal(back.W, trainer.W)
+    np.testing.assert_array_equal(back.B, trainer.B)
+    assert back.eval_min == trainer.eval_min
+    ev_orig = trainer._eval_losses(synthetic_feats)
+    ev_back = back._eval_losses(synthetic_feats)
+    assert ev_orig == ev_back
+
+
 def test_b_matrix_parquet_roundtrip(spark, synthetic_feats, tmp_path):
     trainer = AMTLTrainer(AMTLConfig(total_iter=3)).fit(synthetic_feats)
     out = str(tmp_path / "b_matrix")

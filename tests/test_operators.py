@@ -106,6 +106,34 @@ def test_lsh_cosine_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
 
 
+def test_embedding_near_dup_lsh_recall_and_precision(spark, sf_dir):
+    """The LSH near-dup scale path vs the exact threshold baseline:
+    precision must be 1.0 (exact cosine filter on candidates) and
+    bucket-collision recall high on the fixture."""
+    from causality_between_elements_based_on_time_series_data_spark.functions.arrays import (
+        cosine_similarity,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+        .toPandas()
+    )
+    approx = embedding_near_dup_lsh(emb, threshold=0.3).toPandas()
+    exact_pairs = set(zip(exact.id_a, exact.id_b))
+    approx_pairs = set(zip(approx.id_a, approx.id_b))
+    assert approx_pairs <= exact_pairs, "precision violated — non-pair passed the cosine filter"
+    recall = len(approx_pairs & exact_pairs) / max(len(exact_pairs), 1)
+    assert recall >= 0.5, f"near-dup LSH recall {recall:.2f} too low"
+
+
 def test_ivf_cosine_recall_vs_bruteforce(spark, sf_dir):
     from causality_between_elements_based_on_time_series_data_spark.operators.ivf import (
         ivf_cosine_topk,

@@ -68,6 +68,14 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_q5_fixed_dims_broadcast_supplier_adaptive(spark, sf_dir):
+    # nation/region keep explicit broadcast hints (fixed-size dims);
+    # supplier grows with SF so its strategy is AQE's call — either
+    # BHJ (chosen at small SF) or SMJ (at scale) is acceptable.
+    plan = plan_of(spark, sf_dir, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     for name in ["q5_region_revenue", "ngram_jaccard_pairs", "tfidf_top_terms"]:
         plan = plan_of(spark, sf_dir, name)

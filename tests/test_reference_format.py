@@ -57,6 +57,20 @@ def test_load_data_values_roundtrip(spark, ref_files):
     assert row["label"] == int(first[-1])
 
 
+def test_load_data_stable_ids_are_dense_line_numbers(spark, ref_files):
+    df = load_data(spark, FEATS, STEPS, ref_files, "disease_train.txt", task="d", stable_ids=True)
+    ids = sorted(r["entity_id"] for r in df.select("entity_id").distinct().collect())
+    assert ids == list(range(40))  # dense 0-based line numbers
+    # stable across re-reads: per-line label must agree with the file
+    with open(f"{ref_files}/disease_train.txt") as f:
+        labels = [int(line.split()[-1]) for line in f if line.strip()]
+    got = {
+        r["entity_id"]: r["label"]
+        for r in df.select("entity_id", "label").distinct().collect()
+    }
+    assert got == dict(enumerate(labels))
+
+
 def test_train_eval_lifecycle_with_min_tracking(spark, ref_files):
     def featurize(fname):
         df = load_data(spark, FEATS, STEPS, ref_files, fname, task="disease")
