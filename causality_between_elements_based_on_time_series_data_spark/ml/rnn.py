@@ -25,10 +25,15 @@ HID = 4  # hidden units (reference: 16, run.py:25 — smaller for tests)
 EMB = 4  # embedding width (reference: V is 73×16, model.py:119)
 
 
-def fidelity_weights(hid: int = HID, emb: int = EMB) -> dict[str, list]:
+def fidelity_weights(hid: int = HID, emb: int = EMB, cell: str = "lstm") -> dict[str, list]:
     """Deterministic weight set shared by the Spark kernel and the
     test oracle — the analog of the reference's fixed config/V/attention
-    parameters (model.py:119-123, 150-151)."""
+    parameters (model.py:119-123, 150-151).  ``cell`` sizes the
+    recurrent kernels: 4·hid gates for LSTM ([i f g o]), 3·hid for GRU
+    ([r u c]) — mirroring the reference's cell factory
+    (model.py:109-115: GRUCell by default, LSTM when ``use_lstm``)."""
+
+    gates = 4 if cell == "lstm" else 3
 
     def mat(rows: int, cols: int, salt: int) -> list[list[float]]:
         return [
@@ -38,9 +43,9 @@ def fidelity_weights(hid: int = HID, emb: int = EMB) -> dict[str, list]:
 
     return {
         "V": mat(1, emb, 1),  # scalar value -> emb-dim embedding
-        "Wx": mat(emb, 4 * hid, 2),  # LSTM input kernel  [i f g o]
-        "Wh": mat(hid, 4 * hid, 3),  # LSTM recurrent kernel
-        "b": [0.0] * (4 * hid),
+        "Wx": mat(emb, gates * hid, 2),  # recurrent input kernel
+        "Wh": mat(hid, gates * hid, 3),  # recurrent state kernel
+        "b": [0.0] * (gates * hid),
         "w_alpha": mat(hid, 1, 4),  # α scorer (model.py:120-121)
         "b_alpha": [0.1],
         "W_beta": mat(hid, emb, 5),  # β gate (model.py:122-123)
@@ -57,11 +62,29 @@ def retain_fidelity(
     order_cols: tuple[str, ...] = ("ts", "event_id"),
     value_col: str = "value",
     weights: dict[str, list] | None = None,
+    cell: str = "lstm",
+    keep_prob: float = 1.0,
+    dropout_seed: int = 13,
 ) -> DataFrame:
-    """Per (entity, task): embed each step, run the LSTM over the
-    REVERSED sequence (model.py:138), score α (softmax over steps) and
-    β (tanh gate) from hidden states, aggregate the context vector
+    """Per (entity, task): embed each step, run the recurrent cell over
+    the REVERSED sequence (model.py:138), score α (softmax over steps)
+    and β (tanh gate) from hidden states, aggregate the context vector
     (model.py:147) and emit the task head's logit + prediction.
+
+    ``cell`` selects the recurrence, matching the reference's cell
+    factory (model.py:109-115): ``'lstm'`` (the dropout-wrapped
+    ``use_lstm`` branch) or ``'gru'`` (the default branch — TF GRUCell
+    math: joint [r u] sigmoid gates, candidate tanh over r-gated
+    state, h' = u·h + (1−u)·c).
+
+    ``keep_prob`` reproduces the DropoutWrapper's *output* dropout
+    (model.py:112-115; 0.5 at train, 1.0 at eval — model.py:204-207):
+    the recurrent state flows un-dropped, only the emitted hidden
+    states (the attention inputs) are masked and 1/keep_prob-scaled.
+    Fidelity mode needs reproducible numerics across batching and
+    engines, so the mask is a deterministic hash of (reversed step,
+    unit, dropout_seed) rather than a stateful RNG draw — the numpy
+    oracle in tests/test_rnn.py applies the identical mask.
 
     The kernel closure is self-contained (numpy/pandas only — Spark
     workers cannot import this repo; see operators/multimodal.py).
@@ -76,8 +99,10 @@ def retain_fidelity(
     length.  The padded positions contribute nothing: α is masked to
     0 and the padded embeddings are 0.
     """
-    w = weights or fidelity_weights()
+    w = weights or fidelity_weights(cell=cell)
     ocols = list(order_cols)
+    cell_kind = cell
+    kp, seed = float(keep_prob), int(dropout_seed)
 
     def kernel(batches):
         import numpy as np
@@ -92,6 +117,13 @@ def retain_fidelity(
 
         def sig(a):
             return 1.0 / (1.0 + np.exp(-a))
+
+        def drop_mask(t):
+            # deterministic per-(reversed step, unit) output-dropout
+            # mask, batch-shape independent
+            units = np.arange(hid)
+            keep = ((t * 2654435761 + units * 40503 + seed * 97) % 1000) < kp * 1000
+            return np.where(keep, 1.0 / kp, 0.0)
 
         for pdf in batches:
             if len(pdf) == 0:
@@ -109,14 +141,24 @@ def retain_fidelity(
             c = np.zeros((B, hid))
             HS = np.zeros((B, T, hid))
             for t in range(T):  # dynamic_rnn (model.py:61-63), batch-wide
-                gates = emb[:, t, :] @ Wx + h @ Wh + b
-                i_, f_, g_, o_ = np.split(gates, 4, axis=1)
-                c_new = sig(f_) * c + sig(i_) * np.tanh(g_)
-                h_new = sig(o_) * np.tanh(c_new)
+                if cell_kind == "gru":
+                    zr = sig(emb[:, t, :] @ Wx[:, : 2 * hid] + h @ Wh[:, : 2 * hid] + b[: 2 * hid])
+                    r_, u_ = np.split(zr, 2, axis=1)
+                    cand = np.tanh(
+                        emb[:, t, :] @ Wx[:, 2 * hid :] + (r_ * h) @ Wh[:, 2 * hid :] + b[2 * hid :]
+                    )
+                    h_new = u_ * h + (1.0 - u_) * cand
+                else:
+                    gates = emb[:, t, :] @ Wx + h @ Wh + b
+                    i_, f_, g_, o_ = np.split(gates, 4, axis=1)
+                    c_new = sig(f_) * c + sig(i_) * np.tanh(g_)
+                    h_new = sig(o_) * np.tanh(c_new)
+                    m = mask[:, t : t + 1]
+                    c = np.where(m, c_new, c)
                 m = mask[:, t : t + 1]
-                c = np.where(m, c_new, c)
                 h = np.where(m, h_new, h)
-                HS[:, t, :] = np.where(m, h_new, 0.0)
+                out_t = h_new if kp >= 1.0 else h_new * drop_mask(t)[None, :]
+                HS[:, t, :] = np.where(m, out_t, 0.0)
 
             # α softmax over valid steps (model.py:70-75); the context
             # sum is position-aligned in reversed coordinates, and a

@@ -110,6 +110,71 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, max_df_frac: float = 0
 
 
 @register(
+    "dedup_jaccard_clusters",
+    oracle="""
+    WITH RECURSIVE tok0 AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+    ),
+    dfreq AS (SELECT w, count(*) AS df FROM tok0 GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    tok AS (
+        SELECT t.doc_id, t.w
+        FROM tok0 t JOIN dfreq USING (w) CROSS JOIN nd
+        WHERE df <= 0.8 * n_docs
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+    q AS (SELECT * FROM tok WHERE doc_id % 100 = 0),
+    inter AS (
+        SELECT q.doc_id AS id_a, t.doc_id AS id_b, count(*) AS n_common
+        FROM q JOIN tok t ON q.w = t.w AND t.doc_id > q.doc_id
+        GROUP BY 1, 2
+    ),
+    prs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM prs
+        UNION SELECT id_b, id_a FROM prs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           CAST(coalesce(c.cluster_id, d.doc_id) = d.doc_id AS INTEGER) AS is_canonical
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+    doc="Dedup GROUPS, not just pairs: connected components of the "
+    "Jaccard near-dup graph (min-label propagation, operators/"
+    "graph.py), canonical survivor = min doc_id per component; "
+    "singletons are their own cluster. The oracle replays the pair "
+    "generation and closes it with a recursive transitive-closure "
+    "CTE — full value parity on an iterative graph algorithm.",
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        cid.alias("cluster_id"),
+        (cid == F.col("doc_id")).cast("int").alias("is_canonical"),
+    )
+
+
+@register(
     "minhash_lsh_candidates",
     oracle=None,  # xxhash64 minhashes are engine-specific — rows-only
     doc="MinHash(16) + LSH banding (4×4) candidate pairs "
@@ -430,11 +495,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-task supervised head (model.py:150-159) trained with "
     "MLlib LogisticRegression on the embeddings table; emits per-label "
     "prediction summary. The MLlib-estimator counterpart of the "
-    "hand-rolled AMTL loop.",
+    "hand-rolled AMTL loop. The fitted model goes through "
+    "model.save → LogisticRegressionModel.load before scoring — the "
+    "MLlib leg of the checkpoint-sink row (model.py:216-217).",
     tags=("ml", "mllib"),
 )
 def mllib_logistic_head(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.classification import LogisticRegression
+    import shutil
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegression, LogisticRegressionModel
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -443,7 +513,16 @@ def mllib_logistic_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
     lr = LogisticRegression(maxIter=20, regParam=0.01)
-    pred = lr.fit(ds).transform(ds)
+    model = lr.fit(ds)
+    ckpt = tempfile.mkdtemp(prefix="mllib_lr_")
+    try:
+        model.write().overwrite().save(ckpt)
+        # load() collects coefficients driver-side, so the scoring plan
+        # has no lingering dependency on the checkpoint dir
+        model = LogisticRegressionModel.load(ckpt)
+        pred = model.transform(ds)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return (
         pred.select(
             "label", F.element_at(vector_to_array("probability"), 2).alias("p1"), "prediction"

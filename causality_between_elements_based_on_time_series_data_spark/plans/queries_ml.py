@@ -155,6 +155,48 @@ def retain_fidelity_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retain_fidelity_gru",
+    oracle=None,  # recurrent forward pass — not SQL-expressible;
+    # validated against an independent numpy oracle in tests/test_rnn.py
+    doc="RNN-fidelity mode with the GRU cell — the reference's default "
+    "cell-factory branch (model.py:109-111; LSTM is the use_lstm "
+    "branch). Same single-shuffle mapInPandas execution shape.",
+    tags=("ml", "retain", "rnn"),
+)
+def retain_fidelity_gru(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.rnn import retain_fidelity
+
+    return retain_fidelity(load_table(spark, sf_dir, "events"), cell="gru")
+
+
+@register(
+    "amtl_checkpoint_roundtrip",
+    oracle=None,  # iterative training — rows-only; exact-equality
+    # round-trip asserted in tests/test_ml.py
+    doc="The checkpoint sink (model.py:216-217 tf.train.Saver analog) "
+    "exercised end-to-end: train → save(parquet W+B+meta) → load → "
+    "emit the causality matrix from the RELOADED trainer. Output "
+    "equals amtl_causality_matrix exactly by construction.",
+    tags=("ml", "amtl", "sink"),
+)
+def amtl_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    trainer = AMTLTrainer(AMTLConfig(total_iter=10)).fit(_featurized_events(spark, sf_dir))
+    path = tempfile.mkdtemp(prefix="amtl_ckpt_")
+    try:
+        trainer.save(spark, path)
+        reloaded = AMTLTrainer.load(spark, path)
+        # materialize before the checkpoint dir disappears
+        df = reloaded.b_matrix_df(spark)
+        df.collect()
+        return df
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "streaming_tumbling_rollup",
     oracle="""
     SELECT event_type,

@@ -151,6 +151,23 @@ def test_ivf_cosine_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation must close multi-hop chains (diameter >1)
+    and keep disjoint components apart."""
+    from causality_between_elements_based_on_time_series_data_spark.operators.graph import (
+        connected_components,
+    )
+
+    # component {1,2,3,4,5} as a chain (diameter 4), component {10,11},
+    # component {20,21,22} as a triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 def test_salted_agg_matches_direct(spark, sf_dir):
     from causality_between_elements_based_on_time_series_data_spark.operators.skew import (
         salted_agg,

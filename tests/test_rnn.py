@@ -16,22 +16,40 @@ from causality_between_elements_based_on_time_series_data_spark.ml.rnn import (
 )
 
 
-def numpy_retain_oracle(values: list[float], w: dict) -> tuple[float, float]:
+def numpy_retain_oracle(
+    values: list[float],
+    w: dict,
+    cell: str = "lstm",
+    keep_prob: float = 1.0,
+    dropout_seed: int = 13,
+) -> tuple[float, float]:
     """Independent re-derivation of the RETAIN forward pass
-    (reverse-time LSTM -> alpha/beta attention -> context -> head)."""
+    (reverse-time LSTM/GRU -> output dropout -> alpha/beta attention ->
+    context -> head)."""
     V = np.asarray(w["V"])
     Wx, Wh, b = np.asarray(w["Wx"]), np.asarray(w["Wh"]), np.asarray(w["b"])
     hid = Wh.shape[0]
     emb = np.asarray(values, dtype=np.float64)[:, None] @ V
+    sig = lambda a: 1 / (1 + np.exp(-a))
 
     h, c, states = np.zeros(hid), np.zeros(hid), []
-    for v in emb[::-1]:
-        z = v @ Wx + h @ Wh + b
-        i, f, g, o = np.split(z, 4)
-        sig = lambda a: 1 / (1 + np.exp(-a))
-        c = sig(f) * c + sig(i) * np.tanh(g)
-        h = sig(o) * np.tanh(c)
-        states.append(h.copy())
+    for t, v in enumerate(emb[::-1]):
+        if cell == "gru":
+            zr = sig(v @ Wx[:, : 2 * hid] + h @ Wh[:, : 2 * hid] + b[: 2 * hid])
+            r, u = np.split(zr, 2)
+            cand = np.tanh(v @ Wx[:, 2 * hid :] + (r * h) @ Wh[:, 2 * hid :] + b[2 * hid :])
+            h = u * h + (1 - u) * cand
+        else:
+            z = v @ Wx + h @ Wh + b
+            i, f, g, o = np.split(z, 4)
+            c = sig(f) * c + sig(i) * np.tanh(g)
+            h = sig(o) * np.tanh(c)
+        out = h.copy()
+        if keep_prob < 1.0:
+            units = np.arange(hid)
+            keep = ((t * 2654435761 + units * 40503 + dropout_seed * 97) % 1000) < keep_prob * 1000
+            out = out * np.where(keep, 1.0 / keep_prob, 0.0)
+        states.append(out)
     H = np.array(states)[::-1]
 
     s = H @ np.asarray(w["w_alpha"]) + np.asarray(w["b_alpha"])
@@ -77,6 +95,38 @@ def test_fidelity_matches_numpy_oracle(spark, tiny_sequences):
         assert r["n_steps"] == len(g)
         np.testing.assert_allclose(r["logit"], round(logit, 6), rtol=1e-6)
         np.testing.assert_allclose(r["pred"], round(pred, 6), rtol=1e-6)
+
+
+def test_fidelity_gru_matches_numpy_oracle(spark, tiny_sequences):
+    """The GRU branch of the cell factory (model.py:109-111 default)."""
+    w = fidelity_weights(cell="gru")
+    out = retain_fidelity(tiny_sequences, cell="gru").collect()
+    assert len(out) == 10
+    pdf = tiny_sequences.toPandas()
+    for r in out:
+        g = pdf[(pdf.user_id == r["entity_id"]) & (pdf.event_type == r["task"])]
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        logit, pred = numpy_retain_oracle(list(g.value), w, cell="gru")
+        np.testing.assert_allclose(r["logit"], round(logit, 6), rtol=1e-6)
+        np.testing.assert_allclose(r["pred"], round(pred, 6), rtol=1e-6)
+
+
+def test_fidelity_keep_prob_matches_numpy_oracle(spark, tiny_sequences):
+    """Output dropout at keep_prob=0.5 (model.py:112-115, 204-207):
+    deterministic mask, identical on both engines, and it must actually
+    change the output vs keep_prob=1."""
+    w = fidelity_weights()
+    out = retain_fidelity(tiny_sequences, keep_prob=0.5).collect()
+    pdf = tiny_sequences.toPandas()
+    changed = 0
+    for r in out:
+        g = pdf[(pdf.user_id == r["entity_id"]) & (pdf.event_type == r["task"])]
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        logit, pred = numpy_retain_oracle(list(g.value), w, keep_prob=0.5)
+        np.testing.assert_allclose(r["logit"], round(logit, 6), rtol=1e-6)
+        base, _ = numpy_retain_oracle(list(g.value), w, keep_prob=1.0)
+        changed += abs(base - logit) > 1e-9
+    assert changed > 0
 
 
 def test_fidelity_reverse_time_matters(spark, tiny_sequences):
