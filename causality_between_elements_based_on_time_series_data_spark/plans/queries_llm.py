@@ -415,6 +415,49 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents_sliding",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    c AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, CAST(greatest(ceil((n - 5) / 15.0), 1) AS BIGINT))) AS chunk_id
+        FROM n
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(toks, chunk_id * 15 + 1, chunk_id * 15 + 20), ' ') AS chunk_text,
+           CAST(least(20, n - chunk_id * 15) AS BIGINT) AS n_tokens
+    FROM c
+    """,
+    doc="Sliding-window document chunking (20-token chunks, 5-token "
+    "overlap) — the context-window prep stage of an LLM training "
+    "pipeline. Pure higher-order array expressions (sequence → "
+    "transform → slice → explode), whole-stage codegen, zero shuffle: "
+    "chunking 100 TB is embarrassingly map-side.",
+    tags=("llm", "text", "chunk"),
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str, chunk: int = 20, overlap: int = 5) -> DataFrame:
+    stride = chunk - overlap
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(F.ceil((n - overlap) / F.lit(float(stride))), F.lit(1)).cast("int")
+    chunk_ids = F.sequence(F.lit(0), n_chunks - 1)
+    return (
+        docs.select("doc_id", toks.alias("toks"), n.alias("n"), F.explode(chunk_ids).alias("cid"))
+        .select(
+            "doc_id",
+            F.col("cid").cast("bigint").alias("chunk_id"),
+            F.concat_ws(" ", F.slice("toks", F.col("cid") * stride + 1, chunk)).alias("chunk_text"),
+            F.least(F.lit(chunk), F.col("n") - F.col("cid") * stride).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
     "tfidf_top_terms",
     oracle="""
     WITH tok AS (

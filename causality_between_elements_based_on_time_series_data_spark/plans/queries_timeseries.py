@@ -365,6 +365,61 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "range_join_clicks_before_purchase",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, ts, user_id, value
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, ts, user_id
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT purchase_id,
+           count(*) AS n_clicks,
+           round(sum(c.value), 4) AS click_value
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts < p.ts
+    GROUP BY purchase_id
+    """,
+    doc="Range (interval) join — SURVEY §2.3 custom-join family: all "
+    "clicks in the 30 minutes before each purchase by the same user. "
+    "Bucketized to a pure equi-join on (user_id, time-bucket) with a "
+    "≤2× probe fan-out (operators/rangejoin.py) — no nested-loop / "
+    "cartesian plan anywhere (asserted in tests/test_plans.py), so the "
+    "join hash-partitions and survives 100 TB where the naive "
+    "range-predicate join cannot.",
+    tags=("timeseries", "join", "range"),
+)
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts", "user_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "ts", "user_id"
+    )
+    joined = range_join(
+        clicks,
+        purchases,
+        anchor_ts="ts",
+        probe_ts="ts",
+        before_s=1800,
+        after_s=0,
+        keys=("user_id",),
+        include_upper=False,
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("value"), 4).alias("click_value"),
+    )
+
+
+@register(
     "json_props_extract",
     oracle="""
     SELECT event_type,

@@ -151,6 +151,43 @@ def test_ivf_cosine_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
 
 
+def test_range_join_boundary_semantics(spark):
+    """Crafted rows pin the interval boundaries: inclusive lower,
+    exclusive upper (include_upper=False), key isolation, and the
+    bucket-crossing case (interval spanning two buckets)."""
+    from datetime import datetime, timedelta
+
+    from causality_between_elements_based_on_time_series_data_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    t = lambda s: datetime(2024, 1, 1) + timedelta(seconds=s)
+    anchors = spark.createDataFrame(
+        [
+            (1, t(70), 100),   # exactly at probe-30s: inclusive lower
+            (2, t(85), 100),   # inside
+            (3, t(100), 100),  # == probe ts: exclusive upper -> out
+            (4, t(69), 100),   # just below lower -> out
+            (5, t(85), 200),   # other key -> out
+        ],
+        "aid long, ts timestamp, user_id long",
+    )
+    probes = spark.createDataFrame([(9, t(100), 100)], "pid long, ts timestamp, user_id long")
+    got = sorted(
+        r["aid"]
+        for r in range_join(
+            anchors, probes, "ts", "ts", before_s=30, after_s=0,
+            keys=("user_id",), include_upper=False,
+        ).collect()
+    )
+    assert got == [1, 2]
+    # pairs must not duplicate when the probe interval spans 2 buckets
+    wide = range_join(
+        anchors, probes, "ts", "ts", before_s=90, after_s=0, keys=("user_id",)
+    )
+    assert wide.count() == wide.dropDuplicates(["aid", "pid"]).count()
+
+
 def test_connected_components_chain_and_islands(spark):
     """Min-label propagation must close multi-hop chains (diameter >1)
     and keep disjoint components apart."""

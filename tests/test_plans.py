@@ -76,6 +76,14 @@ def test_q5_fixed_dims_broadcast_supplier_adaptive(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    # the bucketized range join must plan as a hash/merge equi-join;
+    # a range predicate alone would degenerate to BNLJ/cartesian
+    plan = plan_of(spark, sf_dir, "range_join_clicks_before_purchase")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     for name in ["q5_region_revenue", "ngram_jaccard_pairs", "tfidf_top_terms"]:
         plan = plan_of(spark, sf_dir, name)
