@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.arrays import cosine_similarity
+from ..functions.arrays import cosine_similarity, dot_product, l2_norm
 
 
 def brute_force_cosine_topk(
@@ -34,11 +34,22 @@ def brute_force_cosine_topk(
 
     Output: (qid, nid, sim, rn). Self-matches excluded; deterministic
     tie-break on neighbor id.
+
+    Norms are hoisted out of the pair expression: each side carries a
+    precomputed ‖·‖ column, so the O(|Q|·|C|) stage traverses one
+    array per pair (the dot product) instead of three — same
+    expression tree per element, bit-identical cosine.
     """
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")).withColumn(
+        "qn", l2_norm(F.col("qvec"))
+    )
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")).withColumn(
+        "cn", l2_norm(F.col("nvec"))
+    )
     pairs = c.join(F.broadcast(q), F.col("nid") != F.col("qid")).select(
-        "qid", "nid", cosine_similarity(F.col("qvec"), F.col("nvec")).alias("sim")
+        "qid",
+        "nid",
+        (dot_product(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("cn"))).alias("sim"),
     )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

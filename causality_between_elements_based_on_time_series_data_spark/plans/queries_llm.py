@@ -101,9 +101,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, max_df_frac: float = 0
         .agg(F.count("*").alias("n_common"))
     )
     jac = F.col("n_common").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+    # per-doc sizes are corpus-proportional — no broadcast hint; AQE
+    # picks BHJ while the table fits and a shuffle join beyond
     return (
-        inter.join(F.broadcast(sizes.alias("sa")), F.col("sa.doc_id") == F.col("id_a"))
-        .join(F.broadcast(sizes.alias("sb")), F.col("sb.doc_id") == F.col("id_b"))
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(jac >= 0.2)
     )
@@ -185,6 +187,66 @@ def dedup_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return lsh_candidate_pairs(minhash_signatures(docs))
+
+
+@register(
+    "llm_dedup_pipeline",
+    oracle=None,  # tier 2 uses xxhash64 MinHash-LSH candidates — rows-only;
+    # planted-duplicate removal asserted in tests/test_operators.py
+    doc="The full dedup pipeline a training-data run needs, composed "
+    "end-to-end: (1) exact dedup on sha2 content hash → (2) MinHash-"
+    "LSH candidate pairs on the survivors → (3) exact Jaccard "
+    "verification (≥ 0.8) on candidates only → (4) connected "
+    "components → drop non-canonical members. Emits the surviving "
+    "documents. Every stage is the bounded-shuffle form: 32-byte "
+    "hash keys, banded buckets, candidate-only verification, "
+    "label propagation.",
+    tags=("llm", "dedup", "pipeline"),
+)
+def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_pipeline_survivors(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_pipeline_survivors(
+    docs: DataFrame, jaccard_threshold: float = 0.8
+) -> DataFrame:
+    """Exact-dedup → LSH-candidate → Jaccard-verify → component-drop;
+    returns (doc_id, text-less survivor rows)."""
+    from ..operators.graph import connected_components
+
+    # tier 1: exact content dedup
+    keep = dedup_exact(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    s1 = docs.join(keep, "doc_id", "semi")
+
+    # tier 2: sub-quadratic near-dup candidates
+    cands = lsh_candidate_pairs(minhash_signatures(s1))
+
+    # tier 3: exact token-Jaccard verification on candidates only
+    tok = s1.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cands.join(tok.alias("ta"), F.col("ta.doc_id") == F.col("id_a"))
+        .join(
+            tok.alias("tb"),
+            (F.col("tb.doc_id") == F.col("id_b")) & (F.col("ta.w") == F.col("tb.w")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+    # sizes is corpus-proportional — never hinted; AQE broadcasts it
+    # while it fits and shuffle-joins beyond
+    verified = (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
+        .filter(jac >= jaccard_threshold)
+        .select("id_a", "id_b")
+    )
+
+    # tier 4: clusters → keep only the canonical member of each
+    cc = connected_components(verified)
+    drop = cc.filter(F.col("node") != F.col("cluster_id")).select(F.col("node").alias("doc_id"))
+    return s1.join(drop, "doc_id", "anti").select("doc_id", "lang", "source", "n_chars")
 
 
 @register(
@@ -280,15 +342,20 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.arrays import cosine_similarity
+    from ..functions.arrays import dot_product, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     # hard cap: modulus sample AND id < 5000 → ≤100 anchors at any SF
-    anchors = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 5000)).select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    anchors = (
+        emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 5000))
+        .select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        .withColumn("na", l2_norm(F.col("va")))
     )
-    others = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    others = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")).withColumn(
+        "nb", l2_norm(F.col("vb"))
+    )
+    # norms precomputed per side — one array traversal per pair
+    sim = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         others.join(F.broadcast(anchors), F.col("id_b") > F.col("id_a"))
         .select("id_a", "id_b", sim.alias("raw_sim"))
@@ -454,6 +521,47 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str, chunk: int = 20, o
             F.concat_ws(" ", F.slice("toks", F.col("cid") * stride + 1, chunk)).alias("chunk_text"),
             F.least(F.lit(chunk), F.col("n") - F.col("cid") * stride).cast("bigint").alias("n_tokens"),
         )
+    )
+
+
+@register(
+    "approx_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    cnt AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+    r AS (
+        SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rn
+        FROM cnt
+    )
+    SELECT term, CAST(cnt AS BIGINT) AS cnt, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 5
+    """,
+    doc="Heavy-hitters via the approx_top_k sketch (SURVEY §2.4 "
+    "sketch family, alongside HLL approx-distinct): single partial-"
+    "aggregable sketch pass, no full groupBy materialization. The "
+    "sketch is in its EXACT regime here (tracked items ≫ vocabulary) "
+    "so a full count oracle applies; past sketch capacity the counts "
+    "turn approximate and the check would move to rows-only with a "
+    "tolerance test, like sketch_approx_distinct.",
+    tags=("llm", "text", "sketch"),
+)
+def approx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    # k=50 > vocabulary: sketch holds every term -> exact counts;
+    # deterministic (count desc, term) re-rank on top
+    ex = tok.agg(F.expr("approx_top_k(term, 50)").alias("tk")).select(
+        F.explode("tk").alias("e")
+    )
+    w = W.orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        ex.select(F.col("e.item").alias("term"), F.col("e.count").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
     )
 
 

@@ -257,6 +257,25 @@ def streaming_sliding_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Streaming exact dedup (dropDuplicatesWithinWatermark, bounded "
+    "state): the stream unioned with itself — every event delivered "
+    "twice — must aggregate back to exactly the batch GROUP BY after "
+    "dedup on event_id.",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import streaming_dedup_counts
+
+    return streaming_dedup_counts(spark, sf_dir)
+
+
+@register(
     "streaming_stateful_user_totals",
     oracle="""
     SELECT user_id, count(*) AS n, round(sum(value), 4) AS total_value

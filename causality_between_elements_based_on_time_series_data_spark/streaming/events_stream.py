@@ -133,6 +133,40 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     return latest
 
 
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: the event stream unioned with
+    itself (every event arrives twice — the at-least-once-delivery
+    case) is deduplicated on event_id with
+    ``dropDuplicatesWithinWatermark`` — state is bounded by the
+    watermark horizon instead of growing forever, the property that
+    makes streaming dedup viable at 100 TB/day.  The deduped append
+    stream is then batch-aggregated per event_type; parity target is
+    the plain batch GROUP BY (duplicates fully removed).
+    """
+    with scoped_conf(spark, _NANOS_FLAG, "true"):
+
+        def src():
+            return (
+                spark.readStream.schema(_STREAM_SCHEMA)
+                .parquet(f"{sf_dir}/events.parque*")
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            )
+
+        dup_stream = src().union(src()).withWatermark("ts", "1 hour")
+        deduped = dup_stream.dropDuplicatesWithinWatermark(["event_id"])
+        name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
 def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 2-hour windows advancing hourly — each event lands in
     two windows; complete-mode memory sink."""

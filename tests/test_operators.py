@@ -151,6 +151,36 @@ def test_ivf_cosine_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
 
 
+def test_dedup_pipeline_removes_planted_duplicates(spark, sf_dir):
+    """Exact copy and near-copy both removed; canonical originals and
+    unrelated docs survive."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        dedup_pipeline_survivors,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    base = docs.select("doc_id", "text", "lang", "source", "n_chars")
+    exact_dup = base.filter(F.col("doc_id") == 0).select(
+        F.lit(90_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near_dup = base.filter(F.col("doc_id") == 1).select(
+        F.lit(90_001).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    survivors = dedup_pipeline_survivors(base.unionByName(exact_dup).unionByName(near_dup))
+    ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    assert 0 in ids and 1 in ids
+    assert 90_000 not in ids, "exact duplicate survived tier 1"
+    assert 90_001 not in ids, "near duplicate survived tiers 2-4"
+    # the synthetic corpus (31-token vocabulary) contains a couple of
+    # genuine token-set near-dups of its own — allow their removal, but
+    # the pipeline must not gut the corpus
+    assert ids <= set(range(60)) and len(ids) >= 55
+
+
 def test_range_join_boundary_semantics(spark):
     """Crafted rows pin the interval boundaries: inclusive lower,
     exclusive upper (include_upper=False), key isolation, and the
