@@ -81,6 +81,31 @@ def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_roundtrip_customer",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           round(sum(c_acctbal), 2) AS balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="ORC sink + scan round-trip (the other columnar format Spark "
+    "ships natively — same predicate-pushdown/column-pruning "
+    "machinery as parquet): customer written as ORC, read back, "
+    "aggregated; oracle reads the original parquet.",
+    tags=("sources", "orc"),
+)
+def orc_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    path = _io_dir(sf_dir, "customer_orc")
+    cust.write.mode("overwrite").orc(path)
+    back = spark.read.schema(cust.schema).orc(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("balance")
+    )
+
+
+@register(
     "reference_text_ingestion",
     oracle=None,  # float32 text round-trip noise makes value oracles
     # fragile; exact value/shape checks live in tests/test_reference_format.py

@@ -76,6 +76,12 @@ def test_q5_fixed_dims_broadcast_supplier_adaptive(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+def test_chunking_is_map_side_only(spark, sf_dir):
+    # document chunking claims zero shuffle — pin it
+    plan = plan_of(spark, sf_dir, "chunk_documents_sliding")
+    assert count_exchanges(plan) == 0, plan
+
+
 def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     # the bucketized range join must plan as a hash/merge equi-join;
     # a range predicate alone would degenerate to BNLJ/cartesian
