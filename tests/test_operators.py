@@ -233,6 +233,38 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    star = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert star == got
+
+
+def test_connected_components_star_matches_propagation_random(spark):
+    """The O(log n) star-alternation must agree with label propagation
+    on seeded random graphs (including a long chain, its worst case
+    separation)."""
+    import random
+
+    from causality_between_elements_based_on_time_series_data_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(17)
+    edge_list = [(i + 1, i + 2) for i in range(30)]  # 31-node chain
+    nodes = list(range(100, 160))
+    edge_list += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)]
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    prop = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, max_iter=50).collect()
+    }
+    star = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert star == prop
 
 
 def test_salted_agg_matches_direct(spark, sf_dir):
