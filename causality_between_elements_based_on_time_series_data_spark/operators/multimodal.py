@@ -94,3 +94,68 @@ def decode_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def resize_payloads(media: DataFrame, target_bytes: int = 128) -> DataFrame:
+    """Arrow-batched resize stage: every payload is brought to at most
+    ``target_bytes`` (STUB: deterministic byte truncation — a real
+    image/audio resampler replaces the ``shrink`` kernel only; the
+    schema contract of emitting a *new* payload plus before/after
+    sizes is the real part).  Map-side only — resizing 100 TB of media
+    shuffles nothing."""
+    tb = int(target_bytes)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def shrink(b: bytes) -> bytes:
+            return bytes(b[:tb]) if b else b""
+
+        for pdf in batches:
+            out = pdf["payload"].map(shrink)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "orig_bytes": pdf["meta"].map(lambda m: m["n_bytes"]),
+                    "n_bytes": out.map(len),
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema="doc_id long, payload binary, orig_bytes int, n_bytes int"
+    )
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4, frame_bytes: int = 32) -> DataFrame:
+    """Arrow-batched frame-sampling stage: each payload (a stand-in
+    video byte stream) emits up to ``n_frames`` evenly-spaced fixed-
+    width windows — the 1→N row-expansion shape a real frame sampler
+    needs from ``mapInPandas`` (the generator yields more rows than it
+    receives).  Offsets are pure arithmetic over the payload length:
+    floor(i·(n−w)/(k−1)), one frame at 0 when the payload is shorter
+    than a frame.  STUB only in what the bytes mean; slicing, batch
+    fan-out and schema are the real contract."""
+    k, w = int(n_frames), int(frame_bytes)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def offsets(n: int) -> list[int]:
+            if n <= w:
+                return [0]
+            return [((n - w) * i) // (k - 1) for i in range(k)]
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = payload or b""
+                for idx, off in enumerate(offsets(len(b))):
+                    rows.append((doc_id, idx, off, bytes(b[off : off + w])))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "offset", "frame"]
+            )
+
+    return media.mapInPandas(
+        run, schema="doc_id long, frame_idx int, offset long, frame binary"
+    )

@@ -711,6 +711,66 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS orig_bytes,
+           CAST(least(octet_length(encode(text)), 128) AS INTEGER) AS n_bytes
+    FROM documents
+    """,
+    doc="mapInPandas resize stage over the multimodal table: payloads "
+    "brought to ≤128 bytes (deterministic truncation stub — a real "
+    "resampler drops into the kernel); before/after sizes carry a full "
+    "arithmetic oracle. Map-side only.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_payloads
+
+    media = to_media_table(load_table(spark, sf_dir, "documents"))
+    return resize_payloads(media, target_bytes=128).select("doc_id", "orig_bytes", "n_bytes")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n,
+               unnest(CASE WHEN n <= 32 THEN [0]
+                           ELSE [0, 1, 2, 3] END) AS frame_idx
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(CASE WHEN n <= 32 THEN 0
+                     ELSE ((n - 32) * frame_idx) // 3 END AS BIGINT) AS "offset",
+           CAST(least(32, n - CASE WHEN n <= 32 THEN 0
+                                   ELSE ((n - 32) * frame_idx) // 3 END) AS BIGINT) AS frame_len
+    FROM f
+    """,
+    doc="mapInPandas frame-sampling stage (the 1→N row-expansion "
+    "shape a video sampler needs): 4 evenly-spaced 32-byte windows per "
+    "payload, one window for short payloads. The sampling geometry "
+    "(offsets/lengths) carries a full arithmetic oracle; frame bytes "
+    "are pytest-checked.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample
+
+    media = to_media_table(load_table(spark, sf_dir, "documents"))
+    return frame_sample(media, n_frames=4, frame_bytes=32).select(
+        "doc_id",
+        "frame_idx",
+        "offset",
+        F.length("frame").cast("bigint").alias("frame_len"),
+    )
+
+
+@register(
     "multimodal_decode_features",
     oracle=None,  # stubbed decoder — rows-only; schema/batch shape tested in pytest
     doc="mapInPandas decode/feature-extract stage over the multimodal "

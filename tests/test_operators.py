@@ -151,6 +151,31 @@ def test_ivf_cosine_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
 
 
+def test_multimodal_resize_and_frame_sample_kernels(spark, sf_dir):
+    """Byte-level contract of the resize/frame-sample stubs: resize is
+    an exact prefix truncation; every emitted frame equals the payload
+    slice at its reported offset (the real decoder swap-in relies on
+    the slicing/fan-out being trustworthy)."""
+    from causality_between_elements_based_on_time_series_data_spark.operators.multimodal import (
+        frame_sample,
+        resize_payloads,
+        to_media_table,
+    )
+
+    media = to_media_table(load_table(spark, sf_dir, "documents").limit(20))
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+
+    for r in resize_payloads(media, target_bytes=16).collect():
+        assert bytes(r["payload"]) == payloads[r["doc_id"]][:16]
+        assert r["n_bytes"] == min(r["orig_bytes"], 16)
+
+    frames = frame_sample(media, n_frames=3, frame_bytes=8).collect()
+    assert len(frames) >= len(payloads)  # 1→N expansion happened
+    for f in frames:
+        b = payloads[f["doc_id"]]
+        assert bytes(f["frame"]) == b[f["offset"] : f["offset"] + 8]
+
+
 def test_dedup_pipeline_removes_planted_duplicates(spark, sf_dir):
     """Exact copy and near-copy both removed; canonical originals and
     unrelated docs survive."""
