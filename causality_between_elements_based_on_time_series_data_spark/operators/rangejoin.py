@@ -44,7 +44,6 @@ def range_join(
     """
     w = max(before_s + after_s, 1) * 1_000_000  # bucket width in µs
     a_us = F.unix_micros(F.col(anchor_ts))
-    p_us = F.unix_micros(F.col(probe_ts))
 
     overlap = [c for c in probes.columns if c in set(anchors.columns)]
     p = probes.select(

@@ -106,6 +106,38 @@ def orc_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parquet_sorted_layout",
+    oracle="""
+    SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+    """,
+    doc="Data-skipping-friendly layout: lineitem rewritten with "
+    "repartitionByRange + sortWithinPartitions on l_shipdate, then "
+    "re-scanned with a shipdate predicate. Range-clustering makes "
+    "parquet row-group min/max statistics selective, so at 100 TB the "
+    "pushed filter skips whole files/row groups instead of scanning "
+    "them — the write-side half of predicate pushdown.",
+    tags=("sources", "parquet", "layout"),
+)
+def parquet_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    path = _io_dir(sf_dir, "lineitem_sorted")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp")
+    )
+    return back.agg(
+        F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("revenue")
+    )
+
+
+@register(
     "reference_text_ingestion",
     oracle=None,  # float32 text round-trip noise makes value oracles
     # fragile; exact value/shape checks live in tests/test_reference_format.py

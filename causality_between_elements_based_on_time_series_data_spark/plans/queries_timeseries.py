@@ -420,6 +420,80 @@ def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "resample_ffill_hourly",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, max_by(value, event_id) AS value
+        FROM events GROUP BY user_id, ts
+    ),
+    bounds AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS g
+        FROM bounds
+    )
+    SELECT g.user_id,
+           CAST(epoch_us(g.g) AS BIGINT) AS grid_us,
+           round(e.value, 4) AS value
+    FROM grid g ASOF LEFT JOIN ev e
+      ON g.user_id = e.user_id AND e.ts <= g.g
+    """,
+    doc="Time-series resampling to a regular hourly grid with forward "
+    "fill (each grid instant carries the latest observation ≤ it; ts "
+    "ties resolved by max event_id).  Spark side is the merged-stream "
+    "idiom: union grid points into the event stream, one "
+    "last(ignoreNulls) window over (user, ts, is_grid, event_id) — "
+    "two user_id exchanges total (per-user bounds agg + the window "
+    "over the union; plan-gated), no range join, linear in "
+    "events+grid.  Oracle is DuckDB's native ASOF LEFT JOIN against "
+    "the same grid.",
+    tags=("timeseries", "window", "resample"),
+)
+def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    events = ev.select(
+        "user_id", "ts", "value", F.lit(0).alias("is_grid"), "event_id"
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("ts"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    merged = events.unionByName(grid)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_grid", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        merged.withColumn("fv", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("grid_us"),
+            F.round("fv", 4).alias("value"),
+        )
+    )
+
+
+@register(
     "json_props_extract",
     oracle="""
     SELECT event_type,

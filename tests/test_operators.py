@@ -243,6 +243,40 @@ def test_range_join_boundary_semantics(spark):
     assert wide.count() == wide.dropDuplicates(["aid", "pid"]).count()
 
 
+def test_range_join_matches_naive_on_random_data(spark):
+    """Property check: the bucketized equi-join form must produce
+    exactly the pairs of the naive range predicate, across randomized
+    timestamps straddling bucket boundaries."""
+    import random
+    from datetime import datetime, timedelta
+
+    from causality_between_elements_based_on_time_series_data_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    rng = random.Random(23)
+    base = datetime(2024, 3, 1)
+    t = lambda s: base + timedelta(seconds=s)
+    anchors = [(i, t(rng.randrange(0, 3600)), rng.randrange(3)) for i in range(120)]
+    probes = [(1000 + i, t(rng.randrange(0, 3600)), rng.randrange(3)) for i in range(40)]
+    a_df = spark.createDataFrame(anchors, "aid long, ts timestamp, user_id long")
+    p_df = spark.createDataFrame(probes, "pid long, ts timestamp, user_id long")
+
+    got = {
+        (r["aid"], r["pid"])
+        for r in range_join(
+            a_df, p_df, "ts", "ts", before_s=300, after_s=120, keys=("user_id",)
+        ).collect()
+    }
+    expected = {
+        (aid, pid)
+        for aid, ats, akey in anchors
+        for pid, pts, pkey in probes
+        if akey == pkey and pts - timedelta(seconds=300) <= ats <= pts + timedelta(seconds=120)
+    }
+    assert got == expected
+
+
 def test_connected_components_chain_and_islands(spark):
     """Min-label propagation must close multi-hop chains (diameter >1)
     and keep disjoint components apart."""

@@ -82,6 +82,13 @@ def test_chunking_is_map_side_only(spark, sf_dir):
     assert count_exchanges(plan) == 0, plan
 
 
+def test_resample_ffill_two_exchanges(spark, sf_dir):
+    # per-user bounds agg + the window over the merged stream — both on
+    # user_id; anything more means the union/window shape regressed
+    plan = plan_of(spark, sf_dir, "resample_ffill_hourly")
+    assert count_exchanges(plan) == 2, plan
+
+
 def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     # the bucketized range join must plan as a hash/merge equi-join;
     # a range predicate alone would degenerate to BNLJ/cartesian
