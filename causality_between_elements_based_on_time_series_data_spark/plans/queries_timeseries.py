@@ -494,6 +494,109 @@ def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "resample_interp_hourly",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, max_by(value, event_id) AS value
+        FROM events GROUP BY user_id, ts
+    ),
+    ev2 AS (
+        SELECT user_id, ts, value,
+               lead(ts)    OVER w AS nts,
+               lead(value) OVER w AS nv
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    bounds AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS g
+        FROM bounds
+    )
+    SELECT g.user_id,
+           CAST(epoch_us(g.g) AS BIGINT) AS grid_us,
+           round(CASE
+                   WHEN e.nts IS NULL THEN e.value
+                   WHEN e.nts = e.ts THEN e.value
+                   ELSE e.value + (e.nv - e.value)
+                        * (CAST(epoch_us(g.g) - epoch_us(e.ts) AS DOUBLE)
+                           / CAST(epoch_us(e.nts) - epoch_us(e.ts) AS DOUBLE))
+                 END, 4) AS value
+    FROM grid g ASOF LEFT JOIN ev2 e
+      ON g.user_id = e.user_id AND e.ts <= g.g
+    """,
+    doc="Hourly resampling with LINEAR INTERPOLATION between the "
+    "surrounding observations (forward fill past the last one): each "
+    "event carries its lead() successor, the merged-stream window "
+    "attaches the whole (prev, next) segment to every grid instant in "
+    "one last(ignoreNulls) pass over a struct — same two user_id "
+    "exchanges as resample_ffill_hourly, no range join.  Oracle: "
+    "DuckDB lead() + ASOF LEFT JOIN with the identical interpolation "
+    "arithmetic.",
+    tags=("timeseries", "window", "resample"),
+)
+def resample_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    # dedupe ts ties (max event_id wins) to make segments well-defined
+    ev1 = ev.groupBy("user_id", "ts").agg(
+        F.expr("max_by(value, event_id)").alias("value")
+    )
+    wl = W.partitionBy("user_id").orderBy("ts")
+    ev2 = ev1.select(
+        "user_id",
+        "ts",
+        F.struct(
+            F.col("ts").alias("pts"),
+            F.col("value").alias("pv"),
+            F.lead("ts").over(wl).alias("nts"),
+            F.lead("value").over(wl).alias("nv"),
+        ).alias("seg"),
+        F.lit(0).alias("is_grid"),
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("hour", F.min("ts")).alias("t0"), F.max("ts").alias("t1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("ts"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("struct<pts:timestamp,pv:double,nts:timestamp,nv:double>").alias("seg"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    merged = ev2.unionByName(grid)
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    g_us = F.unix_micros("ts")
+    p_us = F.unix_micros(F.col("s.pts"))
+    n_us = F.unix_micros(F.col("s.nts"))
+    interp = (
+        F.when(F.col("s.nts").isNull(), F.col("s.pv"))
+        .when(F.col("s.nts") == F.col("s.pts"), F.col("s.pv"))
+        .otherwise(
+            F.col("s.pv")
+            + (F.col("s.nv") - F.col("s.pv"))
+            * ((g_us - p_us).cast("double") / (n_us - p_us).cast("double"))
+        )
+    )
+    return (
+        merged.withColumn("s", F.last("seg", ignorenulls=True).over(wf))
+        .filter(F.col("is_grid") == 1)
+        .select("user_id", g_us.alias("grid_us"), F.round(interp, 4).alias("value"))
+    )
+
+
+@register(
     "json_props_extract",
     oracle="""
     SELECT event_type,
