@@ -139,6 +139,14 @@ def main() -> None:
     trainer.write_b_matrix(spark, b_path, round_no=0)  # ≙ B_matrix_loss_sqrtn.txt
     print(f"B matrix written to {b_path}")
 
+    # model checkpoint (the tf.train.Saver the reference creates but
+    # never fires, model.py:216-217) — save + reload round-trip
+    ckpt_path = os.path.join(config["save_dir"], "model")
+    trainer.save(spark, ckpt_path)
+    restored = AMTLTrainer.load(spark, ckpt_path)
+    assert restored.tasks == trainer.tasks
+    print(f"checkpoint saved + restored from {ckpt_path}")
+
 
 if __name__ == "__main__":
     main()
