@@ -166,9 +166,14 @@ class AMTLTrainer:
         feats.persist()  # cached once; the loop re-reads it every iteration
         if eval_feats is not None:
             eval_feats = eval_feats.select("entity_id", "task", "x", "y").persist()
-        self.tasks = [r["task"] for r in feats.select("task").distinct().orderBy("task").collect()]
+        # one job yields both the task list and the feature width
+        # (formerly a separate .first() probe — an extra Spark job per fit)
+        task_rows = (
+            feats.groupBy("task").agg(F.max(F.size("x")).alias("d")).orderBy("task").collect()
+        )
+        self.tasks = [r["task"] for r in task_rows]
         T = len(self.tasks)
-        D = len(feats.select("x").first()["x"]) + 1  # + bias
+        D = int(task_rows[0]["d"]) + 1  # + bias
         rng = np.random.default_rng(cfg.seed)
         self.W = rng.normal(0.0, 0.01, size=(T, D))
         self.B = np.zeros((T, T))
@@ -251,6 +256,8 @@ class AMTLTrainer:
         meta = {
             "tasks": self.tasks,
             "eval_min": {t: [float(l), int(i)] for t, (l, i) in self.eval_min.items()},
+            "history": [float(v) for v in cfg.history],
+            "eval_history": [{t: float(l) for t, l in ev.items()} for ev in cfg.eval_history],
             "config": {
                 "lr": cfg.lr,
                 "mu": cfg.mu,
@@ -273,6 +280,10 @@ class AMTLTrainer:
 
         meta = json.loads(spark.read.parquet(f"{path}/meta").first()["meta"])
         trainer = cls(AMTLConfig(**meta["config"]))
+        trainer.config.history = [float(v) for v in meta.get("history", [])]
+        trainer.config.eval_history = [
+            {t: float(l) for t, l in ev.items()} for ev in meta.get("eval_history", [])
+        ]
         trainer.tasks = list(meta["tasks"])
         trainer.eval_min = {t: (float(l), int(i)) for t, (l, i) in meta["eval_min"].items()}
         idx = {t: i for i, t in enumerate(trainer.tasks)}

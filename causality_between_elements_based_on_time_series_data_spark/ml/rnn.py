@@ -25,13 +25,19 @@ HID = 4  # hidden units (reference: 16, run.py:25 — smaller for tests)
 EMB = 4  # embedding width (reference: V is 73×16, model.py:119)
 
 
-def fidelity_weights(hid: int = HID, emb: int = EMB, cell: str = "lstm") -> dict[str, list]:
+def fidelity_weights(
+    hid: int = HID, emb: int = EMB, cell: str = "lstm", num_layers: int = 1
+) -> dict[str, list]:
     """Deterministic weight set shared by the Spark kernel and the
     test oracle — the analog of the reference's fixed config/V/attention
     parameters (model.py:119-123, 150-151).  ``cell`` sizes the
     recurrent kernels: 4·hid gates for LSTM ([i f g o]), 3·hid for GRU
     ([r u c]) — mirroring the reference's cell factory
-    (model.py:109-115: GRUCell by default, LSTM when ``use_lstm``)."""
+    (model.py:109-115: GRUCell by default, LSTM when ``use_lstm``).
+    ``num_layers`` mirrors the MultiRNNCell stacking (model.py:125-127):
+    layer 0 consumes the embedding, layers ≥ 1 consume the previous
+    layer's (dropout-applied) output, so extra layers get hid-wide
+    input kernels under ``extra_layers``."""
 
     gates = 4 if cell == "lstm" else 3
 
@@ -46,6 +52,14 @@ def fidelity_weights(hid: int = HID, emb: int = EMB, cell: str = "lstm") -> dict
         "Wx": mat(emb, gates * hid, 2),  # recurrent input kernel
         "Wh": mat(hid, gates * hid, 3),  # recurrent state kernel
         "b": [0.0] * (gates * hid),
+        "extra_layers": [
+            {
+                "Wx": mat(hid, gates * hid, 7 + 3 * li),
+                "Wh": mat(hid, gates * hid, 8 + 3 * li),
+                "b": [0.0] * (gates * hid),
+            }
+            for li in range(num_layers - 1)
+        ],
         "w_alpha": mat(hid, 1, 4),  # α scorer (model.py:120-121)
         "b_alpha": [0.1],
         "W_beta": mat(hid, emb, 5),  # β gate (model.py:122-123)
@@ -65,6 +79,7 @@ def retain_fidelity(
     cell: str = "lstm",
     keep_prob: float = 1.0,
     dropout_seed: int = 13,
+    num_layers: int = 1,
 ) -> DataFrame:
     """Per (entity, task): embed each step, run the recurrent cell over
     the REVERSED sequence (model.py:138), score α (softmax over steps)
@@ -76,6 +91,14 @@ def retain_fidelity(
     ``use_lstm`` branch) or ``'gru'`` (the default branch — TF GRUCell
     math: joint [r u] sigmoid gates, candidate tanh over r-gated
     state, h' = u·h + (1−u)·c).
+
+    ``num_layers`` mirrors the MultiRNNCell stacking (model.py:
+    125-127): each layer is the same cell kind with its own kernels;
+    layer l ≥ 1 consumes layer l−1's *output-dropout-applied* hidden
+    state (the DropoutWrapper sits inside the stack, as in the
+    reference's wrap-then-stack construction), and the attention reads
+    the top layer's outputs.  The shipped config is ``num_layers=1``
+    (run.py:24).
 
     ``keep_prob`` reproduces the DropoutWrapper's *output* dropout
     (model.py:112-115; 0.5 at train, 1.0 at eval — model.py:204-207):
@@ -99,7 +122,7 @@ def retain_fidelity(
     length.  The padded positions contribute nothing: α is masked to
     0 and the padded embeddings are 0.
     """
-    w = weights or fidelity_weights(cell=cell)
+    w = weights or fidelity_weights(cell=cell, num_layers=num_layers)
     ocols = list(order_cols)
     cell_kind = cell
     kp, seed = float(keep_prob), int(dropout_seed)
@@ -109,20 +132,26 @@ def retain_fidelity(
         import pandas as pd
 
         V = np.asarray(w["V"])
-        Wx, Wh, b = np.asarray(w["Wx"]), np.asarray(w["Wh"]), np.asarray(w["b"])
+        layers = [(np.asarray(w["Wx"]), np.asarray(w["Wh"]), np.asarray(w["b"]))] + [
+            (np.asarray(x["Wx"]), np.asarray(x["Wh"]), np.asarray(x["b"]))
+            for x in w.get("extra_layers", [])
+        ]
         w_a, b_a = np.asarray(w["w_alpha"]), np.asarray(w["b_alpha"])
         W_b, b_b = np.asarray(w["W_beta"]), np.asarray(w["b_beta"])
         w_o, b_o = np.asarray(w["w_out"]), np.asarray(w["b_out"])
-        hid = Wh.shape[0]
+        hid = layers[0][1].shape[0]
 
         def sig(a):
             return 1.0 / (1.0 + np.exp(-a))
 
-        def drop_mask(t):
-            # deterministic per-(reversed step, unit) output-dropout
-            # mask, batch-shape independent
+        def drop_mask(t, li):
+            # deterministic per-(reversed step, unit, layer) output-
+            # dropout mask, batch-shape independent (layer-0 term is 0,
+            # preserving the single-layer mask exactly)
             units = np.arange(hid)
-            keep = ((t * 2654435761 + units * 40503 + seed * 97) % 1000) < kp * 1000
+            keep = (
+                (t * 2654435761 + units * 40503 + seed * 97 + li * 7919) % 1000
+            ) < kp * 1000
             return np.where(keep, 1.0 / kp, 0.0)
 
         for pdf in batches:
@@ -137,28 +166,35 @@ def retain_fidelity(
             mask = np.arange(T)[None, :] < lens[:, None]  # [B, T]
 
             emb = X[..., None] * V[0][None, None, :]  # embedding (model.py:132) [B,T,E]
-            h = np.zeros((B, hid))
-            c = np.zeros((B, hid))
+            Hst = [np.zeros((B, hid)) for _ in layers]
+            Cst = [np.zeros((B, hid)) for _ in layers]
             HS = np.zeros((B, T, hid))
             for t in range(T):  # dynamic_rnn (model.py:61-63), batch-wide
-                if cell_kind == "gru":
-                    zr = sig(emb[:, t, :] @ Wx[:, : 2 * hid] + h @ Wh[:, : 2 * hid] + b[: 2 * hid])
-                    r_, u_ = np.split(zr, 2, axis=1)
-                    cand = np.tanh(
-                        emb[:, t, :] @ Wx[:, 2 * hid :] + (r_ * h) @ Wh[:, 2 * hid :] + b[2 * hid :]
-                    )
-                    h_new = u_ * h + (1.0 - u_) * cand
-                else:
-                    gates = emb[:, t, :] @ Wx + h @ Wh + b
-                    i_, f_, g_, o_ = np.split(gates, 4, axis=1)
-                    c_new = sig(f_) * c + sig(i_) * np.tanh(g_)
-                    h_new = sig(o_) * np.tanh(c_new)
-                    m = mask[:, t : t + 1]
-                    c = np.where(m, c_new, c)
                 m = mask[:, t : t + 1]
-                h = np.where(m, h_new, h)
-                out_t = h_new if kp >= 1.0 else h_new * drop_mask(t)[None, :]
-                HS[:, t, :] = np.where(m, out_t, 0.0)
+                inp = emb[:, t, :]  # layer stack (MultiRNNCell, model.py:125-127)
+                for li, (Wx_l, Wh_l, b_l) in enumerate(layers):
+                    h = Hst[li]
+                    if cell_kind == "gru":
+                        zr = sig(
+                            inp @ Wx_l[:, : 2 * hid] + h @ Wh_l[:, : 2 * hid] + b_l[: 2 * hid]
+                        )
+                        r_, u_ = np.split(zr, 2, axis=1)
+                        cand = np.tanh(
+                            inp @ Wx_l[:, 2 * hid :]
+                            + (r_ * h) @ Wh_l[:, 2 * hid :]
+                            + b_l[2 * hid :]
+                        )
+                        h_new = u_ * h + (1.0 - u_) * cand
+                    else:
+                        gates = inp @ Wx_l + h @ Wh_l + b_l
+                        i_, f_, g_, o_ = np.split(gates, 4, axis=1)
+                        c_new = sig(f_) * Cst[li] + sig(i_) * np.tanh(g_)
+                        h_new = sig(o_) * np.tanh(c_new)
+                        Cst[li] = np.where(m, c_new, Cst[li])
+                    Hst[li] = np.where(m, h_new, h)
+                    # next layer consumes the dropout-applied output
+                    inp = h_new if kp >= 1.0 else h_new * drop_mask(t, li)[None, :]
+                HS[:, t, :] = np.where(m, inp, 0.0)
 
             # α softmax over valid steps (model.py:70-75); the context
             # sum is position-aligned in reversed coordinates, and a

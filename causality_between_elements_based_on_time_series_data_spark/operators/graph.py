@@ -85,11 +85,15 @@ def _star_components(und: DataFrame, max_iter: int) -> DataFrame:
         prev = fp
     else:
         raise RuntimeError(f"star-alternation did not converge in {max_iter} rounds")
-    # converged: edges are (node → component-min) stars; centers map to
-    # themselves
-    centers = edges.select(F.col("v").alias("node"), F.col("v").alias("cluster_id"))
+    # converged: edges are (node → component-min) stars.  Union every
+    # node of the input mapped to itself so centers, isolated nodes and
+    # self-loop-only nodes all appear (component min ≤ node, so the
+    # grouped min keeps the star mapping where one exists) — this keeps
+    # the star variant's output identical to propagation's on arbitrary
+    # edge lists, self-loops included.
     members = edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
-    return members.union(centers).distinct()
+    selves = und.select(F.col("u").alias("node"), F.col("u").alias("cluster_id"))
+    return members.union(selves).groupBy("node").agg(F.min("cluster_id").alias("cluster_id"))
 
 
 def connected_components(

@@ -38,9 +38,14 @@ def scd2_apply(
         current_col, F.lit(False)
     )
     untouched = target.join(upd_keys, key, "left_anti")
+    # next version stays in-plan: a 1-row aggregate broadcast-crossJoined
+    # onto the updates (no mid-plan driver action / extra job)
     max_v = F.coalesce(F.max(version_col), F.lit(0))
-    next_version = target.agg(max_v.alias("v")).collect()[0]["v"] + 1
-    fresh = updates.withColumn(version_col, F.lit(next_version)).withColumn(
-        current_col, F.lit(True)
+    next_v = target.agg((max_v + 1).alias("__next_version"))
+    fresh = (
+        updates.crossJoin(F.broadcast(next_v))
+        .withColumn(version_col, F.col("__next_version"))
+        .drop("__next_version")
+        .withColumn(current_col, F.lit(True))
     )
     return untouched.unionByName(demoted).unionByName(fresh)

@@ -73,10 +73,25 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stopword tokens whose posting lists would otherwise degenerate "
     "the inverted-index join toward all-pairs at 100 TB — applied "
     "identically on the oracle side, so Jaccard is over the filtered "
-    "token space on both engines.",
+    "token space on both engines. NOTE: the registered form is the "
+    "oracle-checkable 1%-anchor BASELINE (query side restricted to "
+    "doc_id %% 100 == 0); full-corpus pair discovery is "
+    "``anchors=None`` (LSH-candidate route), and the production dedup "
+    "path is ``llm_dedup_pipeline``.",
     tags=("llm", "dedup", "similarity"),
 )
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, max_df_frac: float = 0.8) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_df_frac: float = 0.8,
+    anchors: int | None = 100,
+) -> DataFrame:
+    """``anchors=N`` restricts the query side to ``doc_id % N == 0``
+    (the oracle-checkable baseline); ``anchors=None`` discovers pairs
+    over the WHOLE corpus by routing through MinHash-LSH candidates
+    first (sub-quadratic — the 100 TB form), then exact-Jaccard
+    verifying only those.  For end-to-end dedup use
+    ``llm_dedup_pipeline``."""
     docs = load_table(spark, sf_dir, "documents")
     tok0 = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w")
@@ -92,14 +107,28 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, max_df_frac: float = 0
     )
     tok = tok0.join(keep, "w")
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    q = tok.filter(F.col("doc_id") % 100 == 0)
-    t = tok.alias("t")
-    inter = (
-        q.alias("q")
-        .join(t, (F.col("q.w") == F.col("t.w")) & (F.col("t.doc_id") > F.col("q.doc_id")))
-        .groupBy(F.col("q.doc_id").alias("id_a"), F.col("t.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    if anchors is None:
+        # full-corpus mode: LSH candidates bound the pair space, then
+        # the inverted index verifies exact Jaccard on candidates only
+        cands = lsh_candidate_pairs(minhash_signatures(docs))
+        inter = (
+            cands.join(tok.alias("ta"), F.col("ta.doc_id") == F.col("id_a"))
+            .join(
+                tok.alias("tb"),
+                (F.col("tb.doc_id") == F.col("id_b")) & (F.col("ta.w") == F.col("tb.w")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        q = tok.filter(F.col("doc_id") % anchors == 0)
+        t = tok.alias("t")
+        inter = (
+            q.alias("q")
+            .join(t, (F.col("q.w") == F.col("t.w")) & (F.col("t.doc_id") > F.col("q.doc_id")))
+            .groupBy(F.col("q.doc_id").alias("id_a"), F.col("t.doc_id").alias("id_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
     jac = F.col("n_common").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
     # per-doc sizes are corpus-proportional — no broadcast hint; AQE
     # picks BHJ while the table fits and a shuffle join beyond
@@ -159,7 +188,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, max_df_frac: float = 0
     "graph.py), canonical survivor = min doc_id per component; "
     "singletons are their own cluster. The oracle replays the pair "
     "generation and closes it with a recursive transitive-closure "
-    "CTE — full value parity on an iterative graph algorithm.",
+    "CTE — full value parity on an iterative graph algorithm. NOTE: "
+    "built on the 1%%-anchor pair BASELINE so the CTE oracle stays "
+    "tractable; the production full-corpus path is "
+    "``llm_dedup_pipeline``.",
     tags=("llm", "dedup", "graph"),
 )
 def dedup_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,8 +539,14 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "chunk"),
 )
 def chunk_documents_sliding(spark: SparkSession, sf_dir: str, chunk: int = 20, overlap: int = 5) -> DataFrame:
+    return chunk_docs_df(load_table(spark, sf_dir, "documents"), chunk=chunk, overlap=overlap)
+
+
+def chunk_docs_df(docs: DataFrame, chunk: int = 20, overlap: int = 5) -> DataFrame:
+    """DataFrame-in form of the sliding-window chunker, so pipelines
+    chunk only the rows they keep (e.g. dedup survivors) instead of
+    chunking everything and discarding."""
     stride = chunk - overlap
-    docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     n_chunks = F.greatest(F.ceil((n - overlap) / F.lit(float(stride))), F.lit(1)).cast("int")

@@ -95,6 +95,16 @@ def _featurized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_feats(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic 80/20 entity-level train/eval split — the
+    reference's fit-on-train / score-on-held-out protocol
+    (run.py:46-55).  Entity-keyed hashing keeps every row of an entity
+    on one side, so eval entities are truly unseen."""
+    ds = _featurized_events(spark, sf_dir)
+    bucket = F.pmod(F.hash("entity_id"), F.lit(5))
+    return ds.where(bucket < 4), ds.where(bucket >= 4)
+
+
 # One deterministic training run serves every AMTL query in a session
 # (matrix, history, eval metrics, checkpoint round-trip all read the
 # same fitted trainer — identical numerics, 4× less iterative work).
@@ -105,7 +115,8 @@ def _trained_amtl(spark: SparkSession, sf_dir: str) -> AMTLTrainer:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TRAINER_CACHE:
         cfg = AMTLConfig(total_iter=10, check_iter=2)
-        _TRAINER_CACHE[key] = AMTLTrainer(cfg).fit(_featurized_events(spark, sf_dir))
+        train, ev = _split_feats(spark, sf_dir)
+        _TRAINER_CACHE[key] = AMTLTrainer(cfg).fit(train, eval_feats=ev)
     return _TRAINER_CACHE[key]
 
 
@@ -115,7 +126,8 @@ def _trained_amtl(spark: SparkSession, sf_dir: str) -> AMTLTrainer:
     # itself is oracle-checked by auc_mann_whitney / accuracy_at_threshold
     doc="Post-training eval metrics per task (the reference's console "
     "block, model.py:241-292): AUC (rank-based) and accuracy of the "
-    "trained AMTL heads, computed distributed from broadcast weights.",
+    "trained AMTL heads on the HELD-OUT 20% entity split (run.py:46-55 "
+    "protocol), computed distributed from broadcast weights.",
     tags=("ml", "amtl", "metric"),
 )
 def amtl_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,7 +136,7 @@ def amtl_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.arrays import dot_product
     from ..functions.scalar import sigmoid
 
-    ds = _featurized_events(spark, sf_dir)
+    _, ds = _split_feats(spark, sf_dir)
     trainer = _trained_amtl(spark, sf_dir)
     w_rows = [
         (t, [float(v) for v in trainer.W[i][:-1]], float(trainer.W[i][-1]))
@@ -149,6 +161,21 @@ def amtl_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "amtl_eval_min",
+    oracle=None,  # iterative training on trained weights — rows-only;
+    # population + reproducibility asserted in tests/test_ml.py
+    doc="Min-tracking over the held-out eval loss (model.py:248-262): "
+    "per task, the minimum mean eval CE seen at any checkpoint and the "
+    "iteration it occurred — the reference's best-epoch selection "
+    "surfaced as a queryable DataFrame.",
+    tags=("ml", "amtl", "metric"),
+)
+def amtl_eval_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _trained_amtl(spark, sf_dir).eval_min_df(spark)
+    return df.select("task", F.round("min_eval_loss", 6).alias("min_eval_loss"), "at_iter")
 
 
 @register(
@@ -254,6 +281,41 @@ def streaming_sliding_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events_stream import streaming_sliding_rollup
 
     return streaming_sliding_rollup(spark, sf_dir)
+
+
+@register(
+    "streaming_session_rollup",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+           count(*) AS n_events,
+           round(sum(value), 4) AS session_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    doc="Structured Streaming session windows (30-min gap, watermark, "
+    "complete mode) driven to completion on the fixture; the oracle is "
+    "the same lag+cumsum batch sessionization that checks the batch "
+    "session_window_rollup — stream/batch parity on merging windows.",
+    tags=("streaming", "timeseries", "window"),
+)
+def streaming_session_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import streaming_session_rollup
+
+    return streaming_session_rollup(spark, sf_dir)
 
 
 @register(

@@ -662,6 +662,65 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_function_surface",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               value                              AS v_value,
+               CAST(props->>'$.k' AS DOUBLE)      AS v_k,
+               CAST(hour(ts) AS DOUBLE)           AS v_hour
+        FROM events
+    )
+    SELECT event_type,
+           CAST(sum((CASE WHEN v_value > 50 THEN 1 ELSE 0 END)
+                  + (CASE WHEN v_k     > 50 THEN 1 ELSE 0 END)
+                  + (CASE WHEN v_hour  > 50 THEN 1 ELSE 0 END)) AS BIGINT)
+               AS entries_gt_50,
+           round(sum(2 * (v_value + v_k + v_hour)), 4) AS doubled_total,
+           max('hour,k,value') AS keys_csv,
+           round(avg(v_k), 4)  AS avg_k,
+           count(*)            AS n
+    FROM m
+    GROUP BY event_type
+    """,
+    doc="Map-typed column surface (SURVEY §2.8 [GAP] map row): "
+    "create_map from event columns, then map_filter (entries > 50), "
+    "transform_values (double each entry) + map_values/aggregate, "
+    "map_keys, element_at — all codegen'd higher-order map "
+    "expressions.  The oracle recomputes the same aggregates from the "
+    "base columns (DuckDB's MAP dialect differs; the map here is "
+    "constructed, so the scalar algebra is the checkable part).",
+    tags=("timeseries", "map"),
+)
+def map_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    m = F.create_map(
+        F.lit("value"), F.col("value"),
+        F.lit("k"), k,
+        F.lit("hour"), F.hour("ts").cast("double"),
+    )
+    per_event = ev.select(
+        "event_type",
+        F.size(F.map_filter(m, lambda _, v: v > 50)).alias("n_gt_50"),
+        F.aggregate(
+            F.map_values(F.transform_values(m, lambda _, v: v * 2.0)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("doubled_sum"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("key_csv"),
+        F.element_at(m, F.lit("k")).alias("k_val"),
+    )
+    return per_event.groupBy("event_type").agg(
+        F.sum("n_gt_50").cast("bigint").alias("entries_gt_50"),
+        F.round(F.sum("doubled_sum"), 4).alias("doubled_total"),
+        F.max("key_csv").alias("keys_csv"),
+        F.round(F.avg("k_val"), 4).alias("avg_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "array_function_surface",
     oracle="""
     SELECT vec_id,

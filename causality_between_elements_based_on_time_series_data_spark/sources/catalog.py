@@ -129,14 +129,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     comparisons agree. Integer ``div`` keeps full precision (a double
     division would lose bits above 2^53).
 
-    The ``nanosAsLong`` flag is *scoped* to the read (saved/restored —
-    the reader captures its hadoop conf at ``spark.read`` time, so the
-    materialized scan is unaffected by the restore): a permanently
-    mutated session conf would silently turn every later
-    TIMESTAMP(NANOS) scan in the same session into LongType.  Engine
-    sessions also set it in ``session.get_spark`` as the single
-    documented point of configuration; the scoping here covers foreign
-    sessions (e.g. the driver's).
+    The ``nanosAsLong`` flag is *scoped* to the read via
+    ``session.scoped_conf`` (the reader captures its hadoop conf at
+    ``spark.read`` time, so the materialized scan is unaffected by the
+    restore): a permanently mutated session conf would silently turn
+    every later TIMESTAMP(NANOS) scan in the same session into
+    LongType.  Engine sessions also set it in ``session.get_spark`` as
+    the single documented point of configuration; the scoping here
+    covers foreign sessions (e.g. the driver's).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
@@ -144,18 +144,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        flag = "spark.sql.legacy.parquet.nanosAsLong"
-        prev = spark.conf.get(flag, None)
-        spark.conf.set(flag, "true")
-        try:
+        from ..session import scoped_conf
+
+        with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
             return spark.read.parquet(path).withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        finally:
-            if prev is None:
-                spark.conf.unset(flag)
-            else:
-                spark.conf.set(flag, prev)
     return spark.read.parquet(path)
 
 

@@ -30,7 +30,7 @@ def load_data(
     path: str,
     file_name: str,
     task: str = "default",
-    stable_ids: bool = False,
+    stable_ids: bool = True,
 ) -> DataFrame:
     """Distributed implementation of the reference's ``load_data``
     contract, returning the long-format DataFrame
@@ -41,16 +41,18 @@ def load_data(
     own label — run.py:44-55), so it never depends on entity_id.  The
     id itself comes in two flavors:
 
-    - default (``stable_ids=False``): ``monotonically_increasing_id``
-      — unique but OPAQUE and partitioning-dependent (partition-offset
-      based, so neither dense line numbers nor stable across re-reads
-      of a multi-split file).  The scalable choice: no coalesce, no
-      extra pass.
-    - ``stable_ids=True``: dense 0-based line numbers via a
-      single-partition ``zipWithIndex`` — exact reference parity
-      (entity identity reproducible across re-reads), at the cost of
-      single-task ingestion; for the reference's own single-node-sized
-      text files, not the 100 TB path.
+    - default (``stable_ids=True``): dense 0-based line numbers via a
+      single-partition ``zipWithIndex`` — exact reference parity: the
+      reference's alignment is positional (run.py:47), so reproducible
+      line-number identity is the semantics a user porting it expects.
+      Costs single-task ingestion — right for the reference's own
+      single-node-sized text files.
+    - ``stable_ids=False``: ``monotonically_increasing_id`` — unique
+      but OPAQUE and partitioning-dependent (partition-offset based,
+      so neither dense line numbers nor stable across re-reads of a
+      multi-split file).  The opt-in for 100 TB-scale ingestion where
+      no coalesce / extra pass is acceptable and downstream logic
+      never interprets the id.
     """
     full = os.path.join(path, file_name)
     width = steps * num_features

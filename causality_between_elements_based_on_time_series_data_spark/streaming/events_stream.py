@@ -167,6 +167,38 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) per user — the one §2.9
+    window shape whose batch form (``session_window_rollup``) needed a
+    streaming skin.  Session windows merge as events arrive, so state
+    per (user, open session) is bounded by the watermark horizon;
+    complete-mode memory sink for the run-to-completion fixture drive.
+    Parity target: the batch ``session_window`` aggregate.
+    """
+    with scoped_conf(spark, _NANOS_FLAG, "true"):
+        stream = (
+            spark.readStream.schema(_STREAM_SCHEMA)
+            .parquet(f"{sf_dir}/events.parque*")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ts", "1 hour")
+        )
+        agg = stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        name = f"stream_session_{uuid.uuid4().hex[:8]}"
+        q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+        "n_events",
+        "session_value",
+    )
+
+
 def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 2-hour windows advancing hourly — each event lands in
     two windows; complete-mode memory sink."""

@@ -27,7 +27,7 @@ from causality_between_elements_based_on_time_series_data_spark.operators.simila
     lsh_cosine_topk,
 )
 from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
-    chunk_documents_sliding,
+    chunk_docs_df,
     dedup_pipeline_survivors,
 )
 from causality_between_elements_based_on_time_series_data_spark.session import get_spark
@@ -53,11 +53,14 @@ def main() -> None:
 
     # 2. dedup: exact → LSH candidates → Jaccard verify → components
     survivors = dedup_pipeline_survivors(quality.select("doc_id", "text", "lang", "source", "n_chars"))
-    keep = survivors.select("doc_id")
-    n_dedup = keep.count()
+    n_dedup = survivors.count()
 
-    # 3. chunking on the surviving documents (map-side only)
-    chunks = chunk_documents_sliding(spark, sf_dir).join(keep, "doc_id", "semi")
+    # 3. chunking on the surviving documents ONLY (map-side after the
+    # semi-join) — never chunk rows quality/dedup already rejected
+    survivor_docs = quality.select("doc_id", "text").join(
+        survivors.select("doc_id"), "doc_id", "semi"
+    )
+    chunks = chunk_docs_df(survivor_docs)
     n_chunks = chunks.count()
 
     # 4. embedding-side audit: approximate neighbors for a query sample

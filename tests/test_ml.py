@@ -148,9 +148,30 @@ def test_trainer_save_load_roundtrip(spark, synthetic_feats, tmp_path):
     np.testing.assert_array_equal(back.W, trainer.W)
     np.testing.assert_array_equal(back.B, trainer.B)
     assert back.eval_min == trainer.eval_min
+    assert back.config.history == trainer.config.history
+    assert back.config.eval_history == trainer.config.eval_history
     ev_orig = trainer._eval_losses(synthetic_feats)
     ev_back = back._eval_losses(synthetic_feats)
     assert ev_orig == ev_back
+
+
+def test_holdout_eval_min_populated_and_reproducible(spark, synthetic_feats):
+    """fit(train, eval) must populate per-task eval_min from the
+    held-out split (model.py:248-262 min-tracking), deterministically."""
+    from pyspark.sql import functions as F
+
+    bucket = F.pmod(F.hash("entity_id"), F.lit(5))
+    train, ev = synthetic_feats.where(bucket < 4), synthetic_feats.where(bucket >= 4)
+    t1 = AMTLTrainer(AMTLConfig(total_iter=6, check_iter=2)).fit(train, eval_feats=ev)
+    t2 = AMTLTrainer(AMTLConfig(total_iter=6, check_iter=2)).fit(train, eval_feats=ev)
+    assert set(t1.eval_min) == set(TASKS)
+    for task, (loss, at_iter) in t1.eval_min.items():
+        assert np.isfinite(loss) and loss > 0
+        assert 0 <= at_iter < 6
+    assert t1.eval_min == t2.eval_min
+    assert len(t1.config.eval_history) == len(t1.config.history) > 0
+    edf = t1.eval_min_df(spark).toPandas()
+    assert set(edf.task) == set(TASKS)
 
 
 def test_b_matrix_parquet_roundtrip(spark, synthetic_feats, tmp_path):

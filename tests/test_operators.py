@@ -326,6 +326,44 @@ def test_connected_components_star_matches_propagation_random(spark):
     assert star == prop
 
 
+def test_ngram_jaccard_full_corpus_mode(spark, sf_dir):
+    """anchors=None must discover pairs over the whole corpus via the
+    LSH-candidate route: same schema as the anchor baseline, unique
+    ordered pairs, threshold respected, and it actually finds the
+    near-dups the fixture plants."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        ngram_jaccard_pairs,
+    )
+
+    pdf = ngram_jaccard_pairs(spark, sf_dir, anchors=None).toPandas()
+    assert list(pdf.columns) == ["id_a", "id_b", "jaccard"]
+    assert len(pdf) > 0
+    assert (pdf.jaccard >= 0.2).all()
+    assert (pdf.id_a < pdf.id_b).all()
+    assert len(pdf) == len(pdf.drop_duplicates(["id_a", "id_b"]))
+
+
+def test_connected_components_self_loops_agree(spark):
+    """Nodes whose only edge is a self-loop must appear (mapped to
+    themselves) in BOTH variants — the star construction drops (a, a)
+    edges up front, so it backfills every input node."""
+    from causality_between_elements_based_on_time_series_data_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 2), (40, 41)], "id_a long, id_b long"
+    )
+    expected = {7: 7, 1: 1, 2: 1, 40: 40, 41: 40}
+    prop = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    star = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert prop == expected
+    assert star == expected
+
+
 def test_salted_agg_matches_direct(spark, sf_dir):
     from causality_between_elements_based_on_time_series_data_spark.operators.skew import (
         salted_agg,

@@ -24,32 +24,44 @@ def numpy_retain_oracle(
     dropout_seed: int = 13,
 ) -> tuple[float, float]:
     """Independent re-derivation of the RETAIN forward pass
-    (reverse-time LSTM/GRU -> output dropout -> alpha/beta attention ->
-    context -> head)."""
+    (reverse-time stacked LSTM/GRU -> per-layer output dropout ->
+    alpha/beta attention -> context -> head)."""
     V = np.asarray(w["V"])
-    Wx, Wh, b = np.asarray(w["Wx"]), np.asarray(w["Wh"]), np.asarray(w["b"])
-    hid = Wh.shape[0]
+    layers = [(np.asarray(w["Wx"]), np.asarray(w["Wh"]), np.asarray(w["b"]))] + [
+        (np.asarray(x["Wx"]), np.asarray(x["Wh"]), np.asarray(x["b"]))
+        for x in w.get("extra_layers", [])
+    ]
+    hid = layers[0][1].shape[0]
     emb = np.asarray(values, dtype=np.float64)[:, None] @ V
     sig = lambda a: 1 / (1 + np.exp(-a))
 
-    h, c, states = np.zeros(hid), np.zeros(hid), []
+    hs = [np.zeros(hid) for _ in layers]
+    cs = [np.zeros(hid) for _ in layers]
+    states = []
     for t, v in enumerate(emb[::-1]):
-        if cell == "gru":
-            zr = sig(v @ Wx[:, : 2 * hid] + h @ Wh[:, : 2 * hid] + b[: 2 * hid])
-            r, u = np.split(zr, 2)
-            cand = np.tanh(v @ Wx[:, 2 * hid :] + (r * h) @ Wh[:, 2 * hid :] + b[2 * hid :])
-            h = u * h + (1 - u) * cand
-        else:
-            z = v @ Wx + h @ Wh + b
-            i, f, g, o = np.split(z, 4)
-            c = sig(f) * c + sig(i) * np.tanh(g)
-            h = sig(o) * np.tanh(c)
-        out = h.copy()
-        if keep_prob < 1.0:
-            units = np.arange(hid)
-            keep = ((t * 2654435761 + units * 40503 + dropout_seed * 97) % 1000) < keep_prob * 1000
-            out = out * np.where(keep, 1.0 / keep_prob, 0.0)
-        states.append(out)
+        inp = v
+        for li, (Wx, Wh, b) in enumerate(layers):
+            h = hs[li]
+            if cell == "gru":
+                zr = sig(inp @ Wx[:, : 2 * hid] + h @ Wh[:, : 2 * hid] + b[: 2 * hid])
+                r, u = np.split(zr, 2)
+                cand = np.tanh(inp @ Wx[:, 2 * hid :] + (r * h) @ Wh[:, 2 * hid :] + b[2 * hid :])
+                h = u * h + (1 - u) * cand
+            else:
+                z = inp @ Wx + h @ Wh + b
+                i, f, g, o = np.split(z, 4)
+                cs[li] = sig(f) * cs[li] + sig(i) * np.tanh(g)
+                h = sig(o) * np.tanh(cs[li])
+            hs[li] = h
+            out = h.copy()
+            if keep_prob < 1.0:
+                units = np.arange(hid)
+                keep = (
+                    (t * 2654435761 + units * 40503 + dropout_seed * 97 + li * 7919) % 1000
+                ) < keep_prob * 1000
+                out = out * np.where(keep, 1.0 / keep_prob, 0.0)
+            inp = out
+        states.append(inp)
     H = np.array(states)[::-1]
 
     s = H @ np.asarray(w["w_alpha"]) + np.asarray(w["b_alpha"])
@@ -127,6 +139,28 @@ def test_fidelity_keep_prob_matches_numpy_oracle(spark, tiny_sequences):
         base, _ = numpy_retain_oracle(list(g.value), w, keep_prob=1.0)
         changed += abs(base - logit) > 1e-9
     assert changed > 0
+
+
+@pytest.mark.parametrize("cell", ["lstm", "gru"])
+def test_fidelity_two_layer_stack_matches_numpy_oracle(spark, tiny_sequences, cell):
+    """MultiRNNCell stacking (model.py:125-127): a 2-layer stack of
+    either cell must match the independent numpy oracle, and must
+    differ from the 1-layer output (the second layer genuinely runs)."""
+    w = fidelity_weights(cell=cell, num_layers=2)
+    out = retain_fidelity(tiny_sequences, cell=cell, num_layers=2).collect()
+    assert len(out) == 10
+    pdf = tiny_sequences.toPandas()
+    w1 = fidelity_weights(cell=cell)
+    differs = 0
+    for r in out:
+        g = pdf[(pdf.user_id == r["entity_id"]) & (pdf.event_type == r["task"])]
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        logit, pred = numpy_retain_oracle(list(g.value), w, cell=cell)
+        np.testing.assert_allclose(r["logit"], round(logit, 6), rtol=1e-6)
+        np.testing.assert_allclose(r["pred"], round(pred, 6), rtol=1e-6)
+        one_layer, _ = numpy_retain_oracle(list(g.value), w1, cell=cell)
+        differs += abs(one_layer - logit) > 1e-9
+    assert differs > 0
 
 
 def test_fidelity_reverse_time_matters(spark, tiny_sequences):

@@ -1,7 +1,13 @@
 """Driver-harness simulation: consume /root/repo/__spark_entry__.py
 exactly as the external driver would — vanilla session, entry() smoke,
-queries() vs oracle_sql() at sf0.01 via DuckDB."""
-import sys, time, math
+queries() vs oracle_sql() at sf0.01 via DuckDB.
+
+Also writes /root/repo/CORRECTNESS_full_r{N}.json covering EVERY
+registry query (the driver's own artifact samples ~50), so the green
+state is auditable without a re-run.  N = latest driver round + 1,
+inferred from the CORRECTNESS_r*.json files present.
+"""
+import glob, json, os, re, sys, time, math
 sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import SparkSession
@@ -28,14 +34,20 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 qs, osql = e.queries(), e.oracle_sql()
 print(f"[contract] {len(qs)} queries, {len(osql)} with oracle")
 fails = []
+artifact = {}
 for name, fn in sorted(qs.items()):
     t0 = time.time()
     try:
         sdf = fn(spark, SF).toPandas()
     except Exception as ex:
-        fails.append((name, f"spark error: {ex}")); print(f"  {name}: SPARK ERROR {ex}"); continue
+        fails.append((name, f"spark error: {ex}")); print(f"  {name}: SPARK ERROR {ex}")
+        artifact[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                          "spark_rows": None, "oracle_rows": None, "err": f"spark error: {ex}"}
+        continue
     if name not in osql:
         print(f"  {name}: rows-only n={len(sdf)} ({time.time()-t0:.1f}s)")
+        artifact[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                          "spark_rows": len(sdf), "oracle_rows": None, "err": "no_oracle"}
         continue
     odf = con.execute(osql[name]).df()
     prob = None
@@ -62,7 +74,20 @@ for name, fn in sorted(qs.items()):
                     prob = f"col {c} mismatch"; break
     status = "MATCH" if prob is None else f"MISMATCH: {prob}"
     if prob: fails.append((name, prob))
+    artifact[name] = {
+        "rows_match": len(sdf) == len(odf),
+        "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+        "hash_match": prob is None,
+        "spark_rows": len(sdf), "oracle_rows": len(odf),
+        "err": prob,
+    }
     print(f"  {name}: {status} n={len(sdf)} ({time.time()-t0:.1f}s)")
 
-print(f"\n[RESULT] {len(qs)-len(fails)}/{len(qs)} ok; failures: {fails}")
+rounds = [int(m.group(1)) for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
+          if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))]
+out = f"/root/repo/CORRECTNESS_full_r{(max(rounds) + 1) if rounds else 1}.json"
+with open(out, "w") as f:
+    json.dump(artifact, f, indent=1)
+print(f"\n[artifact] {out}: {len(artifact)} queries")
+print(f"[RESULT] {len(qs)-len(fails)}/{len(qs)} ok; failures: {fails}")
 sys.exit(1 if fails else 0)
