@@ -1,0 +1,233 @@
+"""Cross-series causality analytics (the reference's domain, SURVEY.md
+§0: causality between elements based on time-series data).
+
+The AMTL loop (ml/amtl.py) learns the causality matrix B the
+reference's way — via asymmetric multi-task transfer (model.py:
+166-184).  This module adds the *descriptive* cross-series statistics
+an analyst runs before/alongside that training: pairwise series
+correlation, directional lag-1 cross-correlation, lag regression
+(the Granger-style precursor test), per-series autocorrelation, and
+temporal precedence counts.  All are plain DataFrame aggregations —
+one shuffle to build the hourly grid, then joins keyed on the tiny
+hour/series dimensions — and all carry full DuckDB oracles.
+
+Scale shape: the hourly grid is |hours| × |series| rows — for a year
+of data and thousands of series it is millions of rows, *independent
+of raw event volume* (100 TB of events reduce in the first map-side
+partial aggregate).  The pairwise joins run on the grid, not the
+events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+_HOURLY_ORACLE = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type, sum(value) AS v
+        FROM events GROUP BY 1, 2
+    )
+"""
+
+
+def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared hour × series grid: one map-side-combined aggregate
+    over events; everything downstream joins this small grid."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.sum("value").alias("v"))
+
+
+@register(
+    "pairwise_series_correlation",
+    oracle=_HOURLY_ORACLE
+    + """
+    SELECT a.event_type AS series_a, b.event_type AS series_b,
+           round(corr(a.v, b.v), 4) AS pearson_r,
+           count(*) AS n_hours
+    FROM hourly a JOIN hourly b
+      ON a.hour = b.hour AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    doc="Pairwise Pearson correlation between the hourly value series "
+    "of every element pair — the symmetric association matrix an "
+    "analyst inspects before asking the directional (causal) "
+    "question.  Events reduce to the hour×series grid first, so the "
+    "pair join is over |hours|·|series| rows, not raw events.",
+    tags=("causality", "timeseries", "stats"),
+)
+def pairwise_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly_series(spark, sf_dir)
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.hour") == F.col("b.hour"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("series_a"),
+            F.col("b.event_type").alias("series_b"),
+        )
+        .agg(
+            F.round(F.corr("a.v", "b.v"), 4).alias("pearson_r"),
+            F.count("*").alias("n_hours"),
+        )
+    )
+
+
+@register(
+    "lagged_cross_correlation",
+    oracle=_HOURLY_ORACLE
+    + """
+    SELECT a.event_type AS leader, b.event_type AS follower,
+           round(corr(a.v, b.v), 4) AS lag1_r,
+           count(*) AS n_hours
+    FROM hourly a JOIN hourly b
+      ON b.hour = a.hour + INTERVAL 1 HOUR
+     AND a.event_type <> b.event_type
+    GROUP BY 1, 2
+    """,
+    doc="Directional lag-1 cross-correlation: corr(leader at hour h, "
+    "follower at hour h+1) for every ORDERED series pair — the "
+    "asymmetry between (a→b) and (b→a) is the first hint of temporal "
+    "precedence, the quantity the AMTL B-matrix models "
+    "(model.py:86-101).",
+    tags=("causality", "timeseries", "stats"),
+)
+def lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly_series(spark, sf_dir)
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.hour") == F.col("a.hour") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("leader"),
+            F.col("b.event_type").alias("follower"),
+        )
+        .agg(
+            F.round(F.corr("a.v", "b.v"), 4).alias("lag1_r"),
+            F.count("*").alias("n_hours"),
+        )
+    )
+
+
+@register(
+    "granger_lag_regression",
+    oracle=_HOURLY_ORACLE
+    + """
+    SELECT a.event_type AS leader, b.event_type AS follower,
+           round(regr_slope(b.v, a.v), 4)     AS slope,
+           round(regr_intercept(b.v, a.v), 4) AS intercept,
+           round(regr_r2(b.v, a.v), 4)        AS r2,
+           count(*) AS n_hours
+    FROM hourly a JOIN hourly b
+      ON b.hour = a.hour + INTERVAL 1 HOUR
+     AND a.event_type <> b.event_type
+    GROUP BY 1, 2
+    """,
+    doc="Granger-style lag regression: OLS of follower(h+1) on "
+    "leader(h) per ordered pair — slope, intercept and R² from the "
+    "built-in regr_* aggregates (single pass, map-side partials). "
+    "The descriptive analog of the reference's learned transfer "
+    "weights B[leader, follower].",
+    tags=("causality", "timeseries", "stats"),
+)
+def granger_lag_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly_series(spark, sf_dir)
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.hour") == F.col("a.hour") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("leader"),
+            F.col("b.event_type").alias("follower"),
+        )
+        .agg(
+            F.round(F.regr_slope("b.v", "a.v"), 4).alias("slope"),
+            F.round(F.regr_intercept("b.v", "a.v"), 4).alias("intercept"),
+            F.round(F.regr_r2("b.v", "a.v"), 4).alias("r2"),
+            F.count("*").alias("n_hours"),
+        )
+    )
+
+
+@register(
+    "series_autocorrelation",
+    oracle=_HOURLY_ORACLE
+    + """
+    , lagged AS (
+        SELECT event_type, v,
+               lag(v) OVER (PARTITION BY event_type ORDER BY hour) AS pv
+        FROM hourly
+    )
+    SELECT event_type, round(corr(v, pv), 4) AS acf1, count(pv) AS n
+    FROM lagged GROUP BY event_type
+    """,
+    doc="Lag-1 autocorrelation per series (the AR(1) coefficient over "
+    "observed hours): how self-predictable each element is — the "
+    "baseline any cross-series causality claim must beat.  Window "
+    "lag within the series partition, then one corr aggregate.",
+    tags=("causality", "timeseries", "stats"),
+)
+def series_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly_series(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = h.withColumn("pv", F.lag("v").over(w))
+    return lagged.groupBy("event_type").agg(
+        F.round(F.corr("v", "pv"), 4).alias("acf1"),
+        F.count("pv").alias("n"),
+    )
+
+
+@register(
+    "temporal_precedence_counts",
+    oracle="""
+    SELECT a.event_type AS antecedent, b.event_type AS consequent,
+           count(*) AS n_pairs,
+           count(DISTINCT a.user_id) AS n_users
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+     AND a.event_type <> b.event_type
+    GROUP BY 1, 2
+    """,
+    doc="Temporal precedence: within each entity's own stream, how "
+    "often does element a precede element b within 30 minutes — the "
+    "event-level (not grid-level) precedence signal.  The self-join "
+    "is keyed on the entity id (one shuffle, co-partitioned), with "
+    "the time-range predicate evaluated inside each key group, so "
+    "work is bounded by per-entity activity, never corpus².",
+    tags=("causality", "timeseries"),
+)
+def temporal_precedence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    a, b = ev.alias("a"), ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("a.user_id").alias("n_users"),
+        )
+    )

@@ -338,6 +338,25 @@ def streaming_dedup_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_foreachbatch_parquet_sink",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Streaming parquet sink via foreachBatch (the production sink "
+    "pattern: per-micro-batch exactly-once appends through the batch "
+    "writer, with a streaming checkpoint). Parity: aggregating the "
+    "sink's contents must equal the batch GROUP BY over the source.",
+    tags=("streaming", "sink"),
+)
+def streaming_foreachbatch_parquet_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import streaming_foreachbatch_parquet_sink
+
+    return streaming_foreachbatch_parquet_sink(spark, sf_dir)
+
+
+@register(
     "streaming_stateful_user_totals",
     oracle="""
     SELECT user_id, count(*) AS n, round(sum(value), 4) AS total_value

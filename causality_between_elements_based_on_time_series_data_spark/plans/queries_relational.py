@@ -1062,3 +1062,286 @@ def correlated_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
         WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
         """
     )
+
+
+@register(
+    "stats_agg_surface",
+    oracle="""
+    WITH mu AS (
+        SELECT l_returnflag, avg(l_quantity) AS m FROM lineitem GROUP BY 1
+    ),
+    mom AS (
+        SELECT l.l_returnflag,
+               avg(pow(l_quantity - m, 2)) AS m2,
+               avg(pow(l_quantity - m, 3)) AS m3,
+               avg(pow(l_quantity - m, 4)) AS m4
+        FROM lineitem l JOIN mu USING (l_returnflag)
+        GROUP BY 1
+    ),
+    direct AS (
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4)      AS r_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_samp,
+               round(covar_pop(l_quantity, l_extendedprice), 4)  AS cov_pop,
+               round(stddev_samp(l_quantity), 4)                 AS sd_samp,
+               round(stddev_pop(l_quantity), 4)                  AS sd_pop,
+               round(var_samp(l_quantity), 4)                    AS var_samp,
+               count(*)                                          AS n
+        FROM lineitem GROUP BY 1
+    )
+    SELECT d.l_returnflag, r_qty_price, cov_samp, cov_pop, sd_samp, sd_pop,
+           var_samp,
+           round(m3 / pow(m2, 1.5), 4)    AS skew,
+           round(m4 / pow(m2, 2) - 3, 4)  AS kurt,
+           n
+    FROM direct d JOIN mom USING (l_returnflag)
+    """,
+    doc="Statistical aggregate surface: corr, covar_samp/pop, "
+    "stddev_samp/pop, var_samp, skewness, kurtosis — all single-pass "
+    "JVM aggregates with map-side partials.  DuckDB's skewness/"
+    "kurtosis are the sample-corrected forms, so the oracle "
+    "recomputes Spark's population moments (m3/m2^1.5, m4/m2²−3) "
+    "from central moments explicitly.",
+    tags=("relational", "agg", "stats"),
+)
+def stats_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("r_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_samp"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("cov_pop"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_samp"),
+        F.round(F.stddev_pop("l_quantity"), 4).alias("sd_pop"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_samp"),
+        F.round(F.skewness("l_quantity"), 4).alias("skew"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "minmax_by_events",
+    oracle="""
+    SELECT event_type,
+           arg_max(event_id, ts) AS latest_event_id,
+           arg_min(event_id, ts) AS first_event_id,
+           arg_max(user_id, value) AS top_value_user,
+           round(max(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="min_by/max_by aggregate surface (DuckDB arg_min/arg_max): "
+    "latest/first event per series keyed by the µs-unique ts, plus "
+    "the user holding the max value.  Single hash aggregate, no "
+    "window, no self-join — the cheap form of 'row of the extremum'.",
+    tags=("relational", "agg"),
+)
+def minmax_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", "ts").alias("latest_event_id"),
+        F.min_by("event_id", "ts").alias("first_event_id"),
+        F.max_by("user_id", "value").alias("top_value_user"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+@register(
+    "bool_bit_agg_surface",
+    oracle="""
+    SELECT l_linestatus,
+           bool_and(l_quantity > 0)     AS all_positive_qty,
+           bool_or(l_discount > 0.09)   AS any_deep_discount,
+           CAST(bit_and(l_linenumber) AS INTEGER) AS lines_bit_and,
+           CAST(bit_or(l_linenumber)  AS INTEGER) AS lines_bit_or,
+           CAST(bit_xor(l_linenumber) AS INTEGER) AS lines_bit_xor,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="Boolean/bitwise aggregate surface: bool_and/bool_or (every/"
+    "any) and bit_and/bit_or/bit_xor over the line number — all "
+    "map-side-combinable JVM aggregates.",
+    tags=("relational", "agg"),
+)
+def bool_bit_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bit_and("l_linenumber").cast("int").alias("lines_bit_and"),
+        F.bit_or("l_linenumber").cast("int").alias("lines_bit_or"),
+        F.bit_xor("l_linenumber").cast("int").alias("lines_bit_xor"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "string_agg_nations",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Ordered string aggregation (LISTAGG): nations per region as "
+    "a deterministic sorted CSV — collect_list → array_sort → "
+    "array_join on the Spark side (the order-insensitive collect is "
+    "made deterministic BEFORE joining, never relied on).",
+    tags=("relational", "agg", "string"),
+)
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "histogram_value_buckets",
+    oracle="""
+    SELECT CAST(floor(value / 50) * 50 AS DOUBLE) AS bucket_lo,
+           count(*) AS n,
+           round(avg(value), 4) AS mean_in_bucket
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Equi-width histogram of the value distribution (50-unit "
+    "buckets): floor-arithmetic bucketing keeps the whole histogram "
+    "one map-side-combined aggregate — the scalable form of a "
+    "distribution profile (vs sorting or exact percentiles).",
+    tags=("relational", "agg", "profile"),
+)
+def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("value") / 50) * 50).cast("double")
+    return ev.groupBy(bucket.alias("bucket_lo")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_in_bucket"),
+    )
+
+
+@register(
+    "q4_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking): EXISTS decorrelates "
+    "to a LEFT SEMI join on the order key — orders with at least one "
+    "line shipped > 60 days after order date, counted per priority. "
+    "One key-partitioned shuffle; the semi join short-circuits per key.",
+    tags=("relational", "tpch", "join"),
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey  = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN supplier  ON l_suppkey  = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE n1.n_name < n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape (volume shipping between nation pairs): "
+    "lineitem⋈orders⋈customer⋈supplier fact joins shuffle on their "
+    "keys; the two nation lookups broadcast (25 rows).  Grouped by "
+    "(customer nation, supplier nation, order year).",
+    tags=("relational", "tpch", "join", "bench"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "volume"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q10_returned_revenue_topk",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): returnflag filter "
+    "pushed to the lineitem scan, two key-shuffled fact joins, "
+    "grouped revenue, then distributed top-20 via "
+    "TakeOrderedAndProject (ordering on the ROUNDED revenue so the "
+    "cutoff set is engine-stable, custkey tie-break).",
+    tags=("relational", "tpch", "topk"),
+)
+def q10_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

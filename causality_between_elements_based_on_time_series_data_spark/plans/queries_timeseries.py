@@ -783,6 +783,39 @@ def from_json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_props_surface",
+    oracle="""
+    SELECT event_type,
+           CAST(max(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k,
+           round(avg(CAST(props->>'$.k' AS DOUBLE)), 4) AS avg_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Spark 4 VARIANT semi-structured surface: parse_json into an "
+    "open VARIANT column, typed path extraction via try_variant_get — "
+    "the engine's third JSON access path (stringly get_json_object, "
+    "declared-schema from_json, schema-on-read VARIANT).  VARIANT "
+    "keeps the binary-encoded document columnar, so repeated path "
+    "reads skip re-parsing — the right default for heterogeneous "
+    "props at 100 TB.",
+    tags=("timeseries", "json", "variant"),
+)
+def variant_props_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.max("k").alias("max_k"),
+            F.round(F.avg(F.col("k").cast("double")), 4).alias("avg_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
     "batch_sample_without_replacement",
     oracle=None,  # seeded rand() is engine-specific — rows-only check
     doc="Seeded per-task sampling without replacement (model.py:191): "

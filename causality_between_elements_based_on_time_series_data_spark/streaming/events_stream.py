@@ -199,6 +199,45 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_foreachbatch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch escape hatch — THE production streaming sink
+    pattern (exactly-once-per-batch appends to any batch writer, here
+    parquet).  The stream's projected rows land in a parquet target
+    per micro-batch; the returned DataFrame batch-aggregates the sink
+    contents, which must equal the plain batch GROUP BY over the
+    source — sink round-trip parity.  On a cluster the target would
+    be object storage and the checkpoint a durable path.
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="stream_fb_sink_")
+    ckpt = tempfile.mkdtemp(prefix="stream_fb_ckpt_")
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{out}/data")
+
+    with scoped_conf(spark, _NANOS_FLAG, "true"):
+        stream = (
+            spark.readStream.schema(_STREAM_SCHEMA)
+            .parquet(f"{sf_dir}/events.parque*")
+            .select("event_id", "event_type", "value")
+        )
+        q = (
+            stream.writeStream.foreachBatch(append_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return (
+        spark.read.parquet(f"{out}/data")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
 def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 2-hour windows advancing hourly — each event lands in
     two windows; complete-mode memory sink."""
