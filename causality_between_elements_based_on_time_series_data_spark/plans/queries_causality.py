@@ -231,3 +231,85 @@ def temporal_precedence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("a.user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        FROM events GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day
+        FROM events
+    )
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, active_day) AS INTEGER) AS day_offset,
+           count(*) AS n_active_users
+    FROM first_day JOIN activity USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention: entities grouped by first-seen day, counted "
+    "active per day offset — the temporal engagement decay curve.  "
+    "Two entity-keyed aggregates and one entity-keyed join; the "
+    "result is |cohorts|×|offsets|, independent of event volume.",
+    tags=("causality", "timeseries", "cohort"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = ev.select("user_id", F.date_trunc("day", "ts").alias("active_day")).distinct()
+    return (
+        first_day.join(activity, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH t AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'     THEN ts END) AS v,
+               min(CASE WHEN event_type = 'click'    THEN ts END) AS c,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+        FROM events GROUP BY 1
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN v IS NOT NULL AND c > v THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_view_then_click,
+           CAST(sum(CASE WHEN v IS NOT NULL AND c > v AND p > c THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_full_funnel
+    FROM t
+    """,
+    doc="Ordered conversion funnel (view → click → purchase): per "
+    "entity, the first occurrence of each stage via conditional min, "
+    "then ordering predicates — one entity-keyed aggregate plus a "
+    "single-row reduction; classic sequential-pattern analytics "
+    "without a self-join.",
+    tags=("causality", "timeseries", "funnel"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    has_v = F.col("v").isNotNull()
+    vc = has_v & (F.col("c") > F.col("v"))
+    vcp = vc & (F.col("p") > F.col("c"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(has_v.cast("int")).cast("bigint").alias("n_view"),
+        F.sum(vc.cast("int")).cast("bigint").alias("n_view_then_click"),
+        F.sum(vcp.cast("int")).cast("bigint").alias("n_full_funnel"),
+    )

@@ -822,3 +822,37 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "doc_id", "mime", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
     )
+
+
+@register(
+    "embedding_dim_means",
+    oracle="""
+    WITH e AS (
+        SELECT label,
+               generate_subscripts(embedding[1:8], 1) - 1 AS dim,
+               unnest(embedding[1:8]) AS val
+        FROM embeddings
+    )
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           round(avg(CAST(val AS DOUBLE)), 6) AS mean_val,
+           count(*) AS n
+    FROM e
+    GROUP BY label, dim
+    """,
+    doc="Per-label embedding centroid slice (first 8 dims): posexplode "
+    "the dim/value pairs, aggregate per (label, dim) — the elementwise "
+    "mean that a cluster-profile or drift monitor computes over an "
+    "embedding column.  Explode + hash aggregate, map-side partials; "
+    "output is |labels|×|dims| regardless of corpus size.",
+    tags=("llm", "similarity", "array"),
+)
+def embedding_dim_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.slice("embedding", 1, 8)).alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"),
+            F.count("*").alias("n"),
+        )
+    )

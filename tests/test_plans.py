@@ -101,3 +101,36 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
     for name in ["q5_region_revenue", "ngram_jaccard_pairs", "tfidf_top_terms"]:
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_q10_topk_and_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q10_returned_revenue_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q7_fact_joins_keyed_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q7_nation_volume")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temporal_precedence_equi_keyed(spark, sf_dir):
+    """The events self-join must stay keyed on the entity id (range
+    predicate as join filter), never a nested-loop/cartesian pair
+    expansion."""
+    plan = plan_of(spark, sf_dir, "temporal_precedence_counts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_causality_grid_bounded_shuffles(spark, sf_dir):
+    """Causality pair analytics run on the hour x series grid: the
+    events reduce once, the pair join adds at most grid-sized
+    exchanges — raw events are never pair-joined."""
+    for name in ("pairwise_series_correlation", "granger_lag_regression"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert count_exchanges(plan) <= 3, name + "\n" + plan
