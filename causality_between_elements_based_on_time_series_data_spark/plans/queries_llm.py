@@ -856,3 +856,41 @@ def embedding_dim_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "udtf_sentence_split",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, unnest(string_split(text, '.')) AS sentence
+        FROM documents WHERE doc_id % 100 = 0
+    )
+    SELECT doc_id, trim(sentence) AS sentence
+    FROM s WHERE length(trim(sentence)) > 0
+    """,
+    doc="True Python UDTF surface (SURVEY §2.10, Spark 4 @udtf): a "
+    "lateral-joined table function expanding each document into "
+    "trimmed non-empty sentences — the 1→N generator shape "
+    "(posexplode_tokens is the built-in analog; this pins the UDTF "
+    "machinery).  Anchored to 1% of docs: the UDTF row loop is the "
+    "Python slow path, demonstrated, not used for bulk work.",
+    tags=("llm", "udtf", "udf", "text"),
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sentence string")
+    class SentenceSplit:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+            for part in text.split("."):
+                p = part.strip()
+                if p:
+                    yield (doc_id, p)
+
+    spark.udtf.register("sentence_split_udtf", SentenceSplit)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    docs.createOrReplaceTempView("udtf_docs_anchor")
+    return spark.sql(
+        "SELECT s.doc_id, s.sentence "
+        "FROM udtf_docs_anchor, LATERAL sentence_split_udtf(doc_id, text) s"
+    )

@@ -1345,3 +1345,46 @@ def q10_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "udaf_geometric_mean",
+    oracle="""
+    SELECT l_returnflag,
+           round(exp(avg(ln(l_quantity))), 4) AS geo_mean_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="True UDAF surface (SURVEY §2.10): a grouped-aggregate "
+    "pandas_udf computing the geometric mean per group — Arrow moves "
+    "each group's column once, the kernel is a self-contained "
+    "numpy closure.  The oracle recomputes exp(avg(ln(x))) in SQL; "
+    "for the hot path the registry favors built-ins, this query "
+    "pins the UDAF machinery itself.",
+    tags=("relational", "udaf", "udf"),
+)
+def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: PEP 563 stringized annotations (this
+    # module's `from __future__ import annotations`) defeat the
+    # hint-based dispatch
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean(v):
+        # self-contained kernel: numpy only (worker sys.path)
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    # Spark disallows mixing pandas and JVM aggregates in one agg, so
+    # the row count is a second pandas UDAF
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(geo_mean("l_quantity"), 4).alias("geo_mean_qty"),
+        n_rows("l_quantity").alias("n"),
+    )

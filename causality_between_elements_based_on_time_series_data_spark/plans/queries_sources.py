@@ -206,3 +206,63 @@ def parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty")
     )
+
+
+@register(
+    "xml_roundtrip_nation",
+    oracle="""
+    SELECT r_regionkey AS n_regionkey, count(*) AS n,
+           min(n_name) AS first_nation
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1
+    """,
+    doc="XML sink + rowTag scan round-trip (Spark 4 ships the XML "
+    "connector natively): nation written as XML records, read back "
+    "with a declared schema, joined to region and aggregated; the "
+    "oracle aggregates the original parquet — XML encode/decode "
+    "losslessness is the check.",
+    tags=("sources", "xml"),
+)
+def xml_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    path = _io_dir(sf_dir, "nation_xml")
+    nation.write.mode("overwrite").format("xml").option("rowTag", "nation").save(path)
+    back = spark.read.format("xml").option("rowTag", "nation").schema(nation.schema).load(path)
+    return (
+        back.join(F.broadcast(region), back.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_regionkey").alias("n_regionkey"))
+        .agg(F.count("*").alias("n"), F.min("n_name").alias("first_nation"))
+    )
+
+
+@register(
+    "binaryfile_ingest_stats",
+    oracle=None,  # binaryFile rows carry filesystem paths/mtimes — no
+    # DuckDB-relatable table; content digests pinned in
+    # tests/test_reference_format.py-style pytest instead
+    doc="The multimodal ingest path: spark.read.format('binaryFile') "
+    "over a directory of opaque payload files — each row is (path, "
+    "length, content BINARY); emits per-file length + sha2(content) "
+    "digests.  This is how image/audio/video corpora enter the engine "
+    "before operators/multimodal.py kernels run; scans parallelize "
+    "per-file and never materialize payloads on the driver.",
+    tags=("sources", "binary", "multimodal"),
+)
+def binaryfile_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    # materialize a small deterministic payload corpus from documents
+    src = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    payload_dir = _io_dir(sf_dir, "binary_payloads")
+    _os.makedirs(payload_dir, exist_ok=True)
+    for r in src.select("doc_id", "text").collect():
+        with open(_os.path.join(payload_dir, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    files = spark.read.format("binaryFile").load(payload_dir)
+    name = F.element_at(F.split(F.col("path"), "/"), -1)
+    return files.select(
+        name.alias("file_name"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.sha2("content", 256).alias("digest"),
+    )

@@ -423,3 +423,31 @@ def test_steps_from_timestamps_dense(spark, sf_dir):
     )
     bad = agg.filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)).count()
     assert bad == 0
+
+
+def test_binaryfile_ingest_digests(spark, sf_dir):
+    """The binaryFile ingest rows must carry the exact byte length and
+    sha256 of each payload file (the compensating check for the
+    rows-only registry entry)."""
+    import hashlib
+
+    from causality_between_elements_based_on_time_series_data_spark.plans import REGISTRY
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    got = {
+        r["file_name"]: (r["n_bytes"], r["digest"])
+        for r in REGISTRY["binaryfile_ingest_stats"].fn(spark, sf_dir).collect()
+    }
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 100 = 0")
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert len(got) == len(src) > 0
+    for r in src:
+        payload = r["text"].encode("utf-8")
+        expect = (len(payload), hashlib.sha256(payload).hexdigest())
+        assert got[f"doc_{r['doc_id']}.bin"] == expect
