@@ -338,6 +338,59 @@ def streaming_dedup_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    joined AS (
+        SELECT p.user_id, p.event_id AS p_event, c.value AS c_value
+        FROM purchases p JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+    )
+    SELECT user_id, count(*) AS n_pairs,
+           count(DISTINCT p_event) AS n_purchases_with_click,
+           round(sum(c_value), 4) AS clicked_value
+    FROM joined
+    GROUP BY user_id
+    """,
+    doc="Stream-stream interval join (watermarked both sides, bounded "
+    "join state): purchases matched to the same user's clicks in the "
+    "preceding 30 minutes.  Oracle = the identical interval join in "
+    "batch SQL — stream/batch join parity.",
+    tags=("streaming", "join"),
+)
+def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import streaming_interval_join
+
+    return streaming_interval_join(spark, sf_dir)
+
+
+@register(
+    "streaming_static_dim_join",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static enrichment join: the event stream broadcast-"
+    "joined to the customer dimension per micro-batch (no join "
+    "state), then windowless-aggregated in complete mode. Oracle = "
+    "the same join + GROUP BY in batch.",
+    tags=("streaming", "join"),
+)
+def streaming_static_dim_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import streaming_static_dim_join
+
+    return streaming_static_dim_join(spark, sf_dir)
+
+
+@register(
     "streaming_foreachbatch_parquet_sink",
     oracle="""
     SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value

@@ -199,6 +199,100 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — the hard stateful-streaming op:
+    purchases joined to the same user's clicks in the preceding 30
+    minutes, both sides watermarked so join state is bounded (clicks
+    older than purchase-watermark − 30 min are evicted).  The joined
+    append stream lands in a memory sink; the returned DataFrame
+    batch-aggregates it per event pair's user, and must equal the
+    equivalent batch interval join — stream/batch join parity.
+    """
+    with scoped_conf(spark, _NANOS_FLAG, "true"):
+
+        def src():
+            return (
+                spark.readStream.schema(_STREAM_SCHEMA)
+                .parquet(f"{sf_dir}/events.parque*")
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            )
+
+        clicks = (
+            src().filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("value").alias("c_value"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            src().filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_event"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        joined = purchases.join(
+            clicks,
+            F.expr(
+                "p_user = c_user AND "
+                "c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts < p_ts"
+            ),
+        )
+        name = f"stream_ivjoin_{uuid.uuid4().hex[:8]}"
+        q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return (
+        spark.table(name)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("p_event").alias("n_purchases_with_click"),
+            F.round(F.sum("c_value"), 4).alias("clicked_value"),
+        )
+    )
+
+
+def streaming_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static (enrichment) join: the event stream joined to the
+    static customer dimension — the planner re-reads the static side
+    per micro-batch and broadcasts it when small; no join state at
+    all (the static side is not stateful).  Parity: the same join in
+    batch.
+    """
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    with scoped_conf(spark, _NANOS_FLAG, "true"):
+        stream = (
+            spark.readStream.schema(_STREAM_SCHEMA)
+            .parquet(f"{sf_dir}/events.parque*")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        enriched = stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+        agg_src = enriched.groupBy("c_mktsegment", "event_type").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+        )
+        name = f"stream_dimjoin_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg_src.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
 def streaming_foreachbatch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The foreachBatch escape hatch — THE production streaming sink
     pattern (exactly-once-per-batch appends to any batch writer, here
