@@ -49,6 +49,9 @@ class AMTLConfig:
     check_iter: int = 5
     seed: int = 42
     grad_salt: int = 8  # partial-aggregation fan-out per task
+    # rows per task per iteration (the reference's get_batch minibatch
+    # protocol, model.py:187-214); None = full-batch gradients
+    batch_size: int | None = None
     history: list[float] = field(default_factory=list)
     eval_history: list[dict[str, float]] = field(default_factory=list)
 
@@ -154,6 +157,24 @@ class AMTLTrainer:
         total = float((scale * loss_mean).sum() + lambda_ * (resid**2).sum())
         return grad_W, grad_B, total
 
+    def _minibatch(self, feats: DataFrame, it: int) -> DataFrame:
+        """Per-iteration random minibatch of ``batch_size`` rows per
+        task — the reference's ``get_batch`` sampling (model.py:
+        187-214), made deterministic: seeded ``rand(seed + it)`` as
+        the shuffle key, entity_id tie-break, ranking window per
+        task.  One extra shuffle per iteration, traded against a
+        gradient pass over ``batch_size·T`` rows instead of the full
+        dataset — the standard SGD economics at 100 TB."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("task").orderBy("__r", "entity_id")
+        return (
+            feats.withColumn("__r", F.rand(self.config.seed + it))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.config.batch_size)
+            .drop("__r", "__rn")
+        )
+
     def _eval_losses(self, eval_feats: DataFrame) -> dict[str, float]:
         """Mean eval CE per task with the current weights (the
         reference's keep_prob=1.0 eval pass, model.py:236-246)."""
@@ -179,7 +200,8 @@ class AMTLTrainer:
         self.B = np.zeros((T, T))
 
         for it in range(cfg.total_iter):
-            partials = self._distributed_partials(feats)
+            batch = self._minibatch(feats, it) if cfg.batch_size else feats
+            partials = self._distributed_partials(batch)
             n = np.array([partials[t][0] for t in self.tasks])
             loss = np.array([partials[t][1] for t in self.tasks]) / n
             grad = np.vstack([partials[t][2] for t in self.tasks]) / n[:, None]
@@ -266,6 +288,7 @@ class AMTLTrainer:
                 "check_iter": cfg.check_iter,
                 "seed": cfg.seed,
                 "grad_salt": cfg.grad_salt,
+                "batch_size": cfg.batch_size,
             },
         }
         spark.createDataFrame([(json.dumps(meta),)], "meta string").write.mode(

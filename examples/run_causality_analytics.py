@@ -1,0 +1,57 @@
+"""End-to-end causality analysis runner: the descriptive cross-series
+surface (plans/queries_causality.py) side by side with the learned
+AMTL causality matrix — the workflow an analyst runs on a new corpus:
+
+    events ──► hourly grid ──► pairwise corr / lagged corr /
+               lag regression / autocorrelation / precedence
+    events ──► RETAIN features ──► AMTL fit (train/eval split)
+               ──► learned B matrix + held-out eval metrics
+
+Run: ``python examples/run_causality_analytics.py [sf_dir]``
+(defaults to $SPARK_GRAFT_SF_DIR, then /root/testdata/sf0.01).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from causality_between_elements_based_on_time_series_data_spark.plans import REGISTRY
+from causality_between_elements_based_on_time_series_data_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    )
+    spark = get_spark("causality-analytics")
+
+    print("== descriptive cross-series statistics ==")
+    for name in (
+        "series_autocorrelation",
+        "pairwise_series_correlation",
+        "lagged_cross_correlation",
+        "granger_lag_regression",
+        "temporal_precedence_counts",
+    ):
+        print(f"-- {name}")
+        REGISTRY[name].fn(spark, sf_dir).orderBy(*REGISTRY[name].fn(spark, sf_dir).columns[:2]).show(
+            8, truncate=False
+        )
+
+    print("== learned causality (AMTL, held-out eval) ==")
+    REGISTRY["amtl_causality_matrix"].fn(spark, sf_dir).orderBy(
+        "src_task", "dst_task"
+    ).show(10, truncate=False)
+    REGISTRY["amtl_eval_metrics"].fn(spark, sf_dir).orderBy("task").show(truncate=False)
+    REGISTRY["amtl_eval_min"].fn(spark, sf_dir).orderBy("task").show(truncate=False)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

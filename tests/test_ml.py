@@ -182,3 +182,20 @@ def test_b_matrix_parquet_roundtrip(spark, synthetic_feats, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2 * len(TASKS) * (len(TASKS) - 1)
     assert set(back.columns) == {"src_task", "dst_task", "weight", "round"}
+
+
+def test_minibatch_sgd_decreases_loss_and_is_deterministic(spark, synthetic_feats):
+    """batch_size mirrors the reference's get_batch minibatch protocol
+    (model.py:187-214): seeded sampling, loss still trends down, runs
+    reproduce exactly."""
+    cfg1 = AMTLConfig(total_iter=12, lr=0.5, check_iter=3, batch_size=40)
+    cfg2 = AMTLConfig(total_iter=12, lr=0.5, check_iter=3, batch_size=40)
+    t1 = AMTLTrainer(cfg1).fit(synthetic_feats)
+    t2 = AMTLTrainer(cfg2).fit(synthetic_feats)
+    assert cfg1.history[0] > cfg1.history[-1], cfg1.history
+    np.testing.assert_array_equal(t1.W, t2.W)
+    np.testing.assert_array_equal(t1.B, t2.B)
+    assert cfg1.history == cfg2.history
+    # the sample really is a subset: gradients differ from full-batch
+    t_full = AMTLTrainer(AMTLConfig(total_iter=12, lr=0.5, check_iter=3)).fit(synthetic_feats)
+    assert not np.array_equal(t1.W, t_full.W)

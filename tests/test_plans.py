@@ -134,3 +134,24 @@ def test_causality_grid_bounded_shuffles(spark, sf_dir):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert count_exchanges(plan) <= 3, name + "\n" + plan
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (directory pruning), never a data filter over all partitions —
+    the property that makes hive-style layouts pay off at 100 TB."""
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    path = str(tmp_path / "li_part")
+    load_table(spark, sf_dir, "lineitem").write.mode("overwrite").partitionBy(
+        "l_returnflag"
+    ).parquet(path)
+    df = spark.read.parquet(path).filter("l_returnflag = 'R'").select("l_orderkey")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert re.search(r"PartitionFilters: \[.*l_returnflag.*= R\)?\]", plan), plan
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed is None or "l_returnflag" not in pushed.group(1), plan
