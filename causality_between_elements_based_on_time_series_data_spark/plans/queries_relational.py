@@ -1388,3 +1388,233 @@ def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geo_mean("l_quantity"), 4).alias("geo_mean_qty"),
         n_rows("l_quantity").alias("n"),
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year,
+           round(CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END) AS DOUBLE)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    GROUP BY year(o_orderdate)
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): an 8-table join "
+    "tree — three fact-sized shuffle joins (orders, customer, "
+    "supplier) and three fixed-size broadcasts (nation x2, region); "
+    "the part p_type filter reaches the scan before the join, and the "
+    "share is a conditional-sum / sum ratio per order year.  "
+    "Region/nation predicates prune the build sides before broadcast.",
+    tags=("relational", "tpch", "join"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n2.n_name") == "NATION_7", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): LEFT "
+    "outer join with the non-equi residual ON the join (not a "
+    "post-filter — customers whose only orders are urgent must count "
+    "as zero), then a double aggregation: per-customer count, then "
+    "the histogram of counts.  The second agg's keyspace is tiny, so "
+    "its shuffle is negligible; the first is a key-partitioned "
+    "count(col) that skips NULLs from the outer side.",
+    tags=("relational", "tpch", "outer", "agg"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM revenue
+    JOIN supplier ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 shape (top supplier): quarter-filtered revenue "
+    "per supplier, then select the max earner WITHOUT a global "
+    "windowless window (which would collapse to one partition): the "
+    "1-row max aggregate is crossJoin-broadcast back onto the "
+    "supplier-keyed aggregate, so both sides stay partitioned.  "
+    "Revenue is rounded BEFORE the max comparison so the argmax set "
+    "is engine-stable.",
+    tags=("relational", "tpch", "join", "agg"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+        SELECT l_partkey AS a_partkey,
+               0.2 * avg(l_quantity) AS qty_cut
+        FROM lineitem
+        GROUP BY l_partkey
+    ) ON a_partkey = p_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < qty_cut
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): the "
+    "correlated scalar subquery avg(l_quantity) per part is decorrelated "
+    "into an aggregate-then-join — the per-part cutoffs are a "
+    "part-keyed aggregate joined back to the fact on partkey, so the "
+    "whole plan is two shuffles on the same key (AQE can pick a "
+    "broadcast for the brand-filtered side at low SF).  Single-row "
+    "output; both engines evaluate the identical decorrelation.",
+    tags=("relational", "tpch", "subquery", "agg"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    cuts = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(cuts, F.col("a_partkey") == p.p_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q22_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS cut
+        FROM customer
+        WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > cut
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape (global sales opportunity): a 1-row global "
+    "average broadcast-crossJoined as the balance cutoff (scalar "
+    "subquery decorrelation), a left ANTI join against orders for "
+    "the never-ordered customers, and a segment rollup.  The anti "
+    "join ships only o_custkey; the scalar stays in-plan — no "
+    "driver-side collect.",
+    tags=("relational", "tpch", "anti", "subquery"),
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cut = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("cut"))
+    return (
+        c.crossJoin(F.broadcast(cut))
+        .filter(F.col("c_acctbal") > F.col("cut"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
