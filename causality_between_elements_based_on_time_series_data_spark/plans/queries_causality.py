@@ -313,3 +313,121 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(vc.cast("int")).cast("bigint").alias("n_view_then_click"),
         F.sum(vcp.cast("int")).cast("bigint").alias("n_full_funnel"),
     )
+
+
+@register(
+    "pairwise_mutual_information",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT event_type, min(v) AS mn, max(v) AS mx
+        FROM hourly GROUP BY 1
+    ),
+    binned AS (
+        SELECT h.hour, h.event_type,
+               CASE WHEN e.mx = e.mn THEN 0
+                    ELSE least(3, CAST(floor((h.v - e.mn) * 4.0
+                                             / (e.mx - e.mn)) AS INTEGER))
+               END AS bin
+        FROM hourly h JOIN edges e ON h.event_type = e.event_type
+    ),
+    joint AS (
+        SELECT a.event_type AS series_a, b.event_type AS series_b,
+               a.bin AS bin_a, b.bin AS bin_b,
+               count(*) AS n_xy
+        FROM binned a JOIN binned b
+          ON a.hour = b.hour AND a.event_type < b.event_type
+        GROUP BY 1, 2, 3, 4
+    ),
+    marg AS (
+        SELECT series_a, series_b, bin_a, bin_b, n_xy,
+               sum(n_xy) OVER (PARTITION BY series_a, series_b, bin_a) AS n_x,
+               sum(n_xy) OVER (PARTITION BY series_a, series_b, bin_b) AS n_y,
+               sum(n_xy) OVER (PARTITION BY series_a, series_b) AS n
+        FROM joint
+    )
+    SELECT series_a, series_b,
+           round(sum((CAST(n_xy AS DOUBLE) / n)
+                     * ln(CAST(n_xy AS DOUBLE) * n
+                          / (CAST(n_x AS DOUBLE) * n_y))), 6) AS mutual_info,
+           CAST(max(n) AS BIGINT) AS n_hours
+    FROM marg
+    GROUP BY series_a, series_b
+    ORDER BY series_a, series_b
+    """,
+    doc="Binned pairwise mutual information between element series — "
+    "the nonlinear complement to Pearson correlation for screening "
+    "causal candidates (MI detects dependence correlation misses).  "
+    "Each series' hourly values are quantized into 4 equal-width bins "
+    "(per-series min/max from a tiny aggregate join; values rounded "
+    "to 6dp BEFORE binning so bin edges are engine-stable), the "
+    "hour-aligned pair join builds the joint histogram, and the "
+    "marginals come from window sums over the 16-cell joint table — "
+    "no second pass over the grid.  Everything after the first "
+    "events aggregate operates on |series|^2 x 16 rows, independent "
+    "of raw event volume.",
+    tags=("causality", "timeseries", "stats"),
+)
+def pairwise_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type").agg(
+        F.round(F.sum("value"), 6).alias("v")
+    )
+    edges = hourly.groupBy("event_type").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    binned = hourly.join(F.broadcast(edges), "event_type").select(
+        "hour",
+        "event_type",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(3),
+                F.floor((F.col("v") - F.col("mn")) * 4.0 / (F.col("mx") - F.col("mn"))).cast(
+                    "int"
+                ),
+            )
+        )
+        .alias("bin"),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    joint = (
+        a.join(
+            b,
+            (F.col("a.hour") == F.col("b.hour"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("series_a"),
+            F.col("b.event_type").alias("series_b"),
+            F.col("a.bin").alias("bin_a"),
+            F.col("b.bin").alias("bin_b"),
+        )
+        .agg(F.count("*").alias("n_xy"))
+    )
+    wx = Window.partitionBy("series_a", "series_b", "bin_a")
+    wy = Window.partitionBy("series_a", "series_b", "bin_b")
+    wn = Window.partitionBy("series_a", "series_b")
+    marg = joint.select(
+        "series_a",
+        "series_b",
+        "n_xy",
+        F.sum("n_xy").over(wx).alias("n_x"),
+        F.sum("n_xy").over(wy).alias("n_y"),
+        F.sum("n_xy").over(wn).alias("n"),
+    )
+    term = (F.col("n_xy").cast("double") / F.col("n")) * F.log(
+        F.col("n_xy").cast("double") * F.col("n") / (F.col("n_x").cast("double") * F.col("n_y"))
+    )
+    return (
+        marg.groupBy("series_a", "series_b")
+        .agg(
+            F.round(F.sum(term), 6).alias("mutual_info"),
+            F.max("n").cast("bigint").alias("n_hours"),
+        )
+        .orderBy("series_a", "series_b")
+    )

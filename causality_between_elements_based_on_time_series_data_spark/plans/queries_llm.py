@@ -894,3 +894,207 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.doc_id, s.sentence "
         "FROM udtf_docs_anchor, LATERAL sentence_split_udtf(doc_id, text) s"
     )
+
+
+@register(
+    "pack_sequences_token_budget",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(trim(text))
+                         - length(replace(trim(text), ' ', '')) + 1
+               END AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS cum_before
+        FROM toks
+    ),
+    binned AS (
+        SELECT source,
+               CAST(floor(COALESCE(cum_before, 0) / 256) AS BIGINT) AS bin_id,
+               n_tokens
+        FROM cum
+    )
+    SELECT source, bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM binned
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+    doc="Sequence packing for LLM pre-training (concat-then-split, "
+    "the GPT-style packing strategy): documents are concatenated in "
+    "doc_id order WITHIN each source shard and cut into 256-token "
+    "context bins — a document is assigned to the bin where its "
+    "first token lands (exclusive prefix sum / 256).  The window is "
+    "partitioned by source, so at 100 TB each shard packs "
+    "independently — no global sort, no single-partition window; "
+    "shard count scales with the corpus.  Output is per-bin fill "
+    "stats (docs per bin, tokens per bin).",
+    tags=("llm", "text", "packing", "window"),
+)
+def pack_sequences_token_budget(spark: SparkSession, sf_dir: str, budget: int = 256) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    toks = docs.select(
+        "doc_id", "source", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    binned = toks.select(
+        "source",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget))
+        .cast("bigint")
+        .alias("bin_id"),
+        "n_tokens",
+    )
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+        FROM toks, unnest(range(1, CAST(greatest(n - 1, 1) AS BIGINT))) AS u(i)
+        WHERE n >= 3
+    ),
+    bench AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0
+    ),
+    corpus AS (
+        SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 50 <> 0
+    ),
+    hits AS (
+        SELECT c.doc_id,
+               count(*) AS n_grams,
+               count(b.gram) AS n_overlap
+        FROM corpus c LEFT JOIN bench b ON c.gram = b.gram
+        GROUP BY c.doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           round(CAST(n_overlap AS DOUBLE) / n_grams, 6) AS contamination
+    FROM hits
+    WHERE n_overlap > 0
+    ORDER BY contamination DESC, doc_id
+    """,
+    doc="Benchmark-contamination check (word-3-gram overlap): the "
+    "held-out 'benchmark' slice (doc_id % 50 = 0 here) is reduced to "
+    "its DISTINCT 3-gram set and equi-joined against the corpus "
+    "side's distinct 3-grams; per-document overlap fraction flags "
+    "leaked eval data.  Both sides dedup BEFORE the join, so the "
+    "shuffle carries each gram once per doc, and the benchmark side "
+    "is tiny relative to the corpus — at 100 TB it broadcast-joins "
+    "(production would key on a 64-bit gram fingerprint instead of "
+    "the string to shrink the shuffle further; the string key here "
+    "keeps the oracle engine-portable).",
+    tags=("llm", "text", "dedup", "join"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    grams = (
+        docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.col("n") - 1, F.lit(1)) - 1),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, F.lit(3))),
+                )
+            ).alias("gram"),
+        )
+    )
+    bench = grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    corpus = grams.filter(F.col("doc_id") % 50 != 0).distinct()
+    hits = (
+        corpus.join(F.broadcast(bench.withColumn("hit", F.lit(1))), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.count("hit").cast("bigint").alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") > 0)
+    )
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        "n_overlap",
+        F.round(F.col("n_overlap").cast("double") / F.col("n_grams"), 6).alias("contamination"),
+    ).orderBy(F.col("contamination").desc(), "doc_id")
+
+
+@register(
+    "weighted_source_mixture",
+    oracle="""
+    WITH rated AS (
+        SELECT doc_id, source,
+               CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                    THEN 900
+                    WHEN source IN ('src5','src6','src7','src8','src9')
+                    THEN 500
+                    ELSE 100 END AS permille,
+               (doc_id * 2654435761) % 1000000007 AS h
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN h % 1000 < permille THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled,
+           round(CAST(sum(CASE WHEN h % 1000 < permille THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS achieved_rate
+    FROM rated
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Weighted dataset mixture (up/down-sampling sources into a "
+    "training mix): each source gets a sampling rate in permille and "
+    "rows are kept by a DETERMINISTIC portable hash "
+    "((doc_id * 2654435761) mod 1e9+7, Knuth multiplicative) — "
+    "reproducible across engines, runs, and partitionings, unlike "
+    "rand(seed) which is per-engine.  Map-side decision per row, one "
+    "small agg shuffle for the audit counts; the row-level sample "
+    "itself never shuffles at all.  BIGINT arithmetic keeps the "
+    "product well under 2^63 (ANSI-safe).",
+    tags=("llm", "sampling"),
+)
+def weighted_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    permille = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 900)
+        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 500)
+        .otherwise(100)
+    )
+    h = (F.col("doc_id").cast("bigint") * F.lit(2654435761)) % F.lit(1000000007)
+    keep = (h % 1000 < permille).cast("int")
+    return (
+        docs.select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("keep").cast("bigint").alias("n_sampled"),
+            F.round(F.sum("keep").cast("double") / F.count("*"), 4).alias("achieved_rate"),
+        )
+        .orderBy("source")
+    )

@@ -284,3 +284,61 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
     )
+
+
+@register(
+    "scd2_user_status_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    versioned AS (
+        SELECT user_id,
+               event_type AS status,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS version
+        FROM changes
+    )
+    SELECT user_id,
+           CAST(version AS BIGINT) AS version,
+           status, valid_from, valid_to,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS is_current
+    FROM versioned
+    """,
+    doc="Slowly-changing-dimension type-2 build from a change stream: "
+    "collapse consecutive duplicate statuses (lag filter), then emit "
+    "versioned validity intervals [valid_from, valid_to) with "
+    "lead(ts) and an is_current flag on the open interval — the "
+    "standard warehouse dimension-history derivation.  Both window "
+    "stages share one user_id partitioning, so the whole derivation "
+    "is a single shuffle; DuckDB stages the window-over-window "
+    "through CTEs (it cannot nest window functions).",
+    tags=("window", "timeseries", "scd"),
+)
+def scd2_user_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    return changes.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).withColumn(
+        "is_current", F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("int")
+    )
