@@ -155,3 +155,55 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir, tmp_path):
     assert re.search(r"PartitionFilters: \[.*l_returnflag.*= R\)?\]", plan), plan
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert pushed is None or "l_returnflag" not in pushed.group(1), plan
+
+
+def test_q8_dims_broadcast_no_cartesian(spark, sf_dir):
+    """Q8's 8-table tree: nation/region go broadcast; no join may
+    degenerate to a cartesian/nested-loop pair expansion."""
+    plan = plan_of(spark, sf_dir, "q8_market_share")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q15_max_broadcast_in_plan(spark, sf_dir):
+    """Q15 selects the max-revenue supplier via a 1-row broadcast
+    crossJoin of the max aggregate — NOT a windowless global window
+    (single-partition collapse) and NOT a driver-side collect.  The
+    1-row nested-loop broadcast is the intended shape."""
+    plan = plan_of(spark, sf_dir, "q15_top_supplier")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_pack_sequences_single_shuffle_window(spark, sf_dir):
+    """Sequence packing partitions by source shard: the window and
+    the bin agg share the source-keyed exchange; there is no global
+    (empty-partition) window."""
+    plan = plan_of(spark, sf_dir, "pack_sequences_token_budget")
+    assert "CartesianProduct" not in plan
+    # one exchange for the source window; agg may reuse or add its own
+    # hash exchange plus the final orderBy range exchange
+    assert count_exchanges(plan) <= 3
+
+
+def test_contamination_benchmark_side_broadcasts(spark, sf_dir):
+    """The distinct benchmark n-gram set is tiny relative to the
+    corpus: its join must be broadcast, never a corpus-wide shuffle
+    on the gram string."""
+    plan = plan_of(spark, sf_dir, "contamination_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_user_shuffle(spark, sf_dir):
+    """Both SCD2 window stages (change filter, interval build) share
+    one user_id partitioning — exactly one exchange end-to-end."""
+    plan = plan_of(spark, sf_dir, "scd2_user_status_history")
+    assert count_exchanges(plan) == 1
+
+
+def test_mutual_information_grid_bounded(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pairwise_mutual_information")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
