@@ -848,3 +848,152 @@ def dropout_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_prob = 0.5
     masked = F.when(F.rand(7) < keep_prob, F.col("value") / keep_prob).otherwise(F.lit(0.0))
     return ev.select("event_id", "user_id", masked.alias("dropped_value"))
+
+
+@register(
+    "ewma_daily_series",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+        SELECT event_type, day,
+               list(v) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+                   AS trail
+        FROM daily
+    )
+    SELECT event_type, day,
+           round(list_reduce(trail::DOUBLE[],
+                             (acc, x) -> acc * 0.75 + x * 0.25), 6) AS ewma
+    FROM framed
+    ORDER BY event_type, day
+    """,
+    doc="Exponentially-weighted moving average per series, truncated "
+    "to a trailing 60-point frame (the tail beyond 60 points "
+    "contributes < 0.75^60 ~ 3e-8 of the weight): the recurrence "
+    "acc = 0.75*acc + 0.25*x folds LEFT over the ordered frame with "
+    "the oldest value as seed, expressed entirely with higher-order "
+    "array functions (collect_list over the frame + aggregate) — "
+    "whole-stage codegen, ONE series-keyed shuffle, no Python, and "
+    "per-row work bounded by the fixed frame length, so the plan is "
+    "identical at 100 TB.  Both engines fold doubles in the same "
+    "order, so the arithmetic is bit-reproducible; DuckDB's "
+    "list_reduce has the same first-element-seed left-fold semantics.",
+    tags=("timeseries", "window", "ewma"),
+)
+def ewma_daily_series(spark: SparkSession, sf_dir: str, alpha: float = 0.25) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("v")
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-59, 0)
+    framed = daily.withColumn("trail", F.collect_list("v").over(w))
+    keep = 1.0 - alpha
+    ewma = F.aggregate(
+        F.slice(F.col("trail"), 2, F.size("trail") - 1),
+        F.element_at(F.col("trail"), 1),
+        lambda acc, x: acc * F.lit(keep) + x * F.lit(alpha),
+    )
+    return framed.select(
+        "event_type", "day", F.round(ewma, 6).alias("ewma")
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "rolling_zscore_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, day, v,
+               avg(v) OVER w AS mu,
+               stddev_samp(v) OVER w AS sigma,
+               count(*) OVER w AS n_window
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, v,
+           round((v - mu) / sigma, 4) AS zscore
+    FROM scored
+    WHERE n_window >= 10 AND sigma > 0 AND abs((v - mu) / sigma) > 2.0
+    ORDER BY event_type, day
+    """,
+    doc="Rolling z-score anomaly detection: each day's series value "
+    "is scored against the mean/stddev of the PRECEDING 30 days "
+    "(frame excludes the current row, so an outlier cannot mask "
+    "itself), flagging |z| > 2 once 10 days of history exist.  One "
+    "series-keyed shuffle serves all three window aggregates; the "
+    "daily pre-aggregate makes the window input |days| x |series| "
+    "regardless of raw event volume.",
+    tags=("timeseries", "window", "anomaly"),
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("v")
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-30, -1)
+    scored = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.avg("v").over(w).alias("mu"),
+        F.stddev_samp("v").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_window"),
+    )
+    z = (F.col("v") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter(
+            (F.col("n_window") >= 10) & (F.col("sigma") > 0) & (F.abs(z) > 2.0)
+        )
+        .select("event_type", "day", "v", F.round(z, 4).alias("zscore"))
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "ohlc_daily_bars",
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS day,
+           round(arg_min(value, ts), 4)  AS open,
+           round(max(value), 4)          AS high,
+           round(min(value), 4)          AS low,
+           round(arg_max(value, ts), 4)  AS close,
+           count(*) AS n_ticks
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY 1, 2
+    ORDER BY event_type, day
+    """,
+    doc="OHLC bar downsampling (open/high/low/close per series per "
+    "day): open/close are argmin/argmax of value over ts — Spark "
+    "min_by/max_by and DuckDB arg_min/arg_max, both single-pass "
+    "partial-aggregable, so 100 TB of ticks reduce map-side before "
+    "one day+series-keyed shuffle.  NOTE: fixture timestamps are "
+    "unique per (event_type, day) stream here, so the argmin/argmax "
+    "tie behavior is not exercised — with tied timestamps the picked "
+    "row is engine-dependent.",
+    tags=("timeseries", "agg", "resample"),
+)
+def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.round(F.min_by("value", "ts"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", "ts"), 4).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+        .orderBy("event_type", "day")
+    )
