@@ -266,3 +266,41 @@ def binaryfile_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.sha2("content", 256).alias("digest"),
     )
+
+
+@register(
+    "compaction_roundtrip_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Small-file compaction round-trip (table maintenance, "
+    "SURVEY §2.1 sinks): events are deliberately fragmented into 64 "
+    "tiny part files (a streaming-sink pathology), compacted to "
+    "~4 MB targets via operators/compaction.py (metadata-only size "
+    "planning through the Hadoop FS API + one distributed rewrite "
+    "pass), and the compacted copy is aggregated.  The oracle "
+    "aggregates the ORIGINAL parquet — content losslessness is the "
+    "check here; the file-count collapse itself is pinned in "
+    "tests/test_operators.py.",
+    tags=("sources", "maintenance"),
+)
+def compaction_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compaction import compact_parquet
+
+    ev = load_table(spark, sf_dir, "events")
+    frag = _io_dir(sf_dir, "events_fragmented")
+    compacted = _io_dir(sf_dir, "events_compacted")
+    # manufacture the pathology: 64 small files
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_parquet(spark, frag, compacted, target_bytes=4 * 1024 * 1024)
+    back = spark.read.parquet(compacted)
+    # events were written as µs timestamps by load_table's read, so
+    # the compacted copy reads back as plain TIMESTAMP — no nanos
+    # handling needed on the second hop
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )

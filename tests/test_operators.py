@@ -451,3 +451,58 @@ def test_binaryfile_ingest_digests(spark, sf_dir):
         payload = r["text"].encode("utf-8")
         expect = (len(payload), hashlib.sha256(payload).hexdigest())
         assert got[f"doc_{r['doc_id']}.bin"] == expect
+
+
+def test_compaction_collapses_files_and_converges(spark, sf_dir, tmp_path):
+    """64 fragments compact to file counts driven by actual bytes;
+    compacting the compacted output again is a no-op-sized rewrite
+    (same file count), and no rows are lost either hop."""
+    from causality_between_elements_based_on_time_series_data_spark.operators.compaction import (
+        compact_parquet,
+        parquet_bytes,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    frag = str(tmp_path / "frag")
+    once = str(tmp_path / "once")
+    twice = str(tmp_path / "twice")
+    ev.repartition(64).write.parquet(frag)
+    _, n_frag = parquet_bytes(spark, frag)
+    assert n_frag == 64
+
+    n1 = compact_parquet(spark, frag, once, target_bytes=4 * 1024 * 1024)
+    _, files_once = parquet_bytes(spark, once)
+    assert files_once == n1 < 64
+
+    n2 = compact_parquet(spark, once, twice, target_bytes=4 * 1024 * 1024)
+    assert n2 == n1  # converged: bytes drive n, not input layout
+
+    assert spark.read.parquet(twice).count() == ev.count()
+
+
+def test_compaction_range_layout_prunes(spark, sf_dir, tmp_path):
+    """sort_col compaction keeps min/max pruning effective: a range
+    predicate on the sort column must NOT read every rewritten file."""
+    from causality_between_elements_based_on_time_series_data_spark.operators.compaction import (
+        compact_parquet,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    frag = str(tmp_path / "frag")
+    ranged = str(tmp_path / "ranged")
+    ev.repartition(16).write.parquet(frag)
+    compact_parquet(spark, frag, ranged, target_bytes=32 * 1024, sort_col="user_id")
+    back = spark.read.parquet(ranged)
+    total = back.select(F.input_file_name()).distinct().count()
+    assert total > 1  # the target must actually produce multiple files
+    lo = back.filter(F.col("user_id") < 5)
+    # row-group stats: the narrow predicate should touch a strict
+    # subset of files once the layout is range-clustered
+    touched = lo.select(F.input_file_name()).distinct().count()
+    assert touched < total
