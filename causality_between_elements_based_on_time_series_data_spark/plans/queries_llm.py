@@ -1098,3 +1098,190 @@ def weighted_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "token_stats_bpe_regex",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(trim(text))
+                     - length(replace(trim(text), ' ', '')) + 1
+           END AS ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER)
+               AS bpe_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Token counting two ways (SURVEY §2.11 text analysis): naive "
+    "whitespace tokens vs a BPE-style pre-tokenizer regex (letter "
+    "runs | digit runs | single punctuation — the GPT-2 pre-tokenizer "
+    "shape without the lookaheads, which keeps the pattern "
+    "dialect-portable between Java regex and DuckDB's RE2).  Pure "
+    "map-side column math: token-budget estimation over 100 TB "
+    "costs one scan, no shuffle.",
+    tags=("llm", "text"),
+)
+def token_stats_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("int").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0
+            )
+        )
+        .cast("int")
+        .alias("bpe_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "rolling_hash_fingerprint",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    codes AS (
+        SELECT doc_id, n,
+               list_transform(t, w ->
+                   (ascii(w) * 131 + length(w)) % 1000000007) AS c
+        FROM toks
+        WHERE n >= 3
+    ),
+    shingles AS (
+        SELECT doc_id,
+               list_reduce(list_slice(c, i, i + 2),
+                           (acc, x) -> (acc * 131 + x) % 1000000007)
+                   AS sh
+        FROM codes, unnest(range(1, CAST(n - 1 AS BIGINT))) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(min(sh) AS BIGINT) AS fingerprint,
+           count(*) AS n_shingles
+    FROM shingles
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Rolling-hash document fingerprint (SURVEY §2.11 "
+    "fingerprinting): Rabin-Karp polynomial hashes over word "
+    "3-shingles (base 131, mod 1e9+7 — portable BIGINT arithmetic, "
+    "ANSI-overflow-safe), min-sampled per document (the degenerate "
+    "k=1 case of winnowing).  Near-identical documents share their "
+    "minimum shingle hash with high probability, so equal "
+    "fingerprints are cheap near-dup candidates — an arithmetic, "
+    "engine-portable alternative to the xxhash64 MinHash tier "
+    "(which is rows-only checkable by nature; this one carries a "
+    "full oracle).  Map-side per document; one tiny agg shuffle.",
+    tags=("llm", "text", "dedup"),
+)
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    codes = F.transform(
+        t, lambda w: (F.ascii(w) * 131 + F.length(w)) % 1000000007
+    )
+    base = docs.select("doc_id", codes.alias("c"), F.size(t).alias("n")).filter(
+        F.col("n") >= 3
+    )
+    sh = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 2),
+            lambda i: F.aggregate(
+                F.slice(F.col("c"), i + 1, F.lit(2)),
+                F.element_at(F.col("c"), i.cast("int")),
+                lambda acc, x: (acc * 131 + x) % 1000000007,
+            ),
+        )
+    )
+    return (
+        base.select("doc_id", sh.alias("sh"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("sh").cast("bigint").alias("fingerprint"),
+            F.count("*").alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, e,
+               list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0
+                   AS scale
+        FROM v
+    ),
+    err AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale = 0 THEN 0.0
+                    ELSE list_reduce(
+                        list_transform(e, x ->
+                            pow(x - floor(x / scale + 0.5) * scale, 2)),
+                        (a, b) -> a + b)
+               END AS sq_err,
+               len(e) AS n_dims
+        FROM scaled
+    )
+    SELECT vec_id,
+           round(scale, 8) AS scale,
+           round(sqrt(sq_err / n_dims), 8) AS rmse,
+           CAST(n_dims AS INTEGER) AS n_dims
+    FROM err
+    ORDER BY vec_id
+    """,
+    doc="Symmetric int8 embedding quantization audit (the storage/"
+    "serving compression step of an ANN index): per-vector absmax "
+    "scale, quantize q = floor(v/scale + 0.5) (explicit floor — "
+    "engine round() half-away ties would be dialect-sensitive), and "
+    "per-vector reconstruction RMSE.  Quantizing 100 TB of vectors "
+    "is embarrassingly map-side (higher-order array expressions, "
+    "whole-stage codegen, zero shuffle before the output sort); both "
+    "engines fold the identical double sequence, so the error sums "
+    "are bit-reproducible.",
+    tags=("llm", "embedding"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(e, F.abs)) / F.lit(127.0)
+    base = emb.select("vec_id", e.alias("e"), scale.alias("scale"))
+    sq = F.transform(
+        F.col("e"),
+        lambda x: F.pow(x - F.floor(x / F.col("scale") + 0.5) * F.col("scale"), F.lit(2)),
+    )
+    sq_err = F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.slice(sq, 2, F.size(F.col("e")) - 1),
+            F.element_at(sq, 1),
+            lambda a, b: a + b,
+        )
+    )
+    # NOTE: the rounded output must NOT be aliased "scale" in the same
+    # select that evaluates sq_err — Spark 4 lateral column aliases
+    # would resolve the lambda's col("scale") to the ROUNDED value,
+    # silently changing the quantization error.  Stage the raw math
+    # first, round in a second projection.
+    scored = base.select(
+        "vec_id",
+        "scale",
+        F.sqrt(sq_err / F.size("e")).alias("rmse_raw"),
+        F.size("e").cast("int").alias("n_dims"),
+    )
+    return scored.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale"),
+        F.round("rmse_raw", 8).alias("rmse"),
+        "n_dims",
+    ).orderBy("vec_id")
