@@ -425,3 +425,33 @@ def streaming_stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFr
     from ..streaming.events_stream import streaming_stateful_user_totals
 
     return streaming_stateful_user_totals(spark, sf_dir)
+
+
+@register(
+    "streaming_append_finalized_windows",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS mx FROM events)
+    SELECT event_type,
+           CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events, m
+    GROUP BY event_type, date_trunc('hour', ts), mx
+    HAVING date_trunc('hour', ts) + INTERVAL 2 HOUR <= mx
+    """,
+    doc="Structured Streaming APPEND-mode rollup: each tumbling "
+    "window is emitted exactly once, after the event-time watermark "
+    "(max event time - 1 h) passes its end — the mode a production "
+    "file/Delta sink needs (no rewrites, no re-emission); the tail "
+    "windows the watermark never closed are withheld.  The oracle is "
+    "the batch aggregate HAVING window_end <= max(ts) - 1 h: "
+    "emission-set parity, not just value parity, is the check.  "
+    "Ties (max ts exactly on an hour+delay boundary) are the only "
+    "dialect risk and cannot occur with the fixture's µs-random "
+    "timestamps.",
+    tags=("streaming", "timeseries"),
+)
+def streaming_append_finalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import streaming_append_finalized
+
+    return streaming_append_finalized(spark, sf_dir)

@@ -1618,3 +1618,44 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "division_customers_all_priorities",
+    oracle="""
+    WITH total AS (
+        SELECT count(DISTINCT o_orderpriority) AS n_prio FROM orders
+    )
+    SELECT c_custkey, c_name
+    FROM customer
+    JOIN (
+        SELECT o_custkey
+        FROM orders, total
+        GROUP BY o_custkey, n_prio
+        HAVING count(DISTINCT o_orderpriority) = n_prio
+    ) q ON c_custkey = o_custkey
+    ORDER BY c_custkey
+    """,
+    doc="Relational division (the 'for all' join): customers whose "
+    "orders span EVERY priority class.  Decomposed as distinct-count "
+    "per customer == global distinct count — two aggregates and a "
+    "1-row broadcast, no double-anti-join nesting; the per-customer "
+    "distinct agg partial-aggregates map-side, so the fact table "
+    "shuffles (custkey, priority) pairs only.",
+    tags=("relational", "agg", "division"),
+)
+def division_customers_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    total = o.agg(F.countDistinct("o_orderpriority").alias("n_prio"))
+    full = (
+        o.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("k"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("k") == F.col("n_prio"))
+    )
+    return (
+        c.join(full, c.c_custkey == full.o_custkey)
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )

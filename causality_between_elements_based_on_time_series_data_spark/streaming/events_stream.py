@@ -357,3 +357,45 @@ def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+def streaming_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling rollup in APPEND output mode: a window row is emitted
+    exactly once, only after the event-time watermark passes the
+    window end — the late-data-safe mode a production parquet/Delta
+    sink requires (complete mode rewrites the world; update mode
+    re-emits).  Driven to completion, the emitted set is every window
+    whose end <= final watermark (max event time - 1h delay); the
+    still-open tail windows stay in state and are NOT emitted.  The
+    no-data flush micro-batch (on by default) makes this deterministic
+    for a finite fixture."""
+    with scoped_conf(spark, _NANOS_FLAG, "true"):
+        stream = (
+            spark.readStream.schema(_STREAM_SCHEMA)
+            .parquet(f"{sf_dir}/events.parque*")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ts", "1 hour")
+        )
+        agg = stream.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        name = f"stream_append_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name).select(
+        "event_type",
+        F.unix_micros(F.col("win.start")).alias("window_start_us"),
+        "n",
+        "total_value",
+    )
