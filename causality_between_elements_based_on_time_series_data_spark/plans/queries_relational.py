@@ -1659,3 +1659,98 @@ def division_customers_all_priorities(spark: SparkSession, sf_dir: str) -> DataF
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "sketch_approx_quantiles",
+    oracle=None,  # approx_percentile's internal sketch is engine-
+    # specific (KLL/GK variants differ across engines); accuracy is
+    # pinned against the exact quantiles in tests/test_operators.py
+    doc="Approximate quantile sketch (SURVEY §2.4 sketch family, "
+    "beside HLL and approx_top_k): percentile_approx with accuracy "
+    "10000 over o_totalprice per order status.  The sketch is "
+    "mergeable, so 100 TB aggregates map-side partials instead of "
+    "sorting the column; the exact `percentile_by_status` query is "
+    "the small-data twin.  Rows-only check by design; the tolerance "
+    "test asserts each approx quantile lands within 0.5% rank error "
+    "of the exact value.",
+    tags=("relational", "sketch", "agg"),
+)
+def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4).alias("p50"),
+            F.round(F.expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4).alias("p90"),
+            F.round(F.expr("approx_percentile(o_totalprice, 0.99, 10000)"), 4).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "time_travel_snapshot",
+    oracle="""
+    WITH history AS (
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal, 0 AS version
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, round(c_acctbal * 1.1, 2) AS acctbal, 1 AS version
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT c_custkey, round(c_acctbal * 1.2, 2) AS acctbal, 2 AS version
+        FROM customer WHERE c_mktsegment = 'MACHINERY'
+    ),
+    ranked AS (
+        SELECT c_custkey, acctbal, version,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY version DESC) AS rn
+        FROM history
+        WHERE version <= 1
+    )
+    SELECT c_custkey, acctbal, CAST(version AS INTEGER) AS version
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Time travel without a transactional format: a versioned "
+    "history table (the shape operators/upsert.py's scd2_apply "
+    "maintains) is read AS OF version 1 — per key, the newest row "
+    "with version <= the requested snapshot.  The version filter is "
+    "pushed below the ranking window, so at scale the snapshot read "
+    "prunes newer version partitions at the scan (version is the "
+    "natural partition column for such a table) before one key "
+    "shuffle picks the winners.",
+    tags=("relational", "upsert", "window"),
+)
+def time_travel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    v0 = cust.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), F.lit(0).alias("version")
+    )
+    v1 = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 1.1, 2).alias("acctbal"),
+            F.lit(1).alias("version"),
+        )
+    )
+    v2 = (
+        cust.filter(F.col("c_mktsegment") == "MACHINERY")
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 1.2, 2).alias("acctbal"),
+            F.lit(2).alias("version"),
+        )
+    )
+    history = v0.unionByName(v1).unionByName(v2)
+    w = W.partitionBy("c_custkey").orderBy(F.col("version").desc())
+    return (
+        history.filter(F.col("version") <= 1)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "acctbal", F.col("version").cast("int").alias("version"))
+    )

@@ -304,3 +304,51 @@ def compaction_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value")
     )
+
+
+@register(
+    "parquet_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Parquet schema evolution: generation 1 is written WITHOUT "
+    "the is_big flag column, generation 2 adds it; the mergeSchema "
+    "read unions both generations, old rows surface NULL for the new "
+    "column, and the aggregate coalesces NULL→recomputed flag.  The "
+    "oracle recomputes from the source table — the check proves no "
+    "rows or values are lost across the schema change.  At 100 TB "
+    "mergeSchema's footer sampling is the cheap path (schemas differ "
+    "in ONE column); a full evolution story would pin the merged "
+    "schema explicitly in the table catalog.",
+    tags=("sources", "maintenance"),
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    path = _io_dir(sf_dir, "orders_evolving")
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        (F.col("o_totalprice") > 200000).alias("is_big"),
+    )
+    gen1.write.mode("overwrite").parquet(path)
+    gen2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    flagged = F.coalesce(F.col("is_big"), F.col("o_totalprice") > 200000)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(flagged.cast("int")).cast("bigint").alias("n_flagged"),
+        )
+        .orderBy("o_orderstatus")
+    )

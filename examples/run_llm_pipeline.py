@@ -2,7 +2,8 @@
 surface, composed the way a 100 TB data-curation run would chain it):
 
     documents ──► quality filter ──► dedup (exact → MinHash-LSH →
-    Jaccard-verify → connected components) ──► sliding-window chunking
+    Jaccard-verify → connected components) ──► benchmark-contamination
+    screen ──► sliding-window chunking ──► token-budget packing
     embeddings ─► ANN neighbor audit (LSH candidates, exact re-rank)
 
 Every stage is the bounded-shuffle form the engine's operators use:
@@ -55,13 +56,63 @@ def main() -> None:
     survivors = dedup_pipeline_survivors(quality.select("doc_id", "text", "lang", "source", "n_chars"))
     n_dedup = survivors.count()
 
-    # 3. chunking on the surviving documents ONLY (map-side after the
-    # semi-join) — never chunk rows quality/dedup already rejected
+    # 3. contamination screen: drop survivors sharing ≥20% of their
+    # 3-grams with the held-out benchmark slice (doc_id % 50 == 0
+    # stands in for the eval set; its distinct gram set broadcasts)
     survivor_docs = quality.select("doc_id", "text").join(
         survivors.select("doc_id"), "doc_id", "semi"
     )
-    chunks = chunk_docs_df(survivor_docs)
+    t = F.split(F.col("text"), " ")
+    grams = (
+        survivor_docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, F.lit(3))),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    bench_grams = grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    rate = (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench_grams.withColumn("hit", F.lit(1))), "gram", "left")
+        .groupBy("doc_id")
+        .agg((F.count("hit") / F.count("*")).alias("contamination"))
+    )
+    tainted = rate.filter(F.col("contamination") >= 0.2).select("doc_id")
+    clean_docs = survivor_docs.join(tainted, "doc_id", "anti").filter(
+        F.col("doc_id") % 50 != 0
+    )
+    n_clean = clean_docs.count()
+
+    # 4. chunking on the clean survivors ONLY (map-side after the
+    # joins) — never chunk rows a prior stage already rejected
+    chunks = chunk_docs_df(clean_docs)
     n_chunks = chunks.count()
+
+    # 5. pack chunks into 256-token training bins, per source shard of
+    # the original doc (window partitioned by shard → no global sort)
+    from pyspark.sql import Window as W
+
+    packed_src = chunks.join(docs.select("doc_id", "source"), "doc_id")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    bins = packed_src.select(
+        "source",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(256)
+        ).alias("bin_id"),
+        "n_tokens",
+    ).groupBy("source", "bin_id").agg(F.sum("n_tokens").alias("bin_tokens"))
+    n_bins = bins.count()
 
     # 4. embedding-side audit: approximate neighbors for a query sample
     emb = load_table(spark, sf_dir, "embeddings")
@@ -72,7 +123,9 @@ def main() -> None:
     print(f"documents in          : {n_in}")
     print(f"after quality gate    : {n_quality}")
     print(f"after dedup pipeline  : {n_dedup}")
+    print(f"after contamination   : {n_clean}")
     print(f"training chunks       : {n_chunks}")
+    print(f"packed 256-tok bins   : {n_bins}")
     print(f"ANN audit pairs       : {n_ann}")
 
     spark.stop()

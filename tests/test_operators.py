@@ -506,3 +506,29 @@ def test_compaction_range_layout_prunes(spark, sf_dir, tmp_path):
     # subset of files once the layout is range-clustered
     touched = lo.select(F.input_file_name()).distinct().count()
     assert touched < total
+
+
+def test_approx_quantiles_within_rank_tolerance(spark, sf_dir):
+    """Each approx quantile must sit within 0.5% *rank* distance of
+    the requested quantile against the exact sorted column."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import REGISTRY
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    approx = {
+        r["o_orderstatus"]: r
+        for r in REGISTRY["sketch_approx_quantiles"].fn(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    pdf = orders.toPandas()
+    for status, grp in pdf.groupby("o_orderstatus"):
+        vals = grp["o_totalprice"].sort_values().to_numpy()
+        n = len(vals)
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            got = approx[status][col]
+            # rank of the returned value in the exact ordering
+            import numpy as np
+
+            rank = np.searchsorted(vals, got, side="right") / n
+            assert abs(rank - q) <= 0.005 + 1.0 / n, (status, col, rank, q)
