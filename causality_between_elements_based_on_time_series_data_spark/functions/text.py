@@ -48,3 +48,19 @@ def stopword_hits(text: Column, words: list[str]) -> Column:
     """Occurrences of ``" word "`` (space-delimited) summed over words."""
     padded = F.concat(F.lit(" "), text, F.lit(" "))
     return sum(occurrence_count(padded, f" {w} ") for w in words)
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+URL_RE = r"https?://[^ ]+"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, phone numbers, and URLs with typed placeholder
+    tokens.  The three patterns are dialect-portable (same semantics
+    in Java regex and DuckDB's RE2; note DuckDB needs the 'g' flag —
+    Spark replaces globally by default).  Order matters: URLs first so
+    an address inside a URL is not half-redacted."""
+    out = F.regexp_replace(text, URL_RE, "<URL>")
+    out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")

@@ -1285,3 +1285,90 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rmse_raw", 8).alias("rmse"),
         "n_dims",
     ).orderBy("vec_id")
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com or call ' ||
+               lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+               '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' via https://example.com/u/' || doc_id AS text
+        FROM documents
+    ),
+    red AS (
+        SELECT doc_id, length(text) AS len_before,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+        FROM seeded
+    )
+    SELECT doc_id,
+           CAST(len_before AS INTEGER) AS len_before,
+           CAST(length(clean) AS INTEGER) AS len_after,
+           CAST(length(clean)
+                - length(replace(clean, '<EMAIL>', ''))
+               AS INTEGER) // 7 AS n_emails,
+           CAST(length(clean)
+                - length(replace(clean, '<PHONE>', ''))
+               AS INTEGER) // 7 AS n_phones,
+           CAST(length(clean)
+                - length(replace(clean, '<URL>', ''))
+               AS INTEGER) // 5 AS n_urls
+    FROM red
+    ORDER BY doc_id
+    """,
+    doc="PII redaction (the text-cleaning stage before LLM training "
+    "data leaves quarantine): email / phone / URL spans replaced "
+    "with typed placeholders via dialect-portable regexes "
+    "(functions/text.py::redact_pii; URL first so addresses inside "
+    "URLs are not half-redacted).  The fixture corpus contains no "
+    "organic PII, so the query SEEDS each row with deterministic "
+    "synthetic spans derived from doc_id and then proves the "
+    "redactor removes all of them — pattern behavior on crafted "
+    "edge-case strings is pinned separately in tests/test_functions."
+    "py.  Pure map-side regexp work: redacting 100 TB is one scan.",
+    tags=("llm", "text"),
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or call "),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" via https://example.com/u/"),
+        F.col("doc_id"),
+    )
+    seeded = docs.select("doc_id", seeded_text.alias("text"))
+    red = seeded.select(
+        "doc_id",
+        F.length("text").alias("len_before"),
+        redact_pii(F.col("text")).alias("clean"),
+    )
+
+    def _count(tok: str, width: int):
+        return (
+            (F.length("clean") - F.length(F.replace(F.col("clean"), F.lit(tok))))
+            .cast("int") / width
+        ).cast("int")
+
+    return red.select(
+        "doc_id",
+        F.col("len_before").cast("int"),
+        F.length("clean").cast("int").alias("len_after"),
+        _count("<EMAIL>", 7).alias("n_emails"),
+        _count("<PHONE>", 7).alias("n_phones"),
+        _count("<URL>", 5).alias("n_urls"),
+    ).orderBy("doc_id")

@@ -83,3 +83,28 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) / n < 0.05, (k, approx[k], n)
+
+
+def test_redact_pii_crafted_edges(spark):
+    from causality_between_elements_based_on_time_series_data_spark.functions.text import (
+        redact_pii,
+    )
+
+    rows = [
+        ("plain text no pii",),
+        ("mail me at a.b-c+d@sub.example.co.uk today",),
+        ("dial 555-123-4567 now",),
+        ("link https://ex.com/p?q=1&r=2 trailing",),
+        # an email inside a URL must be swallowed by the URL pass,
+        # not half-redacted by the email pass
+        ("see https://ex.com/mailto/a@b.com done",),
+        ("combo x@y.io 111-222-3333 http://z.dev end",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = [r["clean"] for r in df.select(redact_pii(F.col("text")).alias("clean")).collect()]
+    assert out[0] == "plain text no pii"
+    assert out[1] == "mail me at <EMAIL> today"
+    assert out[2] == "dial <PHONE> now"
+    assert out[3] == "link <URL> trailing"
+    assert out[4] == "see <URL> done"
+    assert out[5] == "combo <EMAIL> <PHONE> <URL> end"

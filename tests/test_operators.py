@@ -532,3 +532,72 @@ def test_approx_quantiles_within_rank_tolerance(spark, sf_dir):
 
             rank = np.searchsorted(vals, got, side="right") / n
             assert abs(rank - q) <= 0.005 + 1.0 / n, (status, col, rank, q)
+
+
+def test_packing_conserves_tokens_and_fills_bins(spark, sf_dir):
+    """Packing invariants: (1) token conservation — bin totals sum to
+    the corpus token count; (2) every bin except a shard's last is
+    filled to >= the budget minus the largest doc (greedy prefix cut
+    cannot leave a larger gap)."""
+    from causality_between_elements_based_on_time_series_data_spark.functions.text import (
+        token_count,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.plans import REGISTRY
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    bins = REGISTRY["pack_sequences_token_budget"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.select(F.sum(token_count(F.col("text")))).collect()[0][0]
+    assert sum(r["bin_tokens"] for r in bins) == total
+
+    max_doc = docs.select(F.max(token_count(F.col("text")))).collect()[0][0]
+    last_bin = {}
+    for r in bins:
+        last_bin[r["source"]] = max(last_bin.get(r["source"], -1), r["bin_id"])
+    for r in bins:
+        if r["bin_id"] != last_bin[r["source"]]:
+            assert r["bin_tokens"] >= 256 - max_doc, r
+
+
+def test_weighted_mixture_rates_converge(spark, sf_dir):
+    """The deterministic hash sampler must land near the configured
+    permille rates (exact reproducibility is the oracle's job; this
+    pins statistical sanity of the hash spread)."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import REGISTRY
+
+    rows = REGISTRY["weighted_source_mixture"].fn(spark, sf_dir).collect()
+    want = {}
+    for r in rows:
+        idx = int(r["source"].removeprefix("src"))
+        want[r["source"]] = 0.9 if idx < 5 else (0.5 if idx < 10 else 0.1)
+    for r in rows:
+        assert abs(r["achieved_rate"] - want[r["source"]]) < 0.25, r
+
+
+def test_ewma_stays_within_window_envelope(spark, sf_dir):
+    """EWMA is a convex combination of observed values: every output
+    must lie within [min(v), max(v)] of its series so far."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import REGISTRY
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    out = {(r["event_type"], r["day"]): r["ewma"]
+           for r in REGISTRY["ewma_daily_series"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+        .collect()
+    )
+    series = {}
+    for r in sorted(daily, key=lambda r: (r["event_type"], r["day"])):
+        series.setdefault(r["event_type"], []).append((r["day"], r["v"]))
+    for et, pts in series.items():
+        vals = []
+        for day, v in pts:
+            vals.append(v)
+            lo, hi = min(vals[-60:]), max(vals[-60:])
+            assert lo - 1e-6 <= out[(et, day)] <= hi + 1e-6
