@@ -352,3 +352,50 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def _zorder_oracle() -> str:
+    from ..operators.layout import zorder_sql
+
+    z = zorder_sql("user_id % 32768", "CAST(ts AS DATE) - DATE '1995-01-01'")
+    return f"""
+    SELECT CAST(floor({z} / 1048576) AS BIGINT) AS z_tile,
+           count(*) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY z_tile
+    ORDER BY z_tile
+    """
+
+
+@register(
+    "zorder_tile_stats",
+    oracle=_zorder_oracle(),
+    doc="Z-order (Morton) clustering key over (user_id, day): the "
+    "multi-dimensional layout key Delta/Iceberg OPTIMIZE ZORDER "
+    "uses, built from portable bit-interleave arithmetic "
+    "(operators/layout.py — the SAME bit loop emits the Spark "
+    "column and the DuckDB oracle expression).  Rows are tiled by "
+    "the top Morton bits; each tile is a compact 2-D block, so "
+    "range-partitioned files carry tight min/max on BOTH columns — "
+    "the pruning effect itself is pinned in tests/test_operators.py "
+    "against a 1-D layout.  Map-side arithmetic + one agg shuffle.",
+    tags=("sources", "maintenance", "layout"),
+)
+def zorder_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_col
+
+    ev = load_table(spark, sf_dir, "events")
+    z = zorder_col(
+        F.col("user_id") % 32768,
+        F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date")),
+    )
+    return (
+        ev.select(F.floor(z / F.lit(1048576)).cast("bigint").alias("z_tile"), "user_id")
+        .groupBy("z_tile")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("z_tile")
+    )

@@ -601,3 +601,41 @@ def test_ewma_stays_within_window_envelope(spark, sf_dir):
             vals.append(v)
             lo, hi = min(vals[-60:]), max(vals[-60:])
             assert lo - 1e-6 <= out[(et, day)] <= hi + 1e-6
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """A 2-D-selective predicate over a z-ordered layout must touch
+    fewer files than over a 1-D (time-only) range layout, and the
+    time-only predicate must not regress to full scans either."""
+    from causality_between_elements_based_on_time_series_data_spark.operators.layout import (
+        zorder_layout,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    n_files = 16
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+
+    linear = str(tmp_path / "linear")
+    ev.withColumn("__d", day).repartitionByRange(n_files, "__d").drop(
+        "__d"
+    ).write.parquet(linear)
+    zpath = str(tmp_path / "zorder")
+    zorder_layout(ev, F.col("user_id") % 32768, day, n_files).write.parquet(zpath)
+
+    lo_user = ev.agg(F.min("user_id")).collect()[0][0]
+    lo_day, hi_day = ev.agg(F.min(F.to_date("ts")), F.max(F.to_date("ts"))).collect()[0]
+
+    def files_touched(path, pred):
+        df = spark.read.parquet(path).filter(pred)
+        return df.select(F.input_file_name()).distinct().count()
+
+    # first quarter of the time range x a few users: selective on BOTH dims
+    cutoff = F.lit(str(lo_day + (hi_day - lo_day) / 4)).cast("date")
+    pred_2d = (F.col("user_id") <= lo_user + 3) & (F.to_date("ts") < cutoff)
+    t_linear = files_touched(linear, pred_2d)
+    t_z = files_touched(zpath, pred_2d)
+    assert t_z < t_linear, (t_z, t_linear)
+    assert t_z <= n_files // 2
