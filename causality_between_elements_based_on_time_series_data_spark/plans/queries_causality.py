@@ -431,3 +431,74 @@ def pairwise_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("series_a", "series_b")
     )
+
+
+@register(
+    "partial_correlation_controlled",
+    oracle=_HOURLY_ORACLE
+    + """
+    , pairs AS (
+        SELECT a.event_type AS sa, b.event_type AS sb,
+               corr(a.v, b.v) AS r
+        FROM hourly a JOIN hourly b
+          ON a.hour = b.hour AND a.event_type <> b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT xy.sa AS series_a, xy.sb AS series_b,
+           round((xy.r - xz.r * yz.r)
+                 / sqrt((1 - xz.r * xz.r) * (1 - yz.r * yz.r)),
+                 4) AS partial_r,
+           round(xy.r, 4) AS raw_r
+    FROM pairs xy
+    JOIN pairs xz ON xz.sa = xy.sa AND xz.sb = 'error'
+    JOIN pairs yz ON yz.sa = xy.sb AND yz.sb = 'error'
+    WHERE xy.sa < xy.sb AND xy.sa <> 'error' AND xy.sb <> 'error'
+    ORDER BY series_a, series_b
+    """,
+    doc="First-order partial correlation: the association between "
+    "two element series with the 'error' series held fixed — "
+    "r_xy.z = (r_xy - r_xz r_yz) / sqrt((1-r_xz^2)(1-r_yz^2)).  "
+    "Screens out dependence that is really co-response to a "
+    "confounder, the next causal-screening step after raw pairwise "
+    "correlation.  Built entirely from the tiny |series|^2 "
+    "correlation table (self-joined twice on the controlled "
+    "series), which itself reduces from the hour x series grid — "
+    "raw events are aggregated exactly once.",
+    tags=("causality", "timeseries", "stats"),
+)
+def partial_correlation_controlled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly_series(spark, sf_dir)
+    a, b = h.alias("a"), h.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.hour") == F.col("b.hour"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("sa"),
+            F.col("b.event_type").alias("sb"),
+        )
+        .agg(F.corr("a.v", "b.v").alias("r"))
+    )
+    xy = pairs.alias("xy")
+    xz = pairs.filter(F.col("sb") == "error").alias("xz")
+    yz = pairs.filter(F.col("sb") == "error").alias("yz")
+    out = (
+        xy.filter(
+            (F.col("xy.sa") < F.col("xy.sb"))
+            & (F.col("xy.sa") != "error")
+            & (F.col("xy.sb") != "error")
+        )
+        .join(F.broadcast(xz), F.col("xz.sa") == F.col("xy.sa"))
+        .join(F.broadcast(yz), F.col("yz.sa") == F.col("xy.sb"))
+    )
+    partial = (F.col("xy.r") - F.col("xz.r") * F.col("yz.r")) / F.sqrt(
+        (1 - F.col("xz.r") * F.col("xz.r")) * (1 - F.col("yz.r") * F.col("yz.r"))
+    )
+    return out.select(
+        F.col("xy.sa").alias("series_a"),
+        F.col("xy.sb").alias("series_b"),
+        F.round(partial, 4).alias("partial_r"),
+        F.round("xy.r", 4).alias("raw_r"),
+    ).orderBy("series_a", "series_b")

@@ -1372,3 +1372,28 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _count("<PHONE>", 7).alias("n_phones"),
         _count("<URL>", 5).alias("n_urls"),
     ).orderBy("doc_id")
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle=None,  # sampleBy draws from Spark's per-partition RNG
+    # stream — engine-specific by nature (like dropout_mask /
+    # batch_sample_without_replacement); proportions are pinned in
+    # tests/test_operators.py, reproducibility by the fixed seed here
+    doc="Stratified sampling (df.sampleBy) with per-language "
+    "fractions — the class-balancing sampler for skewed corpora "
+    "(deterministic under a fixed seed AND fixed partitioning; for "
+    "partitioning-independent reproducibility use the arithmetic-"
+    "hash sampler in weighted_source_mixture).  Map-side Bernoulli "
+    "draw per row, one audit agg; no shuffle of the sample itself.",
+    tags=("llm", "sampling"),
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.9, "es": 0.5, "fr": 0.5, "de": 0.25, "zh": 0.25}
+    sample = docs.sampleBy("lang", fractions, seed=42)
+    return (
+        sample.groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("lang")
+    )

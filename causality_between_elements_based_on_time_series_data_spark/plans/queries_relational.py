@@ -1754,3 +1754,61 @@ def time_travel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("c_custkey", "acctbal", F.col("version").cast("int").alias("version"))
     )
+
+
+@register(
+    "nested_struct_median_pick",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey,
+               round(o_totalprice, 2) AS p,
+               o_orderstatus AS s,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY round(o_totalprice, 2),
+                                           o_orderstatus, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_custkey) AS n
+        FROM orders
+    )
+    SELECT o_custkey,
+           p AS mid_price,
+           s AS mid_status,
+           CAST(n AS INTEGER) AS n_orders
+    FROM ranked
+    WHERE rn = (n + 1) // 2 AND n >= 3
+    ORDER BY o_custkey
+    """,
+    doc="Nested struct-array surface (SURVEY §2.8 complex types): "
+    "per customer, orders are packed into an array<struct> with "
+    "sort_array (struct comparison = lexicographic field order — "
+    "(price, status, orderkey) here, making the order total and the "
+    "pick deterministic), and the MEDIAN element is plucked with "
+    "element_at before its fields are projected back out.  The "
+    "oracle proves the same semantics through a window row_number "
+    "formulation — deliberately a different plan, so the check pins "
+    "MEANING not implementation.  The struct pack/sort/pluck chain "
+    "is one groupBy shuffle; arrays stay bounded by per-key "
+    "cardinality.",
+    tags=("relational", "nested", "agg"),
+)
+def nested_struct_median_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    packed = (
+        o.select(
+            "o_custkey",
+            F.struct(
+                F.round("o_totalprice", 2).alias("p"),
+                F.col("o_orderstatus").alias("s"),
+                F.col("o_orderkey").alias("k"),
+            ).alias("rec"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("rec")).alias("recs"))
+        .filter(F.size("recs") >= 3)
+    )
+    mid = F.element_at("recs", ((F.size("recs") + 1) / 2).cast("int"))
+    return packed.select(
+        "o_custkey",
+        mid.getField("p").alias("mid_price"),
+        mid.getField("s").alias("mid_status"),
+        F.size("recs").cast("int").alias("n_orders"),
+    ).orderBy("o_custkey")

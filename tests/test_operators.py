@@ -639,3 +639,27 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     t_z = files_touched(zpath, pred_2d)
     assert t_z < t_linear, (t_z, t_linear)
     assert t_z <= n_files // 2
+
+
+def test_stratified_sample_proportions(spark, sf_dir):
+    """sampleBy must land near the configured per-language fractions
+    and be reproducible for a fixed seed + partitioning."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import REGISTRY
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    fractions = {"en": 0.9, "es": 0.5, "fr": 0.5, "de": 0.25, "zh": 0.25}
+    got1 = {r["lang"]: r["n_sampled"]
+            for r in REGISTRY["stratified_sample_by_lang"].fn(spark, sf_dir).collect()}
+    got2 = {r["lang"]: r["n_sampled"]
+            for r in REGISTRY["stratified_sample_by_lang"].fn(spark, sf_dir).collect()}
+    assert got1 == got2  # seed-stable
+    totals = {r["lang"]: r["n"]
+              for r in load_table(spark, sf_dir, "documents")
+              .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, frac in fractions.items():
+        if totals.get(lang, 0) < 20:
+            continue  # too small to bound statistically
+        rate = got1.get(lang, 0) / totals[lang]
+        assert abs(rate - frac) < 0.2, (lang, rate, frac)
