@@ -207,3 +207,36 @@ def test_mutual_information_grid_bounded(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "pairwise_mutual_information")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_time_travel_version_filter_prunes_branches(spark, sf_dir):
+    """The AS-OF predicate (version <= 1) must be pushed below the
+    ranking window and constant-fold the version-2 branch AWAY: only
+    the v0 and v1 customer scans may remain in the plan — the same
+    effect partition pruning has on a real version-partitioned
+    table."""
+    plan = plan_of(spark, sf_dir, "time_travel_snapshot")
+    n_scans = len(re.findall(r"\(\d+\)\s+Scan parquet", plan))
+    assert n_scans == 2, f"expected v2 branch pruned, saw {n_scans} scans"
+    assert "CartesianProduct" not in plan
+
+
+def test_nested_struct_single_shuffle(spark, sf_dir):
+    """Pack→sort_array→pluck runs on one custkey shuffle (plus the
+    output sort's range exchange at most)."""
+    plan = plan_of(spark, sf_dir, "nested_struct_median_pick")
+    assert count_exchanges(plan) <= 2
+
+
+def test_partial_correlation_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "partial_correlation_controlled")
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_and_zscore_single_series_shuffle(spark, sf_dir):
+    """Daily grid agg + series-partitioned window: the window must
+    reuse or add at most one hash exchange before the output sort."""
+    for name in ("ewma_daily_series", "rolling_zscore_anomalies"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan
+        assert count_exchanges(plan) <= 3, name
