@@ -399,3 +399,93 @@ def streaming_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via Spark 4's transformWithState
+    (StatefulProcessor + typed ValueState): the successor API to
+    applyInPandasWithState — explicit state variables, TTL/timers,
+    and a RocksDB-backed store (required by the API; scoped here).
+    The processor accumulates (n, total) per user and emits the
+    updated pair each batch; with the fixture driven to completion
+    the last emission per user equals the batch GROUP BY, which is
+    the oracle's check.  The processor class is self-contained
+    (imports inside methods) — workers cannot import this repo.
+
+    ENVIRONMENT GATE: the transformWithState Python runner speaks
+    protobuf to the JVM; this container ships no usable
+    ``google.protobuf``, so the op raises a descriptive ImportError
+    here and is exercised only where the dependency exists.  It is
+    deliberately NOT in the driver-facing registry —
+    ``streaming_stateful_user_totals`` covers stateful streaming via
+    the protobuf-free applyInPandasWithState API."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithState requires the google.protobuf python "
+            "package (Spark's streaming python-runner protocol); it is "
+            "not available in this environment"
+        ) from e
+
+    import pandas as pd  # noqa: F401 - re-imported inside the kernel
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("agg", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = (self.state.get() if self.state.exists() else (0, 0.0))
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self.state.update((n, float(total)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    with scoped_conf(spark, _NANOS_FLAG, "true"), scoped_conf(
+        spark, "spark.sql.streaming.stateStore.providerClass", rocks
+    ):
+        stream = (
+            spark.readStream.schema(_STREAM_SCHEMA)
+            .parquet(f"{sf_dir}/events.parque*")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType="user_id BIGINT, n BIGINT, total_value DOUBLE",
+            outputMode="Update",
+            timeMode="None",
+        )
+        name = f"stream_tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # update mode re-emits a user's row every batch it changes in;
+    # the final state is the row with the maximal n per user
+    final = spark.table(name).groupBy("user_id").agg(
+        F.max_by("total_value", "n").alias("raw_total"),
+        F.max("n").alias("n"),
+    )
+    return final.select(
+        "user_id", "n", F.round("raw_total", 4).alias("total_value")
+    ).orderBy("user_id")

@@ -663,3 +663,33 @@ def test_stratified_sample_proportions(spark, sf_dir):
             continue  # too small to bound statistically
         rate = got1.get(lang, 0) / totals[lang]
         assert abs(rate - frac) < 0.2, (lang, rate, frac)
+
+
+def test_transform_with_state_gated_or_matches_batch(spark, sf_dir):
+    """Spark 4 transformWithState runner needs google.protobuf; where
+    present the op must equal the batch GROUP BY, otherwise it must
+    fail loudly with the documented ImportError (never silently)."""
+    import pytest as _pytest
+
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.streaming.events_stream import (
+        streaming_transform_with_state,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with _pytest.raises(ImportError, match="google.protobuf"):
+            streaming_transform_with_state(spark, sf_dir)
+        return
+
+    got = {r["user_id"]: (r["n"], r["total_value"])
+           for r in streaming_transform_with_state(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {r["user_id"]: (r["n"], r["total_value"])
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+            .collect()}
+    assert got == want
