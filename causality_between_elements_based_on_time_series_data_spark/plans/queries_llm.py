@@ -1397,3 +1397,128 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sampled"))
         .orderBy("lang")
     )
+
+
+# Fixed (a, b) pairs for the portable MinHash family h_i(c) = (a_i*c + b_i) mod P.
+_MH_P = 1000003
+_MH_COEFFS = [(131, 7), (137, 11), (139, 13), (149, 17), (151, 19), (157, 23), (163, 29), (167, 31)]
+
+
+def _minhash_oracle() -> str:
+    code = "((ascii(tok) * 131 + length(tok)) % 1000000007) % 1000003"
+    sigs = ",\n           ".join(
+        f"CAST(min(({a} * ({code}) + {b}) % {_MH_P}) AS BIGINT) AS s{i}"
+        for i, (a, b) in enumerate(_MH_COEFFS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    )
+    SELECT doc_id,
+           {sigs}
+    FROM tok
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "minhash_portable_signatures",
+    oracle=_minhash_oracle(),
+    doc="MinHash signatures from a PORTABLE affine hash family "
+    "h_i(c) = (a_i*c + b_i) mod 1000003 over arithmetic token codes "
+    "— the oracle-checkable twin of the xxhash64 production tier "
+    "(minhash_lsh_candidates, whose engine-specific hashes can only "
+    "be rows-only checked): same algorithm, same Jaccard-estimation "
+    "property (P[sig collision] ~ Jaccard), but every value is "
+    "reproducible in any engine.  One explode + per-doc min-agg — "
+    "8 mins partial-aggregate map-side, the shuffle carries 8 "
+    "BIGINTs per document regardless of document size.",
+    tags=("llm", "dedup", "sketch"),
+)
+def minhash_portable_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    code = ((F.ascii("tok") * 131 + F.length("tok")) % 1000000007) % _MH_P
+    aggs = [
+        F.min((F.lit(a) * code + F.lit(b)) % _MH_P).cast("bigint").alias(f"s{i}")
+        for i, (a, b) in enumerate(_MH_COEFFS)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def _band_pairs_oracle() -> str:
+    code = "((ascii(tok) * 131 + length(tok)) % 1000000007) % 1000003"
+    sigs = ",\n               ".join(
+        f"min(({a} * ({code}) + {b}) % {_MH_P}) AS s{i}"
+        for i, (a, b) in enumerate(_MH_COEFFS)
+    )
+    bands = ", ".join(
+        f"(s{2*i} * {_MH_P} + s{2*i+1})" for i in range(4)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               {sigs}
+        FROM tok GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id,
+               generate_subscripts([{bands}], 1) AS band_id,
+               unnest([{bands}]) AS band_val
+        FROM sig
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "minhash_portable_band_pairs",
+    oracle=_band_pairs_oracle(),
+    doc="LSH banding over the portable MinHash signatures (4 bands x "
+    "2 rows): documents agreeing on ANY band become candidate pairs, "
+    "scored by how many bands they share.  The band equi-join is the "
+    "whole point — candidates come from hash-bucket collisions, "
+    "never an all-pairs comparison, so the join cost follows bucket "
+    "occupancy (near-dup mass), not corpus².  Fully oracle-checked, "
+    "unlike the xxhash64 tier where only recall can be tested.",
+    tags=("llm", "dedup", "join"),
+)
+def minhash_portable_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_portable_signatures(spark, sf_dir)
+    band_arr = F.array(
+        *[
+            (F.col(f"s{2*i}") * _MH_P + F.col(f"s{2*i+1}"))
+            for i in range(4)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_arr).alias("band_id0", "band_val")
+    ).select("doc_id", (F.col("band_id0") + 1).alias("band_id"), "band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
