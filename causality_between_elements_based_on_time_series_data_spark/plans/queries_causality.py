@@ -502,3 +502,67 @@ def partial_correlation_controlled(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(partial, 4).alias("partial_r"),
         F.round("xy.r", 4).alias("raw_r"),
     ).orderBy("series_a", "series_b")
+
+
+@register(
+    "applyinpandas_trend_ols",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS DOUBLE) AS day_idx,
+               round(sum(value), 6) AS v
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type,
+           round(regr_slope(v, day_idx), 6)     AS slope,
+           round(regr_intercept(v, day_idx), 6) AS intercept,
+           count(*) AS n_days
+    FROM daily
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Per-series OLS trend via a grouped applyInPandas numpy "
+    "kernel — the §2.10 UDF machinery pinned against an EXACT SQL "
+    "oracle (DuckDB regr_slope/regr_intercept), unlike the RNN/AMTL "
+    "kernels whose math is numpy-golden-tested but engine-specific.  "
+    "Each group is one series' daily aggregate (|days| rows — tiny), "
+    "Arrow moves it once, the closed-form normal equations run in "
+    "numpy, and the output is one row per series.  The kernel is a "
+    "self-contained closure (worker-safe).  The daily pre-aggregate "
+    "bounds Python's input at |days| x |series| regardless of raw "
+    "event volume.",
+    tags=("causality", "timeseries", "udf", "stats"),
+)
+def applyinpandas_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("day_idx"),
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+
+    def ols(pdf):
+        # self-contained kernel: numpy/pandas only (worker sys.path)
+        import numpy as np
+        import pandas as pd
+
+        x = pdf["day_idx"].to_numpy(dtype="float64")
+        y = pdf["v"].to_numpy(dtype="float64")
+        xm, ym = x.mean(), y.mean()
+        slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "slope": [round(slope, 6)],
+                "intercept": [round(ym - slope * xm, 6)],
+                "n_days": [len(pdf)],
+            }
+        )
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(ols, "event_type string, slope double, intercept double, n_days bigint")
+        .orderBy("event_type")
+    )
