@@ -1812,3 +1812,45 @@ def nested_struct_median_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         mid.getField("s").alias("mid_status"),
         F.size("recs").cast("int").alias("n_orders"),
     ).orderBy("o_custkey")
+
+
+@register(
+    "sql_interface_nation_revenue",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="The engine's SQL-string interface (SURVEY §2: users run "
+    "spark.sql over registered views, not just the DataFrame API): "
+    "the same multi-join revenue rollup expressed as one SQL string "
+    "over temp views — Catalyst plans it identically to the "
+    "DataFrame form (broadcast for nation via AQE, keyed shuffles "
+    "for the fact joins), which is the point: the surface is "
+    "syntax, the optimizer is shared.",
+    tags=("relational", "sql", "join"),
+)
+def sql_interface_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"sqlif_{t}")
+    return spark.sql(
+        """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM sqlif_lineitem
+        JOIN sqlif_orders ON l_orderkey = o_orderkey
+        JOIN sqlif_customer ON o_custkey = c_custkey
+        JOIN sqlif_nation ON c_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )

@@ -693,3 +693,28 @@ def test_transform_with_state_gated_or_matches_batch(spark, sf_dir):
             .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
             .collect()}
     assert got == want
+
+
+def test_zorder_morton_roundtrip(spark):
+    """Property: de-interleaving the Morton value recovers both
+    inputs exactly for the full 15-bit domain (sampled)."""
+    from causality_between_elements_based_on_time_series_data_spark.operators.layout import (
+        BITS,
+        zorder_col,
+    )
+
+    rows = [(x, y) for x in (0, 1, 5, 1023, 32767) for y in (0, 2, 9, 777, 32767)]
+    df = spark.createDataFrame(rows, "x long, y long").withColumn(
+        "z", zorder_col(F.col("x"), F.col("y"))
+    )
+    xb = sum(
+        (F.floor(F.col("z") / F.lit(2 ** (2 * i))) % 2) * F.lit(2**i)
+        for i in range(BITS)
+    )
+    yb = sum(
+        (F.floor(F.col("z") / F.lit(2 ** (2 * i + 1))) % 2) * F.lit(2**i)
+        for i in range(BITS)
+    )
+    out = df.select("x", "y", xb.alias("x2"), yb.alias("y2")).collect()
+    for r in out:
+        assert (r["x"], r["y"]) == (r["x2"], r["y2"])
