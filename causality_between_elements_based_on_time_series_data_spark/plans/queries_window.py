@@ -342,3 +342,57 @@ def scd2_user_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "is_current", F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("int")
     )
+
+
+@register(
+    "ratio_to_report_nation_share",
+    oracle="""
+    WITH nation_rev AS (
+        SELECT n_regionkey, n_name,
+               sum(o_totalprice) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_regionkey, n_name
+    )
+    SELECT CAST(n_regionkey AS INTEGER) AS n_regionkey, n_name,
+           round(rev, 2) AS revenue,
+           round(rev / sum(rev) OVER (PARTITION BY n_regionkey), 6)
+               AS region_share,
+           CAST(rank() OVER (PARTITION BY n_regionkey
+                             ORDER BY round(rev, 2) DESC, n_name)
+                AS INTEGER) AS region_rank
+    FROM nation_rev
+    ORDER BY n_regionkey, region_rank
+    """,
+    doc="Ratio-to-report: each nation's share of its region's "
+    "revenue via a partition-total window over the AGGREGATED "
+    "per-nation table (25 rows) — the share window costs nothing "
+    "because the heavy lifting happened in the partial-aggregated "
+    "groupBy below it; ranking on the ROUNDED revenue keeps the "
+    "order engine-stable.  The anti-pattern this query exists to "
+    "pin against: windowing the raw fact table for a global share "
+    "(a fact-sized single-partition window).",
+    tags=("window", "relational", "agg"),
+)
+def ratio_to_report_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    nation_rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    share_w = W.partitionBy("n_regionkey")
+    rank_w = W.partitionBy("n_regionkey").orderBy(
+        F.round("rev", 2).desc(), F.asc("n_name")
+    )
+    return nation_rev.select(
+        F.col("n_regionkey").cast("int"),
+        "n_name",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(share_w), 6).alias("region_share"),
+        F.rank().over(rank_w).cast("int").alias("region_rank"),
+    ).orderBy("n_regionkey", "region_rank")
