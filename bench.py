@@ -9,6 +9,13 @@ Queries are the registry entries tagged "bench" — the shuffle-heavy /
 join-heavy representatives of each operator family.  Each query is
 forced end-to-end with a noop write (full execution, no driver
 collect), timed after a JVM/scan warmup pass.
+
+Each query is timed as the MIN of N passes (default 2, override with
+$SPARK_GRAFT_BENCH_PASSES): a concurrent process on the box inflates a
+single-pass number uniformly (round 3 recorded a phantom 61%
+"regression" from exactly that), while the min of independent passes
+is robust to transient contention.  Per-pass numbers are emitted under
+"passes" so a polluted run is visible in the artifact itself.
 """
 
 from __future__ import annotations
@@ -36,12 +43,18 @@ def main() -> None:
     warm = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
     warm.write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, q in sorted(bench_queries.items()):
-        t0 = time.monotonic()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    passes: dict[str, list[float]] = {name: [] for name in bench_queries}
+    # Whole-suite passes (not per-query back-to-back repeats) so pass 2's
+    # caches reflect steady state, and a burst of external load poisons
+    # at most one pass of each query.
+    for _ in range(n_passes):
+        for name, q in sorted(bench_queries.items()):
+            t0 = time.monotonic()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            passes[name].append(round(time.monotonic() - t0, 3))
 
+    timings = {name: min(ts) for name, ts in passes.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -50,6 +63,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "passes": passes,
                 "sf": sf,
             }
         )

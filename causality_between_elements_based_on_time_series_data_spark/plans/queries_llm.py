@@ -9,11 +9,17 @@ carries a full DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import stopword_hits, token_count
-from ..operators.dedup import dedup_exact, lsh_candidate_pairs, minhash_signatures, simhash64
+from ..operators.dedup import (
+    _shingles,
+    dedup_exact,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash64,
+)
 from ..operators.multimodal import decode_features, to_media_table
 from ..operators.similarity import brute_force_cosine_topk, lsh_cosine_topk
 from ..sources.catalog import load_table
@@ -1003,11 +1009,16 @@ def pack_sequences_token_budget(spark: SparkSession, sf_dir: str, budget: int = 
     "its DISTINCT 3-gram set and equi-joined against the corpus "
     "side's distinct 3-grams; per-document overlap fraction flags "
     "leaked eval data.  Both sides dedup BEFORE the join, so the "
-    "shuffle carries each gram once per doc, and the benchmark side "
-    "is tiny relative to the corpus — at 100 TB it broadcast-joins "
-    "(production would key on a 64-bit gram fingerprint instead of "
-    "the string to shrink the shuffle further; the string key here "
-    "keeps the oracle engine-portable).",
+    "shuffle carries each gram once per doc.  The join strategy is "
+    "left to AQE: the benchmark gram set is small relative to the "
+    "corpus but still corpus-shaped (raw strings — a forced "
+    "broadcast would blow the driver once the eval suite grows), so "
+    "AQE broadcasts when the measured size allows and falls back to "
+    "a shuffle join otherwise.  The 100 TB path keys on a 64-bit "
+    "gram fingerprint instead of the string (rolling_hash_fingerprint "
+    "shows the arithmetic), which shrinks both the shuffle and any "
+    "broadcast ~10×; the string key here keeps the oracle "
+    "engine-portable.",
     tags=("llm", "text", "dedup", "join"),
 )
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1029,7 +1040,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
     corpus = grams.filter(F.col("doc_id") % 50 != 0).distinct()
     hits = (
-        corpus.join(F.broadcast(bench.withColumn("hit", F.lit(1))), "gram", "left")
+        corpus.join(bench.withColumn("hit", F.lit(1)), "gram", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_grams"),
@@ -1151,7 +1162,8 @@ def token_stats_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes AS (
         SELECT doc_id, n,
                list_transform(t, w ->
-                   (ascii(w) * 131 + length(w)) % 1000000007) AS c
+                   CAST((ascii(w) * 131 + length(w)) % 1000000007
+                        AS BIGINT)) AS c
         FROM toks
         WHERE n >= 3
     ),
@@ -1184,8 +1196,13 @@ def token_stats_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ")
+    # BIGINT per-token codes: the Rabin-Karp fold multiplies acc (< 1e9+7)
+    # by 131 — in 32-bit that overflows (ANSI error) as soon as a token's
+    # codepoint exceeds ~955 (Cyrillic/CJK); 64-bit keeps acc*131 ≈ 1.3e11
+    # comfortably in range.  DuckDB oracle casts identically.
     codes = F.transform(
-        t, lambda w: (F.ascii(w) * 131 + F.length(w)) % 1000000007
+        t,
+        lambda w: ((F.ascii(w) * 131 + F.length(w)) % 1000000007).cast("bigint"),
     )
     base = docs.select("doc_id", codes.alias("c"), F.size(t).alias("n")).filter(
         F.col("n") >= 3
@@ -1400,20 +1417,61 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Fixed (a, b) pairs for the portable MinHash family h_i(c) = (a_i*c + b_i) mod P.
+# 16 hashes → 4 bands × 4 rows: per-band collision probability is Jaccard⁴,
+# selective enough that band buckets hold only genuine near-dup mass (2-row
+# bands collide at Jaccard² — measured 8.8% of all pairs on the fixture from
+# ordinary shared vocabulary alone; 4-row bands cut that to the planted dups).
 _MH_P = 1000003
-_MH_COEFFS = [(131, 7), (137, 11), (139, 13), (149, 17), (151, 19), (157, 23), (163, 29), (167, 31)]
+_MH_COEFFS = [
+    (131, 7), (137, 11), (139, 13), (149, 17),
+    (151, 19), (157, 23), (163, 29), (167, 31),
+    (173, 37), (179, 41), (181, 43), (191, 47),
+    (193, 53), (197, 59), (199, 61), (211, 67),
+]
+
+# Portable shingle code: the first 48 bits of md5, hex-decoded to BIGINT.
+# md5 is bit-identical in Spark (``F.md5``) and DuckDB (``md5``), and both
+# engines decode a '0x…' hex string to an integer (Spark via ``conv(_, 16,
+# 10)``, DuckDB via ``CAST('0x' || … AS BIGINT)``), so the code is uniform
+# AND reproducible across engines.  An earlier revision derived the code
+# from ``ascii(tok)`` — Spark's ascii() reads only the FIRST character, so
+# the token universe collapsed to ~(first-char × length) distinct values,
+# the MinHash minima degenerated, and banding emitted 84% of all pairs.
+# Hashing single words is not enough either: word-level Jaccard between
+# unrelated same-domain documents is high (measured: 2-row bands over
+# perfect unigram hashes still emit 8.8%, 4-row bands 49%), which is why
+# this tier shingles 3-word n-grams exactly like the xxhash64 production
+# tier (operators/dedup.py:_shingles) before hashing.
+def _tok_code_spark(col: str = "tok") -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint") % _MH_P
+
+
+def _tok_code_sql(col: str = "tok") -> str:
+    return f"(CAST('0x' || substr(md5({col}), 1, 12) AS BIGINT) % {_MH_P})"
+
+
+# DuckDB twin of operators/dedup.py:_shingles — distinct 3-word shingles.
+_SHINGLE_CTE = """
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(toks) - 1, 2)),
+               i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])
+           )) AS tok
+    FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+          FROM documents)
+"""
 
 
 def _minhash_oracle() -> str:
-    code = "((ascii(tok) * 131 + length(tok)) % 1000000007) % 1000003"
+    code = _tok_code_sql()
+    shingles = _SHINGLE_CTE
     sigs = ",\n           ".join(
         f"CAST(min(({a} * ({code}) + {b}) % {_MH_P}) AS BIGINT) AS s{i}"
         for i, (a, b) in enumerate(_MH_COEFFS)
     )
     return f"""
     WITH tok AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-        FROM documents
+        {shingles}
     )
     SELECT doc_id,
            {sigs}
@@ -1427,22 +1485,22 @@ def _minhash_oracle() -> str:
     "minhash_portable_signatures",
     oracle=_minhash_oracle(),
     doc="MinHash signatures from a PORTABLE affine hash family "
-    "h_i(c) = (a_i*c + b_i) mod 1000003 over arithmetic token codes "
-    "— the oracle-checkable twin of the xxhash64 production tier "
+    "h_i(c) = (a_i*c + b_i) mod 1000003 over md5-derived 3-word "
+    "shingle codes — the oracle-checkable twin of the xxhash64 tier "
     "(minhash_lsh_candidates, whose engine-specific hashes can only "
     "be rows-only checked): same algorithm, same Jaccard-estimation "
     "property (P[sig collision] ~ Jaccard), but every value is "
     "reproducible in any engine.  One explode + per-doc min-agg — "
-    "8 mins partial-aggregate map-side, the shuffle carries 8 "
+    "16 mins partial-aggregate map-side, the shuffle carries 16 "
     "BIGINTs per document regardless of document size.",
     tags=("llm", "dedup", "sketch"),
 )
 def minhash_portable_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+        "doc_id", F.explode(_shingles(F.col("text"), 3)).alias("tok")
     )
-    code = ((F.ascii("tok") * 131 + F.length("tok")) % 1000000007) % _MH_P
+    code = _tok_code_spark()
     aggs = [
         F.min((F.lit(a) * code + F.lit(b)) % _MH_P).cast("bigint").alias(f"s{i}")
         for i, (a, b) in enumerate(_MH_COEFFS)
@@ -1450,19 +1508,24 @@ def minhash_portable_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
 
+_MH_MAX_BUCKET = 300
+
+
 def _band_pairs_oracle() -> str:
-    code = "((ascii(tok) * 131 + length(tok)) % 1000000007) % 1000003"
+    code = _tok_code_sql()
+    shingles = _SHINGLE_CTE
     sigs = ",\n               ".join(
         f"min(({a} * ({code}) + {b}) % {_MH_P}) AS s{i}"
         for i, (a, b) in enumerate(_MH_COEFFS)
     )
     bands = ", ".join(
-        f"(s{2*i} * {_MH_P} + s{2*i+1})" for i in range(4)
+        f"(((s{4*i} * {_MH_P} + s{4*i+1}) % 1000000007) * 2000000011"
+        f" + ((s{4*i+2} * {_MH_P} + s{4*i+3}) % 1000000007))"
+        for i in range(4)
     )
     return f"""
     WITH tok AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-        FROM documents
+        {shingles}
     ),
     sig AS (
         SELECT doc_id,
@@ -1474,10 +1537,19 @@ def _band_pairs_oracle() -> str:
                generate_subscripts([{bands}], 1) AS band_id,
                unnest([{bands}]) AS band_val
         FROM sig
+    ),
+    ok AS (
+        SELECT band_id, band_val FROM bands
+        GROUP BY band_id, band_val
+        HAVING count(*) <= {_MH_MAX_BUCKET}
+    ),
+    pruned AS (
+        SELECT b.doc_id, b.band_id, b.band_val
+        FROM bands b JOIN ok USING (band_id, band_val)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            count(*) AS n_shared_bands
-    FROM bands a JOIN bands b
+    FROM pruned a JOIN pruned b
       ON a.band_id = b.band_id AND a.band_val = b.band_val
      AND a.doc_id < b.doc_id
     GROUP BY 1, 2
@@ -1489,25 +1561,45 @@ def _band_pairs_oracle() -> str:
     "minhash_portable_band_pairs",
     oracle=_band_pairs_oracle(),
     doc="LSH banding over the portable MinHash signatures (4 bands x "
-    "2 rows): documents agreeing on ANY band become candidate pairs, "
+    "4 rows): documents agreeing on ANY band become candidate pairs, "
     "scored by how many bands they share.  The band equi-join is the "
     "whole point — candidates come from hash-bucket collisions, "
     "never an all-pairs comparison, so the join cost follows bucket "
-    "occupancy (near-dup mass), not corpus².  Fully oracle-checked, "
-    "unlike the xxhash64 tier where only recall can be tested.",
+    "occupancy (near-dup mass), not corpus².  Buckets larger than "
+    f"{_MH_MAX_BUCKET} members are dropped before the self-join (the "
+    "same hot-bucket guard as the xxhash64 tier, mirrored in the "
+    "oracle) so a low-entropy corpus cannot degenerate the join "
+    "toward O(n²).  Fully oracle-checked, unlike the xxhash64 tier "
+    "where only recall can be tested.",
     tags=("llm", "dedup", "join"),
 )
 def minhash_portable_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_portable_signatures(spark, sf_dir)
+    # 4-row band fold kept inside BIGINT: two P²-scale halves, each
+    # reduced mod 1e9+7 before pairing (≈2.0e18 max, inside 2^63).
     band_arr = F.array(
         *[
-            (F.col(f"s{2*i}") * _MH_P + F.col(f"s{2*i+1}"))
+            (
+                ((F.col(f"s{4*i}") * _MH_P + F.col(f"s{4*i+1}")) % 1000000007)
+                * 2000000011
+                + ((F.col(f"s{4*i+2}") * _MH_P + F.col(f"s{4*i+3}")) % 1000000007)
+            )
             for i in range(4)
         ]
     )
     bands = sig.select(
         "doc_id", F.posexplode(band_arr).alias("band_id0", "band_val")
     ).select("doc_id", (F.col("band_id0") + 1).alias("band_id"), "band_val")
+    # Hot-bucket guard: bands feeds three consumers (occupancy count +
+    # both self-join sides) — materialize the tiny relation once.
+    bands = bands.localCheckpoint(eager=False)
+    bucket_sizes = bands.groupBy("band_id", "band_val").agg(
+        F.count("*").alias("__bsz")
+    )
+    bands = bands.join(
+        bucket_sizes.filter(F.col("__bsz") <= _MH_MAX_BUCKET),
+        ["band_id", "band_val"],
+    ).drop("__bsz")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

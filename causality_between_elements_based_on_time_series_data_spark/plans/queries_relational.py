@@ -1591,21 +1591,31 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(c_acctbal), 2) AS totacctbal
     FROM customer, avg_bal
     WHERE c_acctbal > cut
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
     """,
     doc="TPC-H Q22 shape (global sales opportunity): a 1-row global "
     "average broadcast-crossJoined as the balance cutoff (scalar "
-    "subquery decorrelation), a left ANTI join against orders for "
-    "the never-ordered customers, and a segment rollup.  The anti "
-    "join ships only o_custkey; the scalar stays in-plan — no "
+    "subquery decorrelation), a left ANTI join against a filtered "
+    "orders subset, and a segment rollup.  (Q22 proper anti-joins "
+    "ALL orders, but this fixture's every customer has an order — "
+    "that predicate returns zero rows and would leave the oracle "
+    "check vacuous; 'no URGENT order' keeps the identical plan shape "
+    "with real rows on both sides.)  The anti join ships only the "
+    "filtered o_custkey side; the scalar stays in-plan — no "
     "driver-side collect.",
     tags=("relational", "tpch", "anti", "subquery"),
 )
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     cut = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("cut"))
     return (
         c.crossJoin(F.broadcast(cut))

@@ -252,13 +252,22 @@ def xml_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def binaryfile_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
-    # materialize a small deterministic payload corpus from documents
+    # materialize a small deterministic payload corpus from documents —
+    # executors write their own partitions (no driver materialization;
+    # scales with the corpus as long as payload_dir is shared storage,
+    # which is what a binaryFile corpus means on a real cluster anyway)
     src = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
     payload_dir = _io_dir(sf_dir, "binary_payloads")
     _os.makedirs(payload_dir, exist_ok=True)
-    for r in src.select("doc_id", "text").collect():
-        with open(_os.path.join(payload_dir, f"doc_{r['doc_id']}.bin"), "wb") as f:
-            f.write(r["text"].encode("utf-8"))
+
+    def _write_payloads(rows, _dir=payload_dir):
+        import os
+
+        for r in rows:
+            with open(os.path.join(_dir, f"doc_{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+
+    src.select("doc_id", "text").foreachPartition(_write_payloads)
     files = spark.read.format("binaryFile").load(payload_dir)
     name = F.element_at(F.split(F.col("path"), "/"), -1)
     return files.select(

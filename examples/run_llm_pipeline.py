@@ -58,7 +58,8 @@ def main() -> None:
 
     # 3. contamination screen: drop survivors sharing ≥20% of their
     # 3-grams with the held-out benchmark slice (doc_id % 50 == 0
-    # stands in for the eval set; its distinct gram set broadcasts)
+    # stands in for the eval set; AQE picks broadcast vs shuffle for
+    # its gram set based on measured size)
     survivor_docs = quality.select("doc_id", "text").join(
         survivors.select("doc_id"), "doc_id", "semi"
     )
@@ -80,7 +81,7 @@ def main() -> None:
     bench_grams = grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
     rate = (
         grams.filter(F.col("doc_id") % 50 != 0)
-        .join(F.broadcast(bench_grams.withColumn("hit", F.lit(1))), "gram", "left")
+        .join(bench_grams.withColumn("hit", F.lit(1)), "gram", "left")
         .groupBy("doc_id")
         .agg((F.count("hit") / F.count("*")).alias("contamination"))
     )

@@ -95,6 +95,24 @@ def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
     assert planted_found >= 60, f"found only {planted_found}/100 planted near-dups"
 
 
+def test_minhash_portable_banding_is_selective(spark, sf_dir):
+    # The point of LSH banding is that candidates ≪ all pairs: the band
+    # join must emit only near-dup mass, never degenerate toward O(n²)
+    # (an earlier hash family based on ascii(tok) emitted 84% of C(n,2)).
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        minhash_portable_band_pairs,
+    )
+
+    n = load_table(spark, sf_dir, "documents").count()
+    pairs = minhash_portable_band_pairs(spark, sf_dir).count()
+    all_pairs = n * (n - 1) / 2
+    assert pairs > 0, "fixture near-dup mass should produce candidates"
+    assert pairs < 0.05 * all_pairs, (
+        f"banding emitted {pairs}/{all_pairs:.0f} pairs "
+        f"({pairs / all_pairs:.1%}) — degenerate LSH"
+    )
+
+
 def test_lsh_cosine_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
@@ -718,3 +736,42 @@ def test_zorder_morton_roundtrip(spark):
     out = df.select("x", "y", xb.alias("x2"), yb.alias("y2")).collect()
     for r in out:
         assert (r["x"], r["y"]) == (r["x2"], r["y2"])
+
+
+def test_rolling_hash_survives_high_codepoints(spark):
+    """Regression: the Rabin-Karp fold must run in BIGINT — with INT
+    codes, any token whose first codepoint exceeds ~955 (Cyrillic/
+    CJK) pushed acc*131 past 2^31 and ANSI mode raised
+    ARITHMETIC_OVERFLOW.  The ASCII-only fixture never caught it."""
+    df = spark.createDataFrame(
+        [
+            (1, "中文 字符 序列 测试 数据 流水"),
+            (2, "кирилли́ческий текст тоже работает без сбоя"),
+        ],
+        ["doc_id", "text"],
+    )
+    t = F.split(F.col("text"), " ")
+    codes = F.transform(
+        t,
+        lambda w: ((F.ascii(w) * 131 + F.length(w)) % 1000000007).cast("bigint"),
+    )
+    base = df.select("doc_id", codes.alias("c"), F.size(t).alias("n")).filter(
+        F.col("n") >= 3
+    )
+    sh = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 2),
+            lambda i: F.aggregate(
+                F.slice(F.col("c"), i + 1, F.lit(2)),
+                F.element_at(F.col("c"), i.cast("int")),
+                lambda acc, x: (acc * 131 + x) % 1000000007,
+            ),
+        )
+    )
+    out = (
+        base.select("doc_id", sh.alias("sh"))
+        .groupBy("doc_id")
+        .agg(F.min("sh").alias("fp"))
+        .collect()
+    )
+    assert len(out) == 2 and all(r["fp"] >= 0 for r in out)

@@ -187,13 +187,20 @@ def test_pack_sequences_single_shuffle_window(spark, sf_dir):
     assert count_exchanges(plan) <= 3
 
 
-def test_contamination_benchmark_side_broadcasts(spark, sf_dir):
-    """The distinct benchmark n-gram set is tiny relative to the
-    corpus: its join must be broadcast, never a corpus-wide shuffle
-    on the gram string."""
+def test_contamination_join_is_keyed(spark, sf_dir):
+    """The benchmark gram set joins on the gram key — broadcast when
+    AQE measures it small enough, shuffle otherwise; never a
+    cartesian.  (No forced broadcast hint: a raw-string gram set
+    grows with the eval suite, and a mandatory broadcast would cap
+    scale at the driver's memory.)"""
     plan = plan_of(spark, sf_dir, "contamination_ngram_overlap")
-    assert "BroadcastHashJoin" in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_scd2_single_user_shuffle(spark, sf_dir):
