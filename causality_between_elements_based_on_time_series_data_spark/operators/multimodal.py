@@ -181,6 +181,10 @@ def decode_raw_rgb(media: DataFrame) -> DataFrame:
                 w = int.from_bytes(b[2:4], "big")
                 h = int.from_bytes(b[4:6], "big")
                 c = b[6]
+                if c != 3:
+                    raise ValueError(
+                        f"doc {doc_id}: RAWRGB decoder handles 3 channels, header says {c}"
+                    )
                 px = _np.frombuffer(b[8:], dtype=_np.uint8)
                 if px.size != w * h * c:
                     raise ValueError(

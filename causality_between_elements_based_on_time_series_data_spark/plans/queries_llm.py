@@ -20,7 +20,12 @@ from ..operators.dedup import (
     minhash_signatures,
     simhash64,
 )
-from ..operators.multimodal import decode_features, to_media_table
+from ..operators.multimodal import (
+    decode_features,
+    decode_raw_rgb,
+    to_media_table,
+    to_raw_rgb_media,
+)
 from ..operators.similarity import brute_force_cosine_topk, lsh_cosine_topk
 from ..sources.catalog import load_table
 from .registry import register
@@ -828,6 +833,52 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "doc_id", "mime", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
     )
+
+
+def _rawrgb_channel_mean_sql(ch: int) -> str:
+    """DuckDB twin of decode_raw_rgb's channel mean: pixel ``3*i+ch``
+    carries ``(doc_id*31 + 7*(3*i+ch)) % 256``; the mean folds the
+    same arithmetic over ``range(0, w*h)`` with a list lambda."""
+    return (
+        "round(list_sum(list_transform(range(0, CAST(w * h AS INTEGER)), "
+        f"i -> CAST((doc_id * 31 + 7 * (3 * i + {ch})) % 256 AS DOUBLE))) "
+        "/ (w * h), 6)"
+    )
+
+
+@register(
+    "multimodal_rawrgb_decode",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               8 + doc_id % 5 AS w,
+               6 + doc_id % 7 AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h * 3 AS INTEGER) AS n_px_bytes,
+           {_rawrgb_channel_mean_sql(0)} AS r_mean,
+           {_rawrgb_channel_mean_sql(1)} AS g_mean,
+           {_rawrgb_channel_mean_sql(2)} AS b_mean
+    FROM dims
+    """,
+    doc="REAL raster decode, oracle-pinned end-to-end: synthesize the "
+    "in-repo RAWRGB format per document (header + arithmetic uint8 "
+    "pixels, executor-side), then decode it in an Arrow-batched "
+    "mapInPandas kernel — magic/header validation, numpy reshape, "
+    "per-channel means.  DuckDB reproduces the payload arithmetic "
+    "symbolically, so every decoded value is hash-checked.  Both "
+    "stages are map-side: 100 TB of media encodes+decodes with zero "
+    "shuffle.  Parity: reference has no media path (README.md:5 "
+    "scopes it to text time-series); this is the [EXT] multimodal "
+    "column contract from SURVEY.md §2.11.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_rawrgb_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_raw_rgb(to_raw_rgb_media(docs))
 
 
 @register(

@@ -194,6 +194,40 @@ def test_multimodal_resize_and_frame_sample_kernels(spark, sf_dir):
         assert bytes(f["frame"]) == b[f["offset"] : f["offset"] + 8]
 
 
+def test_rawrgb_decode_roundtrip_and_validation(spark, sf_dir):
+    """decode_raw_rgb recovers the exact synthetic pixel arithmetic of
+    to_raw_rgb_media (mean of (doc_id*31 + 7*(3i+ch)) % 256), and the
+    header validator rejects non-3-channel payloads with the decoder's
+    own ValueError rather than an opaque pandas shape error."""
+    import numpy as np
+
+    from causality_between_elements_based_on_time_series_data_spark.operators.multimodal import (
+        decode_raw_rgb,
+        to_raw_rgb_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(10)
+    out = {r["doc_id"]: r for r in decode_raw_rgb(to_raw_rgb_media(docs)).collect()}
+    for doc_id, r in out.items():
+        w, h = 8 + doc_id % 5, 6 + doc_id % 7
+        assert (r["width"], r["height"], r["n_px_bytes"]) == (w, h, w * h * 3)
+        idx = np.arange(w * h * 3, dtype=np.int64)
+        px = ((doc_id * 31 + idx * 7) % 256).reshape(h, w, 3)
+        for ch, name in enumerate(("r_mean", "g_mean", "b_mean")):
+            assert r[name] == round(float(px[:, :, ch].mean()), 6)
+
+    # 4-channel header → decoder's own ValueError, raised executor-side.
+    bad_payload = b"RG" + (2).to_bytes(2, "big") + (2).to_bytes(2, "big") + bytes(
+        [4, 0]
+    ) + bytes(16)
+    bad = spark.createDataFrame(
+        [(1, bad_payload, {"format": "RAWRGB"})],
+        "doc_id bigint, payload binary, meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="3 channels"):
+        decode_raw_rgb(bad).collect()
+
+
 def test_dedup_pipeline_removes_planted_duplicates(spark, sf_dir):
     """Exact copy and near-copy both removed; canonical originals and
     unrelated docs survive."""
