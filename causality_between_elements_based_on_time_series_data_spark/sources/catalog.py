@@ -147,9 +147,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from ..session import scoped_conf
 
         with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
-            return spark.read.parquet(path).withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+            df = spark.read.parquet(path)
+            # fixture generations differ: TIMESTAMP(NANOS) surfaces as
+            # bigint under nanosAsLong and needs the µs truncation;
+            # TIMESTAMP(MICROS) (isAdjustedToUTC=false) reads as
+            # TIMESTAMP_NTZ.  Decide from the materialized scan's own
+            # schema, not an assumption about the fixture vintage, and
+            # normalize both to TIMESTAMP (ltz) — the type every
+            # downstream consumer (unix_micros, RANGE frames, stream
+            # parity oracles) was built against.  The cast is
+            # instant-preserving here because engine sessions and the
+            # driver's vanilla session both run in UTC.
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_type == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            return df
     return spark.read.parquet(path)
 
 

@@ -27,14 +27,38 @@ from ..sources.catalog import TABLES
 
 _NANOS_FLAG = "spark.sql.legacy.parquet.nanosAsLong"
 
-# The fixture's ts is physically TIMESTAMP(NANOS); the stream source
-# reads it as nanos-since-epoch and converts (see catalog.load_table).
+# TIMESTAMP(NANOS)-vintage fixtures: the stream source reads ts as
+# nanos-since-epoch and converts (see _stream_events / load_table).
 _STREAM_SCHEMA = T.StructType(
     [
         T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
         for f in TABLES["events"].fields
     ]
 )
+
+
+def _events_ts_is_nanos(spark: SparkSession, sf_dir: str) -> bool:
+    """Probe the fixture vintage (schema-only batch read, no data
+    scan): TIMESTAMP(NANOS) fixtures surface ts as bigint under the
+    nanos flag; TIMESTAMP(MICROS) fixtures surface a timestamp."""
+    with scoped_conf(spark, _NANOS_FLAG, "true"):
+        sch = spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    return dict(sch).get("ts") == "bigint"
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture with ts normalized to
+    TIMESTAMP whatever the fixture vintage — the streaming mirror of
+    catalog.load_table.  For the nanos vintage the caller must hold
+    _NANOS_FLAG for the stream's whole run-to-completion (micro-
+    batches re-plan the file scan); for the micros vintage the
+    declared TimestampType schema reads directly and the flag is
+    inert."""
+    if _events_ts_is_nanos(spark, sf_dir):
+        return (
+            _stream_events(spark, sf_dir)
+        )
+    return spark.readStream.schema(TABLES["events"]).parquet(f"{sf_dir}/events.parque*")
 
 
 def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,9 +71,7 @@ def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stops (unlike batch reads, which capture their conf at read time).
     with scoped_conf(spark, _NANOS_FLAG, "true"):
         stream = (
-            spark.readStream.schema(_STREAM_SCHEMA)
-            .parquet(f"{sf_dir}/events.parque*")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            _stream_events(spark, sf_dir)
             .withWatermark("ts", "1 hour")
         )
         agg = (
@@ -103,7 +125,7 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     with scoped_conf(spark, _NANOS_FLAG, "true"):
-        stream = spark.readStream.schema(_STREAM_SCHEMA).parquet(f"{sf_dir}/events.parque*")
+        stream = _stream_events(spark, sf_dir)
         out = (
             stream.groupBy("user_id")
             .applyInPandasWithState(
@@ -147,9 +169,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def src():
             return (
-                spark.readStream.schema(_STREAM_SCHEMA)
-                .parquet(f"{sf_dir}/events.parque*")
-                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                _stream_events(spark, sf_dir)
             )
 
         dup_stream = src().union(src()).withWatermark("ts", "1 hour")
@@ -177,9 +197,7 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     with scoped_conf(spark, _NANOS_FLAG, "true"):
         stream = (
-            spark.readStream.schema(_STREAM_SCHEMA)
-            .parquet(f"{sf_dir}/events.parque*")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            _stream_events(spark, sf_dir)
             .withWatermark("ts", "1 hour")
         )
         agg = stream.groupBy(
@@ -212,9 +230,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def src():
             return (
-                spark.readStream.schema(_STREAM_SCHEMA)
-                .parquet(f"{sf_dir}/events.parque*")
-                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                _stream_events(spark, sf_dir)
             )
 
         clicks = (
@@ -271,9 +287,7 @@ def streaming_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with scoped_conf(spark, _NANOS_FLAG, "true"):
         stream = (
-            spark.readStream.schema(_STREAM_SCHEMA)
-            .parquet(f"{sf_dir}/events.parque*")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            _stream_events(spark, sf_dir)
         )
         enriched = stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
         agg_src = enriched.groupBy("c_mktsegment", "event_type").agg(
@@ -312,8 +326,7 @@ def streaming_foreachbatch_parquet_sink(spark: SparkSession, sf_dir: str) -> Dat
 
     with scoped_conf(spark, _NANOS_FLAG, "true"):
         stream = (
-            spark.readStream.schema(_STREAM_SCHEMA)
-            .parquet(f"{sf_dir}/events.parque*")
+            _stream_events(spark, sf_dir)
             .select("event_id", "event_type", "value")
         )
         q = (
@@ -337,9 +350,7 @@ def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     two windows; complete-mode memory sink."""
     with scoped_conf(spark, _NANOS_FLAG, "true"):
         stream = (
-            spark.readStream.schema(_STREAM_SCHEMA)
-            .parquet(f"{sf_dir}/events.parque*")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            _stream_events(spark, sf_dir)
             .withWatermark("ts", "1 hour")
         )
         agg = stream.groupBy(
@@ -371,9 +382,7 @@ def streaming_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a finite fixture."""
     with scoped_conf(spark, _NANOS_FLAG, "true"):
         stream = (
-            spark.readStream.schema(_STREAM_SCHEMA)
-            .parquet(f"{sf_dir}/events.parque*")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            _stream_events(spark, sf_dir)
             .withWatermark("ts", "1 hour")
         )
         agg = stream.groupBy(
@@ -459,9 +468,7 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
         spark, "spark.sql.streaming.stateStore.providerClass", rocks
     ):
         stream = (
-            spark.readStream.schema(_STREAM_SCHEMA)
-            .parquet(f"{sf_dir}/events.parque*")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            _stream_events(spark, sf_dir)
         )
         out = stream.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=RunningTotals(),
