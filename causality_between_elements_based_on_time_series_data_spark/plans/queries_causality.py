@@ -566,3 +566,666 @@ def applyinpandas_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(ols, "event_type string, slope double, intercept double, n_days bigint")
         .orderBy("event_type")
     )
+
+
+@register(
+    "spearman_rank_correlation",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT hour, event_type,
+               CAST(rank() OVER (PARTITION BY event_type
+                                 ORDER BY v, hour) AS DOUBLE) AS r
+        FROM hourly
+    )
+    SELECT a.event_type AS series_a, b.event_type AS series_b,
+           round(corr(a.r, b.r), 4) AS spearman_rho,
+           count(*) AS n_hours
+    FROM ranked a JOIN ranked b
+      ON a.hour = b.hour AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Spearman rank correlation between element series — the "
+    "monotonic-association screen beside Pearson "
+    "(pairwise_series_correlation) and MI "
+    "(pairwise_mutual_information).  Per-series ranks come from a "
+    "window over the hourly grid (values rounded to 6dp and "
+    "tie-broken by hour so both engines rank identically), then the "
+    "hour-aligned pair join correlates ranks with plain corr().  "
+    "Rank windows partition per series, so at 100 TB each series "
+    "ranks independently — no global sort.",
+    tags=("causality", "timeseries", "stats"),
+)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_series_rounded(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("v", "hour")
+    ranked = hourly.select(
+        "hour", "event_type", F.rank().over(w).cast("double").alias("r")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.hour") == F.col("b.hour"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("series_a"),
+            F.col("b.event_type").alias("series_b"),
+        )
+        .agg(
+            F.round(F.corr("a.r", "b.r"), 4).alias("spearman_rho"),
+            F.count("*").alias("n_hours"),
+        )
+        .orderBy("series_a", "series_b")
+    )
+
+
+def _hourly_series_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour x series grid with 6dp-rounded values — the engine-stable
+    variant used wherever downstream logic is order- or bin-sensitive
+    (ranking, binning)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+
+
+@register(
+    "transfer_entropy_lag1",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT event_type, min(v) AS mn, max(v) AS mx
+        FROM hourly GROUP BY 1
+    ),
+    binned AS (
+        SELECT h.hour, h.event_type,
+               CASE WHEN e.mx = e.mn THEN 0
+                    ELSE least(1, CAST(floor((h.v - e.mn) * 2.0
+                                             / (e.mx - e.mn)) AS INTEGER))
+               END AS bin
+        FROM hourly h JOIN edges e ON h.event_type = e.event_type
+    ),
+    triples AS (
+        SELECT x.event_type AS src, y.event_type AS dst,
+               x.bin AS xb, y.bin AS yb, yn.bin AS ynb,
+               count(*) AS n_xyz
+        FROM binned x
+        JOIN binned y  ON y.hour = x.hour
+                      AND y.event_type <> x.event_type
+        JOIN binned yn ON yn.event_type = y.event_type
+                      AND yn.hour = y.hour + INTERVAL 1 HOUR
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    marg AS (
+        SELECT src, dst, n_xyz,
+               sum(n_xyz) OVER (PARTITION BY src, dst)         AS n,
+               sum(n_xyz) OVER (PARTITION BY src, dst, yb)     AS n_y,
+               sum(n_xyz) OVER (PARTITION BY src, dst, xb, yb) AS n_xy,
+               sum(n_xyz) OVER (PARTITION BY src, dst, yb, ynb) AS n_yyn
+        FROM triples
+    )
+    SELECT src, dst,
+           round(sum((CAST(n_xyz AS DOUBLE) / n)
+                     * ln(CAST(n_xyz AS DOUBLE) * n_y
+                          / (CAST(n_xy AS DOUBLE) * n_yyn))), 6)
+               AS transfer_entropy,
+           CAST(max(n) AS BIGINT) AS n_transitions
+    FROM marg
+    GROUP BY src, dst
+    ORDER BY src, dst
+    """,
+    doc="Lag-1 binned transfer entropy TE(src -> dst) for every "
+    "ordered series pair — the directional, model-free causality "
+    "measure (Schreiber 2000): how much knowing src at hour h "
+    "reduces uncertainty about dst at h+1 beyond dst's own history. "
+    "TE = sum p(y+,y,x) ln[ p(y+|y,x) / p(y+|y) ], estimated from "
+    "the 2-bin-quantized hourly grid; all four marginals are window "
+    "sums over the 8-cell triple histogram.  This is the descriptive "
+    "twin of the AMTL B-matrix (reference model.py:166-184): "
+    "asymmetric TE(a,b) vs TE(b,a) is exactly the directed-influence "
+    "signal B learns.  After the first events aggregate everything "
+    "runs on |series|^2 x 8 rows, independent of raw event volume.",
+    tags=("causality", "timeseries", "stats"),
+)
+def transfer_entropy_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_series_rounded(spark, sf_dir)
+    edges = hourly.groupBy("event_type").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    binned = hourly.join(F.broadcast(edges), "event_type").select(
+        "hour",
+        "event_type",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(1),
+                F.floor(
+                    (F.col("v") - F.col("mn")) * 2.0 / (F.col("mx") - F.col("mn"))
+                ).cast("int"),
+            )
+        )
+        .alias("bin"),
+    )
+    x, y, yn = binned.alias("x"), binned.alias("y"), binned.alias("yn")
+    triples = (
+        x.join(
+            y,
+            (F.col("y.hour") == F.col("x.hour"))
+            & (F.col("y.event_type") != F.col("x.event_type")),
+        )
+        .join(
+            yn,
+            (F.col("yn.event_type") == F.col("y.event_type"))
+            & (F.col("yn.hour") == F.col("y.hour") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("src"),
+            F.col("y.event_type").alias("dst"),
+            F.col("x.bin").alias("xb"),
+            F.col("y.bin").alias("yb"),
+            F.col("yn.bin").alias("ynb"),
+        )
+        .agg(F.count("*").alias("n_xyz"))
+    )
+    wn = Window.partitionBy("src", "dst")
+    wy = Window.partitionBy("src", "dst", "yb")
+    wxy = Window.partitionBy("src", "dst", "xb", "yb")
+    wyyn = Window.partitionBy("src", "dst", "yb", "ynb")
+    marg = triples.select(
+        "src",
+        "dst",
+        "n_xyz",
+        F.sum("n_xyz").over(wn).alias("n"),
+        F.sum("n_xyz").over(wy).alias("n_y"),
+        F.sum("n_xyz").over(wxy).alias("n_xy"),
+        F.sum("n_xyz").over(wyyn).alias("n_yyn"),
+    )
+    term = (F.col("n_xyz").cast("double") / F.col("n")) * F.log(
+        F.col("n_xyz").cast("double")
+        * F.col("n_y")
+        / (F.col("n_xy").cast("double") * F.col("n_yyn"))
+    )
+    return (
+        marg.groupBy("src", "dst")
+        .agg(
+            F.round(F.sum(term), 6).alias("transfer_entropy"),
+            F.max("n").cast("bigint").alias("n_transitions"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, avg(v) AS mu, stddev_samp(v) AS sd
+        FROM daily GROUP BY 1
+    ),
+    cusum AS (
+        SELECT d.event_type, d.day,
+               round(sum((d.v - s.mu) / s.sd)
+                         OVER (PARTITION BY d.event_type
+                               ORDER BY d.day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW), 4) AS s
+        FROM daily d JOIN stats s ON d.event_type = s.event_type
+    ),
+    mx AS (
+        SELECT event_type, max(abs(s)) AS max_abs_cusum,
+               count(*) AS n_days,
+               CAST(sum(CASE WHEN abs(s) > 3.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged
+        FROM cusum GROUP BY 1
+    )
+    SELECT m.event_type, m.max_abs_cusum, m.n_days, m.n_flagged,
+           min(c.day) AS changepoint_day
+    FROM mx m JOIN cusum c
+      ON c.event_type = m.event_type AND abs(c.s) = m.max_abs_cusum
+    GROUP BY 1, 2, 3, 4
+    ORDER BY 1
+    """,
+    doc="CUSUM change-point detection per element series: "
+    "standardized daily deviations accumulate under an ordered "
+    "window; the day where |CUSUM| peaks is the estimated mean-shift "
+    "point, and days with |CUSUM| > 3 are flagged as drifted.  A "
+    "structural break in one series is a confounder for every "
+    "cross-series causality statistic, so this screen runs before "
+    "the correlation/TE suite.  CUSUM values round to 4dp before the "
+    "argmax so the peak day is engine-stable.  Per-series windows -> "
+    "each series accumulates independently at scale; the argmax join "
+    "runs on the tiny per-series max table.",
+    tags=("causality", "timeseries", "stats"),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("v")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        F.round(F.sum((F.col("v") - F.col("mu")) / F.col("sd")).over(w), 4).alias("s"),
+    )
+    mx = cusum.groupBy("event_type").agg(
+        F.max(F.abs("s")).alias("max_abs_cusum"),
+        F.count("*").alias("n_days"),
+        F.sum(F.when(F.abs("s") > 3.0, 1).otherwise(0)).cast("bigint").alias("n_flagged"),
+    )
+    return (
+        mx.join(cusum.select("event_type", "day", "s"), "event_type")
+        .filter(F.abs("s") == F.col("max_abs_cusum"))
+        .groupBy("event_type", "max_abs_cusum", "n_days", "n_flagged")
+        .agg(F.min("day").alias("changepoint_day"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "dtw_distance_pairs",
+    oracle=None,  # dynamic-programming recurrence (O(len_a x len_b)
+    # table with a data-dependent min at each cell) is not
+    # ANSI-SQL-expressible; the numpy-golden pytest
+    # (tests/test_operators.py) pins the kernel against an
+    # independent full-matrix DTW implementation.
+    doc="Dynamic-time-warping distance between every unordered "
+    "series pair, over z-normalized daily aggregates — the "
+    "alignment-tolerant similarity screen for series whose causal "
+    "coupling has variable delay (a fixed-lag correlation misses "
+    "time-warped coupling).  Daily grids are tiny "
+    "(|days| x |series|), collected per series via sorted "
+    "collect_list, pair-joined (|series|^2 / 2 rows), and the DP "
+    "runs in an Arrow-batched self-contained pandas kernel with a "
+    "Sakoe-Chiba band (|i-j| <= 7) — O(len x band) per pair, and "
+    "pairs distribute across executors.  At 100 TB the reduction to "
+    "daily grids happens map-side; Python only ever sees "
+    "band-bounded DP on short arrays.",
+    tags=("causality", "timeseries", "udf"),
+)
+def dtw_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("v")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("pts")
+    ).select("event_type", F.col("pts.v").alias("vs"))
+    a, b = series.alias("a"), series.alias("b")
+    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("series_a"),
+        F.col("b.event_type").alias("series_b"),
+        F.col("a.vs").alias("vs_a"),
+        F.col("b.vs").alias("vs_b"),
+    )
+
+    def dtw(batches):
+        # self-contained kernel: numpy/pandas only (worker sys.path)
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            yield _dtw_batch(pdf, np, pd)
+
+    def _dtw_batch(pdf, np, pd):
+        out = []
+        for row in pdf.itertuples(index=False):
+            x = np.asarray(row.vs_a, dtype="float64")
+            y = np.asarray(row.vs_b, dtype="float64")
+            x = (x - x.mean()) / (x.std() if x.std() > 0 else 1.0)
+            y = (y - y.mean()) / (y.std() if y.std() > 0 else 1.0)
+            n, m = len(x), len(y)
+            band = max(7, abs(n - m))
+            inf = float("inf")
+            dp = np.full((n + 1, m + 1), inf)
+            dp[0, 0] = 0.0
+            for i in range(1, n + 1):
+                lo = max(1, i - band)
+                hi = min(m, i + band)
+                for j in range(lo, hi + 1):
+                    c = abs(x[i - 1] - y[j - 1])
+                    dp[i, j] = c + min(dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1])
+            out.append(
+                (row.series_a, row.series_b, round(float(dp[n, m]), 6), n, m)
+            )
+        return pd.DataFrame(
+            out, columns=["series_a", "series_b", "dtw_distance", "len_a", "len_b"]
+        )
+
+    return pairs.mapInPandas(
+        dtw,
+        "series_a string, series_b string, dtw_distance double, "
+        "len_a int, len_b int",
+    ).orderBy("series_a", "series_b")
+
+
+_COSUPPLY_EDGES_ORACLE = """
+    WITH pairs AS (
+        SELECT l_partkey, l_suppkey FROM lineitem GROUP BY 1, 2
+    ),
+    part_deg AS (
+        SELECT l_partkey, count(*) AS n_supp FROM pairs GROUP BY 1
+    ),
+    edges AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM pairs a
+        JOIN pairs b ON a.l_partkey = b.l_partkey
+                    AND a.l_suppkey < b.l_suppkey
+        JOIN part_deg d ON d.l_partkey = a.l_partkey
+        WHERE d.n_supp <= 20
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    )
+"""
+
+
+@register(
+    "cosupply_triangle_count",
+    oracle=_COSUPPLY_EDGES_ORACLE
+    + """
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    doc="Triangle counting on the supplier co-supply graph (edge = "
+    "two suppliers sharing >= 3 parts, built from distinct "
+    "(part, supplier) pairs with a hot-part degree cut n_supp <= 20 "
+    "so no single part explodes the pair join — the same guard "
+    "discipline as the LSH hot-bucket cap).  Triangles count via the "
+    "canonical ordered two-join (u<v<w), each join keyed on a vertex "
+    "— two keyed shuffles over the edge list, never over raw "
+    "lineitem.  Graph clustering coefficient is the standard "
+    "screen for whether co-occurrence structure is modular or "
+    "uniform before reading causal signal into it.",
+    tags=("causality", "graph"),
+)
+def cosupply_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    part_deg = pairs.groupBy("l_partkey").agg(F.count("*").alias("n_supp"))
+    a, b = pairs.alias("a"), pairs.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey"))
+               & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+        .join(
+            part_deg.filter(F.col("n_supp") <= 20).select(
+                F.col("l_partkey").alias("d_partkey")
+            ),
+            F.col("a.l_partkey") == F.col("d_partkey"),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 3)
+        .select("u", "v")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    return tri.crossJoin(
+        F.broadcast(edges.agg(F.count("*").cast("bigint").alias("n_edges")))
+    )
+
+
+def _pagerank_oracle(n_iter: int = 10, d: float = 0.85) -> str:
+    """Mechanically unrolled power iteration (ANSI recursive CTEs
+    forbid aggregation in the recursive member, so each step is its
+    own CTE): pr_{k+1}(v) = (1-d)/N + d * sum_{u->v} pr_k(u)/deg(u)
+    over the symmetrized co-supply edge list."""
+    steps = []
+    for k in range(n_iter):
+        steps.append(
+            f"""pr{k + 1} AS (
+        SELECT s.v AS node,
+               (1 - {d}) / nn.n + {d} * sum(p.r / dg.deg) AS r
+        FROM sym s
+        JOIN pr{k} p ON p.node = s.u
+        JOIN deg dg  ON dg.node = s.u
+        CROSS JOIN nn
+        GROUP BY s.v, nn.n
+    )"""
+        )
+    return (
+        _COSUPPLY_EDGES_ORACLE
+        + """,
+    sym AS (
+        SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1),
+    nn AS (SELECT count(DISTINCT u) AS n FROM sym),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+    """
+        + ",\n    ".join(steps)
+        + f"""
+    SELECT node AS supplier, round(r, 8) AS pagerank
+    FROM pr{n_iter}
+    ORDER BY pagerank DESC, supplier
+    """
+    )
+
+
+@register(
+    "cosupply_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="PageRank (10 power iterations, d=0.85) over the symmetrized "
+    "supplier co-supply graph — the influence ranking that "
+    "complements triangle counting on the same edge list.  Spark "
+    "runs the textbook iterative-DataFrame loop: each step is one "
+    "keyed join of the rank vector against the edge list plus a "
+    "grouped sum, with localCheckpoint every 4 rounds to truncate "
+    "lineage (same discipline as operators/graph.py connected "
+    "components).  The DuckDB oracle unrolls the identical 10 steps "
+    "as chained CTEs, so every rank is hash-checked — no golden "
+    "file.  At scale the rank vector is |V| rows against |E| edges "
+    "per step, both partitioned on the join key; no driver-side "
+    "state beyond the loop counter.",
+    tags=("causality", "graph"),
+)
+def cosupply_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    part_deg = pairs.groupBy("l_partkey").agg(F.count("*").alias("n_supp"))
+    a, b = pairs.alias("a"), pairs.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey"))
+               & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+        .join(
+            part_deg.filter(F.col("n_supp") <= 20).select(
+                F.col("l_partkey").alias("d_partkey")
+            ),
+            F.col("a.l_partkey") == F.col("d_partkey"),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 3)
+        .select("u", "v")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    n_nodes = sym.select("u").distinct().count()
+    d = 0.85
+    ranks = deg.select(F.col("u").alias("node"), F.lit(1.0 / n_nodes).alias("r"))
+    for k in range(10):
+        contrib = (
+            sym.join(ranks, sym.u == ranks.node)
+            .join(deg, "u")
+            .select("v", (F.col("r") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("v")
+            .agg(((1 - d) / n_nodes + d * F.sum("c")).alias("r"))
+            .select(F.col("v").alias("node"), "r")
+        )
+        if k % 4 == 3:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        F.col("node").alias("supplier"), F.round("r", 8).alias("pagerank")
+    ).orderBy(F.desc("pagerank"), "supplier")
+
+
+@register(
+    "kendall_tau_pairs",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT a.hour, a.event_type AS series_a, b.event_type AS series_b,
+               a.v AS va, b.v AS vb
+        FROM hourly a JOIN hourly b
+          ON a.hour = b.hour AND a.event_type < b.event_type
+    )
+    SELECT g1.series_a, g1.series_b,
+           round(CAST(sum(CASE WHEN (g1.va - g2.va) * (g1.vb - g2.vb) > 0
+                               THEN 1 ELSE -1 END) AS DOUBLE)
+                 / count(*), 4) AS kendall_tau,
+           CAST(count(*) AS BIGINT) AS n_obs_pairs
+    FROM grid g1
+    JOIN grid g2 ON g1.series_a = g2.series_a
+                AND g1.series_b = g2.series_b
+                AND g1.hour < g2.hour
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Kendall's tau-a between element series: sign-concordance of "
+    "every hour pair on the aligned hourly grid — the third rank "
+    "screen beside Spearman (rank-linear) and Pearson (linear), "
+    "robust to outliers that distort both.  The O(T^2) hour-pair "
+    "join is per SERIES pair and the grid is the tiny hour x series "
+    "reduction, so cost is |pairs| x T^2 grid rows, independent of "
+    "raw event volume; at very long horizons the same query runs on "
+    "a coarser (daily) grid or a sampled hour subset — the "
+    "events-to-grid reduction stays the only full-data pass.  "
+    "(No ties on 6dp-rounded continuous sums, so tau-a == tau-b "
+    "here; ties would need the tau-b denominator correction.)",
+    tags=("causality", "timeseries", "stats"),
+)
+def kendall_tau_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_series_rounded(spark, sf_dir)
+    a, b = hourly.alias("a"), hourly.alias("b")
+    grid = a.join(
+        b,
+        (F.col("a.hour") == F.col("b.hour"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.hour").alias("hour"),
+        F.col("a.event_type").alias("series_a"),
+        F.col("b.event_type").alias("series_b"),
+        F.col("a.v").alias("va"),
+        F.col("b.v").alias("vb"),
+    )
+    g1, g2 = grid.alias("g1"), grid.alias("g2")
+    sign = F.when(
+        (F.col("g1.va") - F.col("g2.va")) * (F.col("g1.vb") - F.col("g2.vb")) > 0, 1
+    ).otherwise(-1)
+    return (
+        g1.join(
+            g2,
+            (F.col("g1.series_a") == F.col("g2.series_a"))
+            & (F.col("g1.series_b") == F.col("g2.series_b"))
+            & (F.col("g1.hour") < F.col("g2.hour")),
+        )
+        .groupBy(F.col("g1.series_a").alias("series_a"), F.col("g1.series_b").alias("series_b"))
+        .agg(
+            F.round(F.sum(sign).cast("double") / F.count("*"), 4).alias("kendall_tau"),
+            F.count("*").cast("bigint").alias("n_obs_pairs"),
+        )
+        .orderBy("series_a", "series_b")
+    )
+
+
+@register(
+    "seasonal_decomposition_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT hour, event_type, v,
+               avg(v) OVER (PARTITION BY event_type ORDER BY hour
+                            ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend,
+               count(*) OVER (PARTITION BY event_type ORDER BY hour
+                              ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS w
+        FROM hourly
+    ),
+    detrended AS (
+        SELECT event_type, CAST(hour(hour) AS INTEGER) AS hod,
+               v - trend AS resid
+        FROM trended WHERE w = 25
+    )
+    SELECT event_type, hod,
+           round(avg(resid), 6) AS seasonal,
+           round(stddev_samp(resid), 6) AS resid_sd,
+           CAST(count(*) AS BIGINT) AS n
+    FROM detrended
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Classical additive seasonal decomposition per element "
+    "series: trend = centered 25-hour moving average (full-window "
+    "rows only, so edges never bias the seasonal estimate), "
+    "seasonal = mean detrended residual per hour-of-day, plus the "
+    "residual spread.  A strong shared diurnal profile is the "
+    "classic spurious-causality source — two series 'Granger-cause' "
+    "each other through the clock — so this screen runs before "
+    "reading the lagged statistics.  One series-keyed window pass "
+    "over the grid, then a tiny (series x 24) aggregate.",
+    tags=("causality", "timeseries", "stats"),
+)
+def seasonal_decomposition_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_series_rounded(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-12, 12)
+    trended = hourly.select(
+        "hour",
+        "event_type",
+        "v",
+        F.avg("v").over(w).alias("trend"),
+        F.count("*").over(w).alias("w"),
+    )
+    detrended = trended.filter(F.col("w") == 25).select(
+        "event_type",
+        F.hour("hour").cast("int").alias("hod"),
+        (F.col("v") - F.col("trend")).alias("resid"),
+    )
+    return (
+        detrended.groupBy("event_type", "hod")
+        .agg(
+            F.round(F.avg("resid"), 6).alias("seasonal"),
+            F.round(F.stddev_samp("resid"), 6).alias("resid_sd"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("event_type", "hod")
+    )

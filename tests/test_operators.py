@@ -568,11 +568,26 @@ def test_approx_quantiles_within_rank_tolerance(spark, sf_dir):
         load_table,
     )
 
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    # registry query runs the exact regime (accuracy >= n); re-aggregate
+    # at accuracy=10000 so the genuinely-approximate GK path is what the
+    # rank-tolerance bound below exercises
     approx = {
+        r["o_orderstatus"]: r
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("p50"),
+            F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("p90"),
+            F.expr("approx_percentile(o_totalprice, 0.99, 10000)").alias("p99"),
+        )
+        .collect()
+    }
+    exact_regime = {
         r["o_orderstatus"]: r
         for r in REGISTRY["sketch_approx_quantiles"].fn(spark, sf_dir).collect()
     }
-    orders = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
     pdf = orders.toPandas()
     for status, grp in pdf.groupby("o_orderstatus"):
         vals = grp["o_totalprice"].sort_values().to_numpy()
@@ -584,6 +599,12 @@ def test_approx_quantiles_within_rank_tolerance(spark, sf_dir):
 
             rank = np.searchsorted(vals, got, side="right") / n
             assert abs(rank - q) <= 0.005 + 1.0 / n, (status, col, rank, q)
+            # and the registry's exact-regime value IS the discrete quantile
+            exact_val = vals[min(n - 1, int(np.ceil(q * n)) - 1)]
+            assert exact_regime[status][col] == round(float(exact_val), 4), (
+                status,
+                col,
+            )
 
 
 def test_packing_conserves_tokens_and_fills_bins(spark, sf_dir):
@@ -809,3 +830,46 @@ def test_rolling_hash_survives_high_codepoints(spark):
         .collect()
     )
     assert len(out) == 2 and all(r["fp"] >= 0 for r in out)
+
+
+def test_dtw_kernel_matches_full_matrix_reference(spark, sf_dir):
+    """The banded DTW kernel's distances equal an independent
+    full-matrix DTW implementation on the same z-normalized daily
+    series (band >= |len_a - len_b| + slack covers the true warping
+    path on these near-equal-length series)."""
+    import numpy as np
+
+    from causality_between_elements_based_on_time_series_data_spark.plans import REGISTRY
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    got = {
+        (r["series_a"], r["series_b"]): r
+        for r in REGISTRY["dtw_distance_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) > 0
+
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    daily = (
+        ev.groupby(["event_type", "day"])["value"].sum().round(6).reset_index()
+    )
+
+    def znorm(s):
+        v = s.sort_values("day")["value"].to_numpy(dtype="float64")
+        sd = v.std()
+        return (v - v.mean()) / (sd if sd > 0 else 1.0)
+
+    series = {et: znorm(grp) for et, grp in daily.groupby("event_type")}
+    for (a, b), row in got.items():
+        x, y = series[a], series[b]
+        assert (row["len_a"], row["len_b"]) == (len(x), len(y))
+        n, m = len(x), len(y)
+        dp = np.full((n + 1, m + 1), np.inf)
+        dp[0, 0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                c = abs(x[i - 1] - y[j - 1])
+                dp[i, j] = c + min(dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1])
+        assert abs(row["dtw_distance"] - round(float(dp[n, m]), 6)) < 1e-6, (a, b)

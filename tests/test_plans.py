@@ -247,3 +247,36 @@ def test_ewma_and_zscore_single_series_shuffle(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan
         assert count_exchanges(plan) <= 3, name
+
+
+def test_q9_snowflake_keyed_joins_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q9_product_type_profit")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the p_type filter must reach the part scan, not sit above a join
+    assert "EqualTo(p_type,PROMO)" in plan, plan
+    assert "BroadcastHashJoin" in plan  # nation (and part/supplier at fixture scale)
+
+
+def test_q21_two_keyed_aggregates_no_fanout_antijoin(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # existence tests are aggregate-then-join, so the plan carries
+    # grouped counts — never a per-row self anti-join fan-out
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_transfer_entropy_grid_bounded(spark, sf_dir):
+    # all marginals are window sums over the triple histogram: no
+    # cartesian, no extra scan of events beyond the grid aggregate
+    plan = plan_of(spark, sf_dir, "transfer_entropy_lag1")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_iterations_truncate_lineage(spark, sf_dir):
+    # localCheckpoint must bound the iterative plan: the final plan
+    # depends on a checkpointed scan, not 10 stacked join stages
+    df = REGISTRY["cosupply_pagerank"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Scan ExistingRDD" in plan, "lineage not truncated by localCheckpoint"
