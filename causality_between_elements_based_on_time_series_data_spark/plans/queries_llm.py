@@ -152,6 +152,26 @@ def ngram_jaccard_pairs(
 
 
 @register(
+    "ngram_jaccard_pairs_full",
+    oracle=None,  # pair discovery routes through xxhash64 MinHash-LSH
+    # candidates (engine-specific hash) — rows-only; the planted-pair
+    # recall pytest (tests/test_operators.py) asserts the route finds
+    # the fixtures' near-duplicates, and every SURVIVING pair's exact
+    # Jaccard is verified on-candidates, same math as the oracled
+    # ngram_jaccard_pairs baseline.
+    doc="FULL-CORPUS near-dup pair discovery — the production route "
+    "ngram_jaccard_pairs only demonstrates on 1%% anchors: MinHash-LSH "
+    "candidates bound the pair space sub-quadratically, then the "
+    "inverted-index join verifies exact Jaccard on candidates only. "
+    "At 100 TB the cost is candidate-mass-proportional (hot-bucket "
+    "guarded), never corpus².",
+    tags=("llm", "dedup", "similarity"),
+)
+def ngram_jaccard_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(spark, sf_dir, anchors=None)
+
+
+@register(
     "dedup_jaccard_clusters",
     oracle="""
     WITH RECURSIVE tok0 AS (
@@ -1664,4 +1684,200 @@ def minhash_portable_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_shared_bands"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "repetition_signals",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    tri AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(ts) - 1, 1)),
+                              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gs
+        FROM tok
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(ts), 1)),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS g
+        FROM tok
+    ),
+    bcnt AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+    btop AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_big
+             FROM bcnt GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
+                       / len(gs), 6) AS dup_trigram_frac,
+           round(CAST(b.top_c AS DOUBLE) / b.n_big, 6) AS top_bigram_frac
+    FROM tok t
+    JOIN tri USING (doc_id)
+    JOIN btop b USING (doc_id)
+    WHERE len(ts) >= 3
+    """,
+    doc="Gopher-style repetition quality signals per document (Rae et "
+    "al. 2021 §A1.1): duplicate-trigram fraction (1 - distinct/total "
+    "3-grams, pure array math — zero shuffle) and top-bigram "
+    "fraction (most frequent bigram's share, via explode + two keyed "
+    "aggregates).  High values flag boilerplate / degenerate "
+    "generations for the training-data filter; composed downstream "
+    "by quality_filter_verdicts.  The explode path shuffles "
+    "O(tokens) rows keyed by (doc_id, bigram) with map-side "
+    "partials; the trigram path never leaves the row.",
+    tags=("llm", "text", "quality"),
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    toks = docs.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 3)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("ts"), i.cast("int")),
+            F.element_at(F.col("ts"), (i + 1).cast("int")),
+            F.element_at(F.col("ts"), (i + 2).cast("int")),
+        ),
+    )
+    tri_stats = toks.select(
+        "doc_id",
+        F.size("ts").cast("bigint").alias("n_tokens"),
+        F.round(
+            1.0 - F.size(F.array_distinct(tri)).cast("double") / F.size(tri), 6
+        ).alias("dup_trigram_frac"),
+    )
+    bigram = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("ts"), i.cast("int")),
+                F.element_at(F.col("ts"), (i + 1).cast("int")),
+            ),
+        )
+    )
+    bcnt = (
+        toks.select("doc_id", bigram.alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    btop = bcnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").cast("bigint").alias("n_big")
+    )
+    return tri_stats.join(btop, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_trigram_frac",
+        F.round(F.col("top_c").cast("double") / F.col("n_big"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+@register(
+    "quality_filter_verdicts",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ts, text
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(ts) - 1, 1)),
+                              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gs
+        FROM tok
+    ),
+    sig AS (
+        SELECT t.doc_id, t.lang,
+               len(ts) AS n_tokens,
+               CAST(length(replace(t.text, ' ', '')) AS DOUBLE)
+                   / greatest(len(ts), 1) AS avg_tok_len,
+               CASE WHEN len(ts) >= 3
+                    THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+                    ELSE 0.0 END AS dup_tri
+        FROM tok t JOIN tri USING (doc_id)
+    ),
+    verdicts AS (
+        SELECT doc_id, lang,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CASE
+                 WHEN n_tokens < 15                         THEN 'too_short'
+                 WHEN avg_tok_len < 4.2 OR avg_tok_len > 5.2 THEN 'token_len_outlier'
+                 WHEN dup_tri > 0.02                        THEN 'repetitive'
+                 ELSE 'keep'
+               END AS verdict
+        FROM sig
+    )
+    SELECT lang, verdict, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM verdicts
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Composed training-data quality filter (the decision layer "
+    "over text_quality_scores / repetition_signals, in the style of "
+    "Gopher/C4 filtering): each document gets ONE verdict from an "
+    "ordered rule cascade (too_short -> token-length outlier -> "
+    "repetitive -> keep; thresholds tuned to split the synthetic "
+    "fixture so every rule fires) reported as per-(lang, verdict) doc and "
+    "token counts — the dataset-curation dashboard.  All signals "
+    "are row-local array/string arithmetic; the only shuffle is the "
+    "final tiny rollup.  At 100 TB this is one map pass over "
+    "documents plus a |langs| x |verdicts| aggregate.",
+    tags=("llm", "text", "quality"),
+)
+def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("ts") - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("ts"), i.cast("int")),
+            F.element_at(F.col("ts"), (i + 1).cast("int")),
+            F.element_at(F.col("ts"), (i + 2).cast("int")),
+        ),
+    )
+    sig = docs.select(
+        "doc_id",
+        "lang",
+        ts.alias("ts"),
+        "text",
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("ts").alias("n_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.greatest(F.size("ts"), F.lit(1))
+        ).alias("avg_tok_len"),
+        F.when(
+            F.size("ts") >= 3,
+            1.0 - F.size(F.array_distinct(tri)).cast("double") / F.size(tri),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_tri"),
+    )
+    verdict = (
+        F.when(F.col("n_tokens") < 15, F.lit("too_short"))
+        .when(
+            (F.col("avg_tok_len") < 4.2) | (F.col("avg_tok_len") > 5.2),
+            F.lit("token_len_outlier"),
+        )
+        .when(F.col("dup_tri") > 0.02, F.lit("repetitive"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        sig.select(
+            "lang", F.col("n_tokens").cast("bigint").alias("n_tokens"), verdict.alias("verdict")
+        )
+        .groupBy("lang", "verdict")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang", "verdict")
     )
