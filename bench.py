@@ -44,7 +44,7 @@ def main() -> None:
     warm.write.format("noop").mode("overwrite").save()
 
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
-    passes: dict[str, list[float]] = {name: [] for name in bench_queries}
+    passes: dict[str, list[float]] = {name: [] for name in sorted(bench_queries)}
     # Whole-suite passes (not per-query back-to-back repeats) so pass 2's
     # caches reflect steady state, and a burst of external load poisons
     # at most one pass of each query.
