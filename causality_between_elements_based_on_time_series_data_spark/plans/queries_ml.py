@@ -455,3 +455,38 @@ def streaming_append_finalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events_stream import streaming_append_finalized
 
     return streaming_append_finalized(spark, sf_dir)
+
+
+@register(
+    "streaming_pairwise_correlation",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               round(sum(value), 6) AS v
+        FROM events, m
+        GROUP BY date_trunc('hour', ts), event_type, mx
+        HAVING date_trunc('hour', ts) + INTERVAL 2 HOUR <= mx
+    )
+    SELECT a.event_type AS series_a, b.event_type AS series_b,
+           round(corr(a.v, b.v), 4) AS pearson_r,
+           count(*) AS n_hours
+    FROM hourly a JOIN hourly b
+      ON a.hour = b.hour AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    doc="The causality screen gone incremental: the hour x series "
+    "grid is maintained by a real append-mode streaming query "
+    "(finalized windows only — the production-sink discipline), and "
+    "pairwise Pearson correlation runs over the emitted grid.  The "
+    "oracle is the batch grid restricted to the windows the final "
+    "watermark closed (hour + 2h <= max ts) — emission-set AND value "
+    "parity with pairwise_series_correlation's math.  At 100 TB the "
+    "stream state is |open windows| x |series|; each screen refresh "
+    "reads the appended grid, never the raw events again.",
+    tags=("streaming", "causality", "timeseries"),
+)
+def streaming_pairwise_correlation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import streaming_pairwise_correlation
+
+    return streaming_pairwise_correlation(spark, sf_dir)

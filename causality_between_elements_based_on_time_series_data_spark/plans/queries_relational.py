@@ -2200,31 +2200,89 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "tpch", "join", "subquery", "bench"),
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
-    late = (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    # ONE lineitem⋈orders pass: per-(order, supplier) lateness flag,
+    # then both existence tests come from windows over the order key —
+    # EXISTS(other supplier) ⇔ n_supp >= 2, NOT EXISTS(other late
+    # supplier) ⇔ n_late_supp == 1.  One (order,supplier)-keyed
+    # aggregate shuffle + one order-keyed window shuffle, vs the
+    # literal SQL's two lineitem scans and three per-order join legs.
+    per_os = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        # one explicit order-keyed shuffle feeds BOTH the (order,
+        # supplier) aggregate (ok ⊆ group keys satisfies its
+        # clustering) and the order window below — without it the
+        # plan pays two exchanges on different keys
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("int")
+            ).alias("is_late")
+        )
     )
-    # per-order supplier counts: EXISTS(other supplier) ⇔ n_supp >= 2;
-    # NOT EXISTS(other late supplier) ⇔ n_late_supp == 1
-    n_supp = (
-        li.select("l_orderkey", "l_suppkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.count("*").alias("n_supp"))
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum("is_late").over(w).alias("n_late_supp"),
     )
-    n_late = late.groupBy("l_orderkey").agg(F.count("*").alias("n_late_supp"))
     return (
-        late.join(n_supp, "l_orderkey")
-        .join(n_late, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        flagged.filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "sketch_hll_mergeable",
+    oracle=None,  # DataSketches HLL binary sketches are engine-
+    # specific — rows-only; the mergeability pytest
+    # (tests/test_operators.py) asserts union-of-parts == sketch-of-
+    # whole EXACTLY and pins the estimate against exact countDistinct
+    # within the sketch's error bound.
+    doc="MERGEABLE distinct-count sketches (Spark 4 DataSketches "
+    "HLL): one sketch per return flag, then hll_union_agg folds the "
+    "three partial sketches into the global estimate WITHOUT "
+    "re-scanning lineitem — the algebraic property that lets 100 TB "
+    "distinct counts aggregate map-side per partition/day and merge "
+    "up a tree (plain approx_count_distinct exposes no reusable "
+    "sketch state).  The pytest asserts the union of per-flag "
+    "sketches estimates EXACTLY what one whole-column sketch "
+    "estimates — mergeability, not approximation, is the claim under "
+    "test.",
+    tags=("relational", "sketch", "agg"),
+)
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    per = sk.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sk").alias("flag_distinct_est"),
+        "n_rows",
+    )
+    glob = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("global_distinct_est")
+    )
+    return per.crossJoin(F.broadcast(glob)).orderBy("l_returnflag")

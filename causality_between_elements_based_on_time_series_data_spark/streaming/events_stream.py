@@ -410,6 +410,59 @@ def streaming_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The causality suite's hour x series grid maintained BY THE
+    STREAM: the tumbling 1h rollup runs in append mode (finalized
+    windows only, the production-sink discipline of
+    streaming_append_finalized), and pairwise Pearson correlation is
+    computed over the emitted grid — the incremental form of the
+    batch ``pairwise_series_correlation`` screen.  Parity target: the
+    batch grid restricted to windows the final watermark closed
+    (hour + 2h <= max ts).  At scale the stream holds |open windows|
+    x |series| state; the pair join runs on the tiny emitted grid,
+    exactly like the batch path."""
+    with scoped_conf(spark, _NANOS_FLAG, "true"):
+        stream = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+        agg = stream.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        ).agg(F.round(F.sum("value"), 6).alias("v"))
+        name = f"stream_corr_grid_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # disjoint column names per side: both legs read the same memory
+    # sink plan, so alias-qualified self-join refs are ambiguous
+    a = spark.table(name).select(
+        F.col("win.start").alias("h_a"),
+        F.col("event_type").alias("series_a"),
+        F.col("v").alias("va"),
+    )
+    b = spark.table(name).select(
+        F.col("win.start").alias("h_b"),
+        F.col("event_type").alias("series_b"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("h_a") == F.col("h_b"))
+            & (F.col("series_a") < F.col("series_b")),
+        )
+        .groupBy("series_a", "series_b")
+        .agg(
+            F.round(F.corr("va", "vb"), 4).alias("pearson_r"),
+            F.count("*").alias("n_hours"),
+        )
+    )
+
+
 def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running totals via Spark 4's transformWithState
     (StatefulProcessor + typed ValueState): the successor API to

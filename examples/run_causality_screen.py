@@ -3,16 +3,24 @@
 would chain this engine's descriptive suite before committing to the
 AMTL training loop:
 
-    1. pairwise Pearson correlation      (symmetric association)
-    2. partial correlation               (confounder-controlled)
-    3. binned mutual information         (nonlinear dependence)
-    4. lagged cross-correlation          (direction hint)
-    5. Granger-style lag regression      (predictive precedence)
-    6. temporal precedence counts        (event-order evidence)
-    7. AMTL causality matrix B           (the reference's learned answer,
+    1. CUSUM change-points               (per-series stability screen —
+                                          a structural break fakes
+                                          cross-series signal)
+    2. seasonal decomposition            (shared diurnal profile —
+                                          the classic spurious-cause)
+    3. pairwise Pearson correlation      (symmetric association)
+    4. Spearman / Kendall rank screens   (monotone / concordance)
+    5. partial correlation               (confounder-controlled)
+    6. binned mutual information         (nonlinear dependence)
+    7. lagged cross-correlation          (direction hint)
+    8. Granger-style lag regression      (predictive precedence)
+    9. transfer entropy (lag-1)          (directional, model-free)
+   10. temporal precedence counts        (event-order evidence)
+   11. DTW distance                      (variable-delay coupling)
+   12. AMTL causality matrix B           (the reference's learned answer,
                                           /root/reference/model.py:166-184)
 
-Stages 1-6 all reduce events to the hour×series grid once and join
+Stages 1-11 all reduce events to the hour/day×series grid once and join
 tiny grid-sized tables — at 100 TB the raw events are aggregated
 exactly once per screen.  Stage 7 is the iterative trainer
 (driver-orchestrated, data-distributed — ml/amtl.py).
@@ -40,12 +48,18 @@ def main() -> None:
     spark = get_spark("causality-screen")
 
     stages = [
+        ("CUSUM change-points", "cusum_changepoint"),
+        ("seasonal decomposition", "seasonal_decomposition_hourly"),
         ("pairwise correlation", "pairwise_series_correlation"),
+        ("Spearman rank correlation", "spearman_rank_correlation"),
+        ("Kendall tau", "kendall_tau_pairs"),
         ("partial correlation (|error)", "partial_correlation_controlled"),
         ("mutual information", "pairwise_mutual_information"),
         ("lagged cross-correlation", "lagged_cross_correlation"),
         ("Granger lag regression", "granger_lag_regression"),
+        ("transfer entropy (lag-1)", "transfer_entropy_lag1"),
         ("temporal precedence", "temporal_precedence_counts"),
+        ("DTW distance", "dtw_distance_pairs"),
         ("AMTL causality matrix B", "amtl_causality_matrix"),
     ]
     for title, name in stages:

@@ -873,3 +873,27 @@ def test_dtw_kernel_matches_full_matrix_reference(spark, sf_dir):
                 c = abs(x[i - 1] - y[j - 1])
                 dp[i, j] = c + min(dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1])
         assert abs(row["dtw_distance"] - round(float(dp[n, m]), 6)) < 1e-6, (a, b)
+
+
+def test_hll_union_of_parts_equals_whole_column_sketch(spark, sf_dir):
+    """Mergeability: folding per-flag HLL sketches with hll_union_agg
+    must estimate EXACTLY what one sketch over the whole column
+    estimates (same deterministic sketch algorithm, same registers) —
+    and both land within the sketch error bound of the exact count."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import REGISTRY
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    out = REGISTRY["sketch_hll_mergeable"].fn(spark, sf_dir).collect()
+    union_est = out[0]["global_distinct_est"]
+    assert all(r["global_distinct_est"] == union_est for r in out)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est")
+    ).collect()[0]["est"]
+    assert union_est == direct, (union_est, direct)
+
+    exact = li.select("l_partkey").distinct().count()
+    assert abs(union_est - exact) / exact <= 0.03, (union_est, exact)

@@ -260,8 +260,10 @@ def test_q9_snowflake_keyed_joins_no_cartesian(spark, sf_dir):
 def test_q21_two_keyed_aggregates_no_fanout_antijoin(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q21_waiting_suppliers")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    # existence tests are aggregate-then-join, so the plan carries
-    # grouped counts — never a per-row self anti-join fan-out
+    # existence tests are aggregate-then-window over ONE order-keyed
+    # shuffle — never a per-row self anti-join fan-out; the only other
+    # exchange is the tiny final s_name rollup
+    assert count_exchanges(plan) <= 2, plan
     assert "TakeOrderedAndProject" in plan, plan
 
 
