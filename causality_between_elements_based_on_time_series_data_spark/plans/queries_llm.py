@@ -1881,3 +1881,140 @@ def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "verdict")
     )
+
+
+_BM25_TERMS = ("hash", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_retrieval_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf, max(dl) AS dl
+        FROM tok
+        WHERE w IN ('hash', 'vector', 'stream')
+        GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    scored AS (
+        SELECT t.doc_id,
+               sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * t.tf * ({_BM25_K1} + 1.0)
+                   / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                           + {_BM25_B} * t.dl / s.avgdl))) AS score,
+               count(*) AS n_terms_hit
+        FROM tf t JOIN df d USING (w) CROSS JOIN stats s
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25_score,
+           CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+    FROM scored
+    ORDER BY bm25_score DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BM25 retrieval scoring (Robertson/Sparck-Jones; the ranking "
+    "function behind classic sparse retrieval in training-data "
+    "curation): query terms ('hash', 'vector', 'stream') scored "
+    "against every document with the k1=1.2 / b=0.75 "
+    "length-normalized tf and the +0.5-smoothed idf.  The token "
+    "explode filters to query terms BEFORE the per-(doc, term) "
+    "aggregate, so shuffle volume is matches-only; corpus stats "
+    "(N, avgdl) and per-term document frequencies are 1-row/|q|-row "
+    "broadcasts.  Distributed top-k, no global sort.",
+    tags=("llm", "text", "similarity"),
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+        F.size(F.split(F.col("text"), " ")).alias("dl"),
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(F.split(F.col("text"), " "))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term_score), 6).alias("bm25_score"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25_score"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "maparrow_embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                                              x -> CAST(x AS DOUBLE) * x))), 6)
+               AS l2_norm,
+           CAST(len(embedding) AS INTEGER) AS dim
+    FROM embeddings
+    """,
+    doc="mapInArrow kernel surface (§2.10, beside pandas_udf / "
+    "applyInPandas / UDTF): per-vector L2 norms computed directly on "
+    "Arrow RecordBatches — no pandas materialization, the lowest-"
+    "overhead Python hop Spark offers.  The numpy reduction runs in "
+    "float64 on the zero-copy Arrow buffers; DuckDB reproduces the "
+    "same arithmetic symbolically, so every norm is hash-checked "
+    "(float summation-order differences sit far below the driver's "
+    "1e-6 relative tolerance).  Pure map-side: 100 TB of vectors "
+    "never shuffle.",
+    tags=("llm", "similarity", "udf"),
+)
+def maparrow_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norms(batches):
+        # self-contained kernel: pyarrow/numpy only (worker sys.path)
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            tbl = batch.to_pydict()
+            out_ids, out_norms, out_dims = [], [], []
+            for vid, vec in zip(tbl["vec_id"], tbl["embedding"]):
+                v = np.asarray(vec, dtype="float64")
+                out_ids.append(vid)
+                out_norms.append(round(float(np.sqrt((v * v).sum())), 6))
+                out_dims.append(len(vec))
+            yield pa.RecordBatch.from_pydict(
+                {"vec_id": out_ids, "l2_norm": out_norms, "dim": out_dims},
+                schema=pa.schema(
+                    [
+                        pa.field("vec_id", pa.int64()),
+                        pa.field("l2_norm", pa.float64()),
+                        pa.field("dim", pa.int32()),
+                    ]
+                ),
+            )
+
+    return emb.mapInArrow(norms, "vec_id long, l2_norm double, dim int")

@@ -490,3 +490,33 @@ def streaming_pairwise_correlation_q(spark: SparkSession, sf_dir: str) -> DataFr
     from ..streaming.events_stream import streaming_pairwise_correlation
 
     return streaming_pairwise_correlation(spark, sf_dir)
+
+
+@register(
+    "streaming_merge_upsert",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, round(value, 4) AS last_value,
+           CAST(epoch_us(ts) AS BIGINT) AS last_ts_us
+    FROM r WHERE rn = 1
+    """,
+    doc="Streaming CDC sink: every micro-batch MERGEs into a per-user "
+    "parquet dimension via foreachBatch with a NEWEST-WINS recency "
+    "condition (union current state + batch, re-reduce by max ts) — "
+    "idempotent and robust to out-of-order micro-batches, the "
+    "pattern a production upsert sink needs without a transactional "
+    "table format.  Parity: the drained state must equal the batch "
+    "latest-event-per-user over the whole fixture.  At scale both "
+    "merge legs shuffle once on the user key and the dimension "
+    "rewrite is partition-wise.",
+    tags=("streaming", "sink"),
+)
+def streaming_merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import streaming_merge_upsert
+
+    return streaming_merge_upsert(spark, sf_dir)

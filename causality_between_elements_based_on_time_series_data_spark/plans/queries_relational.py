@@ -2286,3 +2286,90 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("global_distinct_est")
     )
     return per.crossJoin(F.broadcast(glob)).orderBy("l_returnflag")
+
+
+@register(
+    "lateral_top_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS o_totalprice
+    FROM customer,
+    LATERAL (SELECT o_orderkey, o_totalprice
+             FROM orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 2) t
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+    doc="Correlated LATERAL subquery (Spark 4 SQL): top-2 orders per "
+    "BUILDING customer via a per-row dependent subquery — the SQL "
+    "shape analysts write; Catalyst decorrelates it into the same "
+    "ranked-window/limit-per-key plan as window_topk_per_group, so "
+    "the lateral form costs one keyed shuffle, not one subquery "
+    "execution per outer row.  Deterministic inner ordering "
+    "(totalprice DESC, orderkey) keeps both engines' top-2 "
+    "identical.",
+    tags=("relational", "sql", "subquery", "topk"),
+)
+def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"lat_{t}")
+    return spark.sql(
+        """
+        SELECT c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS o_totalprice
+        FROM lat_customer,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM lat_orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2) t
+        WHERE c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+@register(
+    "recursive_cte_month_spine",
+    oracle="""
+    WITH RECURSIVE spine(m) AS (
+        SELECT date_trunc('month', min(o_orderdate)) FROM orders
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM spine
+        WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+    )
+    SELECT CAST(s.m AS DATE) AS month_start,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS month_revenue
+    FROM spine s
+    LEFT JOIN orders ON date_trunc('month', o_orderdate) = s.m
+    GROUP BY s.m
+    ORDER BY month_start
+    """,
+    doc="Recursive CTE (Spark 4 SQL, SPARK-24497): a generated "
+    "month-spine from min to max order date LEFT-joined to orders, "
+    "so empty months appear as zero rows — the calendar-completion "
+    "pattern gap-filling dashboards need (the DataFrame twin is "
+    "resample_ffill_hourly's sequence() expansion).  The recursion "
+    "generates |months| rows driver-free; the join shuffles on the "
+    "tiny month key.  Identical WITH RECURSIVE text runs on both "
+    "engines.",
+    tags=("relational", "sql", "datetime"),
+)
+def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rec_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+            SELECT date_trunc('month', min(o_orderdate)) FROM rec_orders
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM spine
+            WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM rec_orders)
+        )
+        SELECT CAST(s.m AS DATE) AS month_start,
+               count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0), 2) AS month_revenue
+        FROM spine s
+        LEFT JOIN rec_orders ON date_trunc('month', o_orderdate) = s.m
+        GROUP BY s.m
+        ORDER BY month_start
+        """
+    )

@@ -365,6 +365,49 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "asof_next_click_within_15min",
+    oracle="""
+    SELECT p.user_id, p.event_id,
+           round(p.value, 4) AS purchase_value,
+           round((SELECT c.value FROM events c
+                  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                    AND (c.ts > p.ts OR (c.ts = p.ts AND c.event_id > p.event_id))
+                    AND c.ts <= p.ts + INTERVAL 15 MINUTE
+                  ORDER BY c.ts, c.event_id LIMIT 1), 4) AS next_click_value
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="FORWARD as-of with tolerance (the bounded-staleness twin of "
+    "asof_last_click_before_purchase): for each purchase, the "
+    "earliest later click by the same user, but only if it lands "
+    "within 15 minutes — purchases with no prompt follow-up click "
+    "keep NULL.  Same merged-stream discipline: first(ignoreNulls) "
+    "over the FOLLOWING frame carries a (ts, value) struct so the "
+    "tolerance check stays row-local after the single entity-keyed "
+    "shuffle; no range-join explosion.",
+    tags=("timeseries", "asof", "join"),
+)
+def asof_next_click_within_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_lookup_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    return asof_lookup_forward(
+        ev,
+        entity_col="user_id",
+        time_cols=("ts", "event_id"),
+        probe_filter=F.col("event_type") == "purchase",
+        build_filter=F.col("event_type") == "click",
+        value_col="value",
+        tolerance_seconds=15 * 60,
+    ).select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.round("asof_next_value", 4).alias("next_click_value"),
+    )
+
+
+@register(
     "range_join_clicks_before_purchase",
     oracle="""
     WITH c AS (

@@ -463,6 +463,73 @@ def streaming_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC sink: each micro-batch of the event stream is
+    MERGEd into a per-user dimension table via foreachBatch — the
+    production upsert-into-parquet pattern (no transactional format
+    needed: anti-join + union + partition-wise overwrite, see
+    operators/upsert.py).  Per user the LATEST event's value and ts
+    win; late/duplicate micro-batches converge because the merge is
+    idempotent on (user_id, last_ts).  Parity target: the batch
+    max_by(value, (ts, event_id)) per user over the whole fixture —
+    the state a CDC consumer would have after draining the topic."""
+    import tempfile
+
+    state_dir = tempfile.mkdtemp(prefix="stream_merge_state_")
+    ckpt = tempfile.mkdtemp(prefix="stream_merge_ckpt_")
+    target_path = f"{state_dir}/users"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # reduce the batch to one row per user (latest by ts,event_id)
+        upd = batch_df.groupBy("user_id").agg(
+            F.expr("max_by(value, struct(ts, event_id))").alias("last_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        # conditional MERGE — newest wins: union with the current
+        # state and re-reduce, so an out-of-order micro-batch can
+        # never clobber newer state (idempotent, order-robust; the
+        # unconditional updates-win form is operators/upsert.py's
+        # merge_upsert, exercised by merge_upsert_customers)
+        try:
+            target = batch_df.sparkSession.read.parquet(target_path)
+            both = target.unionByName(upd)
+        except Exception:
+            both = upd  # first batch: no target yet
+        merged = both.groupBy("user_id").agg(
+            F.expr("max_by(last_value, last_ts)").alias("last_value"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        # stage-then-swap write: parquet can't read+overwrite in place
+        staged = f"{state_dir}/staged_{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        import shutil
+
+        shutil.rmtree(target_path, ignore_errors=True)
+        shutil.move(staged, target_path)
+
+    with scoped_conf(spark, _NANOS_FLAG, "true"):
+        stream = _stream_events(spark, sf_dir).select(
+            "user_id", "ts", "event_id", "value"
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return (
+        spark.read.parquet(target_path)
+        .select(
+            "user_id",
+            F.round("last_value", 4).alias("last_value"),
+            F.unix_micros("last_ts").alias("last_ts_us"),
+        )
+    )
+
+
 def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running totals via Spark 4's transformWithState
     (StatefulProcessor + typed ValueState): the successor API to

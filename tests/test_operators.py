@@ -897,3 +897,37 @@ def test_hll_union_of_parts_equals_whole_column_sketch(spark, sf_dir):
 
     exact = li.select("l_partkey").distinct().count()
     assert abs(union_est - exact) / exact <= 0.03, (union_est, exact)
+
+
+def test_asof_forward_semantics_crafted(spark):
+    """Forward as-of with tolerance on crafted data: earliest later
+    click attaches; clicks outside the tolerance and probes with no
+    later click stay NULL; equal-timestamp rows order by event_id."""
+    from causality_between_elements_based_on_time_series_data_spark.operators.asof import (
+        asof_lookup_forward,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(minutes=0), 1, "purchase", 100.0),
+        (2, t0 + timedelta(minutes=5), 1, "click", 5.0),     # within 15m of #1
+        (3, t0 + timedelta(minutes=30), 1, "purchase", 200.0),
+        (4, t0 + timedelta(minutes=50), 1, "click", 7.0),    # 20m after #3 -> out of tolerance
+        (5, t0 + timedelta(minutes=60), 2, "purchase", 300.0),  # no later click
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {
+        r["event_id"]: r["asof_next_value"]
+        for r in asof_lookup_forward(
+            df,
+            entity_col="user_id",
+            time_cols=("ts", "event_id"),
+            probe_filter=F.col("event_type") == "purchase",
+            build_filter=F.col("event_type") == "click",
+            value_col="value",
+            tolerance_seconds=15 * 60,
+        ).collect()
+    }
+    assert out == {1: 5.0, 3: None, 5: None}

@@ -282,3 +282,12 @@ def test_pagerank_iterations_truncate_lineage(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Scan ExistingRDD" in plan, "lineage not truncated by localCheckpoint"
+
+
+def test_lateral_decorrelates_to_group_limit(spark, sf_dir):
+    # the correlated LATERAL top-2 must decorrelate to a ranked
+    # window group-limit + equi-join — never per-outer-row subquery
+    # execution (nested-loop) or a cartesian
+    plan = plan_of(spark, sf_dir, "lateral_top_orders_per_customer")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
