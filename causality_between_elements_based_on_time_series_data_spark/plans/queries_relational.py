@@ -2373,3 +2373,114 @@ def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY month_start
         """
     )
+
+
+@register(
+    "try_function_surface",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey - o_orderkey = 0 THEN NULL
+                ELSE round(o_totalprice / (o_orderkey - o_orderkey), 4)
+           END AS div_by_zero,
+           round(o_totalprice / 2.0, 4)          AS div_ok,
+           CASE WHEN o_orderkey = 0 THEN 9223372036854775807
+                ELSE CAST(NULL AS BIGINT) END    AS add_overflow,
+           try_cast(o_orderpriority AS INTEGER)  AS bad_cast,
+           CAST(NULL AS DOUBLE)                  AS elem_oob
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+    doc="try_* error-safe function surface (§2.8): this engine runs "
+    "ANSI mode (overflow/bad-cast/div-zero are runtime ERRORS, the "
+    "correctness-first posture), and the try_* family is the "
+    "per-expression escape hatch a dirty-data pipeline needs — "
+    "try_divide by zero, try_add at bigint max, try_cast of a "
+    "non-numeric priority string, try_element_at out of bounds, all "
+    "returning NULL instead of killing the job.  The oracle encodes "
+    "the same NULL outcomes with portable CASE/try_cast arithmetic.",
+    tags=("relational", "scalar"),
+)
+def try_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    max_long = F.lit(9223372036854775807).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") - F.col("o_orderkey")), 4
+        ).alias("div_by_zero"),
+        F.round(F.try_divide(F.col("o_totalprice"), F.lit(2.0)), 4).alias("div_ok"),
+        F.try_add(max_long, F.col("o_orderkey")).alias("add_overflow"),
+        F.try_to_number(F.col("o_orderpriority"), F.lit("999")).cast("int").alias("bad_cast"),
+        F.try_element_at(F.array(F.col("o_totalprice")), F.lit(99)).alias("elem_oob"),
+    )
+
+
+@register(
+    "collation_case_insensitive_grouping",
+    oracle="""
+    SELECT lower(CASE WHEN c_custkey % 2 = 0
+                      THEN lower(c_mktsegment) ELSE c_mktsegment END) AS segment,
+           count(*) AS n_customers
+    FROM customer
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Collated strings (Spark 4 COLLATE): a mixed-case segment "
+    "column (half the rows lower-cased) grouped under the UTF8_LCASE "
+    "collation — the engine merges case variants in the GROUP BY "
+    "itself, no normalizing projection before the shuffle; the "
+    "output canonicalizes through lower() only for display/oracle "
+    "parity (DuckDB has no collated grouping, so its oracle "
+    "normalizes explicitly).",
+    tags=("relational", "scalar", "agg"),
+)
+def collation_case_insensitive_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.lower(F.col("c_mktsegment"))
+    ).otherwise(F.col("c_mktsegment"))
+    return (
+        c.select(F.collate(mixed, "UTF8_LCASE").alias("seg"))
+        .groupBy("seg")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            F.lower(F.col("seg")).cast("string").alias("segment"), "n_customers"
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "parameterized_sql_segment_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE c_acctbal > 1000.0 AND c_mktsegment <> 'MACHINERY'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Parameterized SQL (Spark 4 named parameter markers): the "
+    "query text carries :min_bal / :skip_segment placeholders and "
+    "values bind at spark.sql(args=...) time — the injection-safe "
+    "interface a SQL-surface service exposes; literals land in the "
+    "plan exactly like inlined constants, so pushdown/pruning are "
+    "unaffected.  The oracle inlines the same values.",
+    tags=("relational", "sql"),
+)
+def parameterized_sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"psql_{t}")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM psql_orders JOIN psql_customer ON c_custkey = o_custkey
+        WHERE c_acctbal > :min_bal AND c_mktsegment <> :skip_segment
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+        args={"min_bal": 1000.0, "skip_segment": "MACHINERY"},
+    )

@@ -42,23 +42,31 @@ def _events_ts_is_nanos(spark: SparkSession, sf_dir: str) -> bool:
     scan): TIMESTAMP(NANOS) fixtures surface ts as bigint under the
     nanos flag; TIMESTAMP(MICROS) fixtures surface a timestamp."""
     with scoped_conf(spark, _NANOS_FLAG, "true"):
-        sch = spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+        sch = spark.read.parquet(f"{sf_dir}/events.parque*").dtypes
     return dict(sch).get("ts") == "bigint"
 
 
-def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """readStream over the events fixture with ts normalized to
     TIMESTAMP whatever the fixture vintage — the streaming mirror of
     catalog.load_table.  For the nanos vintage the caller must hold
     _NANOS_FLAG for the stream's whole run-to-completion (micro-
     batches re-plan the file scan); for the micros vintage the
     declared TimestampType schema reads directly and the flag is
-    inert."""
+    inert.  ``max_files_per_trigger`` splits a multi-file fixture
+    into one micro-batch per file (multi-batch/out-of-order tests)."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if _events_ts_is_nanos(spark, sf_dir):
         return (
-            _stream_events(spark, sf_dir)
+            reader.schema(_STREAM_SCHEMA)
+            .parquet(f"{sf_dir}/events.parque*")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
-    return spark.readStream.schema(TABLES["events"]).parquet(f"{sf_dir}/events.parque*")
+    return reader.schema(TABLES["events"]).parquet(f"{sf_dir}/events.parque*")
 
 
 def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,7 +471,9 @@ def streaming_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_merge_upsert(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming CDC sink: each micro-batch of the event stream is
     MERGEd into a per-user dimension table via foreachBatch — the
     production upsert-into-parquet pattern (no transactional format
@@ -508,9 +518,9 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.move(staged, target_path)
 
     with scoped_conf(spark, _NANOS_FLAG, "true"):
-        stream = _stream_events(spark, sf_dir).select(
-            "user_id", "ts", "event_id", "value"
-        )
+        stream = _stream_events(
+            spark, sf_dir, max_files_per_trigger=max_files_per_trigger
+        ).select("user_id", "ts", "event_id", "value")
         q = (
             stream.writeStream.foreachBatch(apply_batch)
             .option("checkpointLocation", ckpt)

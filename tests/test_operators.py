@@ -931,3 +931,45 @@ def test_asof_forward_semantics_crafted(spark):
         ).collect()
     }
     assert out == {1: 5.0, 3: None, 5: None}
+
+
+def test_streaming_merge_upsert_multibatch_out_of_order(spark, tmp_path):
+    """The CDC sink's newest-wins claim under real multi-batch,
+    out-of-order delivery: two event files streamed one per
+    micro-batch, where the SECOND batch carries OLDER events — the
+    blindly-updates-win merge would clobber newer state; the
+    recency-conditional merge must not."""
+    import os
+    import time
+
+    from causality_between_elements_based_on_time_series_data_spark.streaming.events_stream import (
+        streaming_merge_upsert,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    newer = [
+        (10, t0 + timedelta(hours=2), 1, "click", 111.0),
+        (11, t0 + timedelta(hours=2), 2, "click", 222.0),
+    ]
+    older = [
+        (1, t0 + timedelta(hours=0), 1, "click", 5.0),
+        (2, t0 + timedelta(hours=1), 2, "click", 7.0),
+        (3, t0 + timedelta(hours=0), 3, "click", 9.0),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    d = tmp_path / "ooo"
+    os.makedirs(d)
+    # the file source orders micro-batches by modification time: write
+    # the NEWER events first so the older ones arrive in batch 2
+    spark.createDataFrame(newer, schema).toPandas().to_parquet(d / "events.parquet_a")
+    time.sleep(1.1)
+    spark.createDataFrame(older, schema).toPandas().to_parquet(d / "events.parquet_b")
+
+    out = {
+        r["user_id"]: r["last_value"]
+        for r in streaming_merge_upsert(
+            spark, str(d), max_files_per_trigger=1
+        ).collect()
+    }
+    # users 1 and 2: the batch-2 (older) values must NOT win
+    assert out == {1: 111.0, 2: 222.0, 3: 9.0}, out
