@@ -2484,3 +2484,95 @@ def parameterized_sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataF
         """,
         args={"min_bal": 1000.0, "skip_segment": "MACHINERY"},
     )
+
+
+@register(
+    "ols_price_on_qty_discount",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(count(*) AS DOUBLE)           AS n,
+               round(sum(l_quantity), 4)          AS sx1,
+               round(sum(l_discount), 4)          AS sx2,
+               round(sum(l_quantity * l_quantity), 4) AS sx1x1,
+               round(sum(l_quantity * l_discount), 4) AS sx1x2,
+               round(sum(l_discount * l_discount), 4) AS sx2x2,
+               round(sum(l_extendedprice), 4)     AS sy,
+               round(sum(l_quantity * l_extendedprice), 4) AS sx1y,
+               round(sum(l_discount * l_extendedprice), 4) AS sx2y
+        FROM lineitem
+    ),
+    d AS (
+        SELECT *,
+               n   * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+             - sx1 * (sx1   * sx2x2 - sx1x2 * sx2)
+             + sx2 * (sx1   * sx1x2 - sx1x1 * sx2)  AS det
+        FROM s
+    )
+    SELECT round((sy  * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+                - sx1 * (sx1y  * sx2x2 - sx1x2 * sx2y)
+                + sx2 * (sx1y  * sx1x2 - sx1x1 * sx2y)) / det, 6) AS beta0,
+           round((n   * (sx1y  * sx2x2 - sx1x2 * sx2y)
+                - sy  * (sx1   * sx2x2 - sx1x2 * sx2)
+                + sx2 * (sx1   * sx2y  - sx1y  * sx2)) / det, 6) AS beta1,
+           round((n   * (sx1x1 * sx2y  - sx1y  * sx1x2)
+                - sx1 * (sx1   * sx2y  - sx1y  * sx2)
+                + sy  * (sx1   * sx1x2 - sx1x1 * sx2)) / det, 6) AS beta2,
+           CAST(n AS BIGINT) AS n_rows
+    FROM d
+    """,
+    doc="Closed-form MULTIVARIATE OLS (extendedprice ~ quantity + "
+    "discount) solved with Cramer's rule on the 3x3 normal "
+    "equations: ONE map-side-combined aggregate produces the nine "
+    "moment sums, and the betas are pure scalar algebra on that "
+    "1-row table — the 100 TB regression shape (no per-row "
+    "residual pass, no iterative solver, no driver matrix).  Moment "
+    "sums round to 4dp on BOTH engines before the determinant "
+    "algebra, so every downstream IEEE operation is identical and "
+    "the betas are bit-stable.  The numpy-golden pytest checks the "
+    "same betas against lstsq.  Complements applyinpandas_trend_ols "
+    "(per-group univariate via UDF) with the pure-SQL multivariate "
+    "path.",
+    tags=("relational", "stats", "agg"),
+)
+def ols_price_on_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count("*").cast("double").alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sx1"),
+        F.round(F.sum("l_discount"), 4).alias("sx2"),
+        F.round(F.sum(F.col("l_quantity") * F.col("l_quantity")), 4).alias("sx1x1"),
+        F.round(F.sum(F.col("l_quantity") * F.col("l_discount")), 4).alias("sx1x2"),
+        F.round(F.sum(F.col("l_discount") * F.col("l_discount")), 4).alias("sx2x2"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sy"),
+        F.round(F.sum(F.col("l_quantity") * F.col("l_extendedprice")), 4).alias("sx1y"),
+        F.round(F.sum(F.col("l_discount") * F.col("l_extendedprice")), 4).alias("sx2y"),
+    )
+    n, sx1, sx2 = F.col("n"), F.col("sx1"), F.col("sx2")
+    sx1x1, sx1x2, sx2x2 = F.col("sx1x1"), F.col("sx1x2"), F.col("sx2x2")
+    sy, sx1y, sx2y = F.col("sy"), F.col("sx1y"), F.col("sx2y")
+    det = (
+        n * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+        - sx1 * (sx1 * sx2x2 - sx1x2 * sx2)
+        + sx2 * (sx1 * sx1x2 - sx1x1 * sx2)
+    )
+    beta0 = (
+        sy * (sx1x1 * sx2x2 - sx1x2 * sx1x2)
+        - sx1 * (sx1y * sx2x2 - sx1x2 * sx2y)
+        + sx2 * (sx1y * sx1x2 - sx1x1 * sx2y)
+    ) / det
+    beta1 = (
+        n * (sx1y * sx2x2 - sx1x2 * sx2y)
+        - sy * (sx1 * sx2x2 - sx1x2 * sx2)
+        + sx2 * (sx1 * sx2y - sx1y * sx2)
+    ) / det
+    beta2 = (
+        n * (sx1x1 * sx2y - sx1y * sx1x2)
+        - sx1 * (sx1 * sx2y - sx1y * sx2)
+        + sy * (sx1 * sx1x2 - sx1x1 * sx2)
+    ) / det
+    return s.select(
+        F.round(beta0, 6).alias("beta0"),
+        F.round(beta1, 6).alias("beta1"),
+        F.round(beta2, 6).alias("beta2"),
+        n.cast("bigint").alias("n_rows"),
+    )

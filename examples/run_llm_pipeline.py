@@ -5,6 +5,7 @@ surface, composed the way a 100 TB data-curation run would chain it):
     Jaccard-verify → connected components) ──► benchmark-contamination
     screen ──► sliding-window chunking ──► token-budget packing
     embeddings ─► ANN neighbor audit (LSH candidates, exact re-rank)
+    dashboards ─► per-(lang, verdict) drop accounting + BM25 probe
 
 Every stage is the bounded-shuffle form the engine's operators use:
 32-byte content-hash keys, banded LSH buckets, candidate-only
@@ -121,6 +122,16 @@ def main() -> None:
     ann = lsh_cosine_topk(emb, queries, k=3)
     n_ann = ann.count()
 
+    # 5. curation dashboard views over the SAME corpus: the verdict
+    # rollup an operator would watch (why did documents drop?) and a
+    # BM25 probe of what the retained corpus ranks for a query
+    from causality_between_elements_based_on_time_series_data_spark.plans import REGISTRY
+
+    verdicts = REGISTRY["quality_filter_verdicts"].fn(spark, sf_dir)
+    n_verdict_cells = verdicts.count()
+    top_bm25 = REGISTRY["bm25_retrieval_topk"].fn(spark, sf_dir)
+    n_bm25 = top_bm25.count()
+
     print(f"documents in          : {n_in}")
     print(f"after quality gate    : {n_quality}")
     print(f"after dedup pipeline  : {n_dedup}")
@@ -128,6 +139,8 @@ def main() -> None:
     print(f"training chunks       : {n_chunks}")
     print(f"packed 256-tok bins   : {n_bins}")
     print(f"ANN audit pairs       : {n_ann}")
+    print(f"verdict rollup cells  : {n_verdict_cells}")
+    print(f"BM25 probe top-k      : {n_bm25}")
 
     spark.stop()
 

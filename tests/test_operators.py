@@ -973,3 +973,27 @@ def test_streaming_merge_upsert_multibatch_out_of_order(spark, tmp_path):
     }
     # users 1 and 2: the batch-2 (older) values must NOT win
     assert out == {1: 111.0, 2: 222.0, 3: 9.0}, out
+
+
+def test_ols_cramer_matches_numpy_lstsq(spark, sf_dir):
+    """The Cramer-rule betas must agree with numpy's least-squares on
+    the same design matrix (4dp sum rounding perturbs betas well
+    below this tolerance)."""
+    import numpy as np
+
+    from causality_between_elements_based_on_time_series_data_spark.plans import REGISTRY
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    got = REGISTRY["ols_price_on_qty_discount"].fn(spark, sf_dir).collect()[0]
+    pdf = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    ).toPandas()
+    X = np.column_stack(
+        [np.ones(len(pdf)), pdf.l_quantity.to_numpy(), pdf.l_discount.to_numpy()]
+    )
+    beta, *_ = np.linalg.lstsq(X, pdf.l_extendedprice.to_numpy(), rcond=None)
+    assert got["n_rows"] == len(pdf)
+    for i, col in enumerate(("beta0", "beta1", "beta2")):
+        assert abs(got[col] - beta[i]) <= 1e-3 * max(1.0, abs(beta[i])), (col, got[col], beta[i])
