@@ -2018,3 +2018,138 @@ def maparrow_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInArrow(norms, "vec_id long, l2_norm double, dim int")
+
+
+@register(
+    "lexicon_sentiment_scores",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+    )
+    SELECT lang,
+           round(avg((CAST(len(list_filter(ts, t -> t IN ('fast'))) AS DOUBLE)
+                    - len(list_filter(ts, t -> t IN ('slow'))))
+                    / len(ts)), 6) AS mean_sentiment,
+           CAST(sum(CASE WHEN len(list_filter(ts, t -> t IN ('fast')))
+                          > len(list_filter(ts, t -> t IN ('slow')))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+           count(*) AS n_docs
+    FROM tok
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Lexicon-based sentiment scoring at corpus scale (the "
+    "broadcast-lexicon pattern of Spark sentiment pipelines, e.g. "
+    "EDBT'16 Twitter-on-Spark): per-document score = (positive hits "
+    "- negative hits) / tokens with the fixture's {'fast'} / "
+    "{'slow'} micro-lexicon, rolled up per language.  The lexicon "
+    "membership test is a row-local array filter (a literal IN for "
+    "this 2-word demo; a broadcast join for a real 10k-word "
+    "lexicon) — zero shuffle until the per-language rollup.",
+    tags=("llm", "text", "quality"),
+)
+def lexicon_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    pos = F.size(F.filter(ts, lambda t: t == "fast"))
+    neg = F.size(F.filter(ts, lambda t: t == "slow"))
+    per_doc = docs.select(
+        "lang",
+        ((pos - neg).cast("double") / F.size(ts)).alias("score"),
+        (pos > neg).cast("int").alias("is_positive"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.round(F.avg("score"), 6).alias("mean_sentiment"),
+            F.sum("is_positive").cast("bigint").alias("n_positive"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "trajectory_similarity_users",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt1,
+               lead(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt2
+        FROM events
+    ),
+    big AS (
+        SELECT DISTINCT user_id,
+               event_type || '>' || nxt1 || '>' || nxt2 AS bg
+        FROM seq WHERE nxt1 IS NOT NULL AND nxt2 IS NOT NULL
+    ),
+    sizes AS (SELECT user_id, count(*) AS sz FROM big GROUP BY 1),
+    inter AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               count(*) AS n_common
+        FROM big a JOIN big b
+          ON a.bg = b.bg AND a.user_id < b.user_id
+        GROUP BY 1, 2
+    )
+    SELECT user_a, user_b,
+           round(CAST(n_common AS DOUBLE)
+                 / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.user_id = user_a
+    JOIN sizes sb ON sb.user_id = user_b
+    ORDER BY jaccard DESC, user_a, user_b
+    LIMIT 20
+    """,
+    doc="Trajectory similarity between entity behavior sequences "
+    "(REPOSE/ICDE'21-style trajectory search re-expressed "
+    "relationally): each user's ordered event-type sequence reduces "
+    "to its transition-TRIGRAM set, and pair similarity is set "
+    "Jaccard via the same inverted-index join as "
+    "ngram_jaccard_pairs, reported as the top-20 most-similar "
+    "pairs.  HONEST SCALE NOTE: the posting-list cut prunes only "
+    "when the gram universe is large relative to per-entity "
+    "activity — at this fixture's 5-type alphabet every user pair "
+    "shares some trigram, so the join IS quadratic here and the op "
+    "is demonstration-scale; with realistic alphabets (pages, SKUs, "
+    "k in the thousands) posting lists thin out and the same plan "
+    "goes sub-quadratic, with the MinHash tier "
+    "(operators/dedup.py) as the banded fallback.  Feeds the "
+    "causality suite: behaviorally-cloned users inflate "
+    "cross-series co-occurrence.",
+    tags=("causality", "similarity", "timeseries"),
+)
+def trajectory_similarity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    big = (
+        seq.filter(F.col("nxt1").isNotNull() & F.col("nxt2").isNotNull())
+        .select(
+            "user_id", F.concat_ws(">", "event_type", "nxt1", "nxt2").alias("bg")
+        )
+        .distinct()
+    )
+    sizes = big.groupBy("user_id").agg(F.count("*").alias("sz"))
+    a, b = big.alias("a"), big.alias("b")
+    inter = (
+        a.join(b, (F.col("a.bg") == F.col("b.bg")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .groupBy(F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("sa.user_id") == F.col("user_a"))
+        .join(sizes.alias("sb"), F.col("sb.user_id") == F.col("user_b"))
+        .select("user_a", "user_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "user_a", "user_b")
+        .limit(20)
+    )

@@ -2576,3 +2576,52 @@ def ols_price_on_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta2, 6).alias("beta2"),
         n.cast("bigint").alias("n_rows"),
     )
+
+
+@register(
+    "observe_scan_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                            AS n_high_value,
+           round(sum(o_totalprice), 2)                         AS total_revenue,
+           round(avg(o_totalprice), 4)                         AS avg_price,
+           CAST((SELECT count(*) FROM orders) AS BIGINT)       AS n_scanned
+    FROM orders
+    WHERE o_totalprice > 200000
+    """,
+    doc="Single-pass pipeline observability (df.observe + the "
+    "Observation API): named aggregate metrics piggyback on the SAME "
+    "scan that computes the filtered aggregate — at 100 TB you get "
+    "row counts / control totals for data-quality monitoring without "
+    "a second pass or a separate counting job (the metrics ride the "
+    "action's existing tasks, like Spark accumulators but typed and "
+    "declarative).  The query returns the observed metrics as its "
+    "1-row result; the oracle recomputes them relationally.",
+    tags=("relational", "agg", "observability"),
+)
+def observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("scan_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_scanned"),
+    ).filter(F.col("o_totalprice") > 200000)
+    agg = observed.agg(
+        F.count("*").cast("bigint").alias("n_high_value"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+    row = agg.collect()[0]  # the action that also populates the observation
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                row["n_high_value"],
+                float(row["total_revenue"]),
+                float(row["avg_price"]),
+                m["n_scanned"],
+            )
+        ],
+        "n_high_value bigint, total_revenue double, avg_price double, n_scanned bigint",
+    )
