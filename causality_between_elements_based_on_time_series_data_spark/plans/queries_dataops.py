@@ -1,0 +1,244 @@
+"""Data-engineering operational patterns (SURVEY.md §2 engine
+extensions): declarative data-quality expectations (the Deequ-style
+constraint audit), snapshot diffing (CDC accounting between two table
+versions), and incremental aggregate maintenance (algebraic
+materialized-view refresh).
+
+These are the jobs that run AROUND an analytics engine in production:
+every one is a single-pass or key-partitioned plan, fully DuckDB-
+oracled, and none moves the fact table more than once.  The reference
+has no operational layer at all (its pipeline is a single in-memory
+script, run.py:39-73) — this module is part of the 100 TB [EXT]
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+
+@register(
+    "data_quality_expectations",
+    oracle="""
+    SELECT 'orders.o_orderkey unique' AS expectation,
+           CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders.o_custkey referential',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_quantity in (0, 60]',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_quantity <= 0 OR l_quantity > 60) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_discount in [0, 0.3]',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 0.3) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_name not null',
+           CAST((SELECT count(*) FROM customer WHERE c_name IS NULL)
+                AS BIGINT)
+    ORDER BY expectation
+    """,
+    doc="Declarative data-quality expectations (the Deequ/dbt-test "
+    "audit pattern): uniqueness, referential integrity, accepted "
+    "ranges, and non-null checks evaluated as ONE violation-count "
+    "row per constraint.  Each check is a single aggregate or "
+    "anti-join over its table — the FK check broadcasts the key set "
+    "when small and anti-joins keyed otherwise; nothing scans a "
+    "fact table twice for two constraints on the same table "
+    "(range + null checks share a pass via conditional sums).  At "
+    "100 TB this audit gates every pipeline stage; all-zero "
+    "violations on the fixture is itself the assertion that the "
+    "generator upholds its contract.",
+    tags=("dataops", "quality", "agg"),
+)
+def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    uniq = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("bigint").alias("n")
+    ).select(F.lit("orders.o_orderkey unique").alias("expectation"), F.col("n").alias("n_violations"))
+
+    fk = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.lit("orders.o_custkey referential").alias("expectation"),
+            F.col("n").alias("n_violations"),
+        )
+    )
+
+    # one shared lineitem pass for both range constraints
+    li_checks = li.agg(
+        F.sum(((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 60)).cast("int"))
+        .cast("bigint")
+        .alias("qty_bad"),
+        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 0.3)).cast("int"))
+        .cast("bigint")
+        .alias("disc_bad"),
+    )
+    qty = li_checks.select(
+        F.lit("lineitem.l_quantity in (0, 60]").alias("expectation"),
+        F.col("qty_bad").alias("n_violations"),
+    )
+    disc = li_checks.select(
+        F.lit("lineitem.l_discount in [0, 0.3]").alias("expectation"),
+        F.col("disc_bad").alias("n_violations"),
+    )
+
+    nn = customer.agg(
+        F.sum(F.col("c_name").isNull().cast("int")).cast("bigint").alias("n")
+    ).select(
+        F.lit("customer.c_name not null").alias("expectation"),
+        F.col("n").alias("n_violations"),
+    )
+
+    return (
+        uniq.unionByName(fk)
+        .unionByName(qty)
+        .unionByName(disc)
+        .unionByName(nn)
+        .orderBy("expectation")
+    )
+
+
+_SNAPSHOT_ORACLE_BASE = """
+    WITH v1 AS (
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM customer WHERE c_custkey % 97 <> 0
+    ),
+    v2 AS (
+        SELECT c_custkey,
+               round(CASE WHEN c_mktsegment = 'BUILDING'
+                          THEN c_acctbal * 1.1 ELSE c_acctbal END, 2) AS acctbal
+        FROM customer WHERE c_custkey % 89 <> 0
+    )
+"""
+
+
+@register(
+    "snapshot_diff_counts",
+    oracle=_SNAPSHOT_ORACLE_BASE
+    + """
+    SELECT CAST(sum(CASE WHEN v1.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inserted,
+           CAST(sum(CASE WHEN v2.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deleted,
+           CAST(sum(CASE WHEN v1.c_custkey IS NOT NULL AND v2.c_custkey IS NOT NULL
+                          AND v1.acctbal <> v2.acctbal THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_updated,
+           CAST(sum(CASE WHEN v1.c_custkey IS NOT NULL AND v2.c_custkey IS NOT NULL
+                          AND v1.acctbal = v2.acctbal THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unchanged
+    FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey
+    """,
+    doc="Snapshot diff / change-data accounting: two table versions "
+    "(synthesized deterministically from customer — %97 rows absent "
+    "from v1, %89 absent from v2, BUILDING balances revalued) "
+    "full-outer-joined on the key and classified into inserted / "
+    "deleted / updated / unchanged counts — the audit a CDC consumer "
+    "runs to reconcile a feed against a rebuild.  One keyed shuffle "
+    "per side; the classification is row-local on the joined "
+    "result.",
+    tags=("dataops", "join"),
+)
+def snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.filter(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    v2 = c.filter(F.col("c_custkey") % 89 != 0).select(
+        "c_custkey",
+        F.round(
+            F.when(
+                F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal") * 1.1
+            ).otherwise(F.col("c_acctbal")),
+            2,
+        ).alias("acctbal"),
+    )
+    j = v1.alias("v1").join(
+        v2.alias("v2"), F.col("v1.c_custkey") == F.col("v2.c_custkey"), "full_outer"
+    )
+    return j.agg(
+        F.sum(F.col("v1.c_custkey").isNull().cast("int")).cast("bigint").alias("n_inserted"),
+        F.sum(F.col("v2.c_custkey").isNull().cast("int")).cast("bigint").alias("n_deleted"),
+        F.sum(
+            (
+                F.col("v1.c_custkey").isNotNull()
+                & F.col("v2.c_custkey").isNotNull()
+                & (F.col("v1.acctbal") != F.col("v2.acctbal"))
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_updated"),
+        F.sum(
+            (
+                F.col("v1.c_custkey").isNotNull()
+                & F.col("v2.c_custkey").isNotNull()
+                & (F.col("v1.acctbal") == F.col("v2.acctbal"))
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_unchanged"),
+    )
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT c_mktsegment,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Incremental aggregate maintenance (algebraic materialized-"
+    "view refresh): the base aggregate is computed over the 'old' "
+    "orders (o_orderkey %% 10 <> 0), the late-arriving delta batch "
+    "(%% 10 == 0) is aggregated SEPARATELY, and the two partial-"
+    "aggregate tables merge by key summation — sum and count are "
+    "algebraic, so refresh cost is O(delta + |view|), never a "
+    "re-scan of the base facts.  The oracle is the full recompute "
+    "over ALL orders: merged-incremental == recomputed is exactly "
+    "the invariant a production MV refresh must uphold.",
+    tags=("dataops", "agg"),
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def seg_agg(o: DataFrame) -> DataFrame:
+        return (
+            o.join(customer, o.o_custkey == customer.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.sum("o_totalprice").alias("rev_part"),
+                F.count("*").alias("n_part"),
+            )
+        )
+
+    base = seg_agg(orders.filter(F.col("o_orderkey") % 10 != 0))
+    delta = seg_agg(orders.filter(F.col("o_orderkey") % 10 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("rev_part"), 2).alias("revenue"),
+            F.sum("n_part").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
