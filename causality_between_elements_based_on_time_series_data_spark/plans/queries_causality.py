@@ -696,7 +696,7 @@ def _hourly_series_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asymmetric TE(a,b) vs TE(b,a) is exactly the directed-influence "
     "signal B learns.  After the first events aggregate everything "
     "runs on |series|^2 x 8 rows, independent of raw event volume.",
-    tags=("causality", "timeseries", "stats"),
+    tags=("causality", "timeseries", "stats", "bench"),
 )
 def transfer_entropy_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = _hourly_series_rounded(spark, sf_dir)

@@ -242,3 +242,125 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "kfold_assignment_balance",
+    oracle="""
+    WITH folds AS (
+        SELECT vec_id, label,
+               CAST((vec_id * 2654435761) % 2147483647 % 5 AS INTEGER) AS fold
+        FROM embeddings
+    )
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(label) AS BIGINT) AS n_positive,
+           round(avg(CAST(label AS DOUBLE)), 6) AS positive_rate
+    FROM folds
+    GROUP BY fold
+    ORDER BY fold
+    """,
+    doc="Deterministic k-fold cross-validation assignment (ML-ops "
+    "prep): fold = Knuth-multiplicative hash of the row key mod k — "
+    "portable integer arithmetic (mod 2^31-1 keeps ANSI mode happy), "
+    "so the SAME split reproduces on any engine, any partitioning, "
+    "any day, with no stored split table.  The query audits the "
+    "split: per-fold row counts and label balance, the check run "
+    "before trusting any CV estimate.  Map-side hash + one tiny "
+    "k-row aggregate; at 100 TB the assignment is a free column, "
+    "never a shuffle.",
+    tags=("dataops", "ml"),
+)
+def kfold_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    fold = ((F.col("vec_id") * 2654435761) % 2147483647 % 5).cast("int")
+    return (
+        emb.select(fold.alias("fold"), "label")
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("label").cast("bigint").alias("n_positive"),
+            F.round(F.avg(F.col("label").cast("double")), 6).alias("positive_rate"),
+        )
+        .orderBy("fold")
+    )
+
+
+@register(
+    "roc_curve_points",
+    oracle="""
+    WITH scored AS (
+        SELECT label,
+               round(1.0 / (1.0 + exp(-list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE))) )), 6) AS score
+        FROM embeddings
+    ),
+    totals AS (
+        SELECT CAST(sum(label) AS DOUBLE) AS p,
+               CAST(sum(1 - label) AS DOUBLE) AS n
+        FROM scored
+    ),
+    thresholds AS (
+        SELECT CAST(t AS DOUBLE) / 10 AS thr FROM range(0, 11) r(t)
+    )
+    SELECT thr,
+           round(sum(CASE WHEN score >= thr THEN label ELSE 0 END) / max(p), 6)
+               AS tpr,
+           round(sum(CASE WHEN score >= thr THEN 1 - label ELSE 0 END) / max(n), 6)
+               AS fpr,
+           CAST(sum(CASE WHEN score >= thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_predicted_pos
+    FROM thresholds CROSS JOIN scored CROSS JOIN totals
+    GROUP BY thr
+    ORDER BY thr
+    """,
+    doc="ROC curve points (classifier-eval breadth beside the exact "
+    "auc_mann_whitney): a deterministic sigmoid score over each "
+    "embedding's coordinate sum, evaluated at 11 fixed thresholds — "
+    "TPR/FPR/predicted-positive per point.  The threshold grid "
+    "broadcasts (11 rows) against the scored corpus and every "
+    "(threshold, row) contribution is a conditional sum, so one "
+    "pass over the data yields the whole curve — the 100 TB form; "
+    "score rounds to 6dp on both engines before thresholding so "
+    "boundary rows classify identically.",
+    tags=("dataops", "ml", "stats"),
+)
+def roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    coord_sum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    scored = emb.select(
+        "label", F.round(1.0 / (1.0 + F.exp(-coord_sum)), 6).alias("score")
+    )
+    thresholds = spark.range(0, 11).select(
+        (F.col("id").cast("double") / 10).alias("thr")
+    )
+    totals = scored.agg(
+        F.sum("label").cast("double").alias("p"),
+        F.sum(1 - F.col("label")).cast("double").alias("n"),
+    )
+    return (
+        F.broadcast(thresholds)
+        .crossJoin(scored)
+        .crossJoin(F.broadcast(totals))
+        .groupBy("thr")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("score") >= F.col("thr"), F.col("label")).otherwise(0))
+                / F.max("p"),
+                6,
+            ).alias("tpr"),
+            F.round(
+                F.sum(
+                    F.when(F.col("score") >= F.col("thr"), 1 - F.col("label")).otherwise(0)
+                )
+                / F.max("n"),
+                6,
+            ).alias("fpr"),
+            F.sum(F.when(F.col("score") >= F.col("thr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_predicted_pos"),
+        )
+        .orderBy("thr")
+    )
