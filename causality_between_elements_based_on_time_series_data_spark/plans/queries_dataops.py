@@ -254,8 +254,8 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT fold,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(label) AS BIGINT) AS n_positive,
-           round(avg(CAST(label AS DOUBLE)), 6) AS positive_rate
+           CAST(count(DISTINCT label) AS BIGINT) AS n_classes,
+           round(avg(CAST(label AS DOUBLE)), 6) AS mean_label
     FROM folds
     GROUP BY fold
     ORDER BY fold
@@ -265,7 +265,8 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "portable integer arithmetic (mod 2^31-1 keeps ANSI mode happy), "
     "so the SAME split reproduces on any engine, any partitioning, "
     "any day, with no stored split table.  The query audits the "
-    "split: per-fold row counts and label balance, the check run "
+    "split: per-fold row counts, class coverage, and mean label "
+    "over the 10-class fixture labels — the balance check run "
     "before trusting any CV estimate.  Map-side hash + one tiny "
     "k-row aggregate; at 100 TB the assignment is a free column, "
     "never a shuffle.",
@@ -279,8 +280,8 @@ def kfold_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fold")
         .agg(
             F.count("*").cast("bigint").alias("n_rows"),
-            F.sum("label").cast("bigint").alias("n_positive"),
-            F.round(F.avg(F.col("label").cast("double")), 6).alias("positive_rate"),
+            F.countDistinct("label").cast("bigint").alias("n_classes"),
+            F.round(F.avg(F.col("label").cast("double")), 6).alias("mean_label"),
         )
         .orderBy("fold")
     )
@@ -290,7 +291,7 @@ def kfold_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "roc_curve_points",
     oracle="""
     WITH scored AS (
-        SELECT label,
+        SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS label,
                round(1.0 / (1.0 + exp(-list_sum(list_transform(embedding,
                      x -> CAST(x AS DOUBLE))) )), 6) AS score
         FROM embeddings
@@ -315,8 +316,9 @@ def kfold_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY thr
     """,
     doc="ROC curve points (classifier-eval breadth beside the exact "
-    "auc_mann_whitney): a deterministic sigmoid score over each "
-    "embedding's coordinate sum, evaluated at 11 fixed thresholds — "
+    "auc_mann_whitney): the 10-class fixture label binarized at "
+    ">= 5, scored by a deterministic sigmoid over each embedding's "
+    "coordinate sum, evaluated at 11 fixed thresholds — "
     "TPR/FPR/predicted-positive per point.  The threshold grid "
     "broadcasts (11 rows) against the scored corpus and every "
     "(threshold, row) contribution is a conditional sum, so one "
@@ -331,7 +333,8 @@ def roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
     )
     scored = emb.select(
-        "label", F.round(1.0 / (1.0 + F.exp(-coord_sum)), 6).alias("score")
+        (F.col("label") >= 5).cast("int").alias("label"),
+        F.round(1.0 / (1.0 + F.exp(-coord_sum)), 6).alias("score"),
     )
     thresholds = spark.range(0, 11).select(
         (F.col("id").cast("double") / 10).alias("thr")

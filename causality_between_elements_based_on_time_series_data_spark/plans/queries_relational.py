@@ -364,7 +364,9 @@ def set_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTERSECT
     SELECT s_nationkey FROM supplier
     """,
-    doc="INTERSECT — SURVEY §2.7.",
+    doc="INTERSECT (SURVEY §2.7): distinct nation keys present on "
+    "BOTH the customer and supplier side — hash-aggregated semi "
+    "semantics, one keyed shuffle per leg.",
     tags=("relational", "setop"),
 )
 def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,7 +382,9 @@ def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXCEPT
     SELECT s_nationkey FROM supplier
     """,
-    doc="EXCEPT — SURVEY §2.7.",
+    doc="EXCEPT (SURVEY §2.7): distinct customer nation keys with "
+    "no supplier presence — anti semantics with distinct, one keyed "
+    "shuffle per leg (exceptAll is the multiset twin).",
     tags=("relational", "setop"),
 )
 def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -291,3 +291,14 @@ def test_lateral_decorrelates_to_group_limit(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "lateral_top_orders_per_customer")
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_registry_hygiene():
+    """Every registered query carries documentation and tags, and
+    rows-only entries are the declared exception, not the norm."""
+    assert len(REGISTRY) >= 200
+    for name, q in REGISTRY.items():
+        assert q.doc and len(q.doc) > 40, f"{name}: missing/stub doc"
+        assert q.tags, f"{name}: untagged"
+    oracled = sum(1 for q in REGISTRY.values() if q.oracle)
+    assert oracled / len(REGISTRY) >= 0.85, "oracle coverage regressed below 85%"
