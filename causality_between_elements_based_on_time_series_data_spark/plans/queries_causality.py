@@ -1229,3 +1229,71 @@ def seasonal_decomposition_hourly(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type", "hod")
     )
+
+
+@register(
+    "mad_robust_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, round(median(v), 6) AS med
+        FROM daily GROUP BY 1
+    ),
+    dev AS (
+        SELECT d.event_type, d.day, d.v, m.med,
+               round(abs(d.v - m.med), 6) AS adev
+        FROM daily d JOIN med m ON d.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, round(median(adev), 6) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(max(d.adev / (1.4826 * m.mad)), 4) AS max_robust_z,
+           CAST(sum(CASE WHEN d.adev / (1.4826 * m.mad) > 3.5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    doc="Robust anomaly detection per element series via the median "
+    "absolute deviation (Hampel identifier): robust z = "
+    "|v - median| / (1.4826 * MAD), flagged above 3.5 — unlike the "
+    "mean/std rolling_zscore_anomalies, a single extreme day cannot "
+    "inflate its own denominator and mask itself.  Two exact-median "
+    "aggregates over the tiny daily grid (Spark 4 median() == "
+    "DuckDB quantile_cont interpolation; inputs rounded 6dp so both "
+    "engines interpolate identical operands), then one row-local "
+    "classification pass.  Everything after the first events "
+    "aggregate is |days| x |series| rows.",
+    tags=("causality", "timeseries", "stats"),
+)
+def mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("v")
+    )
+    med = daily.groupBy("event_type").agg(F.round(F.median("v"), 6).alias("med"))
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "v",
+        F.round(F.abs(F.col("v") - F.col("med")), 6).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.round(F.median("adev"), 6).alias("mad"))
+    rz = F.col("adev") / (1.4826 * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(F.max(rz), 4).alias("max_robust_z"),
+            F.sum(F.when(rz > 3.5, 1).otherwise(0)).cast("bigint").alias("n_flagged"),
+        )
+        .orderBy("event_type")
+    )
