@@ -2629,3 +2629,97 @@ def observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_high_value bigint, total_revenue double, avg_price double, n_scanned bigint",
     )
+
+
+@register(
+    "frequent_brand_pairs",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+          FROM baskets),
+    item AS (
+        SELECT p_brand, count(*) AS item_cnt FROM baskets GROUP BY 1
+    ),
+    pair AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               count(*) AS pair_cnt
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+        HAVING count(*) >= 50
+    )
+    SELECT brand_a, brand_b,
+           round(pair_cnt / n.n_orders, 6)            AS support,
+           round(pair_cnt / CAST(ia.item_cnt AS DOUBLE), 6) AS confidence_a_to_b,
+           round(pair_cnt * n.n_orders
+                 / (CAST(ia.item_cnt AS DOUBLE) * ib.item_cnt), 6) AS lift,
+           CAST(pair_cnt AS BIGINT) AS pair_cnt
+    FROM pair
+    JOIN item ia ON ia.p_brand = brand_a
+    JOIN item ib ON ib.p_brand = brand_b
+    CROSS JOIN n
+    ORDER BY support DESC, brand_a, brand_b
+    LIMIT 25
+    """,
+    doc="Frequent-itemset pairs mined relationally (the Apriori "
+    "support-counting core, market-basket style): order baskets of "
+    "distinct brands, pair supports via the basket self-join keyed "
+    "on the ORDER (so cost follows per-basket width^2, never "
+    "brand^2 x orders), a min-support HAVING prune, and "
+    "confidence/lift from the tiny per-item support table "
+    "(broadcast).  With bounded basket width the self-join is "
+    "linear in orders at 100 TB — the same per-key pair-expansion "
+    "discipline as the co-supply graph build; MLlib FPGrowth is "
+    "the tree-based alternative when itemsets go beyond pairs.",
+    tags=("relational", "agg", "join"),
+)
+def frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = baskets.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    item = baskets.groupBy("p_brand").agg(F.count("*").alias("item_cnt"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b"))
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 50)
+    )
+    ia = item.select(F.col("p_brand").alias("brand_a"), F.col("item_cnt").alias("cnt_a"))
+    ib = item.select(F.col("p_brand").alias("brand_b"), F.col("item_cnt").alias("cnt_b"))
+    return (
+        pair.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.round(F.col("pair_cnt") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("pair_cnt") / F.col("cnt_a").cast("double"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("pair_cnt")
+                * F.col("n_orders")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+            F.col("pair_cnt").cast("bigint").alias("pair_cnt"),
+        )
+        .orderBy(F.desc("support"), "brand_a", "brand_b")
+        .limit(25)
+    )
