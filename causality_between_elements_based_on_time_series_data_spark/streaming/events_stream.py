@@ -378,7 +378,9 @@ def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def streaming_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_append_finalized(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Tumbling rollup in APPEND output mode: a window row is emitted
     exactly once, only after the event-time watermark passes the
     window end — the late-data-safe mode a production parquet/Delta
@@ -390,7 +392,7 @@ def streaming_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a finite fixture."""
     with scoped_conf(spark, _NANOS_FLAG, "true"):
         stream = (
-            _stream_events(spark, sf_dir)
+            _stream_events(spark, sf_dir, max_files_per_trigger=max_files_per_trigger)
             .withWatermark("ts", "1 hour")
         )
         agg = stream.groupBy(

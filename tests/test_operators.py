@@ -997,3 +997,57 @@ def test_ols_cramer_matches_numpy_lstsq(spark, sf_dir):
     assert got["n_rows"] == len(pdf)
     for i, col in enumerate(("beta0", "beta1", "beta2")):
         assert abs(got[col] - beta[i]) <= 1e-3 * max(1.0, abs(beta[i])), (col, got[col], beta[i])
+
+
+def test_streaming_append_drops_late_data_past_watermark(spark, tmp_path):
+    """Watermark semantics under real multi-batch delivery, at the
+    actual guarantee boundary: a window's state is emitted+EVICTED at
+    the end of the first batch whose in-effect watermark passes its
+    end; a late row arriving AFTER eviction is dropped (no merge, no
+    duplicate append emission).  Three one-file micro-batches:
+    batch 0 seeds hour-0 and pushes max event time to 5:10 (watermark
+    4:10 from batch 1 on); batch 1 triggers hour-0's emission and
+    eviction; batch 2 delivers an hour-0 row that is now LATE past
+    the watermark -> dropped, plus a 9:00 row that advances the final
+    flush watermark."""
+    import os
+    import time
+
+    from causality_between_elements_based_on_time_series_data_spark.streaming.events_stream import (
+        streaming_append_finalized,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batches = [
+        [
+            (1, t0 + timedelta(minutes=10), 1, "click", 1.0),
+            (2, t0 + timedelta(hours=5, minutes=10), 1, "click", 1.0),
+        ],
+        [(6, t0 + timedelta(hours=6), 1, "click", 1.0)],
+        [
+            # LATE: hour-0 was evicted at the end of batch 1 -> dropped
+            (3, t0 + timedelta(minutes=20), 1, "click", 100.0),
+            (5, t0 + timedelta(hours=9), 1, "click", 1.0),
+        ],
+    ]
+    d = tmp_path / "late"
+    os.makedirs(d)
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).toPandas().to_parquet(
+            d / f"events.parquet_{chr(97 + i)}"
+        )
+        time.sleep(1.1)
+
+    rows = streaming_append_finalized(
+        spark, str(d), max_files_per_trigger=1
+    ).collect()
+    got = sorted((r["window_start_us"], r["n"], r["total_value"]) for r in rows)
+    us = lambda h: int((t0 + timedelta(hours=h)).timestamp() * 1_000_000)
+    # hour-0 exactly ONCE as (1, 1.0): the late 100.0 neither merged
+    # nor re-opened the window; hour-9 withheld (watermark 8:00 < end)
+    assert got == [
+        (us(0), 1, 1.0),
+        (us(5), 1, 1.0),
+        (us(6), 1, 1.0),
+    ], got
