@@ -2723,3 +2723,69 @@ def frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "brand_a", "brand_b")
         .limit(25)
     )
+
+
+@register(
+    "bucketed_join_order_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           round(sum(l_quantity * o_totalprice / 1000.0), 2) AS weighted_rev,
+           count(*) AS n_lines
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Bucketed co-located join as a first-class query: both join "
+    "sides are written bucketBy(8, order key) + sortBy into the "
+    "session warehouse, then joined and aggregated.  With broadcast "
+    "off, the bucketed layout plans an exchange-FREE SortMergeJoin "
+    "— that plan shape is gated in tests/test_bucketing.py; at "
+    "fixture scale AQE may legitimately broadcast the small side "
+    "instead, and at 100 TB (where neither side broadcasts) the "
+    "bucket co-location is what removes the per-query shuffle, "
+    "paying it once at write time.  The oracle recomputes the same "
+    "aggregate from the raw tables, so the bucketed layout is "
+    "proven value-preserving, not just plan-shaped.",
+    tags=("relational", "join", "layout"),
+)
+def bucketed_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckets")
+    # robust re-runs across sessions: a fresh derby metastore with a
+    # stale warehouse dir rejects saveAsTable(LOCATION_ALREADY_EXISTS)
+    # — drop the catalog entry AND the physical location first
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("q_li_b", "q_orders_b"):
+        spark.sql(f"DROP TABLE IF EXISTS buckets.{t}")
+        shutil.rmtree(f"{wh}/buckets.db/{t}", ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("buckets.q_li_b")
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("buckets.q_orders_b")
+    )
+    joined = spark.table("buckets.q_li_b").join(
+        spark.table("buckets.q_orders_b"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity") * F.col("o_totalprice") / 1000.0), 2
+            ).alias("weighted_rev"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_orderstatus")
+    )
