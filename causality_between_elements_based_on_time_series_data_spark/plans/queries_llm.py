@@ -31,6 +31,136 @@ from ..sources.catalog import load_table
 from .registry import register
 
 
+# Fixed (a, b) pairs for the portable MinHash family h_i(c) = (a_i*c + b_i) mod P.
+# 16 hashes → 4 bands × 4 rows: per-band collision probability is Jaccard⁴,
+# selective enough that band buckets hold only genuine near-dup mass (2-row
+# bands collide at Jaccard² — measured 8.8% of all pairs on the fixture from
+# ordinary shared vocabulary alone; 4-row bands cut that to the planted dups).
+_MH_P = 1000003
+_MH_COEFFS = [
+    (131, 7), (137, 11), (139, 13), (149, 17),
+    (151, 19), (157, 23), (163, 29), (167, 31),
+    (173, 37), (179, 41), (181, 43), (191, 47),
+    (193, 53), (197, 59), (199, 61), (211, 67),
+]
+
+# Portable shingle code: the first 48 bits of md5, hex-decoded to BIGINT.
+# md5 is bit-identical in Spark (``F.md5``) and DuckDB (``md5``), and both
+# engines decode a '0x…' hex string to an integer (Spark via ``conv(_, 16,
+# 10)``, DuckDB via ``CAST('0x' || … AS BIGINT)``), so the code is uniform
+# AND reproducible across engines.  An earlier revision derived the code
+# from ``ascii(tok)`` — Spark's ascii() reads only the FIRST character, so
+# the token universe collapsed to ~(first-char × length) distinct values,
+# the MinHash minima degenerated, and banding emitted 84% of all pairs.
+# Hashing single words is not enough either: word-level Jaccard between
+# unrelated same-domain documents is high (measured: 2-row bands over
+# perfect unigram hashes still emit 8.8%, 4-row bands 49%), which is why
+# this tier shingles 3-word n-grams exactly like the xxhash64 production
+# tier (operators/dedup.py:_shingles) before hashing.
+def _tok_code_spark(col: str = "tok") -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint") % _MH_P
+
+
+def _tok_code_sql(col: str = "tok") -> str:
+    return f"(CAST('0x' || substr(md5({col}), 1, 12) AS BIGINT) % {_MH_P})"
+
+
+# DuckDB twin of operators/dedup.py:_shingles — distinct 3-word
+# shingles.  ``src`` parametrizes the document relation so the same CTE
+# serves the whole-corpus oracles AND the dedup pipeline's
+# survivors-only tier (llm_dedup_pipeline runs LSH after exact dedup).
+def _shingle_sql(src: str = "documents") -> str:
+    return f"""
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(toks) - 1, 2)),
+               i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])
+           )) AS tok
+    FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+          FROM {src})
+"""
+
+
+def _minhash_oracle() -> str:
+    code = _tok_code_sql()
+    shingles = _shingle_sql()
+    sigs = ",\n           ".join(
+        f"CAST(min(({a} * ({code}) + {b}) % {_MH_P}) AS BIGINT) AS s{i}"
+        for i, (a, b) in enumerate(_MH_COEFFS)
+    )
+    return f"""
+    WITH tok AS (
+        {shingles}
+    )
+    SELECT doc_id,
+           {sigs}
+    FROM tok
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+
+_MH_MAX_BUCKET = 300
+
+
+def _band_core_sql(src: str = "documents") -> str:
+    """CTE bodies ``__sh``/``sig``/``bands``/``ok``/``pruned`` computing
+    the hot-bucket-guarded LSH band buckets over ``src`` — shared by
+    the band-pair oracle, the full-corpus Jaccard oracle, and the
+    dedup-pipeline oracle (candidate generation must be bit-identical
+    in all three)."""
+    code = _tok_code_sql()
+    shingles = _shingle_sql(src)
+    sigs = ",\n               ".join(
+        f"min(({a} * ({code}) + {b}) % {_MH_P}) AS s{i}"
+        for i, (a, b) in enumerate(_MH_COEFFS)
+    )
+    bands = ", ".join(
+        f"(((s{4*i} * {_MH_P} + s{4*i+1}) % 1000000007) * 2000000011"
+        f" + ((s{4*i+2} * {_MH_P} + s{4*i+3}) % 1000000007))"
+        for i in range(4)
+    )
+    return f"""
+    __sh AS (
+        {shingles}
+    ),
+    sig AS (
+        SELECT doc_id,
+               {sigs}
+        FROM __sh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id,
+               generate_subscripts([{bands}], 1) AS band_id,
+               unnest([{bands}]) AS band_val
+        FROM sig
+    ),
+    ok AS (
+        SELECT band_id, band_val FROM bands
+        GROUP BY band_id, band_val
+        HAVING count(*) <= {_MH_MAX_BUCKET}
+    ),
+    pruned AS (
+        SELECT b.doc_id, b.band_id, b.band_val
+        FROM bands b JOIN ok USING (band_id, band_val)
+    )"""
+
+
+def _band_pairs_oracle() -> str:
+    return f"""
+    WITH {_band_core_sql()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared_bands
+    FROM pruned a JOIN pruned b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY doc_a, doc_b
+    """
+
+
+
 @register(
     "dedup_exact_docs",
     oracle="""
@@ -120,8 +250,15 @@ def ngram_jaccard_pairs(
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if anchors is None:
         # full-corpus mode: LSH candidates bound the pair space, then
-        # the inverted index verifies exact Jaccard on candidates only
-        cands = lsh_candidate_pairs(minhash_signatures(docs))
+        # the inverted index verifies exact Jaccard on candidates only.
+        # Candidates come from the PORTABLE MinHash band tier (md5-
+        # derived shingle codes, reproducible in any engine) so the
+        # whole production route is oracle-checkable end-to-end; the
+        # xxhash64 tier (minhash_lsh_candidates) remains the drop-in
+        # swap when raw hash throughput matters more than parity.
+        cands = portable_band_pairs(portable_signatures(docs)).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        )
         inter = (
             cands.join(tok.alias("ta"), F.col("ta.doc_id") == F.col("id_a"))
             .join(
@@ -151,18 +288,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def _jaccard_full_oracle() -> str:
+    return f"""
+    WITH {_band_core_sql()},
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pruned a JOIN pruned b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    tok0 AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+    ),
+    dfreq AS (SELECT w, count(*) AS df FROM tok0 GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    tok AS (
+        SELECT t.doc_id, t.w
+        FROM tok0 t JOIN dfreq USING (w) CROSS JOIN nd
+        WHERE df <= 0.8 * n_docs
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cand c
+        JOIN tok ta ON ta.doc_id = c.id_a
+        JOIN tok tb ON tb.doc_id = c.id_b AND ta.w = tb.w
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE)
+                 / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
+    """
+
+
 @register(
     "ngram_jaccard_pairs_full",
-    oracle=None,  # pair discovery routes through xxhash64 MinHash-LSH
-    # candidates (engine-specific hash) — rows-only; the planted-pair
-    # recall pytest (tests/test_operators.py) asserts the route finds
-    # the fixtures' near-duplicates, and every SURVIVING pair's exact
-    # Jaccard is verified on-candidates, same math as the oracled
-    # ngram_jaccard_pairs baseline.
+    oracle=_jaccard_full_oracle(),
     doc="FULL-CORPUS near-dup pair discovery — the production route "
-    "ngram_jaccard_pairs only demonstrates on 1%% anchors: MinHash-LSH "
-    "candidates bound the pair space sub-quadratically, then the "
-    "inverted-index join verifies exact Jaccard on candidates only. "
+    "ngram_jaccard_pairs only demonstrates on 1%% anchors: portable "
+    "MinHash-LSH band candidates bound the pair space sub-"
+    "quadratically, then the inverted-index join verifies exact "
+    "Jaccard on candidates only. Fully oracle-checked end-to-end "
+    "(candidate generation replayed in the oracle via the shared "
+    "band CTE — bit-identical md5-derived hashes on both engines). "
     "At 100 TB the cost is candidate-mass-proportional (hot-bucket "
     "guarded), never corpus².",
     tags=("llm", "dedup", "similarity"),
@@ -252,18 +426,78 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(minhash_signatures(docs))
 
 
+def _dedup_pipeline_oracle() -> str:
+    # Tier 1 (exact dedup, min-id survivor per text) feeds the band
+    # CTEs via the ``sdocs`` relation; tier 3 verifies token-set
+    # Jaccard ≥ 0.8 on candidates; tier 4 closes components with a
+    # recursive CTE (same pattern as dedup_jaccard_clusters).
+    return f"""
+    WITH RECURSIVE surv AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    sdocs AS (
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM documents d JOIN surv USING (doc_id)
+    ),
+    {_band_core_sql("sdocs")},
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pruned a JOIN pruned b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM sdocs
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cand c
+        JOIN tok ta ON ta.doc_id = c.id_a
+        JOIN tok tb ON tb.doc_id = c.id_b AND ta.w = tb.w
+        GROUP BY 1, 2
+    ),
+    prs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM prs
+        UNION SELECT id_b, id_a FROM prs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    dropped AS (
+        SELECT u AS doc_id FROM reach GROUP BY u
+        HAVING least(u, min(v)) <> u
+    )
+    SELECT s.doc_id, s.lang, s.source, s.n_chars
+    FROM sdocs s
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
 @register(
     "llm_dedup_pipeline",
-    oracle=None,  # tier 2 uses xxhash64 MinHash-LSH candidates — rows-only;
-    # planted-duplicate removal asserted in tests/test_operators.py
+    oracle=_dedup_pipeline_oracle(),
     doc="The full dedup pipeline a training-data run needs, composed "
-    "end-to-end: (1) exact dedup on sha2 content hash → (2) MinHash-"
-    "LSH candidate pairs on the survivors → (3) exact Jaccard "
-    "verification (≥ 0.8) on candidates only → (4) connected "
+    "end-to-end: (1) exact dedup on sha2 content hash → (2) portable "
+    "MinHash-LSH band candidate pairs on the survivors → (3) exact "
+    "Jaccard verification (≥ 0.8) on candidates only → (4) connected "
     "components → drop non-canonical members. Emits the surviving "
     "documents. Every stage is the bounded-shuffle form: 32-byte "
-    "hash keys, banded buckets, candidate-only verification, "
-    "label propagation.",
+    "hash keys, banded buckets, candidate-only verification, label "
+    "propagation — and every stage is replayed by the DuckDB oracle "
+    "(exact-dedup GROUP BY, shared band CTE, recursive-CTE closure), "
+    "so the driver hash-checks the production dedup path end-to-end.",
     tags=("llm", "dedup", "pipeline"),
 )
 def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,8 +515,12 @@ def dedup_pipeline_survivors(
     keep = dedup_exact(docs).select(F.col("keep_doc_id").alias("doc_id"))
     s1 = docs.join(keep, "doc_id", "semi")
 
-    # tier 2: sub-quadratic near-dup candidates
-    cands = lsh_candidate_pairs(minhash_signatures(s1))
+    # tier 2: sub-quadratic near-dup candidates — portable band tier
+    # (oracle-reproducible md5 hashes; xxhash64 tier is the drop-in
+    # swap for raw hash throughput)
+    cands = portable_band_pairs(portable_signatures(s1)).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
 
     # tier 3: exact token-Jaccard verification on candidates only
     tok = s1.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
@@ -1487,71 +1725,6 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Fixed (a, b) pairs for the portable MinHash family h_i(c) = (a_i*c + b_i) mod P.
-# 16 hashes → 4 bands × 4 rows: per-band collision probability is Jaccard⁴,
-# selective enough that band buckets hold only genuine near-dup mass (2-row
-# bands collide at Jaccard² — measured 8.8% of all pairs on the fixture from
-# ordinary shared vocabulary alone; 4-row bands cut that to the planted dups).
-_MH_P = 1000003
-_MH_COEFFS = [
-    (131, 7), (137, 11), (139, 13), (149, 17),
-    (151, 19), (157, 23), (163, 29), (167, 31),
-    (173, 37), (179, 41), (181, 43), (191, 47),
-    (193, 53), (197, 59), (199, 61), (211, 67),
-]
-
-# Portable shingle code: the first 48 bits of md5, hex-decoded to BIGINT.
-# md5 is bit-identical in Spark (``F.md5``) and DuckDB (``md5``), and both
-# engines decode a '0x…' hex string to an integer (Spark via ``conv(_, 16,
-# 10)``, DuckDB via ``CAST('0x' || … AS BIGINT)``), so the code is uniform
-# AND reproducible across engines.  An earlier revision derived the code
-# from ``ascii(tok)`` — Spark's ascii() reads only the FIRST character, so
-# the token universe collapsed to ~(first-char × length) distinct values,
-# the MinHash minima degenerated, and banding emitted 84% of all pairs.
-# Hashing single words is not enough either: word-level Jaccard between
-# unrelated same-domain documents is high (measured: 2-row bands over
-# perfect unigram hashes still emit 8.8%, 4-row bands 49%), which is why
-# this tier shingles 3-word n-grams exactly like the xxhash64 production
-# tier (operators/dedup.py:_shingles) before hashing.
-def _tok_code_spark(col: str = "tok") -> Column:
-    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint") % _MH_P
-
-
-def _tok_code_sql(col: str = "tok") -> str:
-    return f"(CAST('0x' || substr(md5({col}), 1, 12) AS BIGINT) % {_MH_P})"
-
-
-# DuckDB twin of operators/dedup.py:_shingles — distinct 3-word shingles.
-_SHINGLE_CTE = """
-    SELECT DISTINCT doc_id,
-           unnest(list_transform(
-               range(1, greatest(len(toks) - 1, 2)),
-               i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])
-           )) AS tok
-    FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
-          FROM documents)
-"""
-
-
-def _minhash_oracle() -> str:
-    code = _tok_code_sql()
-    shingles = _SHINGLE_CTE
-    sigs = ",\n           ".join(
-        f"CAST(min(({a} * ({code}) + {b}) % {_MH_P}) AS BIGINT) AS s{i}"
-        for i, (a, b) in enumerate(_MH_COEFFS)
-    )
-    return f"""
-    WITH tok AS (
-        {shingles}
-    )
-    SELECT doc_id,
-           {sigs}
-    FROM tok
-    GROUP BY doc_id
-    ORDER BY doc_id
-    """
-
-
 @register(
     "minhash_portable_signatures",
     oracle=_minhash_oracle(),
@@ -1567,7 +1740,13 @@ def _minhash_oracle() -> str:
     tags=("llm", "dedup", "sketch"),
 )
 def minhash_portable_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return portable_signatures(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def portable_signatures(docs: DataFrame) -> DataFrame:
+    """Portable MinHash signatures (s0..s15) for a (doc_id, text)
+    DataFrame — the reusable core behind minhash_portable_signatures,
+    minhash_portable_band_pairs, and the production dedup path."""
     tok = docs.select(
         "doc_id", F.explode(_shingles(F.col("text"), 3)).alias("tok")
     )
@@ -1576,56 +1755,7 @@ def minhash_portable_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min((F.lit(a) * code + F.lit(b)) % _MH_P).cast("bigint").alias(f"s{i}")
         for i, (a, b) in enumerate(_MH_COEFFS)
     ]
-    return tok.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
-
-
-_MH_MAX_BUCKET = 300
-
-
-def _band_pairs_oracle() -> str:
-    code = _tok_code_sql()
-    shingles = _SHINGLE_CTE
-    sigs = ",\n               ".join(
-        f"min(({a} * ({code}) + {b}) % {_MH_P}) AS s{i}"
-        for i, (a, b) in enumerate(_MH_COEFFS)
-    )
-    bands = ", ".join(
-        f"(((s{4*i} * {_MH_P} + s{4*i+1}) % 1000000007) * 2000000011"
-        f" + ((s{4*i+2} * {_MH_P} + s{4*i+3}) % 1000000007))"
-        for i in range(4)
-    )
-    return f"""
-    WITH tok AS (
-        {shingles}
-    ),
-    sig AS (
-        SELECT doc_id,
-               {sigs}
-        FROM tok GROUP BY doc_id
-    ),
-    bands AS (
-        SELECT doc_id,
-               generate_subscripts([{bands}], 1) AS band_id,
-               unnest([{bands}]) AS band_val
-        FROM sig
-    ),
-    ok AS (
-        SELECT band_id, band_val FROM bands
-        GROUP BY band_id, band_val
-        HAVING count(*) <= {_MH_MAX_BUCKET}
-    ),
-    pruned AS (
-        SELECT b.doc_id, b.band_id, b.band_val
-        FROM bands b JOIN ok USING (band_id, band_val)
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           count(*) AS n_shared_bands
-    FROM pruned a JOIN pruned b
-      ON a.band_id = b.band_id AND a.band_val = b.band_val
-     AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    ORDER BY doc_a, doc_b
-    """
+    return tok.groupBy("doc_id").agg(*aggs)
 
 
 @register(
@@ -1645,7 +1775,14 @@ def _band_pairs_oracle() -> str:
     tags=("llm", "dedup", "join"),
 )
 def minhash_portable_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_portable_signatures(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return portable_band_pairs(portable_signatures(docs)).orderBy("doc_a", "doc_b")
+
+
+def portable_band_pairs(sig: DataFrame) -> DataFrame:
+    """LSH band-collision pairs (doc_a < doc_b, n_shared_bands) from
+    portable signatures — the oracle-checkable candidate generator the
+    production dedup path routes through."""
     # 4-row band fold kept inside BIGINT: two P²-scale halves, each
     # reduced mod 1e9+7 before pairing (≈2.0e18 max, inside 2^63).
     band_arr = F.array(
@@ -1683,7 +1820,6 @@ def minhash_portable_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count("*").alias("n_shared_bands"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
