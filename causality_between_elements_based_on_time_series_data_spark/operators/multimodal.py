@@ -22,8 +22,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-FEATURE_DIM = 8
-
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -40,16 +38,6 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-DECODED_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("mime", T.StringType()),
-        T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("feature", T.ArrayType(T.DoubleType())),
-    ]
-)
-
-
 def to_media_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Wrap documents as a multimodal table: binary payload + metadata
     struct. (Stand-in for real image/audio bytes; layout is the real
@@ -63,44 +51,6 @@ def to_media_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.length(payload).cast("int").alias("n_bytes"),
         ).alias("meta"),
     )
-
-
-def decode_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature-extraction stage over the multimodal
-    table: fixed-dim strided byte-sum features from opaque payloads
-    (content-agnostic — works on any mime type, unlike the
-    format-aware ``decode_raw_rgb``).
-
-    ``mapInPandas`` keeps whole Arrow batches per call — the right
-    shape for byte-heavy columns (per-row UDFs would re-serialize each
-    payload individually).
-
-    The kernel closure is deliberately self-contained (stdlib + pandas
-    only): Spark pickles module-level references by *module name*, and
-    the Python workers of a consumer session (the driver harness) do
-    not have this repo on their ``sys.path``.
-    """
-    feature_dim = FEATURE_DIM
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pandas as _pd
-
-        def feat(b: bytes) -> list[float]:
-            if not b:
-                return [0.0] * feature_dim
-            return [float(sum(b[i::feature_dim]) % 997) / 997.0 for i in range(feature_dim)]
-
-        for pdf in batches:
-            yield _pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "mime": pdf["meta"].map(lambda m: m["mime"]),
-                    "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"]),
-                    "feature": pdf["payload"].map(feat),
-                }
-            )
-
-    return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
 # --- RAWRGB: the in-repo raster format -------------------------------

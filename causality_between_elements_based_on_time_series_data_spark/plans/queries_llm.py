@@ -21,7 +21,7 @@ from ..operators.dedup import (
     simhash64,
 )
 from ..operators.multimodal import (
-    decode_features,
+    RAW_RGB_MIME,
     decode_raw_rgb,
     to_media_table,
     to_raw_rgb_media,
@@ -1004,8 +1004,8 @@ def mllib_logistic_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Multimodal binary-column plumbing: text encoded to an opaque "
     "BINARY payload, byte-length metadata derived columnar-side. The "
-    "decode/feature stage (deterministic stub) is the rows-only "
-    "multimodal_decode_features query.",
+    "decode/feature stage is the fully-oracled "
+    "multimodal_decode_features / multimodal_rawrgb_decode pair.",
     tags=("llm", "multimodal"),
 )
 def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1077,22 +1077,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_decode_features",
-    oracle=None,  # stubbed decoder — rows-only; schema/batch shape tested in pytest
-    doc="mapInPandas decode/feature-extract stage over the multimodal "
-    "table (Arrow-batched; deterministic stub kernel — a real codec "
-    "drops into the feat kernel in decode_features).",
-    tags=("llm", "multimodal"),
-)
-def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = to_media_table(load_table(spark, sf_dir, "documents"))
-    decoded = decode_features(media)
-    return decoded.select(
-        "doc_id", "mime", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
-    )
-
-
 def _rawrgb_channel_mean_sql(ch: int) -> str:
     """DuckDB twin of decode_raw_rgb's channel mean: pixel ``3*i+ch``
     carries ``(doc_id*31 + 7*(3*i+ch)) % 256``; the mean folds the
@@ -1137,6 +1121,43 @@ def _rawrgb_channel_mean_sql(ch: int) -> str:
 def multimodal_rawrgb_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return decode_raw_rgb(to_raw_rgb_media(docs))
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               8 + doc_id % 5 AS w,
+               6 + doc_id % 7 AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           'image/x-raw-rgb' AS mime,
+           CAST(8 + w * h * 3 AS INTEGER) AS n_bytes,
+           {_rawrgb_channel_mean_sql(0)} AS f0
+    FROM dims
+    """,
+    doc="Generic decode/feature-extract entry, running the REAL RAWRGB "
+    "decoder (no stub kernel): encode the in-repo raster format per "
+    "document executor-side, decode it in the Arrow-batched mapInPandas "
+    "kernel (magic/header validation, numpy reshape), surface the "
+    "leading feature dim (red-channel mean) plus payload metadata — "
+    "all hash-checked against DuckDB's symbolic replay of the pixel "
+    "arithmetic.  Map-side end-to-end: zero shuffle at any corpus "
+    "size.  An external-codec decoder (jpeg/png) drops in by swapping "
+    "decode_raw_rgb for a kernel with the same contract.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    decoded = decode_raw_rgb(to_raw_rgb_media(docs))
+    return decoded.select(
+        "doc_id",
+        F.lit(RAW_RGB_MIME).alias("mime"),
+        (F.col("n_px_bytes") + F.lit(8)).cast("int").alias("n_bytes"),
+        F.col("r_mean").alias("f0"),
+    )
 
 
 @register(
