@@ -15,7 +15,13 @@ $SPARK_GRAFT_BENCH_PASSES): a concurrent process on the box inflates a
 single-pass number uniformly (round 3 recorded a phantom 61%
 "regression" from exactly that), while the min of independent passes
 is robust to transient contention.  Per-pass numbers are emitted under
-"passes" so a polluted run is visible in the artifact itself.
+"passes" so a polluted run is visible in the artifact itself, and
+"load_avg" records os.getloadavg() before and after the run — a 1-min
+load far above $SPARK_GRAFT_CPUS at either edge means the box was busy
+and the artifact should not be trusted for per-query regressions
+(rounds 3 and 5 both recorded phantom 1.1-1.4x inflations that way).
+"spread" is max/min per query across passes: values well above ~1.2
+flag contention even when load sampling missed the burst.
 """
 
 from __future__ import annotations
@@ -43,6 +49,8 @@ def main() -> None:
     warm = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
     warm.write.format("noop").mode("overwrite").save()
 
+    load_before = tuple(round(x, 2) for x in os.getloadavg())
+
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     passes: dict[str, list[float]] = {name: [] for name in sorted(bench_queries)}
     # Whole-suite passes (not per-query back-to-back repeats) so pass 2's
@@ -56,6 +64,7 @@ def main() -> None:
 
     timings = {name: min(ts) for name, ts in passes.items()}
     total = round(sum(timings.values()), 3)
+    spread = {name: round(max(ts) / max(min(ts), 1e-9), 3) for name, ts in passes.items()}
     print(
         json.dumps(
             {
@@ -64,6 +73,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "passes": passes,
+                "spread": spread,
+                "load_avg": {
+                    "before": load_before,
+                    "after": tuple(round(x, 2) for x in os.getloadavg()),
+                },
                 "sf": sf,
             }
         )
