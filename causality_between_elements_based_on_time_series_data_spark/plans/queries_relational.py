@@ -770,8 +770,14 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_approx_distinct",
-    oracle=None,  # HLL++ sketch values are engine-specific — rows-only;
-    # tolerance vs exact countDistinct asserted in tests/test_operators.py
+    oracle=None,  # PERMANENTLY rows-only: Spark's HyperLogLogPlusPlus
+    # implements only the dense estimator — it omits the paper's sparse
+    # (exact-below-threshold) representation that DuckDB has — so no rsd
+    # makes it exact at ANY cardinality (measured at sf0.01: rsd=0.02 is
+    # off by +19/-63 per group, and rsd<=0.005 only grows the dense
+    # register array until memory blows, never converging to exact).
+    # Compensating check: tolerance vs exact countDistinct in
+    # tests/test_operators.py.
     doc="approx_count_distinct (HyperLogLog++) per group — the "
     "mergeable-sketch path that replaces exact distinct counting at "
     "100 TB (one pass, constant memory, no distinct expansion).",
