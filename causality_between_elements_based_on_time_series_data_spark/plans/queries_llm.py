@@ -948,6 +948,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_bucketed_topk",
+    oracle=None,  # KMeans inverted lists — probabilistic; equivalence with
+    # ann_ivf_topk plus zero-Exchange/bucket-pruning plan shapes gated in
+    # tests/test_bucketing.py
+    doc="IVF ANN over a MATERIALIZED bucketed-by-cluster corpus: the "
+    "KMeans-assigned corpus is written bucketBy(cluster)+sortBy once "
+    "(the 100 TB layout operators/ivf.py promises), then probed from "
+    "the bucketed table — probe joins are co-located (no Exchange on "
+    "the corpus side) and literal cluster filters prune unread buckets "
+    "at the scan.  Same seed/model as ann_ivf_topk, so identical "
+    "answers; only the corpus layout and physical plan differ.",
+    tags=("llm", "similarity", "ivf", "layout"),
+)
+def ann_ivf_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivf import ivf_bucketed_cosine_topk
+    from ..sources.catalog import reset_bucket_table, session_bucket_table
+
+    table = session_bucket_table(spark, "ivf_corpus")
+    reset_bucket_table(spark, table)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_bucketed_cosine_topk(spark, emb, queries, table, k=3)
+
+
+@register(
     "mllib_logistic_head",
     oracle=None,  # iterative LBFGS training — rows-only
     doc="Per-task supervised head (model.py:150-159) trained with "

@@ -2755,16 +2755,14 @@ def frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join", "layout"),
 )
 def bucketed_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
+    from ..sources.catalog import reset_bucket_table, session_bucket_table
 
-    spark.sql("CREATE DATABASE IF NOT EXISTS buckets")
-    # robust re-runs across sessions: a fresh derby metastore with a
-    # stale warehouse dir rejects saveAsTable(LOCATION_ALREADY_EXISTS)
-    # — drop the catalog entry AND the physical location first
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("q_li_b", "q_orders_b"):
-        spark.sql(f"DROP TABLE IF EXISTS buckets.{t}")
-        shutil.rmtree(f"{wh}/buckets.db/{t}", ignore_errors=True)
+    # session-suffixed names: concurrent suites never drop each other's
+    # tables; re-runs within a session overwrite their own
+    li_t = session_bucket_table(spark, "q_li_b")
+    orders_t = session_bucket_table(spark, "q_orders_b")
+    for t in (li_t, orders_t):
+        reset_bucket_table(spark, t)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -2773,16 +2771,16 @@ def bucketed_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.write.mode("overwrite")
         .bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
-        .saveAsTable("buckets.q_li_b")
+        .saveAsTable(li_t)
     )
     (
         orders.write.mode("overwrite")
         .bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
-        .saveAsTable("buckets.q_orders_b")
+        .saveAsTable(orders_t)
     )
-    joined = spark.table("buckets.q_li_b").join(
-        spark.table("buckets.q_orders_b"),
+    joined = spark.table(li_t).join(
+        spark.table(orders_t),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return (

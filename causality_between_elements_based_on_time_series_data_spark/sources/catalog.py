@@ -155,14 +155,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # schema, not an assumption about the fixture vintage, and
             # normalize both to TIMESTAMP (ltz) — the type every
             # downstream consumer (unix_micros, RANGE frames, stream
-            # parity oracles) was built against.  The cast is
-            # instant-preserving here because engine sessions and the
-            # driver's vanilla session both run in UTC.
+            # parity oracles) was built against.  The NTZ wall times are
+            # UTC instants, so the NTZ→ltz bridge must not depend on the
+            # session timezone: cast interprets the wall time in the
+            # session tz (instant = W - offset(tz)), and
+            # from_utc_timestamp(·, tz) adds offset(tz) back — identity
+            # under UTC sessions, instant-preserving under any other
+            # (up to the theoretical DST spring-forward hour, which no
+            # UTC-instant fixture produces; verified against a
+            # America/New_York session in tests/test_sources.py).
             ts_type = dict(df.dtypes).get("ts")
             if ts_type == "bigint":
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             elif ts_type == "timestamp_ntz":
-                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+                tz = spark.conf.get("spark.sql.session.timeZone")
+                df = df.withColumn(
+                    "ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"), tz)
+                )
             return df
     return spark.read.parquet(path)
 
@@ -171,3 +180,37 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     """Register fixture tables as temp views for the SQL API."""
     for name in names or TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def session_bucket_table(spark: SparkSession, base: str) -> str:
+    """Session-scoped name for a materialized bucketed table:
+    ``buckets.<base>_<applicationId>``.
+
+    Queries that write bucketed layouts (``bucketed_join_order_revenue``,
+    ``ann_ivf_bucketed_topk``) must not share fixed table names — two
+    sessions running the suite concurrently would drop/rmtree each
+    other's tables mid-query.  The Spark applicationId is unique per
+    session and stable within it, so re-runs in one session overwrite
+    their own table while concurrent sessions never collide.  Creates
+    the ``buckets`` database on first use.
+    """
+    import re
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckets")
+    app = re.sub(r"[^0-9a-zA-Z]+", "_", spark.sparkContext.applicationId)
+    return f"buckets.{base}_{app}"
+
+
+def reset_bucket_table(spark: SparkSession, table: str) -> None:
+    """Drop a bucketed table AND its physical location.  A fresh derby
+    metastore pointed at a stale warehouse dir rejects ``saveAsTable``
+    with LOCATION_ALREADY_EXISTS, so the catalog entry and the files
+    both have to go.  Only ever called on session-suffixed names from
+    :func:`session_bucket_table` — never on shared paths."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    db, _, name = table.partition(".")
+    if name:
+        shutil.rmtree(f"{wh}/{db}.db/{name}", ignore_errors=True)
