@@ -2605,8 +2605,13 @@ def ols_price_on_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a second pass or a separate counting job (the metrics ride the "
     "action's existing tasks, like Spark accumulators but typed and "
     "declarative).  The query returns the observed metrics as its "
-    "1-row result; the oracle recomputes them relationally.",
-    tags=("relational", "agg", "observability"),
+    "1-row result; the oracle recomputes them relationally.  EAGER "
+    "CONTRACT (unique in the registry, declared via the 'eager' tag): "
+    "the Observation API only surfaces metrics after an action, so "
+    "merely BUILDING this query executes the scan and returns a "
+    "driver-materialized 1-row frame — plan-shape/bench tooling must "
+    "skip 'eager'-tagged entries rather than assume a lazy plan.",
+    tags=("relational", "agg", "observability", "eager"),
 )
 def observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Observation

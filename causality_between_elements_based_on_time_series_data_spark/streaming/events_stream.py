@@ -481,43 +481,75 @@ def streaming_merge_upsert(
     production upsert-into-parquet pattern (no transactional format
     needed: anti-join + union + partition-wise overwrite, see
     operators/upsert.py).  Per user the LATEST event's value and ts
-    win; late/duplicate micro-batches converge because the merge is
-    idempotent on (user_id, last_ts).  Parity target: the batch
-    max_by(value, (ts, event_id)) per user over the whole fixture —
-    the state a CDC consumer would have after draining the topic."""
+    win, with event_id as the deterministic tiebreak at equal ts —
+    carried through the state table so ties resolve identically within
+    and across micro-batches; late/duplicate micro-batches converge
+    because the merge is idempotent on (user_id, last_ts,
+    last_event_id).  Parity target: the batch max_by(value, (ts,
+    event_id)) per user over the whole fixture — the state a CDC
+    consumer would have after draining the topic.
+
+    Crash safety: each batch writes a NEW version directory, then
+    atomically repoints a _CURRENT file (os.replace) at it — readers
+    always see a complete version, a crash at any step leaves the
+    previous version live, and only a successful swap garbage-collects
+    the superseded one.  Missing state is detected by the pointer
+    file's absence, never by swallowing read errors — a corrupt or
+    transiently unreadable state table raises instead of silently
+    resetting accumulated state."""
+    import os
     import tempfile
 
     state_dir = tempfile.mkdtemp(prefix="stream_merge_state_")
     ckpt = tempfile.mkdtemp(prefix="stream_merge_ckpt_")
-    target_path = f"{state_dir}/users"
+    pointer = f"{state_dir}/_CURRENT"
+
+    def current_version() -> str | None:
+        # explicit existence check — NOT try/except around the parquet
+        # read: any failure reading a version the pointer names is a
+        # real error and must surface
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as fh:
+            return f"{state_dir}/{fh.read().strip()}"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # reduce the batch to one row per user (latest by ts,event_id)
         upd = batch_df.groupBy("user_id").agg(
             F.expr("max_by(value, struct(ts, event_id))").alias("last_value"),
             F.max("ts").alias("last_ts"),
+            F.expr("max_by(event_id, struct(ts, event_id))").alias("last_event_id"),
         )
         # conditional MERGE — newest wins: union with the current
         # state and re-reduce, so an out-of-order micro-batch can
         # never clobber newer state (idempotent, order-robust; the
         # unconditional updates-win form is operators/upsert.py's
         # merge_upsert, exercised by merge_upsert_customers)
-        try:
-            target = batch_df.sparkSession.read.parquet(target_path)
-            both = target.unionByName(upd)
-        except Exception:
-            both = upd  # first batch: no target yet
+        cur = current_version()
+        if cur is not None:
+            both = batch_df.sparkSession.read.parquet(cur).unionByName(upd)
+        else:
+            both = upd  # first batch: pointer not yet written
         merged = both.groupBy("user_id").agg(
-            F.expr("max_by(last_value, last_ts)").alias("last_value"),
+            F.expr("max_by(last_value, struct(last_ts, last_event_id))").alias("last_value"),
             F.max("last_ts").alias("last_ts"),
+            F.expr("max_by(last_event_id, struct(last_ts, last_event_id))").alias(
+                "last_event_id"
+            ),
         )
-        # stage-then-swap write: parquet can't read+overwrite in place
-        staged = f"{state_dir}/staged_{batch_id}"
-        merged.write.mode("overwrite").parquet(staged)
-        import shutil
+        # versioned write + atomic pointer swap (parquet can't
+        # read+overwrite in place, and delete-then-move leaves no
+        # target if interrupted between the two)
+        version = f"users_v{batch_id}"
+        merged.write.mode("overwrite").parquet(f"{state_dir}/{version}")
+        tmp = f"{pointer}.tmp.{batch_id}"
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, pointer)  # atomic on POSIX
+        if cur is not None and cur != f"{state_dir}/{version}":
+            import shutil
 
-        shutil.rmtree(target_path, ignore_errors=True)
-        shutil.move(staged, target_path)
+            shutil.rmtree(cur, ignore_errors=True)  # GC superseded version
 
     with scoped_conf(spark, _NANOS_FLAG, "true"):
         stream = _stream_events(
@@ -532,8 +564,10 @@ def streaming_merge_upsert(
             q.processAllAvailable()
         finally:
             q.stop()
+    final = current_version()
+    assert final is not None, "stream produced no batches"
     return (
-        spark.read.parquet(target_path)
+        spark.read.parquet(final)
         .select(
             "user_id",
             F.round("last_value", 4).alias("last_value"),

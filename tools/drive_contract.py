@@ -85,9 +85,12 @@ for name, fn in sorted(qs.items()):
 
 rounds = [int(m.group(1)) for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
           if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))]
-out = f"/root/repo/CORRECTNESS_full_r{(max(rounds) + 1) if rounds else 1}.json"
+inferred_round = (max(rounds) + 1) if rounds else 1
+out = f"/root/repo/CORRECTNESS_full_r{inferred_round}.json"
 with open(out, "w") as f:
     json.dump(artifact, f, indent=1)
-print(f"\n[artifact] {out}: {len(artifact)} queries")
+print(f"\n[round] inferred round {inferred_round} "
+      f"(latest driver CORRECTNESS_r*.json is r{max(rounds) if rounds else 0})")
+print(f"[artifact] {out}: {len(artifact)} queries")
 print(f"[RESULT] {len(qs)-len(fails)}/{len(qs)} ok; failures: {fails}")
 sys.exit(1 if fails else 0)
