@@ -1297,3 +1297,269 @@ def mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "last_touch_attribution",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_ts
+        FROM events
+    )
+    SELECT coalesce(touch_type, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 4) AS attributed_value,
+           round(avg(CASE WHEN touch_ts IS NOT NULL
+                          THEN date_part('epoch', ts - touch_ts) END), 2)
+               AS avg_gap_seconds
+    FROM tagged
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Last-touch attribution — the marketing/causality staple: each "
+    "purchase is attributed to the user's most recent PRECEDING "
+    "non-purchase event (ignore-nulls last_value over a trailing "
+    "frame), 'direct' when none exists; per channel, purchase count, "
+    "attributed revenue, and mean touch→purchase gap.  One window "
+    "shuffle keyed on user_id over the raw events, then a tiny "
+    "channel rollup: the same single-pass shape at 100 TB (no "
+    "self-join of purchases against touches, which would be "
+    "quadratic in active users).  Parity: generalizes the reference's "
+    "temporal-precedence counting (SURVEY §2.12) from series pairs to "
+    "entity-level event attribution.",
+    tags=("causality", "window", "timeseries"),
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(not_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch_type", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("attributed_value"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("touch_ts").isNotNull(),
+                        (F.unix_micros("ts") - F.unix_micros("touch_ts")) / 1e6,
+                    )
+                ),
+                2,
+            ).alias("avg_gap_seconds"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "rolling_ols_slope",
+    oracle=_HOURLY_ORACLE
+    + """
+    , idx AS (
+        SELECT event_type,
+               v,
+               CAST(date_part('epoch', hour) / 3600 AS DOUBLE) AS x
+        FROM hourly
+    ),
+    sums AS (
+        SELECT event_type, x,
+               count(*)  OVER w AS n,
+               sum(x)    OVER w AS sx,
+               sum(v)    OVER w AS sy,
+               sum(x*v)  OVER w AS sxy,
+               sum(x*x)  OVER w AS sxx
+        FROM idx
+        WINDOW w AS (PARTITION BY event_type ORDER BY x
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type AS series,
+           round(min(slope), 6) AS min_slope,
+           round(max(slope), 6) AS max_slope,
+           round(avg(slope), 6) AS mean_slope,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM (
+        SELECT event_type,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        FROM sums
+        WHERE n = 24
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Rolling 24-hour OLS trend slope per series over the hourly "
+    "grid: closed-form slope from windowed sums (Σx, Σy, Σxy, Σx²) in "
+    "a trailing 24-row frame — no per-window refit, no UDF; the "
+    "applyInPandas global-fit counterpart is applyinpandas_trend_ols.  "
+    "Windows run on the hour×series grid (volume-independent after "
+    "the first map-side reduce), partitioned by series — never a "
+    "global sort.  Emits per-series min/max/mean slope over all "
+    "complete windows: the local-trend summary an analyst scans for "
+    "regime shifts before running the AMTL loop.",
+    tags=("causality", "window", "timeseries", "regression"),
+)
+def rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _hourly_series(spark, sf_dir)
+    idx = grid.select(
+        "event_type",
+        "v",
+        (F.unix_micros(F.col("hour")) / 3.6e9).cast("double").alias("x"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    sums = idx.select(
+        "event_type",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("v").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("v")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    ).filter(F.col("n") == 24)
+    slopes = sums.select(
+        "event_type",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy(F.col("event_type").alias("series"))
+        .agg(
+            F.round(F.min("slope"), 6).alias("min_slope"),
+            F.round(F.max("slope"), 6).alias("max_slope"),
+            F.round(F.avg("slope"), 6).alias("mean_slope"),
+            F.count("*").cast("bigint").alias("n_windows"),
+        )
+        .orderBy("series")
+    )
+
+
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared co-supply edge list (u < v): suppliers sharing >= 3
+    parts, hot-part degree cut n_supp <= 20 (same guard as the LSH
+    hot-bucket cap)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    part_deg = pairs.groupBy("l_partkey").agg(F.count("*").alias("n_supp"))
+    a, b = pairs.alias("a"), pairs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .join(
+            part_deg.filter(F.col("n_supp") <= 20).select(
+                F.col("l_partkey").alias("d_partkey")
+            ),
+            F.col("a.l_partkey") == F.col("d_partkey"),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 3)
+        .select("u", "v")
+    )
+
+
+@register(
+    "cosupply_bfs_levels",
+    oracle=_COSUPPLY_EDGES_ORACLE.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , sym AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT v AS u, u AS v FROM edges
+    ),
+    src AS (SELECT min(u) AS s FROM edges),
+    bfs(node, dist) AS (
+        SELECT s, 0 FROM src
+        UNION
+        SELECT sym.v, bfs.dist + 1
+        FROM bfs JOIN sym ON sym.u = bfs.node
+        WHERE bfs.dist < 4
+    ),
+    best AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+    SELECT CAST(dist AS INTEGER) AS level,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM best
+    GROUP BY dist
+    ORDER BY dist
+    """,
+    doc="BFS hop-distance levels (<= 4 hops) from the minimum-id "
+    "supplier over the symmetrized co-supply graph: the iterative-"
+    "DataFrame frontier expansion (join frontier -> edges, union, "
+    "min-distance re-reduce per round) that underlies distributed "
+    "shortest-path / reachability.  Each round is ONE keyed join of "
+    "the frontier against the edge list plus a grouped min — the "
+    "per-round cost follows the frontier, not the graph, and the "
+    "loop composes lazily (no driver-side action inside).  The "
+    "DuckDB oracle runs the same traversal as a recursive CTE, so "
+    "every level's node census is hash-checked.  Complements "
+    "cosupply_pagerank (influence) and connected components "
+    "(operators/graph.py) on the same edge list.",
+    tags=("causality", "graph"),
+)
+def cosupply_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _cosupply_edges(spark, sf_dir)
+    sym = (
+        edges.select("u", "v")
+        .unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+    dist = edges.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).alias("dist")
+    )
+    for level in range(1, 5):
+        frontier = dist.filter(F.col("dist") == level - 1)
+        nxt = (
+            frontier.join(sym, frontier.node == sym.u)
+            .select(F.col("v").alias("node"), F.lit(level).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return (
+        dist.groupBy(F.col("dist").cast("int").alias("level"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .orderBy("level")
+    )

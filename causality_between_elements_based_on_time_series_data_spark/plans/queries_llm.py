@@ -2335,3 +2335,85 @@ def trajectory_similarity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "user_a", "user_b")
         .limit(20)
     )
+
+
+@register(
+    "bigram_lm_perplexity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, lang, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+    ),
+    bg AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1  AS (SELECT w1, CAST(sum(c12) AS DOUBLE) AS c1 FROM c12 GROUP BY 1),
+    v   AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab FROM toks),
+    scored AS (
+        SELECT bg.doc_id, bg.lang,
+               -ln((c12.c12 + 1.0) / (c1.c1 + v.vocab)) AS nll
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    perdoc AS (
+        SELECT doc_id, lang, exp(avg(nll)) AS ppl FROM scored GROUP BY 1, 2
+    )
+    SELECT lang,
+           round(avg(ppl), 4) AS avg_ppl,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM perdoc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Corpus-trained bigram language-model perplexity per document, "
+    "rolled up by language — the quality-filter signal real pretraining "
+    "pipelines cut on (high perplexity under an in-domain LM = noise).  "
+    "Add-one-smoothed conditional p(w2|w1) = (c12+1)/(c1+V); per-doc "
+    "ppl = exp(mean nll).  Scale shape mirrors tfidf_top_terms: the "
+    "bigram/unigram count tables are TERM-KEYED HASH JOINS, not "
+    "broadcasts (Heaps' law — vocabulary grows with corpus size, so "
+    "at 100 TB the count tables are themselves large); the only "
+    "broadcast is the 1-row vocabulary size.  Two shuffles on bigram "
+    "keys + one per-doc rollup, all partial-aggregated map-side.",
+    tags=("llm", "text", "quality", "bench"),
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("tok").over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "lang", F.col("tok").alias("w1"), "w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("double").alias("c1"))
+    vocab = toks.agg(F.countDistinct("tok").cast("double").alias("vocab"))
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            (-F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("vocab")))).alias("nll"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id", "lang").agg(F.exp(F.avg("nll")).alias("ppl"))
+    return (
+        perdoc.groupBy("lang")
+        .agg(
+            F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )

@@ -396,3 +396,139 @@ def ratio_to_report_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev") / F.sum("rev").over(share_w), 6).alias("region_share"),
         F.rank().over(rank_w).cast("int").alias("region_rank"),
     ).orderBy("n_regionkey", "region_rank")
+
+
+@register(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    versioned AS (
+        SELECT user_id,
+               event_type AS status,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS version
+        FROM changes
+    )
+    SELECT user_id,
+           status,
+           CAST(version AS BIGINT) AS version,
+           valid_from
+    FROM versioned
+    WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+    """,
+    doc="Point-in-time (time-travel) lookup over the SCD2 dimension "
+    "history: each user's status AS OF 2024-01-15, i.e. the one "
+    "version whose [valid_from, valid_to) interval covers the probe "
+    "instant — the query shape Delta/Iceberg 'TIMESTAMP AS OF' reads "
+    "compile to when history is kept as SCD2 rows (this engine's "
+    "lakehouse mapping: no transactional format in the environment, "
+    "so history IS the table; see ARCHITECTURE.md).  The interval "
+    "filter lands directly on the single-shuffle history derivation "
+    "— at 100 TB, storing the history partitioned on valid_from "
+    "date additionally prunes the scan to segments overlapping the "
+    "probe.",
+    tags=("window", "timeseries", "scd", "timetravel"),
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asof = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    hist = changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )
+    return hist.filter(
+        (F.col("valid_from") <= asof)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
+    ).select("user_id", "status", "version", "valid_from")
+
+
+@register(
+    "peak_concurrency_sweepline",
+    oracle="""
+    WITH intervals AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               min(ts) AS t_start,
+               max(ts) AS t_end
+        FROM events
+        GROUP BY user_id, date_trunc('day', ts)
+    ),
+    edges AS (
+        SELECT day, t_start AS t, 1 AS delta, user_id FROM intervals
+        UNION ALL
+        SELECT day, t_end AS t, -1 AS delta, user_id FROM intervals
+        WHERE t_end > t_start
+    ),
+    swept AS (
+        SELECT day,
+               sum(delta) OVER (PARTITION BY day
+                                ORDER BY t, delta, user_id
+                                ROWS UNBOUNDED PRECEDING) AS active
+        FROM edges
+    )
+    SELECT day,
+           CAST(max(active) AS BIGINT) AS peak_concurrent,
+           CAST(count(*) AS BIGINT) AS n_edges
+    FROM swept
+    GROUP BY day
+    ORDER BY day
+    """,
+    doc="Sweep-line interval-overlap aggregation: per user-day activity "
+    "interval [first event, last event], exploded to +1/-1 edges, "
+    "running-summed in time order to the day's PEAK concurrent users — "
+    "the O(n log n) shape for interval overlap (the naive alternative "
+    "is an interval self-join, quadratic in overlap mass).  The window "
+    "partitions by day, so no global single-partition sort exists at "
+    "any scale; ties process ends (-1) before starts (+1), making the "
+    "half-open-interval peak deterministic (and order-independent "
+    "within equal (t, delta) groups, since a monotone run's max is "
+    "reached at its last row regardless of intra-tie order).  "
+    "Zero-length intervals (single-event days) contribute a +1 edge "
+    "only, counting as active-at-an-instant.",
+    tags=("window", "timeseries", "interval"),
+)
+def peak_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    intervals = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
+    starts = intervals.select("day", F.col("t_start").alias("t"), F.lit(1).alias("delta"), "user_id")
+    ends = intervals.filter(F.col("t_end") > F.col("t_start")).select(
+        "day", F.col("t_end").alias("t"), F.lit(-1).alias("delta"), "user_id"
+    )
+    edges = starts.unionByName(ends)
+    w = (
+        W.partitionBy("day")
+        .orderBy("t", "delta", "user_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    swept = edges.withColumn("active", F.sum("delta").over(w))
+    return (
+        swept.groupBy("day")
+        .agg(
+            F.max("active").cast("bigint").alias("peak_concurrent"),
+            F.count("*").cast("bigint").alias("n_edges"),
+        )
+        .orderBy("day")
+    )
