@@ -1563,3 +1563,87 @@ def cosupply_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+def _markov_oracle(n_iter: int = 10) -> str:
+    """Unrolled power iteration for the stationary distribution (ANSI
+    recursive CTEs forbid aggregation in the recursive member — same
+    device as _pagerank_oracle): x_{k+1}(j) = Σ_i x_k(i)·P(i,j)."""
+    steps = []
+    for k in range(n_iter):
+        steps.append(
+            f"""x{k + 1} AS (
+        SELECT p.s2 AS s, sum(x.x * p.p) AS x
+        FROM x{k} x JOIN p ON p.s1 = x.s
+        GROUP BY p.s2
+    )"""
+        )
+    return (
+        """
+    WITH trans AS (
+        SELECT event_type AS s1,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS s2
+        FROM events
+    ),
+    c AS (
+        SELECT s1, s2, CAST(count(*) AS DOUBLE) AS c
+        FROM trans WHERE s2 IS NOT NULL GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT s1, s2, c / sum(c) OVER (PARTITION BY s1) AS p FROM c
+    ),
+    states AS (SELECT DISTINCT s1 AS s FROM c),
+    x0 AS (
+        SELECT s, 1.0 / (SELECT count(*) FROM states) AS x FROM states
+    ),
+    """
+        + ",\n    ".join(steps)
+        + f"""
+    SELECT s AS state, round(x, 8) AS stationary_p
+    FROM x{n_iter}
+    ORDER BY s
+    """
+    )
+
+
+@register(
+    "markov_stationary_distribution",
+    oracle=_markov_oracle(),
+    doc="Stationary distribution of the event-type Markov chain: "
+    "per-user transition bigrams (one user-keyed window pass over "
+    "events), row-normalized into the transition matrix P, then 10 "
+    "power iterations x·P from uniform — the long-run state occupancy "
+    "implied by observed dynamics, the behavioral complement to the "
+    "AMTL causality matrix.  After the first window pass everything "
+    "runs on |states|² rows (25 here), independent of event volume; "
+    "the Spark loop composes lazily (no driver action inside) and the "
+    "oracle unrolls the identical 10 steps as chained CTEs, so every "
+    "probability is hash-checked.",
+    tags=("causality", "graph", "timeseries"),
+)
+def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("s1"), F.lead("event_type").over(w).alias("s2")
+    ).filter(F.col("s2").isNotNull())
+    c = trans.groupBy("s1", "s2").agg(F.count("*").cast("double").alias("c"))
+    p = c.select(
+        "s1", "s2", (F.col("c") / F.sum("c").over(Window.partitionBy("s1"))).alias("p")
+    )
+    states = c.select(F.col("s1").alias("s")).distinct()
+    n_states = states.agg(F.count("*").alias("n"))
+    x = states.crossJoin(F.broadcast(n_states)).select(
+        "s", (F.lit(1.0) / F.col("n")).alias("x")
+    )
+    for _ in range(10):
+        x = (
+            x.join(p, x.s == p.s1)
+            .groupBy(F.col("s2").alias("s_next"))
+            .agg(F.sum(F.col("x") * F.col("p")).alias("x"))
+            .withColumnRenamed("s_next", "s")
+        )
+    return x.select(F.col("s").alias("state"), F.round("x", 8).alias("stationary_p")).orderBy(
+        "state"
+    )

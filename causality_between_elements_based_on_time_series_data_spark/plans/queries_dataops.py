@@ -367,3 +367,81 @@ def roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("thr")
     )
+
+
+@register(
+    "key_skew_diagnostics",
+    oracle="""
+    WITH kc AS (
+        SELECT l_partkey AS k, CAST(count(*) AS DOUBLE) AS c
+        FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+        SELECT c,
+               row_number() OVER (ORDER BY c, k) AS i,
+               count(*) OVER () AS n,
+               sum(c) OVER () AS tot
+        FROM kc
+    ),
+    topn AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, k) AS r FROM kc
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_keys,
+           round(max(tot) / max(n), 4) AS mean_rows_per_key,
+           round((SELECT max(c) FROM kc) / max(tot), 6) AS top1_share,
+           round((SELECT sum(c) FROM topn WHERE r <= 10) / max(tot), 6)
+               AS top10_share,
+           round(2.0 * sum(i * c) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked
+    """,
+    doc="Join/shuffle skew diagnostics for a key column — the "
+    "pre-flight check before picking a partitioning strategy (salting "
+    "threshold, AQE skew-join expectations): per-key counts reduced "
+    "map-side, then heavy-hitter shares (top-1/top-10) and the Gini "
+    "coefficient of the key distribution from the rank formula "
+    "G = 2·Σi·cᵢ/(n·Σc) − (n+1)/n.  The global rank window runs over "
+    "the KEY-COUNT table (|keys| rows, orders of magnitude below the "
+    "facts) — at 100 TB that table is millions of rows, still a "
+    "single-executor sort; tie order within equal counts cannot "
+    "change Σi·cᵢ (the index block sums identically under any "
+    "permutation), so the statistic is deterministic.",
+    tags=("dataops", "agg", "skew"),
+)
+def key_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    kc = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").cast("double").alias("c")
+    )
+    ranked = kc.select(
+        "c",
+        F.row_number().over(W.orderBy("c", "k")).alias("i"),
+    )
+    stats = kc.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("c").alias("tot"),
+        F.max("c").alias("cmax"),
+    )
+    top10 = (
+        kc.select("c", F.row_number().over(W.orderBy(F.desc("c"), F.asc("k"))).alias("r"))
+        .filter(F.col("r") <= 10)
+        .agg(F.sum("c").alias("top10"))
+    )
+    acc = ranked.agg(F.sum(F.col("i") * F.col("c")).alias("sic"))
+    return (
+        acc.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(top10))
+        .select(
+            F.col("n").cast("bigint").alias("n_keys"),
+            F.round(F.col("tot") / F.col("n"), 4).alias("mean_rows_per_key"),
+            F.round(F.col("cmax") / F.col("tot"), 6).alias("top1_share"),
+            F.round(F.col("top10") / F.col("tot"), 6).alias("top10_share"),
+            F.round(
+                2.0 * F.col("sic") / (F.col("n") * F.col("tot"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+        )
+    )

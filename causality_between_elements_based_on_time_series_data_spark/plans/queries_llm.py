@@ -2417,3 +2417,118 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "source_kl_divergence",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    src_tok AS (
+        SELECT source, tok, CAST(count(*) AS DOUBLE) AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    src_tot AS (
+        SELECT source, sum(c) AS tot FROM src_tok GROUP BY 1
+    ),
+    corpus_tok AS (
+        SELECT tok, CAST(sum(c) AS DOUBLE) AS cc FROM src_tok GROUP BY 1
+    ),
+    corpus_tot AS (SELECT sum(cc) AS ct FROM corpus_tok)
+    SELECT s.source,
+           round(sum((s.c / st.tot) * ln((s.c / st.tot) / (q.cc / ctot.ct))), 6)
+               AS kl_vs_corpus,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens
+    FROM src_tok s
+    JOIN src_tot st USING (source)
+    JOIN corpus_tok q USING (tok)
+    CROSS JOIN corpus_tot ctot
+    GROUP BY s.source
+    ORDER BY s.source
+    """,
+    doc="Per-source KL divergence of token distributions against the "
+    "whole corpus — the domain-shift / contamination screen a mixture "
+    "builder runs before weighting sources (a source with high "
+    "KL(p_src || p_corpus) is out-of-domain or degenerate).  Every "
+    "source's support is a subset of the corpus support by "
+    "construction, so the divergence is finite without smoothing.  "
+    "Scale shape: one explode + two term-keyed partial aggregates; "
+    "the per-source/corpus joins are keyed on token (Heaps' law — "
+    "never broadcast), and only per-source scalars cross-join the "
+    "1-row corpus total.",
+    tags=("llm", "text", "quality", "mixture"),
+)
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    src_tok = toks.groupBy("source", "tok").agg(F.count("*").cast("double").alias("c"))
+    src_tot = src_tok.groupBy("source").agg(F.sum("c").alias("tot"))
+    corpus_tok = src_tok.groupBy("tok").agg(F.sum("c").alias("cc"))
+    corpus_tot = corpus_tok.agg(F.sum("cc").alias("ct"))
+    return (
+        src_tok.join(src_tot, "source")
+        .join(corpus_tok, "tok")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("c") / F.col("tot"))
+                    * F.log((F.col("c") / F.col("tot")) / (F.col("cc") / F.col("ct")))
+                ),
+                6,
+            ).alias("kl_vs_corpus"),
+            F.count("*").cast("bigint").alias("n_distinct_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "fuzzy_match_levenshtein",
+    oracle="""
+    WITH names AS (
+        SELECT DISTINCT p_name,
+               string_split(p_name, ' ')[-1] AS noun
+        FROM part
+    )
+    SELECT a.p_name AS name_a,
+           b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM names a
+    JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+    doc="Fuzzy string matching via edit distance — the entity-"
+    "resolution / catalog-dedup primitive: distinct part names paired "
+    "within a BLOCKING key (shared final noun) and kept when "
+    "levenshtein <= 3.  Blocking is the scale story: the quadratic "
+    "levenshtein only runs inside blocks (same discipline as the LSH "
+    "band buckets), never name×name across the catalog; both the "
+    "block join and the distance are whole-stage-codegen built-ins "
+    "(F.levenshtein), no UDF.  At 100 TB, block on a cheap canonical "
+    "key (phonetic code, length band, first token) sized so the "
+    "biggest block stays bounded — the hot-bucket guard applies "
+    "identically.",
+    tags=("llm", "text", "dedup"),
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("noun")
+    ).distinct()
+    a = names.select(F.col("p_name").alias("name_a"), F.col("noun").alias("noun_a"))
+    b = names.select(F.col("p_name").alias("name_b"), F.col("noun").alias("noun_b"))
+    return (
+        a.join(b, (F.col("noun_a") == F.col("noun_b")) & (F.col("name_a") < F.col("name_b")))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    )

@@ -2798,3 +2798,117 @@ def bucketed_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "winsorized_robust_stats",
+    oracle="""
+    WITH bounds AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS p05,
+               quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           round(avg(least(greatest(l.l_extendedprice, b.p05), b.p95)), 4)
+               AS winsorized_mean,
+           round(avg(CASE WHEN l.l_extendedprice BETWEEN b.p05 AND b.p95
+                          THEN l.l_extendedprice END), 4) AS trimmed_mean,
+           round(avg(l.l_extendedprice), 4) AS raw_mean,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem l JOIN bounds b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    doc="Winsorized + trimmed means per group — the outlier-robust "
+    "aggregation pattern: exact interpolated percentiles (Spark "
+    "percentile ≡ DuckDB quantile_cont) bound each group, the tiny "
+    "per-group bounds broadcast back onto the facts, and clipping/"
+    "trimming happens in the second pass's map side.  Two passes over "
+    "the facts total, no sort of the raw column; at 100 TB swap the "
+    "exact percentile for the mergeable approx_percentile sketch "
+    "(sketch_approx_quantiles) and the plan shape is unchanged.",
+    tags=("relational", "agg", "robust"),
+)
+def winsorized_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+    inlier = F.col("l_extendedprice").between(F.col("p05"), F.col("p95"))
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            F.round(F.avg(F.when(inlier, F.col("l_extendedprice"))), 4).alias(
+                "trimmed_mean"
+            ),
+            F.round(F.avg("l_extendedprice"), 4).alias("raw_mean"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "equidepth_histogram_orders",
+    oracle="""
+    WITH edges AS (
+        SELECT list_transform(
+                   quantile_cont(o_totalprice,
+                                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                   x -> round(x, 6)) AS es
+        FROM orders
+    )
+    SELECT CAST(1 + len(list_filter(e.es, x -> o.o_totalprice > x))
+                AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o.o_totalprice), 2) AS lo,
+           round(max(o.o_totalprice), 2) AS hi
+    FROM orders o CROSS JOIN edges e
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Equi-depth (decile) histogram without a global sort: the nine "
+    "exact interpolated decile edges come from ONE aggregate (rounded "
+    "identically on both engines so bin boundaries agree bit-for-bit), "
+    "broadcast onto the facts, and each row finds its bin by counting "
+    "edges below it with a higher-order array fold — map-side "
+    "assignment, then a 10-group rollup.  The anti-pattern this "
+    "replaces is ntile() over the whole fact table: a single-partition "
+    "global sort that cannot scale.  At 100 TB the edges come from "
+    "approx_percentile instead; assignment is unchanged.",
+    tags=("relational", "agg", "histogram"),
+)
+def equidepth_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.agg(
+        F.expr(
+            "transform(percentile(o_totalprice, "
+            "array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)), "
+            "x -> round(x, 6))"
+        ).alias("es")
+    )
+    binned = o.crossJoin(F.broadcast(edges)).select(
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.expr(
+                "aggregate(es, 0, (acc, x) -> acc + CASE WHEN o_totalprice > x THEN 1 ELSE 0 END)"
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )

@@ -532,3 +532,65 @@ def peak_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "running_distinct_event_types",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    ),
+    running AS (
+        SELECT user_id, ts,
+               sum(first_seen) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS n_types
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(max(n_types) AS BIGINT) AS n_distinct_types,
+           min(CASE WHEN n_types >= 3 THEN ts END) AS ts_reach3
+    FROM running
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Running COUNT(DISTINCT) over an ordered window — an operation "
+    "neither Spark nor DuckDB supports natively (DISTINCT aggregates "
+    "are invalid in window frames) — bridged by the first-touch "
+    "decomposition: flag each (user, type)'s first occurrence with "
+    "row_number()=1, then running-sum the flags in event order.  Both "
+    "window stages key on user_id, so the whole derivation is one "
+    "shuffle; emits per user the final distinct-type count and the "
+    "instant the user first touched 3 distinct types (the engagement-"
+    "milestone query product analytics runs at any scale).",
+    tags=("window", "timeseries"),
+)
+def running_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    running = flagged.select(
+        "user_id", "ts", F.sum("first_seen").over(w_run).alias("n_types")
+    )
+    return (
+        running.groupBy("user_id")
+        .agg(
+            F.max("n_types").cast("bigint").alias("n_distinct_types"),
+            F.min(F.when(F.col("n_types") >= 3, F.col("ts"))).alias("ts_reach3"),
+        )
+        .orderBy("user_id")
+    )
