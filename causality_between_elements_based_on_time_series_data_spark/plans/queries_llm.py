@@ -2532,3 +2532,132 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .orderBy("name_a", "name_b")
     )
+
+
+def _portable_simhash_cte(n_bits: int = 48) -> str:
+    """Shared CTE chain ending in ``fps(doc_id, simhash48, band16)`` —
+    the explode/group DuckDB replay of the portable SimHash: md5-derived
+    48-bit token codes, ±1 votes per bit, sign → fingerprint bit.  The
+    oracle favors readability (explode + groupBy); the Spark side keeps
+    the map-side array-accumulator form — same algorithm, same values."""
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN (code >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(n_bits)
+    )
+    fp = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(n_bits))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), ' +'))) AS tok
+        FROM documents
+    ),
+    coded AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS code
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM coded GROUP BY doc_id
+    ),
+    fps AS (
+        SELECT doc_id,
+               CAST({fp} AS BIGINT) AS simhash48,
+               CAST(({fp}) >> 32 AS BIGINT) AS band16
+        FROM votes
+    )
+    """
+
+
+def _portable_simhash_oracle() -> str:
+    return _portable_simhash_cte() + "SELECT * FROM fps ORDER BY doc_id"
+
+
+@register(
+    "simhash_portable_fingerprints",
+    oracle=_portable_simhash_oracle(),
+    doc="PORTABLE SimHash twin of simhash_fingerprints (same ±1 "
+    "bit-vote algorithm, same near-dup property: small Hamming "
+    "distance ≈ high token overlap) with md5-derived 48-bit token "
+    "codes instead of engine-specific xxhash64 — so every fingerprint "
+    "is reproducible in any engine and the driver hash-checks the "
+    "whole computation, the same portable-tier discipline as "
+    "minhash_portable_signatures.  Execution is the measured-fastest "
+    "single-pass array-accumulator form (one traversal of the token "
+    "list updates all 48 vote counters via zip_with): pure map-side "
+    "column math, zero shuffle at any corpus size.  band16 (the top "
+    "16 bits) is the block key a Hamming-LSH candidate join buckets "
+    "on.  Cites operators/dedup.py:150 for the xxhash64 production "
+    "tier.",
+    tags=("llm", "dedup", "sketch"),
+)
+def simhash_portable_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bits = 48
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), " +"))
+    codes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("bigint")
+    )
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
+    zero = F.array(*[F.lit(0) for _ in range(n_bits)])
+    votes = F.aggregate(
+        codes,
+        zero,
+        lambda acc, c: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v + F.when(c.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        fp.alias("simhash48"),
+        F.shiftright(fp, 32).cast("bigint").alias("band16"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=_portable_simhash_cte()
+    + """
+    SELECT a.doc_id AS doc_a,
+           b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash48, b.simhash48)) AS INTEGER) AS hamming
+    FROM fps a
+    JOIN fps b ON a.band16 = b.band16 AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash48, b.simhash48)) <= 12
+    ORDER BY doc_a, doc_b
+    """,
+    doc="SimHash near-dup candidate pairs: fingerprints blocked on "
+    "band16 (top 16 bits — documents differing there cannot be within "
+    "Hamming 12 of each other on those bits, so the block key is a "
+    "true LSH bucket), then exact Hamming distance via "
+    "bit_count(xor) inside blocks only.  The block equi-join keeps "
+    "the pair count proportional to bucket occupancy, never corpus²; "
+    "bit_count/xor are single codegen'd instructions.  Fully "
+    "hash-checked end-to-end on the portable fingerprint tier.",
+    tags=("llm", "dedup", "join"),
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = simhash_portable_fingerprints(spark, sf_dir)
+    a = fps.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash48").alias("fp_a"),
+        F.col("band16").alias("band_a"),
+    )
+    b = fps.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash48").alias("fp_b"),
+        F.col("band16").alias("band_b"),
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    return (
+        a.join(b, (F.col("band_a") == F.col("band_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 12)
+        .orderBy("doc_a", "doc_b")
+    )
