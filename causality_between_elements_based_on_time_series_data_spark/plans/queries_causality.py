@@ -1647,3 +1647,268 @@ def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     return x.select(F.col("s").alias("state"), F.round("x", 8).alias("stationary_p")).orderBy(
         "state"
     )
+
+
+@register(
+    "welch_ttest_purchase_vs_view",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               avg(value) AS m,
+               var_samp(value) AS v
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+        GROUP BY event_type
+    ),
+    p AS (SELECT n AS n1, m AS m1, v AS v1 FROM g WHERE event_type = 'purchase'),
+    w AS (SELECT n AS n2, m AS m2, v AS v2 FROM g WHERE event_type = 'view')
+    SELECT round(m1, 6) AS mean_purchase,
+           round(m2, 6) AS mean_view,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)),
+                 4) AS welch_df,
+           CAST(n1 AS BIGINT) AS n_purchase,
+           CAST(n2 AS BIGINT) AS n_view
+    FROM p CROSS JOIN w
+    """,
+    doc="Welch's unequal-variance two-sample t-test between event-value "
+    "distributions (purchase vs view) — the A/B-readout primitive: "
+    "per-group moments (n, mean, sample variance) come from ONE "
+    "map-side-partial aggregate pass, then the t statistic and "
+    "Welch-Satterthwaite degrees of freedom are closed-form scalar "
+    "arithmetic on two 1-row relations.  100 TB of observations "
+    "reduce to six numbers before any join; no resampling, no UDF.",
+    tags=("causality", "agg", "stats"),
+)
+def welch_ttest_purchase_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    p = g.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
+    )
+    w = g.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("v").alias("v2")
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return p.crossJoin(F.broadcast(w)).select(
+        F.round("m1", 6).alias("mean_purchase"),
+        F.round("m2", 6).alias("mean_view"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            4,
+        ).alias("welch_df"),
+        F.col("n1").cast("bigint").alias("n_purchase"),
+        F.col("n2").cast("bigint").alias("n_view"),
+    )
+
+
+@register(
+    "chisq_type_by_segment",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, user_id % 3 AS segment,
+               CAST(count(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT event_type, segment, o,
+               sum(o) OVER (PARTITION BY event_type) AS row_tot,
+               sum(o) OVER (PARTITION BY segment) AS col_tot,
+               sum(o) OVER () AS n
+        FROM obs
+    )
+    SELECT round(sum(pow(o - row_tot * col_tot / n, 2)
+                     / (row_tot * col_tot / n)), 6) AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT segment) - 1) AS BIGINT) AS dof,
+           CAST(max(n) AS BIGINT) AS n_events
+    FROM margins
+    """,
+    doc="Chi-square test of independence between event type and a "
+    "deterministic user segment (user_id mod 3) — the categorical "
+    "association screen: observed counts from one aggregate pass, "
+    "expected counts from margin windows over the TINY contingency "
+    "table (|types| x |segments| rows), chi2 and degrees of freedom "
+    "closed-form.  The window-over-everything is on 15 rows, not the "
+    "facts — the same grid-first discipline as the causality screens.",
+    tags=("causality", "agg", "stats"),
+)
+def chisq_type_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.col("user_id") % 3).alias("segment")
+    ).agg(F.count("*").cast("double").alias("o"))
+    margins = obs.select(
+        "event_type",
+        "segment",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("segment")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return margins.agg(
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("segment") - 1)
+        ).cast("bigint").alias("dof"),
+        F.max("n").cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "kaplan_meier_survival",
+    oracle="""
+    WITH last_ev AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    life AS (
+        SELECT user_id,
+               CAST(date_diff('day', min(ts), max(ts)) AS BIGINT) AS duration
+        FROM events GROUP BY user_id
+    ),
+    per_user AS (
+        SELECT l.user_id, l.duration,
+               CAST(e.event_type = 'error' AS INTEGER) AS observed
+        FROM life l
+        JOIN last_ev e ON e.user_id = l.user_id AND e.rn = 1
+    ),
+    times AS (
+        SELECT duration AS t,
+               CAST(sum(observed) AS DOUBLE) AS d
+        FROM per_user GROUP BY duration
+        HAVING sum(observed) > 0
+    ),
+    at_risk AS (
+        SELECT t, d,
+               (SELECT CAST(count(*) AS DOUBLE) FROM per_user p
+                WHERE p.duration >= times.t) AS n
+        FROM times
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n AS BIGINT) AS at_risk,
+           CAST(d AS BIGINT) AS deaths,
+           round(exp(sum(ln(1 - d / n))
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+               AS survival
+    FROM at_risk
+    ORDER BY t_days
+    """,
+    doc="Kaplan-Meier survival estimator over user lifetimes: duration "
+    "= days between a user's first and last event, 'death' = the "
+    "lifetime ending in an error event (others censored).  The "
+    "survival curve S(t) = prod(1 - d_i/n_i) computes as "
+    "exp(running-sum(ln)) — the product-over-ordered-rows window "
+    "trick, since neither engine has a product aggregate.  Scale "
+    "shape: the facts reduce to ONE row per user in the first "
+    "aggregate; every KM quantity (event times, deaths, at-risk "
+    "counts, the curve) lives on the distinct-duration table, which "
+    "is at most a few thousand rows regardless of event volume.  The "
+    "at-risk counts come from a range join of distinct times against "
+    "user durations — bounded by |times| x |users|, both post-reduce.",
+    tags=("causality", "window", "stats", "timeseries"),
+)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).cast("bigint").alias("duration"),
+        (
+            F.expr("max_by(event_type, struct(ts, event_id))") == "error"
+        ).cast("int").alias("observed"),
+    )
+    times = (
+        per_user.groupBy(F.col("duration").alias("t"))
+        .agg(F.sum("observed").cast("double").alias("d"))
+        .filter(F.col("d") > 0)
+    )
+    durations = per_user.select("duration")
+    at_risk = (
+        times.join(durations, durations.duration >= times.t)
+        .groupBy("t", "d")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return at_risk.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n").cast("bigint").alias("at_risk"),
+        F.col("d").cast("bigint").alias("deaths"),
+        F.round(F.exp(F.sum(F.log(1 - F.col("d") / F.col("n"))).over(w)), 6).alias(
+            "survival"
+        ),
+    ).orderBy("t_days")
+
+
+@register(
+    "activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS daynum
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, daynum,
+               daynum - row_number() OVER (PARTITION BY user_id
+                                           ORDER BY daynum) AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island, count(*) AS len
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Gaps-and-islands: per-user consecutive-day activity streaks "
+    "via the classic daynum - row_number() island key (consecutive "
+    "days share a constant difference), then per-island lengths and "
+    "per-user longest streak / streak count / active days.  Distinct "
+    "user-days reduce map-side first, and both the island window and "
+    "the rollups key on user_id — one shuffle end-to-end.  The "
+    "calendar-gap semantics are what sessionize_events (time-gap "
+    "sessions) cannot express.",
+    tags=("window", "timeseries", "causality"),
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "daynum"
+        ),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("daynum")
+    islands = days.withColumn("island", F.col("daynum") - F.row_number().over(w))
+    streaks = islands.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.sum("len").cast("bigint").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )

@@ -445,3 +445,76 @@ def key_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+@register(
+    "psi_value_drift",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(value) AS mn, max(value) AS mx FROM events
+    ),
+    binned AS (
+        SELECT least(9, CAST(floor((e.value - b.mn) / ((b.mx - b.mn) / 10))
+                             AS INTEGER)) AS bin,
+               CAST(e.ts < TIMESTAMP '2024-01-16 00:00:00' AS INTEGER) AS p1
+        FROM events e CROSS JOIN bounds b
+    ),
+    grid AS (SELECT unnest(range(0, 10)) AS bin),
+    counts AS (
+        SELECT g.bin,
+               CAST(coalesce(sum(b.p1), 0) AS DOUBLE) AS c1,
+               CAST(coalesce(sum(1 - b.p1), 0) AS DOUBLE) AS c2
+        FROM grid g LEFT JOIN binned b ON b.bin = g.bin
+        GROUP BY g.bin
+    ),
+    tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM counts)
+    SELECT round(sum(((c.c2 + 1) / (t.n2 + 10) - (c.c1 + 1) / (t.n1 + 10))
+                     * ln(((c.c2 + 1) / (t.n2 + 10))
+                          / ((c.c1 + 1) / (t.n1 + 10)))), 6) AS psi,
+           CAST(max(t.n1) AS BIGINT) AS n_period1,
+           CAST(max(t.n2) AS BIGINT) AS n_period2
+    FROM counts c CROSS JOIN tot t
+    """,
+    doc="Population stability index (PSI) of the event-value "
+    "distribution between the first and second half of the window — "
+    "the standard model-monitoring drift metric (PSI > 0.2 = "
+    "significant shift).  Ten fixed-width bins from the global "
+    "min/max (one 2-number aggregate, broadcast back), add-one "
+    "smoothing so empty bins stay finite, and the full 0..9 bin grid "
+    "is generated so both periods account for unoccupied bins "
+    "identically.  One pass over the facts; everything after the "
+    "bin-count aggregate is 10-row arithmetic.  Complements "
+    "source_kl_divergence (cross-source shift) with temporal shift.",
+    tags=("dataops", "agg", "drift"),
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(9),
+            F.floor((F.col("value") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10)).cast(
+                "int"
+            ),
+        ).alias("bin"),
+        (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"))
+        .cast("int")
+        .alias("p1"),
+    )
+    grid = ev.sparkSession.range(0, 10).select(F.col("id").cast("int").alias("bin"))
+    counts = (
+        grid.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(F.sum("p1"), F.lit(0)).cast("double").alias("c1"),
+            F.coalesce(F.sum(1 - F.col("p1")), F.lit(0)).cast("double").alias("c2"),
+        )
+    )
+    tot = counts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    q1 = (F.col("c1") + 1) / (F.col("n1") + 10)
+    q2 = (F.col("c2") + 1) / (F.col("n2") + 10)
+    return counts.crossJoin(F.broadcast(tot)).agg(
+        F.round(F.sum((q2 - q1) * F.log(q2 / q1)), 6).alias("psi"),
+        F.max("n1").cast("bigint").alias("n_period1"),
+        F.max("n2").cast("bigint").alias("n_period2"),
+    )

@@ -2912,3 +2912,5 @@ def equidepth_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
