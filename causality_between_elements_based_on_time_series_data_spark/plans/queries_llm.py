@@ -2661,3 +2661,208 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 12)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Fixed (a, b) pairs for the portable sign-random-projection family:
+# hyperplane h_b has integer coefficients c(b,d) = ((a_b*d + b_b) mod
+# 1009) - 504 over dims d=1..64 — pseudo-random +-uniform weights any
+# engine reproduces exactly (the portable-tier discipline of
+# _MH_COEFFS, applied to angular LSH).
+_RP_COEFFS = [
+    (131, 17), (137, 89), (139, 211), (149, 307),
+    (151, 401), (157, 499), (163, 601), (167, 701),
+    (173, 797), (179, 883), (181, 947), (191, 101),
+    (193, 199), (197, 293), (199, 389), (211, 487),
+]
+_RP_DIM = 64
+
+
+def _rp_dot_sql(a: int, b: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_RP_DIM + 1}), "
+        f"d -> CAST(embedding[d] AS DOUBLE) * (((({a} * d + {b}) % 1009)) - 504)))"
+    )
+
+
+def _rp_sig_sql() -> str:
+    bits = " + ".join(
+        f"CASE WHEN {_rp_dot_sql(a, b)} > 0 THEN {1 << i} ELSE 0 END"
+        for i, (a, b) in enumerate(_RP_COEFFS)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+def _rp_sig_spark():
+    sig = F.lit(0)
+    for i, (a, b) in enumerate(_RP_COEFFS):
+        dot = F.expr(
+            f"aggregate(transform(sequence(1, {_RP_DIM}), "
+            f"d -> cast(element_at(embedding, d) as double) * (((({a} * d + {b}) % 1009)) - 504)), "
+            "0D, (acc, x) -> acc + x)"
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig.cast("bigint")
+
+
+@register(
+    "rp_lsh_portable_signatures",
+    oracle=f"""
+    SELECT vec_id, {_rp_sig_sql()} AS sig16
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    doc="PORTABLE sign-random-projection (angular LSH) signatures: 16 "
+    "deterministic integer hyperplanes, each bit the sign of one "
+    "dot product — the oracle-checkable twin of the "
+    "BucketedRandomProjectionLSH tier (cosine_topk_lsh, whose "
+    "engine-internal gaussian planes can only be recall-tested).  "
+    "Same property (P[bit match] = 1 - angle/pi), every value "
+    "reproducible in any engine; both sides accumulate the dot "
+    "product left-to-right in double precision so the sign threshold "
+    "agrees bit-for-bit.  Pure map-side column math, zero shuffle.",
+    tags=("llm", "similarity", "sketch"),
+)
+def rp_lsh_portable_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", _rp_sig_spark().alias("sig16")).orderBy("vec_id")
+
+
+@register(
+    "rp_lsh_portable_pairs",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT vec_id, {_rp_sig_sql()} AS sig16 FROM embeddings
+    ),
+    bands AS (
+        SELECT vec_id, b.band_id, (sig16 >> (4 * b.band_id)) & 15 AS band_val
+        FROM sigs, (SELECT unnest(range(0, 4)) AS band_id) b
+    ),
+    ok_bands AS (
+        SELECT band_id, band_val FROM bands
+        GROUP BY 1, 2 HAVING count(*) <= 300
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a
+        JOIN ok_bands k ON k.band_id = a.band_id AND k.band_val = a.band_val
+        JOIN bands b ON b.band_id = a.band_id AND b.band_val = a.band_val
+                    AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                 CAST(eb.embedding AS DOUBLE[])) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    doc="Banded angular-LSH candidate pairs over the portable RP "
+    "signatures (4 bands x 4 bits: a pair collides if ANY nibble "
+    "agrees — P = 1-(1-p^4)^4, steep around p=cos-similarity ~0.9), "
+    "then exact cosine on candidates only, threshold 0.3.  Buckets "
+    "larger than 300 are dropped before the self-join (the standard "
+    "hot-bucket guard, mirrored in the oracle), so candidate volume "
+    "follows near-dup mass, never corpus².  Fully hash-checked "
+    "end-to-end — the embedding analog of minhash_portable_band_pairs.",
+    tags=("llm", "similarity", "dedup", "join"),
+)
+def rp_lsh_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.arrays import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = emb.select("vec_id", _rp_sig_spark().alias("sig16"))
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("sig16"), 4 * i).bitwiseAND(F.lit(15)).cast("bigint")
+            for i in range(4)
+        ]
+    )
+    bands = sigs.select(
+        "vec_id", F.posexplode(band_vals).alias("band_id", "band_val")
+    )
+    bands = bands.localCheckpoint(eager=False)
+    ok = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= 300)
+        .select("band_id", "band_val")
+    )
+    guarded = bands.join(ok, ["band_id", "band_val"])
+    a = guarded.select("band_id", "band_val", F.col("vec_id").alias("id_a"))
+    b = guarded.select("band_id", "band_val", F.col("vec_id").alias("id_b"))
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "stratified_sample_deterministic",
+    oracle="""
+    WITH frac AS (
+        SELECT * FROM (VALUES ('en', 0.9), ('es', 0.5), ('fr', 0.5),
+                              ('de', 0.25), ('zh', 0.25)) AS t(lang, f)
+    ),
+    tagged AS (
+        SELECT d.lang, d.doc_id, f.f,
+               CAST((d.doc_id * 2654435761) % 1000000007 AS DOUBLE)
+                   / 1000000007 AS u
+        FROM documents d JOIN frac f USING (lang)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN u < f THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(min(CASE WHEN u < f THEN doc_id END) AS BIGINT) AS first_sampled_id
+    FROM tagged
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Deterministic stratified sampling — the fully-oracled twin of "
+    "stratified_sample_by_lang (whose sampleBy draws from Spark's "
+    "per-partition RNG stream and can only be proportion-tested): "
+    "each row's inclusion is decided by its OWN key's Knuth-"
+    "multiplicative hash mapped to [0,1) against the stratum "
+    "fraction, so the sample is identical on any engine, any "
+    "partitioning, any day — the reproducibility property training-"
+    "data pipelines actually need for audits and incremental re-runs.  "
+    "Map-side Bernoulli per row (fractions broadcast), one rollup.",
+    tags=("llm", "sampling"),
+)
+def stratified_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frac = docs.sparkSession.createDataFrame(
+        [("en", 0.9), ("es", 0.5), ("fr", 0.5), ("de", 0.25), ("zh", 0.25)],
+        "lang string, f double",
+    )
+    u = ((F.col("doc_id") * 2654435761) % 1000000007).cast("double") / 1000000007
+    tagged = docs.join(F.broadcast(frac), "lang").select(
+        "lang", "doc_id", "f", u.alias("u")
+    )
+    keep = F.col("u") < F.col("f")
+    return (
+        tagged.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum(keep.cast("int")).cast("bigint").alias("n_sampled"),
+            F.min(F.when(keep, F.col("doc_id"))).cast("bigint").alias("first_sampled_id"),
+        )
+        .orderBy("lang")
+    )
