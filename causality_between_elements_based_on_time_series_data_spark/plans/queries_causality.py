@@ -1912,3 +1912,169 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled bounded peeling (each round = degree filter + edge
+    semi-restriction), same device as _pagerank_oracle/_markov_oracle."""
+    steps = []
+    for r in range(rounds):
+        steps.append(
+            f"""deg{r + 1} AS (
+        SELECT u, count(*) AS c FROM sym{r} GROUP BY u
+    ),
+    keep{r + 1} AS (SELECT u FROM deg{r + 1} WHERE c >= {k}),
+    sym{r + 1} AS (
+        SELECT s.u, s.v
+        FROM sym{r} s
+        JOIN keep{r + 1} a ON a.u = s.u
+        JOIN keep{r + 1} b ON b.u = s.v
+    )"""
+        )
+    return (
+        _COSUPPLY_EDGES_ORACLE
+        + """,
+    sym0 AS (
+        SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    """
+        + ",\n    ".join(steps)
+        + f"""
+    SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_core_nodes,
+           CAST(count(*) AS BIGINT) AS n_directed_edges,
+           CAST(coalesce(min(u), -1) AS BIGINT) AS min_node,
+           CAST(coalesce(max(u), -1) AS BIGINT) AS max_node
+    FROM sym{rounds}
+    """
+    )
+
+
+@register(
+    "cosupply_kcore",
+    oracle=_kcore_oracle(),
+    doc="Bounded k-core peeling (k=3, 4 rounds) over the symmetrized "
+    "co-supply graph: each round drops nodes of degree < k and "
+    "restricts the edge list to survivors — the dense-substructure "
+    "screen (a 3-core is where clustering/causal co-occurrence signal "
+    "concentrates; degree-1/2 tendrils are noise).  Each round is one "
+    "grouped degree count + two semi-restrictions keyed on a vertex, "
+    "cost shrinking monotonically as the graph peels; the loop "
+    "composes lazily and the DuckDB oracle unrolls the identical "
+    "rounds, so the surviving census is hash-checked.  Four rounds "
+    "bound the lineage; on this fixture peeling converges earlier "
+    "(a fixpoint round is a no-op, so extra rounds are harmless).",
+    tags=("causality", "graph"),
+)
+def cosupply_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, rounds = 3, 4
+    edges = _cosupply_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    for _ in range(rounds):
+        # each round reads sym three times (degree count + two semi
+        # restrictions): without lineage truncation the plan tree grows
+        # 3^rounds copies of the edge-build subtree and plan
+        # canonicalization OOMs the driver — same discipline as
+        # cosupply_pagerank / operators/graph.py
+        sym = sym.localCheckpoint(eager=False)
+        keep = (
+            sym.groupBy("u")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= k)
+            .select("u")
+        )
+        sym = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+        )
+    return sym.agg(
+        F.countDistinct("u").cast("bigint").alias("n_core_nodes"),
+        F.count("*").cast("bigint").alias("n_directed_edges"),
+        F.coalesce(F.min("u"), F.lit(-1)).cast("bigint").alias("min_node"),
+        F.coalesce(F.max("u"), F.lit(-1)).cast("bigint").alias("max_node"),
+    )
+
+
+@register(
+    "holt_linear_smoothing",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    holt(event_type, i, n, l, b) AS (
+        SELECT event_type, i, n, v, CAST(0 AS DOUBLE) FROM seq WHERE i = 1
+        UNION ALL
+        SELECT s.event_type, s.i, s.n,
+               0.3 * s.v + 0.7 * (h.l + h.b),
+               0.2 * ((0.3 * s.v + 0.7 * (h.l + h.b)) - h.l) + 0.8 * h.b
+        FROM holt h
+        JOIN seq s ON s.event_type = h.event_type AND s.i = h.i + 1
+    )
+    SELECT event_type AS series,
+           round(l, 6) AS final_level,
+           round(b, 6) AS final_trend,
+           round(l + b, 6) AS forecast_next,
+           CAST(n AS BIGINT) AS n_days
+    FROM holt
+    WHERE i = n
+    ORDER BY series
+    """,
+    doc="Holt linear (double-exponential) smoothing per series over "
+    "the daily grid — level+trend recurrence l_t = αv_t + (1−α)(l+b), "
+    "b_t = β(l_t − l) + (1−β)b with α=0.3, β=0.2, trend initialized "
+    "at 0.  Spark executes it as ONE ordered array fold per series "
+    "(collect the post-reduce daily values, aggregate() with a "
+    "(level, trend) struct accumulator — the idiomatic recurrence "
+    "path EWMA already uses, sequential in the fold but over the "
+    "volume-independent daily grid); the DuckDB oracle runs the "
+    "identical recurrence as a recursive CTE, so both engines fold "
+    "left-to-right in double and every smoothed value hash-checks.  "
+    "Emits final level/trend and the one-step forecast.",
+    tags=("causality", "timeseries", "regression"),
+)
+def holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("pts")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+            slice(pts, 2, size(pts) - 1),
+            named_struct('l', pts[0].v, 'b', cast(0 as double)),
+            (acc, p) -> named_struct(
+                'l', 0.3 * p.v + 0.7 * (acc.l + acc.b),
+                'b', 0.2 * ((0.3 * p.v + 0.7 * (acc.l + acc.b)) - acc.l) + 0.8 * acc.b
+            )
+        )
+        """
+    )
+    return (
+        series.select(
+            F.col("event_type").alias("series"),
+            fold.alias("hb"),
+            F.size("pts").cast("bigint").alias("n_days"),
+        )
+        .select(
+            "series",
+            F.round(F.col("hb.l"), 6).alias("final_level"),
+            F.round(F.col("hb.b"), 6).alias("final_trend"),
+            F.round(F.col("hb.l") + F.col("hb.b"), 6).alias("forecast_next"),
+            "n_days",
+        )
+        .orderBy("series")
+    )
