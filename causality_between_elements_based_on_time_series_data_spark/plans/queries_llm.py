@@ -2398,9 +2398,13 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("double").alias("c1"))
     vocab = toks.agg(F.countDistinct("tok").cast("double").alias("vocab"))
+    # pre-join the two COUNT tables (both bigram/unigram-distinct sized,
+    # w1-keyed) so the fact-sized bg relation joins the model exactly
+    # once on (w1, w2) — one fewer fact shuffle than chaining
+    # bg ⋈ c12 ⋈ c1
+    model = c12.join(c1, "w1")
     scored = (
-        bg.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+        bg.join(model, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
