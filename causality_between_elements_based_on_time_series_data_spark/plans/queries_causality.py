@@ -2078,3 +2078,82 @@ def holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("series")
     )
+
+
+@register(
+    "conversion_lag_percentiles",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_view_ts
+        FROM events
+    ),
+    lags AS (
+        SELECT user_id % 3 AS segment,
+               date_part('epoch', ts - last_view_ts) AS lag_s
+        FROM tagged
+        WHERE event_type = 'purchase' AND last_view_ts IS NOT NULL
+    )
+    SELECT CAST(segment AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           round(quantile_cont(lag_s, 0.5), 2) AS p50_lag_s,
+           round(quantile_cont(lag_s, 0.9), 2) AS p90_lag_s,
+           round(avg(lag_s), 2) AS mean_lag_s
+    FROM lags
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    doc="View→purchase conversion-lag percentiles per user segment: "
+    "each purchase pairs with the user's most recent preceding view "
+    "(ignore-nulls last_value trailing frame — the same single-pass "
+    "pairing as last_touch_attribution, never a purchase×view "
+    "self-join), lags aggregate to exact interpolated p50/p90 per "
+    "segment (Spark percentile ≡ DuckDB quantile_cont).  The latency "
+    "distribution between cause and effect events is the descriptive "
+    "complement to temporal_precedence_counts.  One user-keyed window "
+    "shuffle + one tiny rollup at any scale.",
+    tags=("causality", "window", "timeseries", "stats"),
+)
+def conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_view_ts"),
+    )
+    lags = tagged.filter(
+        (F.col("event_type") == "purchase") & F.col("last_view_ts").isNotNull()
+    ).select(
+        (F.col("user_id") % 3).alias("segment"),
+        ((F.unix_micros("ts") - F.unix_micros("last_view_ts")) / 1e6).alias("lag_s"),
+    )
+    return (
+        lags.groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_conversions"),
+            F.round(F.expr("percentile(lag_s, 0.5)"), 2).alias("p50_lag_s"),
+            F.round(F.expr("percentile(lag_s, 0.9)"), 2).alias("p90_lag_s"),
+            F.round(F.avg("lag_s"), 2).alias("mean_lag_s"),
+        )
+        .select(
+            F.col("segment").cast("bigint").alias("segment"),
+            "n_conversions",
+            "p50_lag_s",
+            "p90_lag_s",
+            "mean_lag_s",
+        )
+        .orderBy("segment")
+    )

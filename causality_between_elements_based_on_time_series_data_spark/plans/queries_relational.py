@@ -2914,3 +2914,44 @@ def equidepth_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "filtered_agg_surface",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+               AS discounted_rev,
+           round(avg(l_extendedprice) FILTER (WHERE l_tax = 0), 4)
+               AS taxfree_avg,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="ANSI FILTER-clause aggregates (SURVEY §2.4 surface row): "
+    "several differently-predicated aggregates computed in ONE pass "
+    "over the facts — the declarative replacement for N filtered "
+    "sub-scans or CASE-WHEN pyramids.  Spark and DuckDB both "
+    "evaluate the filters inside the aggregate operator, so map-side "
+    "partials still combine; identical SQL text runs on both engines.",
+    tags=("relational", "agg"),
+)
+def filtered_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "lineitem")
+    ev.createOrReplaceTempView("li_filtered_agg")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+               round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+                   AS discounted_rev,
+               round(avg(l_extendedprice) FILTER (WHERE l_tax = 0), 4)
+                   AS taxfree_avg,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM li_filtered_agg
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

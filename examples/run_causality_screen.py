@@ -16,14 +16,21 @@ AMTL training loop:
     8. Granger-style lag regression      (predictive precedence)
     9. transfer entropy (lag-1)          (directional, model-free)
    10. temporal precedence counts        (event-order evidence)
-   11. DTW distance                      (variable-delay coupling)
-   12. AMTL causality matrix B           (the reference's learned answer,
+   11. conversion-lag percentiles        (cause→effect latency profile)
+   12. last-touch attribution           (entity-level event attribution)
+   13. Markov stationary occupancy      (long-run dynamics)
+   14. Welch t / chi-square             (two-sample + categorical tests)
+   15. Kaplan-Meier survival            (lifetime analysis)
+   16. Holt smoothing / rolling OLS     (trend structure)
+   17. DTW distance                      (variable-delay coupling)
+   18. AMTL causality matrix B           (the reference's learned answer,
                                           /root/reference/model.py:166-184)
 
-Stages 1-11 all reduce events to the hour/day×series grid once and join
-tiny grid-sized tables — at 100 TB the raw events are aggregated
-exactly once per screen.  Stage 7 is the iterative trainer
-(driver-orchestrated, data-distributed — ml/amtl.py).
+All descriptive stages reduce events to the hour/day×series grid (or a
+per-user summary) once and join tiny post-reduce tables — at 100 TB
+the raw events are aggregated exactly once per screen.  The final
+stage is the iterative trainer (driver-orchestrated, data-distributed
+— ml/amtl.py).
 
 Run: ``python examples/run_causality_screen.py [sf_dir]``.
 """
@@ -59,6 +66,14 @@ def main() -> None:
         ("Granger lag regression", "granger_lag_regression"),
         ("transfer entropy (lag-1)", "transfer_entropy_lag1"),
         ("temporal precedence", "temporal_precedence_counts"),
+        ("conversion-lag percentiles", "conversion_lag_percentiles"),
+        ("last-touch attribution", "last_touch_attribution"),
+        ("Markov stationary occupancy", "markov_stationary_distribution"),
+        ("Welch t-test (purchase vs view)", "welch_ttest_purchase_vs_view"),
+        ("chi-square type x segment", "chisq_type_by_segment"),
+        ("Kaplan-Meier survival", "kaplan_meier_survival"),
+        ("Holt level+trend forecast", "holt_linear_smoothing"),
+        ("rolling OLS trend slopes", "rolling_ols_slope"),
         ("DTW distance", "dtw_distance_pairs"),
         ("AMTL causality matrix B", "amtl_causality_matrix"),
     ]
