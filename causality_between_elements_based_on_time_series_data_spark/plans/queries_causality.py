@@ -2157,3 +2157,80 @@ def conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "cosupply_link_prediction",
+    oracle=_COSUPPLY_EDGES_ORACLE
+    + """,
+    sym AS (
+        SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY 1),
+    common AS (
+        SELECT a.u AS x, b.u AS y, count(*) AS cn
+        FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+        GROUP BY 1, 2
+    ),
+    existing AS (SELECT u AS x, v AS y FROM edges),
+    cand AS (
+        SELECT c.x, c.y, c.cn
+        FROM common c
+        LEFT JOIN existing e ON e.x = c.x AND e.y = c.y
+        WHERE e.x IS NULL
+    )
+    SELECT c.x AS supp_a, c.y AS supp_b,
+           CAST(c.cn AS BIGINT) AS common_neighbors,
+           round(CAST(c.cn AS DOUBLE) / (da.d + db.d - c.cn), 6) AS jaccard
+    FROM cand c
+    JOIN deg da ON da.node = c.x
+    JOIN deg db ON db.node = c.y
+    WHERE c.cn >= 2
+    ORDER BY jaccard DESC, supp_a, supp_b
+    """,
+    doc="Link prediction on the co-supply graph: non-adjacent supplier "
+    "pairs ranked by neighbor-set Jaccard (common neighbors over "
+    "union) — 'which co-supply edge forms next', the graph-structural "
+    "prior that complements the AMTL-learned transfer matrix.  "
+    "Candidates come from the wedge join (pairs sharing >= 1 "
+    "neighbor, keyed on the shared vertex) — never all-pairs — then "
+    "an anti-join removes existing edges and a cn >= 2 cut bounds "
+    "output; the wedge join inherits the edge list's degree cap, so "
+    "cost follows wedge count.  Fully hash-checked.",
+    tags=("causality", "graph", "join"),
+)
+def cosupply_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _cosupply_edges(spark, sf_dir).localCheckpoint(eager=False)
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    a = sym.select(F.col("u").alias("x"), F.col("v").alias("w"))
+    b = sym.select(F.col("u").alias("y"), F.col("v").alias("w"))
+    common = (
+        a.join(b, "w")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cn"))
+    )
+    cand = common.join(
+        edges.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    ).filter(F.col("cn") >= 2)
+    da = deg.select(F.col("node").alias("x"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("y"), F.col("d").alias("db"))
+    return (
+        cand.join(da, "x")
+        .join(db, "y")
+        .select(
+            F.col("x").alias("supp_a"),
+            F.col("y").alias("supp_b"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.round(
+                F.col("cn").cast("double") / (F.col("da") + F.col("db") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("supp_a"), F.asc("supp_b"))
+    )

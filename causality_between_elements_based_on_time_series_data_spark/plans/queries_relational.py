@@ -2955,3 +2955,162 @@ def filtered_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "weighted_quantiles_price",
+    oracle="""
+    WITH agg AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               CAST(sum(l_quantity) AS DOUBLE) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_returnflag, price, w,
+               sum(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY price
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM agg
+    )
+    SELECT l_returnflag,
+           round(min(CASE WHEN cw >= 0.5 * tw THEN price END), 2) AS w_p50,
+           round(min(CASE WHEN cw >= 0.9 * tw THEN price END), 2) AS w_p90,
+           round(max(tw), 2) AS total_weight
+    FROM cum
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Weighted quantiles (quantity-weighted p50/p90 of price per "
+    "return flag) — neither engine has a weighted percentile builtin, "
+    "so both run the identical construction: pre-aggregate to "
+    "(group, value) with summed weights (collapses duplicate values "
+    "map-side — the window then runs on the DISTINCT-value table, not "
+    "the facts), cumulative-weight window ordered by value, first "
+    "value whose cumulative weight crosses q·total.  The importance-"
+    "weighted statistic mixture builders need where plain percentile "
+    "over-counts cheap rows.",
+    tags=("relational", "agg", "window", "robust"),
+)
+def weighted_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum("l_quantity").cast("double").alias("w"))
+    wc = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = agg.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(W.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.min(F.when(F.col("cw") >= 0.5 * F.col("tw"), F.col("price"))), 2
+            ).alias("w_p50"),
+            F.round(
+                F.min(F.when(F.col("cw") >= 0.9 * F.col("tw"), F.col("price"))), 2
+            ).alias("w_p90"),
+            F.round(F.max("tw"), 2).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "generator_surface",
+    oracle="""
+    WITH n AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+    stacked AS (
+        SELECT n_nationkey, 'name_len' AS metric,
+               CAST(length(n_name) AS BIGINT) AS val FROM n
+        UNION ALL
+        SELECT n_nationkey, 'region' AS metric,
+               CAST(n_regionkey AS BIGINT) AS val FROM n
+        UNION ALL
+        SELECT n_nationkey, 'key_sq' AS metric,
+               CAST(n_nationkey * n_nationkey AS BIGINT) AS val FROM n
+    )
+    SELECT n_nationkey, metric, val
+    FROM stacked
+    ORDER BY n_nationkey, metric
+    """,
+    doc="Generator/table-function surface (SURVEY §2.10 beside "
+    "posexplode/UDTF): stack(3, ...) turns N metric columns into "
+    "(metric, val) rows — the wide→long transpose for metric tables "
+    "— map-side row expansion, no shuffle; DuckDB mirrors with the "
+    "UNION ALL stack() desugars to.",
+    tags=("relational", "generator"),
+)
+def generator_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.select(
+            "n_nationkey",
+            F.expr(
+                "stack(3, 'name_len', cast(length(n_name) as bigint), "
+                "'region', cast(n_regionkey as bigint), "
+                "'key_sq', cast(n_nationkey * n_nationkey as bigint)) "
+                "AS (metric, val)"
+            ),
+        )
+        .orderBy("n_nationkey", "metric")
+    )
+
+
+@register(
+    "mom_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               round(sum(o_totalprice), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta,
+           round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 4) AS mom_pct,
+           round(100.0 * (revenue - lag(revenue, 12) OVER (ORDER BY month))
+                 / lag(revenue, 12) OVER (ORDER BY month), 4) AS yoy_pct
+    FROM monthly
+    ORDER BY month
+    """,
+    doc="Period-over-period growth — the BI staple: monthly revenue "
+    "rollup, then month-over-month delta/percent and year-over-year "
+    "percent via lag(1)/lag(12) windows.  The windows run over the "
+    "AGGREGATED month table (|months| rows — the single-partition "
+    "window is bounded by the calendar, never the facts; DuckDB "
+    "stages the lag-over-aggregate through a CTE).  Growth rates on "
+    "ROUNDED revenue keep the division engine-stable.",
+    tags=("relational", "window", "agg"),
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    prev12 = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        "n_orders",
+        F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
+        F.round(100.0 * (F.col("revenue") - prev12) / prev12, 4).alias("yoy_pct"),
+    ).orderBy("month")
