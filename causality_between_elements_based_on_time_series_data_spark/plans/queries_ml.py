@@ -520,3 +520,46 @@ def streaming_merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events_stream import streaming_merge_upsert
 
     return streaming_merge_upsert(spark, sf_dir)
+
+
+@register(
+    "streaming_psi_monitor",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(value) AS mn, max(value) AS mx FROM events
+    ),
+    binned AS (
+        SELECT least(9, CAST(floor((e.value - b.mn) / ((b.mx - b.mn) / 10))
+                             AS INTEGER)) AS bin,
+               CAST(e.ts < TIMESTAMP '2024-01-16 00:00:00' AS INTEGER) AS p1
+        FROM events e CROSS JOIN bounds b
+    ),
+    grid AS (SELECT unnest(range(0, 10)) AS bin),
+    counts AS (
+        SELECT g.bin,
+               CAST(coalesce(sum(b.p1), 0) AS DOUBLE) AS c1,
+               CAST(coalesce(sum(1 - b.p1), 0) AS DOUBLE) AS c2
+        FROM grid g LEFT JOIN binned b ON b.bin = g.bin
+        GROUP BY g.bin
+    ),
+    tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM counts)
+    SELECT round(sum(((c.c2 + 1) / (t.n2 + 10) - (c.c1 + 1) / (t.n1 + 10))
+                     * ln(((c.c2 + 1) / (t.n2 + 10))
+                          / ((c.c1 + 1) / (t.n1 + 10)))), 6) AS psi,
+           CAST(max(t.n1) AS BIGINT) AS n_period1,
+           CAST(max(t.n2) AS BIGINT) AS n_period2
+    FROM counts c CROSS JOIN tot t
+    """,
+    doc="Streaming drift monitor with a FULL value oracle: the "
+    "period-1 reference histogram is batch-computed, period-2 traffic "
+    "streams through a complete-mode per-bin count (the running "
+    "histogram a dashboard polls), and the final PSI from the last "
+    "emitted state must equal the batch psi_value_drift computation "
+    "exactly — stream/batch parity on the drift metric itself, not "
+    "just on counts.",
+    tags=("streaming", "dataops", "drift"),
+)
+def streaming_psi_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import streaming_psi_monitor
+
+    return streaming_psi_monitor(spark, sf_dir)

@@ -662,3 +662,72 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
     return final.select(
         "user_id", "n", F.round("raw_total", 4).alias("total_value")
     ).orderBy("user_id")
+
+
+def streaming_psi_monitor(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming drift monitor: the period-1 reference histogram is
+    computed batch-side (ts < 2024-01-16), then the live period-2
+    traffic streams through a complete-mode per-bin count — the
+    running histogram a monitor dashboard would poll — and the final
+    PSI against the reference is computed from the last emitted state.
+    Bin edges come from the global value bounds (two scalars, fetched
+    once before the stream starts — static config, like any deployed
+    monitor's binning).  Draining the same fixture the batch query
+    reads, the final PSI equals psi_value_drift exactly, so the whole
+    streaming path carries a FULL value oracle (not just rows-only).
+    """
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx")).first()
+    mn, mx = float(b["mn"]), float(b["mx"])
+    width = (mx - mn) / 10
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+    def to_bin(col):
+        return F.least(F.lit(9), F.floor((col - F.lit(mn)) / F.lit(width)).cast("int"))
+
+    grid = spark.range(0, 10).select(F.col("id").cast("int").alias("bin"))
+    c1 = (
+        ev.filter(F.col("ts") < cutoff)
+        .select(to_bin(F.col("value")).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("c1_part"))
+    )
+    c1 = grid.join(c1, "bin", "left").select(
+        "bin", F.coalesce(F.col("c1_part"), F.lit(0)).cast("double").alias("c1")
+    )
+
+    with scoped_conf(spark, _NANOS_FLAG, "true"):
+        stream = (
+            _stream_events(spark, sf_dir, max_files_per_trigger=max_files_per_trigger)
+            .filter(F.col("ts") >= cutoff)
+            .select(to_bin(F.col("value")).alias("bin"))
+        )
+        counts = stream.groupBy("bin").agg(F.count("*").alias("c2_part"))
+        name = f"stream_psi_{uuid.uuid4().hex[:8]}"
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    c2 = grid.join(spark.table(name), "bin", "left").select(
+        "bin", F.coalesce(F.col("c2_part"), F.lit(0)).cast("double").alias("c2")
+    )
+    counts_all = c1.join(c2, "bin")
+    tot = counts_all.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    q1 = (F.col("c1") + 1) / (F.col("n1") + 10)
+    q2 = (F.col("c2") + 1) / (F.col("n2") + 10)
+    return counts_all.crossJoin(F.broadcast(tot)).agg(
+        F.round(F.sum((q2 - q1) * F.log(q2 / q1)), 6).alias("psi"),
+        F.max("n1").cast("bigint").alias("n_period1"),
+        F.max("n2").cast("bigint").alias("n_period2"),
+    )

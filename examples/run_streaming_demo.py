@@ -50,6 +50,7 @@ def main() -> None:
         ("foreachBatch parquet sink", "streaming_foreachbatch_parquet_sink"),
         ("CDC merge-upsert sink", "streaming_merge_upsert"),
         ("incremental causality grid", "streaming_pairwise_correlation"),
+        ("PSI drift monitor", "streaming_psi_monitor"),
     ]
     for title, name in stages:
         n = REGISTRY[name].fn(spark, sf_dir).count()
