@@ -2234,3 +2234,61 @@ def cosupply_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jaccard"), F.asc("supp_a"), F.asc("supp_b"))
     )
+
+
+@register(
+    "cross_correlation_function",
+    oracle=_HOURLY_ORACLE
+    + """
+    , lags AS (SELECT unnest(range(-3, 4)) AS lag)
+    SELECT a.event_type AS series_a,
+           b.event_type AS series_b,
+           CAST(l.lag AS INTEGER) AS lag,
+           round(corr(a.v, b.v), 6) AS ccf,
+           CAST(count(*) AS BIGINT) AS n_hours
+    FROM hourly a
+    CROSS JOIN lags l
+    JOIN hourly b ON b.event_type <> a.event_type
+                 AND b.hour = a.hour + l.lag * INTERVAL 1 HOUR
+    WHERE a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type, l.lag
+    HAVING count(*) >= 24
+    ORDER BY series_a, series_b, lag
+    """,
+    doc="Full cross-correlation function: corr(a_t, b_{t+k}) for lags "
+    "k = -3..+3 hours over every ordered series pair — the standard "
+    "lead/lag-structure profile (an asymmetric CCF peak is the "
+    "classic direction hint lagged_cross_correlation reads at k=1 "
+    "only).  The 7-row lag spine cross-joins the volume-independent "
+    "hourly grid before one equi-join on the shifted hour — the pair "
+    "join stays keyed on (hour, series), cost |grid|·|lags|, never "
+    "touching raw events after the first reduce.",
+    tags=("causality", "timeseries", "join"),
+)
+def cross_correlation_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _hourly_series(spark, sf_dir)
+    lags = grid.sparkSession.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a = grid.select(
+        F.col("event_type").alias("series_a"), F.col("hour").alias("hour_a"), F.col("v").alias("va")
+    )
+    b = grid.select(
+        F.col("event_type").alias("series_b"), F.col("hour").alias("hour_b"), F.col("v").alias("vb")
+    )
+    shifted = a.crossJoin(F.broadcast(lags)).withColumn(
+        "hour_match", F.col("hour_a") + F.make_interval(hours=F.col("lag"))
+    )
+    return (
+        shifted.join(
+            b,
+            (F.col("hour_b") == F.col("hour_match"))
+            & (F.col("series_a") < F.col("series_b")),
+        )
+        .groupBy("series_a", "series_b", "lag")
+        .agg(
+            F.round(F.corr("va", "vb"), 6).alias("ccf"),
+            F.count("*").cast("bigint").alias("n_hours"),
+        )
+        .filter(F.col("n_hours") >= 24)
+        .select("series_a", "series_b", F.col("lag").cast("int").alias("lag"), "ccf", "n_hours")
+        .orderBy("series_a", "series_b", "lag")
+    )

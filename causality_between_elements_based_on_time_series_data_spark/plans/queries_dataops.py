@@ -518,3 +518,57 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n1").cast("bigint").alias("n_period1"),
         F.max("n2").cast("bigint").alias("n_period2"),
     )
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS d
+        FROM orders
+        WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT d, CAST(count(*) AS DOUBLE) AS o FROM digits GROUP BY d
+    ),
+    tot AS (SELECT sum(o) AS n FROM obs)
+    SELECT CAST(obs.d AS INTEGER) AS digit,
+           CAST(obs.o AS BIGINT) AS observed,
+           round(tot.n * log10(1.0 + 1.0 / obs.d), 2) AS benford_expected,
+           round(pow(obs.o - tot.n * log10(1.0 + 1.0 / obs.d), 2)
+                 / (tot.n * log10(1.0 + 1.0 / obs.d)), 6) AS chi2_term
+    FROM obs CROSS JOIN tot
+    ORDER BY digit
+    """,
+    doc="Benford's-law first-digit audit of order totals — the "
+    "fabricated-data / ingestion-corruption screen: observed "
+    "first-digit counts vs the log10(1 + 1/d) expectation, with the "
+    "per-digit chi-square contribution (sum them and compare to the "
+    "8-dof critical value).  First digits come from integer-truncated "
+    "string heads, identical arithmetic both engines; one pass over "
+    "the facts, then 9-row arithmetic.  (TPC-H uniform prices flunk "
+    "Benford, which is exactly what the audit should report for "
+    "synthetic data.)",
+    tags=("dataops", "agg", "audit"),
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").cast("double").alias("o"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    expected = F.col("n") * F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").cast("int").alias("digit"),
+            F.col("o").cast("bigint").alias("observed"),
+            F.round(expected, 2).alias("benford_expected"),
+            F.round(F.pow(F.col("o") - expected, 2) / expected, 6).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
