@@ -408,3 +408,54 @@ def zorder_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_tile")
     )
+
+
+@register(
+    "pydatasource_synthetic_series",
+    oracle="""
+    WITH rows_gen AS (
+        SELECT e.e AS entity_id, s.s AS step,
+               CAST((e.e * 31 + s.s * 7) % 97 AS DOUBLE) / 97.0 AS value
+        FROM (SELECT unnest(range(0, 40)) AS e) e
+        CROSS JOIN (SELECT unnest(range(0, 11)) AS s) s
+    )
+    SELECT entity_id,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           round(sum(value), 6) AS total,
+           round(avg(value), 6) AS mean_v
+    FROM rows_gen
+    GROUP BY entity_id
+    ORDER BY entity_id
+    """,
+    doc="Spark 4 Python DataSource API end-to-end: a custom batch "
+    "source (sources/pydatasource.py) registered on the session and "
+    "read with spark.read.format('synthetic_series') — "
+    "partitions() fans out 4 independent InputPartitions whose "
+    "read() generators run executor-side, the extension shape any "
+    "Spark-lacking format (REST pages, queue shards, proprietary "
+    "splits) plugs into; the reference's missing data_loader "
+    "(run.py:3) is exactly such a connector.  The source's "
+    "deterministic arithmetic lets DuckDB regenerate every row from "
+    "range(), so the full ingest→aggregate path is hash-checked.",
+    tags=("sources", "spark4"),
+)
+def pydatasource_synthetic_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pydatasource import make_synthetic_series_datasource
+
+    spark.dataSource.register(make_synthetic_series_datasource())
+    df = (
+        spark.read.format("synthetic_series")
+        .option("partitions", "4")
+        .option("entities", "40")
+        .option("steps", "11")
+        .load()
+    )
+    return (
+        df.groupBy("entity_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_steps"),
+            F.round(F.sum("value"), 6).alias("total"),
+            F.round(F.avg("value"), 6).alias("mean_v"),
+        )
+        .orderBy("entity_id")
+    )
