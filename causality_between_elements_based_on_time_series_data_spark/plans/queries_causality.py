@@ -717,6 +717,10 @@ def transfer_entropy_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("bin"),
     )
+    # the triple self-join reads binned three times: checkpoint the
+    # (tiny) binned grid so raw events are scanned + grid-aggregated
+    # once, not once per join leg
+    binned = binned.localCheckpoint(eager=False)
     x, y, yn = binned.alias("x"), binned.alias("y"), binned.alias("yn")
     triples = (
         x.join(
