@@ -987,6 +987,8 @@ def cosupply_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared") >= 3)
         .select("u", "v")
     )
+    # three join legs read the same edge list: build it once
+    edges = edges.localCheckpoint(eager=False)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
@@ -1538,11 +1540,13 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("causality", "graph"),
 )
 def cosupply_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _cosupply_edges(spark, sf_dir)
+    edges = _cosupply_edges(spark, sf_dir).localCheckpoint(eager=False)
     sym = (
         edges.select("u", "v")
         .unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
+        # read once per BFS round: compute the symmetrized list once
+        .localCheckpoint(eager=False)
     )
     dist = edges.agg(F.min("u").alias("node")).select(
         "node", F.lit(0).alias("dist")

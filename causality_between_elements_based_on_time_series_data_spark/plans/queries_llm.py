@@ -2647,7 +2647,9 @@ def simhash_portable_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("llm", "dedup", "join"),
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fps = simhash_portable_fingerprints(spark, sf_dir)
+    # both self-join sides read the fingerprints: compute the (500-row
+    # per 500-doc, always tiny-per-doc) fingerprint table once
+    fps = simhash_portable_fingerprints(spark, sf_dir).localCheckpoint(eager=False)
     a = fps.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash48").alias("fp_a"),
