@@ -2300,3 +2300,67 @@ def cross_correlation_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("series_a", "series_b", F.col("lag").cast("int").alias("lag"), "ccf", "n_hours")
         .orderBy("series_a", "series_b", "lag")
     )
+
+
+@register(
+    "series_gap_report",
+    oracle=_HOURLY_ORACLE
+    + """
+    , bounds AS (SELECT min(hour) AS mn, max(hour) AS mx FROM hourly),
+    spine AS (
+        SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ),
+    series AS (SELECT DISTINCT event_type FROM hourly),
+    expected AS (SELECT s.event_type, sp.hour FROM series s CROSS JOIN spine sp),
+    missing AS (
+        SELECT e.event_type, e.hour
+        FROM expected e
+        LEFT JOIN hourly h ON h.event_type = e.event_type AND h.hour = e.hour
+        WHERE h.hour IS NULL
+    )
+    SELECT s.event_type AS series,
+           CAST((SELECT count(*) FROM spine) AS BIGINT) AS n_expected_hours,
+           CAST(count(m.hour) AS BIGINT) AS n_missing,
+           min(m.hour) AS first_gap
+    FROM series s LEFT JOIN missing m ON m.event_type = s.event_type
+    GROUP BY s.event_type
+    ORDER BY series
+    """,
+    doc="Completeness / gap report per series: the full hour spine "
+    "(one sequence() from the 2-scalar bounds aggregate) crossed with "
+    "the tiny series dimension, anti-joined against the observed "
+    "hour×series grid — missing-hour count and first gap per series, "
+    "the data-quality precondition every time-series screen in this "
+    "module assumes (resample_ffill_hourly is the repair; this is "
+    "the audit).  Spine size is calendar-bounded; the only fact scan "
+    "is the grid aggregate.",
+    tags=("causality", "timeseries", "dataops"),
+)
+def series_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _hourly_series(spark, sf_dir).localCheckpoint(eager=False)
+    bounds = grid.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    ).localCheckpoint(eager=False)
+    series = grid.select("event_type").distinct()
+    expected = series.crossJoin(F.broadcast(spine))
+    missing = expected.join(grid, ["event_type", "hour"], "left_anti")
+    n_spine = spine.agg(F.count("*").alias("n_expected_hours"))
+    return (
+        series.join(
+            missing.groupBy("event_type").agg(
+                F.count("*").alias("nm"), F.min("hour").alias("first_gap")
+            ),
+            "event_type",
+            "left",
+        )
+        .crossJoin(F.broadcast(n_spine))
+        .select(
+            F.col("event_type").alias("series"),
+            F.col("n_expected_hours").cast("bigint").alias("n_expected_hours"),
+            F.coalesce(F.col("nm"), F.lit(0)).cast("bigint").alias("n_missing"),
+            "first_gap",
+        )
+        .orderBy("series")
+    )

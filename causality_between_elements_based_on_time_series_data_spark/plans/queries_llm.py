@@ -2872,3 +2872,74 @@ def stratified_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "fuzzy_entity_clusters",
+    oracle="""
+    WITH RECURSIVE names AS (
+        SELECT DISTINCT p_name,
+               string_split(p_name, ' ')[-1] AS noun
+        FROM part
+    ),
+    prs AS (
+        SELECT a.p_name AS na, b.p_name AS nb
+        FROM names a
+        JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    edges AS (
+        SELECT na AS u, nb AS v FROM prs
+        UNION SELECT nb, na FROM prs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS p_name, least(u, min(v)) AS canonical FROM reach GROUP BY u)
+    SELECT n.p_name,
+           coalesce(c.canonical, n.p_name) AS canonical,
+           CAST(coalesce(c.canonical, n.p_name) = n.p_name AS INTEGER)
+               AS is_canonical
+    FROM names n LEFT JOIN comp c USING (p_name)
+    ORDER BY p_name
+    """,
+    doc="Entity resolution end-to-end: the blocked levenshtein match "
+    "graph (fuzzy_match_levenshtein's edges) collapsed to canonical "
+    "entities via min-label connected components (operators/graph.py "
+    "— same engine loop as dedup_jaccard_clusters, which works "
+    "unchanged on STRING node ids since propagation only needs an "
+    "ordering); canonical = lexicographic min name per component, "
+    "singletons canonical by themselves.  The oracle replays matching "
+    "+ closure with a recursive CTE, so every cluster assignment is "
+    "hash-checked.  The composition a catalog-dedup pipeline ships: "
+    "block → edit-distance match → transitive closure → survivor.",
+    tags=("llm", "dedup", "graph"),
+)
+def fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("noun")
+    ).distinct()
+    a = names.select(F.col("p_name").alias("na"), F.col("noun").alias("noun_a"))
+    b = names.select(F.col("p_name").alias("nb"), F.col("noun").alias("noun_b"))
+    prs = (
+        a.join(b, (F.col("noun_a") == F.col("noun_b")) & (F.col("na") < F.col("nb")))
+        .filter(F.levenshtein("na", "nb") <= 3)
+        .select(F.col("na").alias("id_a"), F.col("nb").alias("id_b"))
+    )
+    comp = connected_components(prs)
+    return (
+        names.join(comp, names.p_name == comp.node, "left")
+        .select(
+            "p_name",
+            F.coalesce(F.col("cluster_id"), F.col("p_name")).alias("canonical"),
+            (F.coalesce(F.col("cluster_id"), F.col("p_name")) == F.col("p_name"))
+            .cast("int")
+            .alias("is_canonical"),
+        )
+        .orderBy("p_name")
+    )
