@@ -2943,3 +2943,99 @@ def fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_name")
     )
+
+
+@register(
+    "tfidf_doc_similarity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+    ),
+    dfreq AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM toks GROUP BY 1),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    wtok AS (
+        SELECT t.doc_id, t.w, ln(nd.n / dfreq.df) AS idf
+        FROM toks t JOIN dfreq USING (w) CROSS JOIN nd
+        WHERE dfreq.df <= 0.8 * nd.n
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(sum(idf * idf)) AS nrm FROM wtok GROUP BY doc_id
+    ),
+    q AS (SELECT * FROM wtok WHERE doc_id % 100 = 0),
+    dots AS (
+        SELECT q.doc_id AS id_a, t.doc_id AS id_b, sum(q.idf * t.idf) AS dot
+        FROM q JOIN wtok t ON t.w = q.w AND t.doc_id > q.doc_id
+        GROUP BY 1, 2
+    ),
+    sims AS (
+        SELECT id_a, id_b,
+               dot / (na.nrm * nb.nrm) AS sim
+        FROM dots
+        JOIN norms na ON na.doc_id = id_a
+        JOIN norms nb ON nb.doc_id = id_b
+    ),
+    ranked AS (
+        SELECT id_a, id_b, sim,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY round(sim, 6) DESC, id_b) AS rn
+        FROM sims
+    )
+    SELECT id_a, id_b, round(sim, 6) AS sim, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY id_a, rn
+    """,
+    doc="Sparse TF-IDF document-to-document cosine (top-3 per anchor): "
+    "idf-weighted binary term vectors, dot products accumulated "
+    "through the INVERTED-INDEX join on shared terms (cost follows "
+    "co-occurring term mass — the sparse-similarity discipline of "
+    "ngram_jaccard_pairs, but weighted, so near-dups rank above "
+    "stopword-ish overlaps), a 0.8-df stopword cut bounding posting "
+    "lists, norms joined back, per-anchor distributed top-3 on "
+    "ROUNDED sims (engine-stable ordering).  The lexical complement "
+    "to the embedding ANN tier — what retrieval runs when no encoder "
+    "exists.",
+    tags=("llm", "similarity", "text", "join"),
+)
+def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    dfreq = toks.groupBy("w").agg(F.count("*").cast("double").alias("df"))
+    nd = docs.agg(F.count("*").cast("double").alias("n"))
+    wtok = (
+        toks.join(dfreq, "w")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") <= 0.8 * F.col("n"))
+        .select("doc_id", "w", F.log(F.col("n") / F.col("df")).alias("idf"))
+        .localCheckpoint(eager=False)
+    )
+    norms = wtok.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("nrm")
+    )
+    q = wtok.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("id_a"), "w", F.col("idf").alias("idf_a")
+    )
+    dots = (
+        q.join(wtok.withColumnRenamed("doc_id", "id_b"), "w")
+        .filter(F.col("id_b") > F.col("id_a"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("idf_a") * F.col("idf")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    sims = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("sim"))
+    )
+    w = W.partitionBy("id_a").orderBy(F.round("sim", 6).desc(), F.asc("id_b"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"), "rn")
+        .orderBy("id_a", "rn")
+    )
