@@ -3039,3 +3039,117 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"), "rn")
         .orderBy("id_a", "rn")
     )
+
+
+def _rp_cluster_sql() -> str:
+    """3-bit deterministic cluster code from the first three RP
+    hyperplanes (integer arithmetic + sign bits only — no float
+    centroids, so the whole IVF pipeline is oracle-reproducible)."""
+    bits = " + ".join(
+        f"CASE WHEN {_rp_dot_sql(a, b)} > 0 THEN {1 << i} ELSE 0 END"
+        for i, (a, b) in enumerate(_RP_COEFFS[:3])
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+def _rp_cluster_spark():
+    sig = F.lit(0)
+    for i, (a, b) in enumerate(_RP_COEFFS[:3]):
+        dot = F.expr(
+            f"aggregate(transform(sequence(1, {_RP_DIM}), "
+            f"d -> cast(element_at(embedding, d) as double) * (((({a} * d + {b}) % 1009)) - 504)), "
+            "0D, (acc, x) -> acc + x)"
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig.cast("bigint")
+
+
+@register(
+    "ann_rp_ivf_portable_topk",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT vec_id, embedding, {_rp_cluster_sql()} AS cluster
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM assigned WHERE vec_id % 100 = 0),
+    probes AS (
+        SELECT q.vec_id AS qid, q.embedding AS qvec,
+               unnest([q.cluster,
+                       xor(q.cluster, 1),
+                       xor(q.cluster, 2),
+                       xor(q.cluster, 4)]) AS cluster
+        FROM q
+    ),
+    cand AS (
+        SELECT p.qid, p.qvec, a.vec_id AS nid, a.embedding AS nvec
+        FROM probes p JOIN assigned a USING (cluster)
+        WHERE a.vec_id <> p.qid
+    ),
+    sims AS (
+        SELECT qid, nid,
+               list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+                                      CAST(nvec AS DOUBLE[])) AS sim
+        FROM cand
+    ),
+    ranked AS (
+        SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY round(sim, 6) DESC, nid) AS rn
+        FROM sims
+    )
+    SELECT qid, nid, round(sim, 6) AS sim, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY qid, rn
+    """,
+    doc="PORTABLE IVF ANN, hash-checked end-to-end — the oracle-"
+    "checkable twin of ann_ivf_topk (whose MLlib-KMeans centroids can "
+    "only be equivalence/recall-tested): clusters are 3-bit sign "
+    "codes from deterministic RP hyperplanes (8 inverted lists, "
+    "integer arithmetic only — no float centroids to drift across "
+    "engines), each query probes its OWN cluster plus the three "
+    "Hamming-1 neighbors (the angular-LSH analog of n_probe=4 "
+    "nearest-centroid probing), and the exact cosine re-rank runs on "
+    "candidates only.  Same physical shape as the production IVF "
+    "tier — assignment map-side, probes explode 4 rows per query, "
+    "candidate join keyed on cluster — so everything the driver "
+    "hash-checks here transfers to the KMeans tier, including the "
+    "bucketed-corpus layout (ann_ivf_bucketed_topk).",
+    tags=("llm", "similarity", "ivf", "sketch"),
+)
+def ann_rp_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        "vec_id", "embedding", _rp_cluster_spark().alias("cluster")
+    ).localCheckpoint(eager=False)
+    q = assigned.filter(F.col("vec_id") % 100 == 0)
+    probes = q.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.explode(
+            F.array(
+                F.col("cluster"),
+                F.col("cluster").bitwiseXOR(F.lit(1)),
+                F.col("cluster").bitwiseXOR(F.lit(2)),
+                F.col("cluster").bitwiseXOR(F.lit(4)),
+            )
+        ).alias("cluster"),
+    )
+    from ..functions.arrays import cosine_similarity
+
+    cand = assigned.join(F.broadcast(probes), "cluster").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    sims = cand.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        cosine_similarity(F.col("qvec"), F.col("embedding")).alias("sim"),
+    )
+    w = W.partitionBy("qid").orderBy(F.round("sim", 6).desc(), F.asc("nid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "nid", F.round("sim", 6).alias("sim"), "rn")
+        .orderBy("qid", "rn")
+    )
