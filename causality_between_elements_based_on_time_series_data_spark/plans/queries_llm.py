@@ -3153,3 +3153,128 @@ def ann_rp_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", F.round("sim", 6).alias("sim"), "rn")
         .orderBy("qid", "rn")
     )
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf, max(dl) AS dl
+        FROM tok
+        WHERE w IN ('hash', 'vector', 'stream')
+        GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    bm25 AS (
+        SELECT t.doc_id,
+               sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * t.tf * ({{k1}} + 1.0)
+                   / (t.tf + {{k1}} * (1.0 - {{b}} + {{b}} * t.dl / s.avgdl))) AS score
+        FROM tf t JOIN df d USING (w) CROSS JOIN stats s
+        GROUP BY t.doc_id
+    ),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS r
+        FROM bm25
+        QUALIFY r <= 20
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+    cos AS (
+        SELECT e.vec_id AS doc_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v) AS sim
+        FROM embeddings e CROSS JOIN qv
+        WHERE e.vec_id <> 0
+    ),
+    sem AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY round(sim, 6) DESC, doc_id) AS r
+        FROM cos
+        QUALIFY r <= 20
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+               coalesce(1.0 / (60 + l.r), 0) + coalesce(1.0 / (60 + s.r), 0)
+                   AS rrf,
+               l.r AS lex_rank, s.r AS sem_rank
+        FROM lex l FULL OUTER JOIN sem s USING (doc_id)
+    )
+    SELECT doc_id,
+           round(rrf, 6) AS rrf_score,
+           CAST(coalesce(lex_rank, -1) AS INTEGER) AS lex_rank,
+           CAST(coalesce(sem_rank, -1) AS INTEGER) AS sem_rank
+    FROM fused
+    ORDER BY round(rrf, 6) DESC, doc_id
+    LIMIT 10
+    """.replace("{k1}", str(_BM25_K1)).replace("{b}", str(_BM25_B)),
+    doc="Hybrid retrieval via reciprocal-rank fusion — the standard "
+    "RAG-era combiner: the BM25 lexical top-20 (query terms 'hash "
+    "vector stream') and the embedding-cosine top-20 (anchor vector "
+    "0 as the query encoding) fuse by RRF(d) = Σ 1/(60 + rank_leg), "
+    "full-outer so single-leg hits still score.  Both legs are "
+    "independently oracled pipelines; fusion adds one outer join on "
+    "two 20-row lists — at 100 TB the fusion cost is the max of the "
+    "two retrievers, never their product.  Ranks on ROUNDED scores "
+    "keep both legs' orderings engine-stable.",
+    tags=("llm", "similarity", "text"),
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.arrays import cosine_similarity
+
+    lex_scores = bm25_retrieval_topk(spark, sf_dir)
+    lex = (
+        lex_scores.withColumn(
+            "r",
+            F.row_number().over(W.orderBy(F.desc("bm25_score"), F.asc("doc_id"))),
+        )
+        .filter(F.col("r") <= 20)
+        .select("doc_id", F.col("r").alias("lex_rank"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+    )
+    sem = (
+        cos.withColumn(
+            "r",
+            F.row_number().over(W.orderBy(F.round("sim", 6).desc(), F.asc("doc_id"))),
+        )
+        .filter(F.col("r") <= 20)
+        .select("doc_id", F.col("r").alias("sem_rank"))
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("sem_rank")), F.lit(0.0))
+        ).alias("rrf"),
+        "lex_rank",
+        "sem_rank",
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.coalesce("lex_rank", F.lit(-1)).cast("int").alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(-1)).cast("int").alias("sem_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )
