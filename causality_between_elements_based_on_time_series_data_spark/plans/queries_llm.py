@@ -3278,3 +3278,65 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@register(
+    "sorted_neighborhood_matches",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    seq AS (
+        SELECT p_name,
+               lead(p_name, 1) OVER (ORDER BY p_name) AS n1,
+               lead(p_name, 2) OVER (ORDER BY p_name) AS n2
+        FROM names
+    ),
+    cand AS (
+        SELECT p_name AS name_a, n1 AS name_b FROM seq WHERE n1 IS NOT NULL
+        UNION ALL
+        SELECT p_name, n2 FROM seq WHERE n2 IS NOT NULL
+    )
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 3
+    ORDER BY name_a, name_b
+    """,
+    doc="Sorted-neighborhood blocking — the OTHER classic entity-"
+    "resolution candidate generator beside key blocking "
+    "(fuzzy_match_levenshtein): sort the distinct names once, compare "
+    "each only to its next-2 lexicographic neighbors (lead windows), "
+    "keep levenshtein <= 3.  Candidate count is exactly 2n regardless "
+    "of block-size skew — the property that makes sorted-neighborhood "
+    "the fallback when no good blocking key exists.  The sort runs on "
+    "the distinct-name table (catalog-sized, post-dedup); at 100 TB "
+    "a range-partitioned sort keeps it distributed, with window "
+    "continuity across partition boundaries handled by the standard "
+    "2-row overlap trick.",
+    tags=("llm", "dedup", "window"),
+)
+def sorted_neighborhood_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    w = W.orderBy("p_name")
+    seq = names.select(
+        "p_name",
+        F.lead("p_name", 1).over(w).alias("n1"),
+        F.lead("p_name", 2).over(w).alias("n2"),
+    )
+    cand = (
+        seq.filter(F.col("n1").isNotNull())
+        .select(F.col("p_name").alias("name_a"), F.col("n1").alias("name_b"))
+        .unionByName(
+            seq.filter(F.col("n2").isNotNull()).select(
+                F.col("p_name").alias("name_a"), F.col("n2").alias("name_b")
+            )
+        )
+    )
+    return (
+        cand.select(
+            "name_a", "name_b", F.levenshtein("name_a", "name_b").cast("int").alias("dist")
+        )
+        .filter(F.col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    )
