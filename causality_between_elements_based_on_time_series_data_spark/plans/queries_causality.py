@@ -2364,3 +2364,173 @@ def series_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("series")
     )
+
+
+@register(
+    "session_pmi_pairs",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    st AS (
+        SELECT DISTINCT user_id, session_id, event_type FROM sess
+    ),
+    ns AS (SELECT CAST(count(DISTINCT (user_id, session_id)) AS DOUBLE) AS n
+           FROM st),
+    tcount AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS c FROM st GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS DOUBLE) AS c_ab
+        FROM st a
+        JOIN st b ON b.user_id = a.user_id AND b.session_id = a.session_id
+                 AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.c_ab AS BIGINT) AS n_cooccur,
+           round(ln((p.c_ab / ns.n) / ((ta.c / ns.n) * (tb.c / ns.n))), 6) AS pmi
+    FROM pairs p
+    JOIN tcount ta ON ta.event_type = p.type_a
+    JOIN tcount tb ON tb.event_type = p.type_b
+    CROSS JOIN ns
+    ORDER BY type_a, type_b
+    """,
+    doc="Session-level pointwise mutual information between event "
+    "types: sessionize (30-min gap, the engine's standard "
+    "sessionization), reduce to distinct (session, type) incidences, "
+    "then PMI = ln(p(a,b)/(p(a)p(b))) over the session universe — "
+    "'which behaviors co-occur in one sitting beyond chance', the "
+    "session-granular complement to pairwise_mutual_information's "
+    "hourly binning.  The pair join runs on the per-session distinct "
+    "type sets (≤ |types| rows per session, never raw events); type "
+    "marginals and the session count are tiny broadcasts.",
+    tags=("causality", "timeseries", "stats"),
+)
+def session_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    st = (
+        flagged.select(
+            "user_id",
+            "event_type",
+            F.sum("new_session").over(run).alias("session_id"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ns = st.select("user_id", "session_id").distinct().agg(
+        F.count("*").cast("double").alias("n")
+    )
+    tcount = st.groupBy("event_type").agg(F.count("*").cast("double").alias("c"))
+    a = st.select("user_id", "session_id", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "session_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "session_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("double").alias("c_ab"))
+    )
+    ta = tcount.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    tb = tcount.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("c_ab").cast("bigint").alias("n_cooccur"),
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n"))
+                    / ((F.col("ca") / F.col("n")) * (F.col("cb") / F.col("n")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "interarrival_burst_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               date_part('epoch', ts - lag(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)) AS gap_s
+        FROM events
+    ),
+    g AS (SELECT * FROM gaps WHERE gap_s IS NOT NULL)
+    SELECT event_type AS series,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(count(*) FILTER (WHERE gap_s < 3600) AS BIGINT)
+               AS n_bursts_1h,
+           round(quantile_cont(gap_s, 0.5), 2) AS p50_gap_s,
+           round(min(gap_s), 2) AS min_gap_s
+    FROM g
+    GROUP BY event_type
+    ORDER BY series
+    """,
+    doc="Inter-arrival gap / burst statistics per series: the gap to "
+    "the previous same-type event of the same user (one lag window), "
+    "then per-type burst count (repeats within the hour — the "
+    "at-least-once-delivery and bot-burst screen), exact median gap, "
+    "and minimum gap.  Linear in events — adjacent-pair gaps via lag "
+    "replace the quadratic same-user self-join a naive duplicate "
+    "detector would run; one user-keyed window shuffle + a 5-row "
+    "rollup.  A min_gap near zero flags duplicate delivery; a heavy "
+    "sub-hour burst mass flags automation.",
+    tags=("causality", "window", "timeseries", "dataops"),
+)
+def interarrival_burst_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1e6).alias(
+            "gap_s"
+        ),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy(F.col("event_type").alias("series"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.sum((F.col("gap_s") < 3600).cast("int")).cast("bigint").alias(
+                "n_bursts_1h"
+            ),
+            F.round(F.expr("percentile(gap_s, 0.5)"), 2).alias("p50_gap_s"),
+            F.round(F.min("gap_s"), 2).alias("min_gap_s"),
+        )
+        .orderBy("series")
+    )
