@@ -851,11 +851,82 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dtw_distance_pairs",
-    oracle=None,  # dynamic-programming recurrence (O(len_a x len_b)
-    # table with a data-dependent min at each cell) is not
-    # ANSI-SQL-expressible; the numpy-golden pytest
-    # (tests/test_operators.py) pins the kernel against an
-    # independent full-matrix DTW implementation.
+    # The DP recurrence IS oracle-expressible: a wavefront over
+    # anti-diagonals d = i + j has no within-step dependency (cell
+    # (i, j) needs only diagonals d-1 and d-2), so a DuckDB recursive
+    # CTE carrying two diagonal LISTs replays the banded DP exactly.
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type, list(v ORDER BY day) AS vs
+        FROM daily GROUP BY 1
+    ),
+    raw AS (
+        SELECT a.event_type AS series_a, b.event_type AS series_b,
+               a.vs AS x0, b.vs AS y0
+        FROM series a JOIN series b ON a.event_type < b.event_type
+    ),
+    prep AS (
+        SELECT series_a, series_b,
+               list_transform(x0, v -> CASE WHEN xs > 0 THEN (v - xm) / xs
+                                            ELSE v - xm END) AS x,
+               list_transform(y0, v -> CASE WHEN ys > 0 THEN (v - ym) / ys
+                                            ELSE v - ym END) AS y,
+               len(x0) AS n, len(y0) AS m,
+               greatest(7, abs(len(x0) - len(y0))) AS band
+        FROM (
+            SELECT series_a, series_b, x0, y0,
+                   list_avg(x0) AS xm, list_avg(y0) AS ym,
+                   sqrt(list_avg(list_transform(
+                       x0, v -> (v - list_avg(x0)) * (v - list_avg(x0))))) AS xs,
+                   sqrt(list_avg(list_transform(
+                       y0, v -> (v - list_avg(y0)) * (v - list_avg(y0))))) AS ys
+            FROM raw
+        )
+    ),
+    wave AS (
+        SELECT series_a, series_b, x, y, n, m, band, 0 AS d,
+               [0.0]::DOUBLE[] AS cur, NULL::DOUBLE[] AS prev
+        FROM prep
+        UNION ALL
+        SELECT series_a, series_b, x, y, n, m, band, d + 1,
+               list_transform(range(greatest(0, d + 1 - m),
+                                    least(n, d + 1) + 1), i ->
+                 CASE
+                   WHEN i = 0 OR (d + 1 - i) = 0 THEN 'infinity'::DOUBLE
+                   WHEN abs(i - (d + 1 - i)) > band THEN 'infinity'::DOUBLE
+                   ELSE abs(list_extract(x, i) - list_extract(y, d + 1 - i))
+                        + least(
+                            CASE WHEN i - 1 >= greatest(0, d - m)
+                                      AND i - 1 <= least(n, d)
+                                 THEN list_extract(cur,
+                                      i - 1 - greatest(0, d - m) + 1)
+                                 ELSE 'infinity'::DOUBLE END,
+                            CASE WHEN i >= greatest(0, d - m)
+                                      AND i <= least(n, d)
+                                 THEN list_extract(cur,
+                                      i - greatest(0, d - m) + 1)
+                                 ELSE 'infinity'::DOUBLE END,
+                            CASE WHEN prev IS NOT NULL
+                                      AND i - 1 >= greatest(0, d - 1 - m)
+                                      AND i - 1 <= least(n, d - 1)
+                                 THEN list_extract(prev,
+                                      i - 1 - greatest(0, d - 1 - m) + 1)
+                                 ELSE 'infinity'::DOUBLE END)
+                 END),
+               cur
+        FROM wave WHERE d < n + m
+    )
+    SELECT series_a, series_b,
+           round(list_extract(cur, 1), 6) AS dtw_distance,
+           CAST(n AS INT) AS len_a, CAST(m AS INT) AS len_b
+    FROM wave WHERE d = n + m
+    ORDER BY series_a, series_b
+    """,
     doc="Dynamic-time-warping distance between every unordered "
     "series pair, over z-normalized daily aggregates — the "
     "alignment-tolerant similarity screen for series whose causal "
@@ -867,7 +938,11 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Sakoe-Chiba band (|i-j| <= 7) — O(len x band) per pair, and "
     "pairs distribute across executors.  At 100 TB the reduction to "
     "daily grids happens map-side; Python only ever sees "
-    "band-bounded DP on short arrays.",
+    "band-bounded DP on short arrays.  The oracle replays the exact "
+    "banded DP as a recursive-CTE WAVEFRONT over anti-diagonals "
+    "(d = i + j): each diagonal depends only on the previous two, so "
+    "there is no within-step recurrence and the whole table "
+    "value-checks end-to-end (plus the numpy-golden pytest).",
     tags=("causality", "timeseries", "udf"),
 )
 def dtw_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

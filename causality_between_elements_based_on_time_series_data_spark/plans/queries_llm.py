@@ -3340,3 +3340,315 @@ def sorted_neighborhood_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "kmeans_lloyd_step",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id AS cid, dim, val AS sval
+        FROM dims WHERE vec_id % 100 = 0
+    ),
+    dist AS (
+        SELECT d.vec_id, s.cid,
+               sum((d.val - s.sval) * (d.val - s.sval)) AS d2
+        FROM dims d JOIN seeds s USING (dim) GROUP BY 1, 2
+    ),
+    assign AS (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY round(d2, 6), cid) AS rn
+        FROM dist
+    ),
+    a AS (SELECT vec_id, cid, d2 FROM assign WHERE rn = 1),
+    newc AS (
+        SELECT a.cid, d.dim, avg(d.val) AS cval
+        FROM a JOIN dims d USING (vec_id) GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+               sum(d2) AS inertia
+        FROM a GROUP BY 1
+    ),
+    geom AS (
+        SELECT n.cid,
+               sqrt(sum(n.cval * n.cval)) AS cnorm,
+               sqrt(sum((n.cval - s.sval) * (n.cval - s.sval))) AS cshift
+        FROM newc n JOIN seeds s ON n.cid = s.cid AND n.dim = s.dim
+        GROUP BY 1
+    )
+    SELECT st.cid AS cluster, st.n_members,
+           round(st.inertia, 4) AS inertia,
+           round(g.cnorm, 6) AS centroid_norm,
+           round(g.cshift, 6) AS centroid_shift
+    FROM stats st JOIN geom g USING (cid)
+    ORDER BY cluster
+    """,
+    doc="One full Lloyd iteration of k-means over the embedding corpus "
+    "(k = 5, deterministic seed centroids = every 100th vector), fully "
+    "hash-checked: assignment distances, membership counts, inertia, "
+    "and the updated-centroid geometry (norm + shift from seed) all "
+    "value-match DuckDB.  This is the inner step the MLlib KMeans tier "
+    "(ann_ivf_topk) iterates; checking one step end-to-end pins the "
+    "distance/argmin/mean math that recall tests can only bound.  "
+    "Scale shape: ASSIGNMENT is a broadcast of k centroid arrays + a "
+    "zip_with fold per row — zero shuffle, never a dim-explode of the "
+    "facts; the UPDATE is one posexplode + (cluster, dim)-keyed "
+    "partial aggregate (map-side combine), the same one-shuffle shape "
+    "at 100 TB.  Ties break on round(d2, 6) then cluster id, so the "
+    "argmin is engine-independent.",
+    tags=("llm", "embedding", "ml", "similarity"),
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("svec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "svec",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dist = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "cid", d2.alias("d2")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.round("d2", 6), "cid")
+    )
+    a = (
+        dist.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "d2")
+        .localCheckpoint(eager=False)
+    )
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "valf")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), F.col("valf").cast("double").alias("val"))
+    newc = (
+        a.join(dims, "vec_id")
+        .groupBy("cid", "dim")
+        .agg(F.avg("val").alias("cval"))
+    )
+    seed_dims = seeds.select(
+        "cid", F.posexplode("svec").alias("dim0", "svalf")
+    ).select("cid", (F.col("dim0") + 1).alias("dim"), F.col("svalf").cast("double").alias("sval"))
+    stats = a.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("d2").alias("inertia"),
+    )
+    geom = (
+        newc.join(F.broadcast(seed_dims), ["cid", "dim"])
+        .groupBy("cid")
+        .agg(
+            F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cnorm"),
+            F.sqrt(
+                F.sum((F.col("cval") - F.col("sval")) * (F.col("cval") - F.col("sval")))
+            ).alias("cshift"),
+        )
+    )
+    return (
+        stats.join(geom, "cid")
+        .select(
+            F.col("cid").alias("cluster"),
+            "n_members",
+            F.round("inertia", 4).alias("inertia"),
+            F.round("cnorm", 6).alias("centroid_norm"),
+            F.round("cshift", 6).alias("centroid_shift"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "semdedup_cluster_prune",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT vec_id, embedding, {_rp_cluster_sql()} AS cluster FROM embeddings
+    ),
+    pruned AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.3
+    )
+    SELECT c.cluster, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(p.vec_id) AS BIGINT) AS n_pruned,
+           round(count(p.vec_id) / CAST(count(*) AS DOUBLE), 4) AS prune_rate
+    FROM assigned c LEFT JOIN pruned p ON c.vec_id = p.vec_id
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="SemDeDup-style semantic pruning (Abbas et al. 2023, 'SemDeDup: "
+    "Data-efficient learning at web-scale through semantic "
+    "deduplication'): cluster the embedding space, then within each "
+    "cluster drop every vector that has a semantically-near neighbor "
+    "(cosine >= 0.3) with a smaller id — keep-lowest-id is order-free "
+    "(a semi-join predicate), so the survivor set is deterministic.  "
+    "Clusters are the portable 3-bit RP sign codes (the same "
+    "integer-arithmetic clustering the IVF tier hash-checks), so the "
+    "WHOLE pipeline — clustering, in-cluster pair cosines, prune "
+    "verdicts, per-cluster rates — value-matches DuckDB.  Scale "
+    "shape: the pair join is keyed on cluster (never corpus-wide "
+    "all-pairs); at 100 TB cluster count grows with more sign bits "
+    "so in-cluster quadratic cost stays bounded, exactly the "
+    "SemDeDup production recipe (k-means there, sign codes here).",
+    tags=("llm", "embedding", "dedup", "similarity"),
+)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.arrays import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        "vec_id", "embedding", _rp_cluster_spark().alias("cluster")
+    ).localCheckpoint(eager=False)
+    a = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("vec_a"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vec_b"),
+    )
+    pruned = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("vec_a"), F.col("vec_b")) >= 0.3)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            pruned.withColumn("is_pruned", F.lit(1)), "vec_id", "left"
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.count("is_pruned").cast("bigint").alias("n_pruned"),
+            F.round(
+                F.count("is_pruned") / F.count("*").cast("double"), 4
+            ).alias("prune_rate"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kcenter_oracle(rounds: int) -> str:
+    """Unrolled greedy k-center CTE chain (the PageRank/Markov
+    unrolled-power-iteration pattern applied to farthest-point
+    selection)."""
+    parts = [
+        "c0 AS (SELECT CAST(0 AS BIGINT) AS vec_id, 0 AS sel_round, "
+        "NULL::DOUBLE AS gap)"
+    ]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+    m{r} AS (
+        SELECT e.vec_id,
+               min(list_distance(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(c.embedding AS DOUBLE[]))) AS mind
+        FROM embeddings e
+        JOIN {prev} ch ON true
+        JOIN embeddings c ON c.vec_id = ch.vec_id
+        GROUP BY 1
+    ),
+    p{r} AS (
+        SELECT vec_id, {r} AS sel_round, round(mind, 6) AS gap
+        FROM m{r}
+        ORDER BY round(mind, 6) DESC, vec_id
+        LIMIT 1
+    ),
+    c{r} AS (SELECT vec_id, sel_round, gap FROM {prev}
+             UNION ALL SELECT * FROM p{r})"""
+        )
+        prev = f"c{r}"
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\n    SELECT sel_round, vec_id, gap FROM {prev} ORDER BY sel_round"
+    )
+
+
+@register(
+    "kcenter_coreset_greedy",
+    oracle=_kcenter_oracle(4),
+    doc="Greedy k-center coreset selection (Gonzalez farthest-point "
+    "traversal — the classic diversity-sampling / coreset baseline "
+    "for training-data selection): seed with vector 0, then 4 rounds "
+    "of 'pick the point farthest from its nearest chosen center'.  "
+    "Each round is one broadcast of the <=5 chosen centers against "
+    "the corpus + a min-distance aggregate + a distributed top-1 "
+    "(TakeOrdered — never a global sort); chosen sets are lazily "
+    "localCheckpoint-ed so round r's plan does not re-derive rounds "
+    "1..r-1 (linear, not exponential, plan growth).  The oracle "
+    "unrolls the same 4 rounds as a CTE chain.  Ties break on "
+    "round(dist, 6) then vec_id — engine-independent.  At 100 TB the "
+    "per-round cost is one map-side pass over the corpus (centers "
+    "broadcast), the standard distributed k-center shape; the gap "
+    "column is the k-center radius curve, the stopping signal for "
+    "coreset sizing.",
+    tags=("llm", "embedding", "sampling", "similarity"),
+)
+def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    l2 = lambda x, y: F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                x,
+                y,
+                lambda p, q: (p.cast("double") - q.cast("double"))
+                * (p.cast("double") - q.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    chosen = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.lit(0).alias("sel_round"),
+            F.lit(None).cast("double").alias("gap"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for r in range(1, 5):
+        centers = chosen.select(F.col("embedding").alias("cvec"))
+        mind = (
+            emb.crossJoin(F.broadcast(centers))
+            .select(
+                "vec_id",
+                "embedding",
+                l2(F.col("embedding"), F.col("cvec")).alias("dist"),
+            )
+            .groupBy("vec_id", "embedding")
+            .agg(F.min("dist").alias("mind"))
+        )
+        pick = (
+            mind.orderBy(F.round("mind", 6).desc(), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                "vec_id",
+                "embedding",
+                F.lit(r).alias("sel_round"),
+                F.round("mind", 6).alias("gap"),
+            )
+        )
+        chosen = chosen.unionByName(pick).localCheckpoint(eager=False)
+    return chosen.select("sel_round", "vec_id", "gap").orderBy("sel_round")
