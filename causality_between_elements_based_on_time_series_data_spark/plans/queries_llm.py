@@ -2386,14 +2386,20 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
+    # one-scan discipline: the token explode feeds BOTH the bigram
+    # window and the vocabulary count, and the windowed bigram table
+    # feeds BOTH the count model and the scoring join — lazy
+    # localCheckpoints compute each exactly once instead of re-running
+    # the explode / window shuffle per consumer
     toks = docs.select(
         "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
+    ).localCheckpoint(eager=False)
     wdoc = W.partitionBy("doc_id").orderBy("pos")
     bg = (
         toks.withColumn("w2", F.lead("tok").over(wdoc))
         .filter(F.col("w2").isNotNull())
         .select("doc_id", "lang", F.col("tok").alias("w1"), "w2")
+        .localCheckpoint(eager=False)
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("double").alias("c1"))
@@ -3652,3 +3658,331 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         chosen = chosen.unionByName(pick).localCheckpoint(eager=False)
     return chosen.select("sel_round", "vec_id", "gap").orderBy("sel_round")
+
+
+_DSIR_BUCKETS = 1024
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 12)
+                    AS BIGINT) % {_DSIR_BUCKETS} AS b
+        FROM documents
+    ),
+    tgt AS (
+        SELECT b, CAST(count(*) AS DOUBLE) AS c
+        FROM toks WHERE lang = 'en' GROUP BY 1
+    ),
+    tgt_tot AS (SELECT sum(c) AS tot FROM tgt),
+    raw AS (
+        SELECT b, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY 1
+    ),
+    raw_tot AS (SELECT sum(c) AS tot FROM raw),
+    scored AS (
+        SELECT t.doc_id, t.lang,
+               sum(ln(((coalesce(g.c, 0) + 1.0) / (gt.tot + {_DSIR_BUCKETS}))
+                      / ((r.c + 1.0) / (rt.tot + {_DSIR_BUCKETS})))) AS logw
+        FROM toks t
+        LEFT JOIN tgt g USING (b)
+        JOIN raw r USING (b)
+        CROSS JOIN tgt_tot gt CROSS JOIN raw_tot rt
+        GROUP BY 1, 2
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(logw), 6) AS avg_logw,
+           round(min(logw), 6) AS min_logw,
+           round(max(logw), 6) AS max_logw
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+    doc="DSIR-style importance weights (Xie et al. 2023, 'Data "
+    "Selection for Language Models via Importance Resampling'): score "
+    "every document by how much its HASHED unigram distribution looks "
+    "like a target domain (here lang='en') versus the raw corpus — "
+    "log w(doc) = sum over tokens of ln(p_target[bucket] / "
+    "p_raw[bucket]) with add-one smoothing over a FIXED 1024-bucket "
+    "feature space.  The fixed bucket count is the scale move (and "
+    "the deliberate contrast to tfidf_top_terms' never-broadcast "
+    "vocabulary): hashed features stay 1024 rows at any corpus size, "
+    "so both distribution tables BROADCAST and scoring is one "
+    "map-side pass over the exploded tokens — no token-keyed shuffle "
+    "at 100 TB.  md5-derived bucket ids are bit-identical across "
+    "engines, so weights hash-check end-to-end.",
+    tags=("llm", "text", "sampling", "mixture"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("bigint")
+        % _DSIR_BUCKETS
+    )
+    toks = (
+        docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+        .select("doc_id", "lang", bucket.alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    tgt = toks.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").cast("double").alias("gc")
+    )
+    raw = toks.groupBy("b").agg(F.count("*").cast("double").alias("rc"))
+    tgt_tot = tgt.agg(F.sum("gc").alias("gtot"))
+    raw_tot = raw.agg(F.sum("rc").alias("rtot"))
+    nb = F.lit(float(_DSIR_BUCKETS))
+    scored = (
+        toks.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.log(
+                    ((F.coalesce(F.col("gc"), F.lit(0.0)) + 1.0) / (F.col("gtot") + nb))
+                    / ((F.col("rc") + 1.0) / (F.col("rtot") + nb))
+                )
+            ).alias("logw")
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("logw"), 6).alias("avg_logw"),
+            F.round(F.min("logw"), 6).alias("min_logw"),
+            F.round(F.max("logw"), 6).alias("max_logw"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SUBSTR_W = 8
+
+
+@register(
+    "substring_duplication_rate",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(
+                   list_slice(toks, i, i + {_SUBSTR_W} - 1), ' ')) AS wh
+        FROM arrs, unnest(range(1, len(toks) - {_SUBSTR_W} + 2)) AS t(i)
+        WHERE len(toks) >= {_SUBSTR_W}
+    ),
+    counts AS (SELECT wh, count(*) AS c FROM wins GROUP BY 1),
+    perdoc AS (
+        SELECT w.doc_id, w.lang,
+               count(*) AS n_windows,
+               sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM wins w JOIN counts c USING (wh)
+        GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_windows) AS BIGINT) AS total_windows,
+           CAST(sum(n_dup) AS BIGINT) AS dup_windows,
+           round(avg(n_dup / CAST(n_windows AS DOUBLE)), 6) AS avg_dup_frac
+    FROM perdoc GROUP BY lang ORDER BY lang
+    """,
+    doc="Exact-substring duplication audit (Lee et al. 2021, "
+    "'Deduplicating Training Data Makes Language Models Better'): "
+    "slide an 8-token window over every document, count how many "
+    "windows occur more than once ANYWHERE in the corpus, and report "
+    "the per-language duplicated-window fraction — the signal behind "
+    "suffix-array ExactSubstr dedup, computed relationally.  Scale "
+    "shape: windows are keyed by their md5 (32-byte shuffle keys, "
+    "never the window text — the exact-dedup discipline from "
+    "dedup_exact_docs applied at substring grain), the occurrence "
+    "count is one partial-aggregated groupBy, and the verdict join "
+    "is hash-keyed; window explosion is ~|tokens| rows, linear in "
+    "corpus size.  md5 is bit-identical across engines, so the whole "
+    "audit hash-checks.",
+    tags=("llm", "text", "dedup", "quality"),
+)
+def substring_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.select("doc_id", "lang", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= _SUBSTR_W
+    )
+    wins = (
+        arrs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - _SUBSTR_W + 1)
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.md5(
+                F.array_join(F.slice("toks", F.col("i"), _SUBSTR_W), " ")
+            ).alias("wh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    counts = wins.groupBy("wh").agg(F.count("*").alias("c"))
+    perdoc = (
+        wins.join(counts, "wh")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return (
+        perdoc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_windows").cast("bigint").alias("total_windows"),
+            F.sum("n_dup").cast("bigint").alias("dup_windows"),
+            F.round(
+                F.avg(F.col("n_dup") / F.col("n_windows").cast("double")), 6
+            ).alias("avg_dup_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_oracle(rounds: int, top_words: int) -> str:
+    """Unrolled BPE merge rounds as a CTE chain: per round, the
+    weighted adjacent-pair count, the argmax pair, and a 4-pass
+    replace that applies the merge to every word sequence (4 passes
+    make left-to-right non-overlapping replace equivalent to BPE's
+    greedy merge on runs up to realistic word lengths)."""
+    parts = [
+        f"""
+    words AS (
+        SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT lower(unnest(string_split(text, ' '))) AS tok
+              FROM documents)
+        WHERE regexp_matches(tok, '^[a-z]+$')
+        GROUP BY 1
+        ORDER BY freq DESC, word
+        LIMIT {top_words}
+    ),
+    w0 AS (
+        SELECT word, freq,
+               ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+        FROM words
+    )"""
+    ]
+    prev = "w0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+    pairs{r} AS (
+        SELECT s[i] AS l, s[i + 1] AS rr, sum(freq) AS w
+        FROM (SELECT freq, string_split(trim(seq), ' ') AS s FROM {prev}),
+             unnest(range(1, len(s))) AS t(i)
+        GROUP BY 1, 2
+    ),
+    top{r} AS (
+        SELECT l, rr, w FROM pairs{r}
+        ORDER BY w DESC, l, rr LIMIT 1
+    ),
+    w{r} AS (
+        SELECT word, freq,
+               replace(replace(replace(replace(seq,
+                   ' ' || t.l || ' ' || t.rr || ' ', ' ' || t.l || t.rr || ' '),
+                   ' ' || t.l || ' ' || t.rr || ' ', ' ' || t.l || t.rr || ' '),
+                   ' ' || t.l || ' ' || t.rr || ' ', ' ' || t.l || t.rr || ' '),
+                   ' ' || t.l || ' ' || t.rr || ' ', ' ' || t.l || t.rr || ' ') AS seq
+        FROM {prev} CROSS JOIN top{r} t
+    )"""
+        )
+        prev = f"w{r}"
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS merge_round, l AS left_sym, rr AS right_sym, "
+        f"CAST(w AS BIGINT) AS pair_weight FROM top{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",".join(parts) + f"\n    {sel} ORDER BY merge_round"
+
+
+@register(
+    "bpe_merge_rounds",
+    oracle=_bpe_oracle(3, 200),
+    doc="Byte-pair-encoding VOCABULARY TRAINING, three merge rounds "
+    "unrolled (Sennrich et al. 2016 — the algorithm behind every "
+    "production tokenizer): start from the 200 most frequent "
+    "alphabetic words split into characters, and per round (1) count "
+    "frequency-weighted adjacent symbol pairs, (2) take the argmax "
+    "pair (ties by symbol order — engine-independent), (3) apply the "
+    "merge to every word.  The merge step is pure string algebra — a "
+    "4-pass non-overlapping replace on space-delimited symbol "
+    "sequences equals BPE's greedy left-to-right merge — so the whole "
+    "training loop hash-checks against the unrolled-CTE oracle.  "
+    "Scale shape: the word-frequency table is the only corpus pass; "
+    "merges run on the top-N word list (constant rows), each round "
+    "one tiny aggregate + a 1-row broadcast argmax — at 100 TB this "
+    "is exactly how BPE trainers work (count once, merge on the "
+    "vocabulary, never re-scan the corpus).",
+    tags=("llm", "text"),
+)
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .select(F.lower("tok").alias("tok"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "tok")
+        .limit(200)
+        .select(
+            F.col("tok").alias("word"),
+            "freq",
+            F.concat(
+                F.lit(" "), F.regexp_replace(F.col("tok"), "(.)", "$1 ")
+            ).alias("seq"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rounds = []
+    for r in range(1, 4):
+        pairs = (
+            words.select(
+                "freq", F.split(F.trim("seq"), " ").alias("s")
+            )
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(slice(s, 1, size(s) - 1), "
+                        "(x, i) -> struct(x AS l, element_at(s, i + 2) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("rr"))
+            .agg(F.sum("freq").alias("w"))
+        )
+        top1 = pairs.orderBy(F.desc("w"), "l", "rr").limit(1)
+        merged = F.col("seq")
+        pat = F.concat(F.lit(" "), F.col("l"), F.lit(" "), F.col("rr"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("l"), F.col("rr"), F.lit(" "))
+        for _ in range(4):
+            merged = F.replace(merged, pat, rep)
+        words = (
+            words.crossJoin(F.broadcast(top1))
+            .select("word", "freq", merged.alias("seq"))
+            .localCheckpoint(eager=False)
+        )
+        rounds.append(
+            top1.select(
+                F.lit(r).alias("merge_round"),
+                F.col("l").alias("left_sym"),
+                F.col("rr").alias("right_sym"),
+                F.col("w").cast("bigint").alias("pair_weight"),
+            )
+        )
+    out = rounds[0]
+    for r_df in rounds[1:]:
+        out = out.unionByName(r_df)
+    return out.orderBy("merge_round")
