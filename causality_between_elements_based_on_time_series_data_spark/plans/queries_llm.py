@@ -3986,3 +3986,55 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r_df in rounds[1:]:
         out = out.unionByName(r_df)
     return out.orderBy("merge_round")
+
+
+@register(
+    "applyinarrow_lang_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="groupBy().applyInArrow (Spark 4 API): a grouped kernel that "
+    "receives each language partition as a pyarrow.Table and returns "
+    "a pyarrow.Table — the zero-copy sibling of applyInPandas for "
+    "kernels that want Arrow compute (or libraries speaking Arrow) "
+    "without a pandas materialization.  The kernel is a self-"
+    "contained closure (imports pyarrow inside — Spark workers "
+    "cannot import this repo) and the result value-checks against "
+    "plain SQL, pinning the API's batch contract: one Table per "
+    "group, schema declared up front.  Same scale shape as "
+    "applyInPandas: one keyed shuffle, Arrow-batched transfer, "
+    "group-local compute.",
+    tags=("llm", "udf", "spark4"),
+)
+def applyinarrow_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+
+    def stats(table):
+        # self-contained kernel: pyarrow only (worker sys.path)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        chars = table.column("n_chars")
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": pa.array([table.num_rows], pa.int64()),
+                "avg_chars": pa.array(
+                    [round(pc.mean(chars).as_py(), 4)], pa.float64()
+                ),
+                "max_chars": pa.array([pc.max(chars).as_py()], pa.int64()),
+            }
+        )
+
+    return (
+        docs.groupBy("lang")
+        .applyInArrow(
+            stats,
+            "lang string, n_docs bigint, avg_chars double, max_chars bigint",
+        )
+        .orderBy("lang")
+    )

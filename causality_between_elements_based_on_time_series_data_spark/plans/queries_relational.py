@@ -3114,3 +3114,104 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
         F.round(100.0 * (F.col("revenue") - prev12) / prev12, 4).alias("yoy_pct"),
     ).orderBy("month")
+
+
+@register(
+    "transpose_lang_profile",
+    oracle="""
+    WITH s AS (
+        SELECT lang,
+               round(avg(n_chars), 4) AS avg_chars,
+               round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+               CAST(count(*) AS DOUBLE) AS n_docs
+        FROM documents GROUP BY lang
+    )
+    SELECT 'avg_chars' AS key,
+           max(CASE WHEN lang = 'de' THEN avg_chars END) AS de,
+           max(CASE WHEN lang = 'en' THEN avg_chars END) AS en,
+           max(CASE WHEN lang = 'es' THEN avg_chars END) AS es,
+           max(CASE WHEN lang = 'fr' THEN avg_chars END) AS fr,
+           max(CASE WHEN lang = 'zh' THEN avg_chars END) AS zh
+    FROM s
+    UNION ALL
+    SELECT 'avg_tokens',
+           max(CASE WHEN lang = 'de' THEN avg_tokens END),
+           max(CASE WHEN lang = 'en' THEN avg_tokens END),
+           max(CASE WHEN lang = 'es' THEN avg_tokens END),
+           max(CASE WHEN lang = 'fr' THEN avg_tokens END),
+           max(CASE WHEN lang = 'zh' THEN avg_tokens END)
+    FROM s
+    UNION ALL
+    SELECT 'n_docs',
+           max(CASE WHEN lang = 'de' THEN n_docs END),
+           max(CASE WHEN lang = 'en' THEN n_docs END),
+           max(CASE WHEN lang = 'es' THEN n_docs END),
+           max(CASE WHEN lang = 'fr' THEN n_docs END),
+           max(CASE WHEN lang = 'zh' THEN n_docs END)
+    FROM s
+    ORDER BY key
+    """,
+    doc="DataFrame.transpose (Spark 4 API, SPARK-47081): a per-"
+    "language metric profile flipped so metrics become rows and "
+    "languages become columns — the wide report layout metric "
+    "dashboards want.  transpose() requires uniform value types "
+    "(all DOUBLE here) and takes new column names from the first "
+    "column's values; the input aggregate is ordered by lang so the "
+    "derived column order is deterministic.  The oracle builds the "
+    "same pivoted table via conditional aggregation.  Scale note: "
+    "transpose collects the (tiny, already-aggregated) input to "
+    "derive the schema — correct for report-sized frames only, "
+    "which is exactly this 5x4 profile; the corpus pass is the "
+    "ordinary groupBy underneath.",
+    tags=("relational", "agg", "spark4"),
+)
+def transpose_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = (
+        docs.groupBy("lang")
+        .agg(
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+            F.count("*").cast("double").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+    return stats.transpose().orderBy("key")
+
+
+@register(
+    "stat_crosstab_priority",
+    oracle="""
+    SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS "1-URGENT",
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+                AS BIGINT) AS "2-HIGH",
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+                AS BIGINT) AS "3-MEDIUM",
+           CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+                AS BIGINT) AS "4-NOT SPECIFIED",
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+                AS BIGINT) AS "5-LOW"
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="df.stat.crosstab — the contingency-table convenience over "
+    "order status x priority, value-checked against explicit "
+    "conditional aggregation (which is also what Spark executes "
+    "underneath: one pass, pivoted counts, no joins).  The checked "
+    "claim is the API contract — first column named "
+    "'col1_col2', one column per distinct value, zero-filled "
+    "cells — so users can rely on crosstab instead of hand-writing "
+    "the pivot.  One map-side-combined shuffle at any scale; the "
+    "output is |status| x |priority| cells, independent of row "
+    "count.",
+    tags=("relational", "agg", "stats"),
+)
+def stat_crosstab_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ct = orders.stat.crosstab("o_orderstatus", "o_orderpriority")
+    cols = ["o_orderstatus_o_orderpriority"] + sorted(
+        c for c in ct.columns if c != "o_orderstatus_o_orderpriority"
+    )
+    return ct.select(*cols).orderBy("o_orderstatus_o_orderpriority")
