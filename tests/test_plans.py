@@ -334,3 +334,42 @@ def test_sweepline_windows_partition_by_day(spark, sf_dir):
     m = re.findall(r"Arguments: \[[^\]]*windowspecdefinition[^\]]*\]", plan)
     assert m, plan
     assert all("day" in spec for spec in m), plan
+
+
+def test_dsir_distribution_tables_broadcast(spark, sf_dir):
+    """DSIR's fixed 1024-bucket distribution tables must BROADCAST
+    (that is the whole point of hashed features vs a vocabulary);
+    a regression to SortMergeJoin would shuffle the exploded tokens
+    twice."""
+    plan = plan_of(spark, sf_dir, "dsir_importance_weights")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_substring_dup_hash_keyed_no_nested_loop(spark, sf_dir):
+    """The window-occurrence join must stay keyed on the md5 hash —
+    never a nested-loop over window text."""
+    plan = plan_of(spark, sf_dir, "substring_duplication_rate")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kmeans_assignment_is_broadcast_fold(spark, sf_dir):
+    """Lloyd-step: no CartesianProduct anywhere, and the small-side
+    joins (seed dims into the centroid-update geometry) broadcast.
+    The assignment crossJoin(broadcast(seeds)) itself sits behind the
+    lazy localCheckpoint, so the visible plan starts at the
+    checkpointed assignment RDD — the gate pins the downstream
+    shape."""
+    plan = plan_of(spark, sf_dir, "kmeans_lloyd_step")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_semdedup_pair_join_cluster_keyed(spark, sf_dir):
+    """SemDeDup's in-cluster pair join must be an equi-join on the
+    cluster code (hash or merge) — all-pairs nested-loop over the
+    corpus is the failure mode the clustering exists to prevent."""
+    plan = plan_of(spark, sf_dir, "semdedup_cluster_prune")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
