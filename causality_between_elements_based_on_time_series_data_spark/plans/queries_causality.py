@@ -2609,3 +2609,525 @@ def interarrival_burst_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("series")
     )
+
+
+# --- Round-6 additions: inferential causality screens -----------------
+#
+# The descriptive screens above say "a and b move together / a leads
+# b"; the four queries below add the *inferential* toolkit an analyst
+# reaches for next: a proper Granger F-test (is the lag term worth its
+# degree of freedom), convergent cross-mapping (state-space causality
+# for coupled nonlinear systems, Sugihara et al. 2012), the PC
+# algorithm's order-<=1 skeleton (constraint-based edge pruning via
+# partial-correlation CI tests), and a per-entity excitation ratio
+# (the Hawkes-flavoured observed-vs-independence screen).  All stay on
+# the volume-independent hourly grid / per-entity count tables and all
+# carry full DuckDB oracles.
+
+
+@register(
+    "granger_f_lag1",
+    oracle=_HOURLY_ORACLE
+    + """
+    , joined AS (
+        SELECT l.event_type AS cause, f.event_type AS effect,
+               f.v AS y, fl.v AS ylag, l.v AS xlag
+        FROM hourly f
+        JOIN hourly fl ON fl.event_type = f.event_type
+                      AND fl.hour = f.hour - INTERVAL 1 HOUR
+        JOIN hourly l  ON l.event_type <> f.event_type
+                      AND l.hour = f.hour - INTERVAL 1 HOUR
+    ),
+    moments AS (
+        SELECT cause, effect,
+               CAST(count(*) AS BIGINT) AS n_hours,
+               corr(y, ylag) AS r_yy, corr(y, xlag) AS r_yx,
+               corr(ylag, xlag) AS r_lx
+        FROM joined GROUP BY 1, 2
+    ),
+    fits AS (
+        SELECT cause, effect, n_hours,
+               r_yy * r_yy AS r2_r,
+               (r_yy*r_yy + r_yx*r_yx - 2*r_yy*r_yx*r_lx)
+                   / (1 - r_lx*r_lx) AS r2_u
+        FROM moments
+    )
+    SELECT cause, effect, n_hours,
+           round(r2_u - r2_r, 6) AS r2_gain,
+           round((r2_u - r2_r) / (1 - r2_u) * (n_hours - 3), 4) AS f_stat
+    FROM fits
+    ORDER BY cause, effect
+    """,
+    doc="Proper Granger causality F-test at lag 1: restricted model "
+    "y_t ~ y_{t-1} vs unrestricted y_t ~ y_{t-1} + x_{t-1}, both fit "
+    "in closed form from one correlation-aggregate pass over the "
+    "calendar-aligned lag join (R2_u from the two-regressor "
+    "correlation identity, F = (R2_u-R2_r)/(1-R2_u)*(n-3)).  The "
+    "grid is checkpointed and read three times (t, own lag, cross "
+    "lag); no per-pair second pass, no solver — 100 TB of events "
+    "reduce to |series|^2 moment rows before any arithmetic.",
+    tags=("causality", "timeseries", "stats"),
+)
+def granger_f_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly_series(spark, sf_dir).localCheckpoint(eager=False)
+    f_, fl, l_ = h.alias("f"), h.alias("fl"), h.alias("l")
+    joined = (
+        f_.join(
+            fl,
+            (F.col("fl.event_type") == F.col("f.event_type"))
+            & (F.col("fl.hour") == F.col("f.hour") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .join(
+            l_,
+            (F.col("l.event_type") != F.col("f.event_type"))
+            & (F.col("l.hour") == F.col("f.hour") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("l.event_type").alias("cause"),
+            F.col("f.event_type").alias("effect"),
+            F.col("f.v").alias("y"),
+            F.col("fl.v").alias("ylag"),
+            F.col("l.v").alias("xlag"),
+        )
+    )
+    moments = joined.groupBy("cause", "effect").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.corr("y", "ylag").alias("r_yy"),
+        F.corr("y", "xlag").alias("r_yx"),
+        F.corr("ylag", "xlag").alias("r_lx"),
+    )
+    fits = moments.select(
+        "cause",
+        "effect",
+        "n_hours",
+        (F.col("r_yy") * F.col("r_yy")).alias("r2_r"),
+        (
+            (
+                F.col("r_yy") * F.col("r_yy")
+                + F.col("r_yx") * F.col("r_yx")
+                - 2 * F.col("r_yy") * F.col("r_yx") * F.col("r_lx")
+            )
+            / (1 - F.col("r_lx") * F.col("r_lx"))
+        ).alias("r2_u"),
+    )
+    return fits.select(
+        "cause",
+        "effect",
+        "n_hours",
+        F.round(F.col("r2_u") - F.col("r2_r"), 6).alias("r2_gain"),
+        F.round(
+            (F.col("r2_u") - F.col("r2_r"))
+            / (1 - F.col("r2_u"))
+            * (F.col("n_hours") - 3),
+            4,
+        ).alias("f_stat"),
+    ).orderBy("cause", "effect")
+
+
+_ROUNDED_HOURLY_ORACLE = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    )
+"""
+
+
+def _rounded_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hour x series grid with the value rounded to 6 dp — the
+    engine-stable variant used where downstream arithmetic (nearest-
+    neighbour ranking) must be bit-identical across engines: after the
+    round, both engines hold the same doubles, and every later
+    expression is deterministic IEEE arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+
+
+@register(
+    "ccm_cross_mapping_skill",
+    oracle=_ROUNDED_HOURLY_ORACLE
+    + """
+    , manifold AS (
+        SELECT a.event_type AS ety, a.hour, a.v, b.v AS vlag
+        FROM hourly a
+        JOIN hourly b ON b.event_type = a.event_type
+                     AND b.hour = a.hour - INTERVAL 1 HOUR
+    ),
+    dist AS (
+        SELECT m1.ety, m1.hour AS t, m2.hour AS tn,
+               sqrt((m1.v - m2.v) * (m1.v - m2.v)
+                    + (m1.vlag - m2.vlag) * (m1.vlag - m2.vlag)) AS d
+        FROM manifold m1
+        JOIN manifold m2
+          ON m2.ety = m1.ety
+         AND abs(date_part('epoch', m1.hour - m2.hour)) >= 7200
+    ),
+    ranked AS (
+        SELECT ety, t, tn, d,
+               row_number() OVER (PARTITION BY ety, t ORDER BY d, tn) AS rn,
+               min(d) OVER (PARTITION BY ety, t) AS d1
+        FROM dist
+    ),
+    neigh AS (
+        SELECT ety, t, tn, exp(-d / greatest(d1, 1e-9)) AS w
+        FROM ranked WHERE rn <= 3
+    ),
+    neighx AS (
+        SELECT n.ety AS effect, hx.event_type AS cause, n.t, n.w,
+               hx.v AS xv_n
+        FROM neigh n
+        JOIN hourly hx ON hx.hour = n.tn AND hx.event_type <> n.ety
+    ),
+    xhat AS (
+        SELECT effect, cause, t, sum(w * xv_n) / sum(w) AS x_hat
+        FROM neighx GROUP BY 1, 2, 3
+    )
+    SELECT x.cause, x.effect,
+           round(corr(h.v, x.x_hat), 4) AS ccm_skill,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM xhat x
+    JOIN hourly h ON h.event_type = x.cause AND h.hour = x.t
+    GROUP BY 1, 2
+    ORDER BY cause, effect
+    """,
+    doc="Convergent cross-mapping skill (Sugihara et al. 2012, "
+    "simplified E=2, tau=1h, k=3): if X causally drives Y, then Y's "
+    "time-delay shadow manifold contains X, so X can be reconstructed "
+    "from Y's nearest manifold neighbours.  For every effect series "
+    "the E=2 manifold (v_t, v_{t-1h}) is built on the 6-dp-rounded "
+    "hourly grid; each point's 3 nearest neighbours (Euclidean, 2 h "
+    "Theiler exclusion, deterministic (d, t') tie-break) weight "
+    "exp(-d/d1) the candidate cause's values at neighbour times into "
+    "x_hat; skill = corr(x, x_hat) per directed pair.  The rounded "
+    "grid makes the NN ranking bit-identical across engines.  Scale: "
+    "the O(T^2) neighbour join runs per series on the volume-"
+    "independent grid (coarsen the grid to bound T for long "
+    "horizons); everything downstream is |series| x T x k rows.",
+    tags=("causality", "timeseries", "stats"),
+)
+def ccm_cross_mapping_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _rounded_hourly_series(spark, sf_dir).localCheckpoint(eager=False)
+    a, b = h.alias("a"), h.alias("b")
+    manifold = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.hour") == F.col("a.hour") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("a.event_type").alias("ety"),
+            F.col("a.hour").alias("hour"),
+            F.col("a.v").alias("v"),
+            F.col("b.v").alias("vlag"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    m1, m2 = manifold.alias("m1"), manifold.alias("m2")
+    dist = m1.join(
+        m2,
+        (F.col("m2.ety") == F.col("m1.ety"))
+        & (
+            F.abs(F.unix_micros(F.col("m1.hour")) - F.unix_micros(F.col("m2.hour")))
+            >= 7200 * 1_000_000
+        ),
+    ).select(
+        F.col("m1.ety").alias("ety"),
+        F.col("m1.hour").alias("t"),
+        F.col("m2.hour").alias("tn"),
+        F.sqrt(
+            (F.col("m1.v") - F.col("m2.v")) * (F.col("m1.v") - F.col("m2.v"))
+            + (F.col("m1.vlag") - F.col("m2.vlag"))
+            * (F.col("m1.vlag") - F.col("m2.vlag"))
+        ).alias("d"),
+    )
+    w_rank = Window.partitionBy("ety", "t").orderBy("d", "tn")
+    w_min = Window.partitionBy("ety", "t")
+    ranked = dist.select(
+        "ety",
+        "t",
+        "tn",
+        "d",
+        F.row_number().over(w_rank).alias("rn"),
+        F.min("d").over(w_min).alias("d1"),
+    )
+    neigh = ranked.filter(F.col("rn") <= 3).select(
+        "ety",
+        "t",
+        "tn",
+        F.exp(-F.col("d") / F.greatest(F.col("d1"), F.lit(1e-9))).alias("w"),
+    )
+    hx = h.alias("hx")
+    neighx = neigh.alias("n").join(
+        hx,
+        (F.col("hx.hour") == F.col("n.tn"))
+        & (F.col("hx.event_type") != F.col("n.ety")),
+    ).select(
+        F.col("n.ety").alias("effect"),
+        F.col("hx.event_type").alias("cause"),
+        F.col("n.t").alias("t"),
+        F.col("n.w").alias("w"),
+        F.col("hx.v").alias("xv_n"),
+    )
+    xhat = neighx.groupBy("effect", "cause", "t").agg(
+        (F.sum(F.col("w") * F.col("xv_n")) / F.sum("w")).alias("x_hat")
+    )
+    ht = h.alias("ht")
+    return (
+        xhat.alias("x")
+        .join(
+            ht,
+            (F.col("ht.event_type") == F.col("x.cause"))
+            & (F.col("ht.hour") == F.col("x.t")),
+        )
+        .groupBy(F.col("x.cause").alias("cause"), F.col("x.effect").alias("effect"))
+        .agg(
+            F.round(F.corr(F.col("ht.v"), F.col("x.x_hat")), 4).alias("ccm_skill"),
+            F.count("*").cast("bigint").alias("n_points"),
+        )
+        .orderBy("cause", "effect")
+    )
+
+
+@register(
+    "pc_skeleton_edges",
+    oracle=_HOURLY_ORACLE
+    + """
+    , corrs AS (
+        SELECT a.event_type AS sa, b.event_type AS sb,
+               corr(a.v, b.v) AS r, CAST(count(*) AS BIGINT) AS n
+        FROM hourly a
+        JOIN hourly b ON a.hour = b.hour AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ),
+    mirrored AS (
+        SELECT sa, sb, r FROM corrs
+        UNION ALL SELECT sb, sa, r FROM corrs
+    ),
+    partials AS (
+        SELECT ab.sa, ab.sb, az.sb AS z, ab.n,
+               (ab.r - az.r * bz.r)
+                   / sqrt((1 - az.r * az.r) * (1 - bz.r * bz.r)) AS pr
+        FROM corrs ab
+        JOIN mirrored az ON az.sa = ab.sa AND az.sb <> ab.sb
+        JOIN mirrored bz ON bz.sa = ab.sb AND bz.sb = az.sb
+    ),
+    partial_agg AS (
+        SELECT sa, sb,
+               min(sqrt(n - 4)
+                   * abs(0.5 * ln((1 + pr) / (1 - pr)))) AS min_partial
+        FROM partials GROUP BY 1, 2
+    )
+    SELECT c.sa AS series_a, c.sb AS series_b,
+           round(c.r, 4) AS pearson_r,
+           round(sqrt(c.n - 3) * abs(0.5 * ln((1 + c.r) / (1 - c.r))), 4)
+               AS marginal_stat,
+           round(p.min_partial, 4) AS min_partial_stat,
+           CAST(CASE WHEN sqrt(c.n - 3)
+                          * abs(0.5 * ln((1 + c.r) / (1 - c.r))) > 1.96
+                      AND p.min_partial > 1.96
+                     THEN 1 ELSE 0 END AS INTEGER) AS edge_kept
+    FROM corrs c
+    JOIN partial_agg p ON p.sa = c.sa AND p.sb = c.sb
+    ORDER BY series_a, series_b
+    """,
+    doc="PC-algorithm skeleton, conditioning order <= 1 (Spirtes-"
+    "Glymour constraint-based causal discovery): an undirected edge "
+    "a-b survives iff the marginal correlation AND every order-1 "
+    "partial correlation given a single other series z reject "
+    "independence under the Fisher-z test (sqrt(n-|S|-3)*|atanh(r)| "
+    "> 1.96).  Partial correlations come from the correlation-matrix "
+    "identity, so the whole skeleton is three joins over the "
+    "|series|^2-row correlation table — the facts are touched once "
+    "to build the hourly grid, and the CI-test cascade runs on rows "
+    "proportional to series-pairs x conditioning-sets, independent "
+    "of event volume.",
+    tags=("causality", "timeseries", "stats", "graph"),
+)
+def pc_skeleton_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly_series(spark, sf_dir)
+    a, b = h.alias("a"), h.alias("b")
+    corrs = (
+        a.join(
+            b,
+            (F.col("a.hour") == F.col("b.hour"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("sa"),
+            F.col("b.event_type").alias("sb"),
+        )
+        .agg(
+            F.corr("a.v", "b.v").alias("r"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mirrored = (
+        corrs.select("sa", "sb", "r")
+        .unionAll(corrs.select(F.col("sb").alias("sa"), F.col("sa").alias("sb"), "r"))
+        .localCheckpoint(eager=False)
+    )
+    ab, az, bz = corrs.alias("ab"), mirrored.alias("az"), mirrored.alias("bz")
+    partials = (
+        ab.join(
+            az,
+            (F.col("az.sa") == F.col("ab.sa")) & (F.col("az.sb") != F.col("ab.sb")),
+        )
+        .join(
+            bz,
+            (F.col("bz.sa") == F.col("ab.sb")) & (F.col("bz.sb") == F.col("az.sb")),
+        )
+        .select(
+            F.col("ab.sa").alias("sa"),
+            F.col("ab.sb").alias("sb"),
+            F.col("ab.n").alias("n"),
+            (
+                (F.col("ab.r") - F.col("az.r") * F.col("bz.r"))
+                / F.sqrt(
+                    (1 - F.col("az.r") * F.col("az.r"))
+                    * (1 - F.col("bz.r") * F.col("bz.r"))
+                )
+            ).alias("pr"),
+        )
+    )
+    partial_agg = partials.groupBy("sa", "sb").agg(
+        F.min(
+            F.sqrt(F.col("n") - 4)
+            * F.abs(0.5 * F.log((1 + F.col("pr")) / (1 - F.col("pr"))))
+        ).alias("min_partial")
+    )
+    c, p = corrs.alias("c"), partial_agg.alias("p")
+    marginal = F.sqrt(F.col("c.n") - 3) * F.abs(
+        0.5 * F.log((1 + F.col("c.r")) / (1 - F.col("c.r")))
+    )
+    return (
+        c.join(p, (F.col("p.sa") == F.col("c.sa")) & (F.col("p.sb") == F.col("c.sb")))
+        .select(
+            F.col("c.sa").alias("series_a"),
+            F.col("c.sb").alias("series_b"),
+            F.round(F.col("c.r"), 4).alias("pearson_r"),
+            F.round(marginal, 4).alias("marginal_stat"),
+            F.round(F.col("p.min_partial"), 4).alias("min_partial_stat"),
+            F.when(
+                (marginal > 1.96) & (F.col("p.min_partial") > 1.96), 1
+            ).otherwise(0).cast("int").alias("edge_kept"),
+        )
+        .orderBy("series_a", "series_b")
+    )
+
+
+@register(
+    "excitation_ratio_screen",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT date_part('epoch', max(ts) - min(ts)) AS span_s FROM events
+    ),
+    observed AS (
+        SELECT a.event_type AS cause, b.event_type AS effect,
+               CAST(count(*) AS BIGINT) AS n_observed
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE
+         AND a.event_type <> b.event_type
+        GROUP BY 1, 2
+    ),
+    expected AS (
+        SELECT ca.event_type AS cause, cb.event_type AS effect,
+               sum(ca.c * cb.c) * 900.0 / (SELECT span_s FROM span)
+                   AS n_exp
+        FROM counts ca
+        JOIN counts cb ON ca.user_id = cb.user_id
+                      AND ca.event_type <> cb.event_type
+        GROUP BY 1, 2
+    )
+    SELECT o.cause, o.effect, o.n_observed,
+           round(e.n_exp, 2) AS n_expected,
+           round(o.n_observed / e.n_exp, 4) AS excitation_ratio
+    FROM observed o
+    JOIN expected e ON e.cause = o.cause AND e.effect = o.effect
+    ORDER BY o.cause, o.effect
+    """,
+    doc="Hawkes-flavoured excitation screen: for each directed series "
+    "pair, the count of B events landing within 15 min after an A "
+    "event of the same entity, normalised by the count expected if "
+    "the entity's A and B streams were independent Poisson thinnings "
+    "over the observation span (sum over users of n_A*n_B*window/T). "
+    "A ratio well above 1 means A events pull B events in behind "
+    "them — self/cross-excitation.  Observed pairs come from the "
+    "entity-keyed range self-join (bounded by per-entity activity, "
+    "the temporal_precedence_counts shape); the expectation runs on "
+    "the per-(entity, series) count table, orders of magnitude below "
+    "the facts, with the 1-row span broadcast.",
+    tags=("causality", "timeseries", "stats"),
+)
+def excitation_ratio_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    counts = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    span = ev.agg(
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1e6).alias(
+            "span_s"
+        )
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    observed = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 15 MINUTES"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("cause"),
+            F.col("b.event_type").alias("effect"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_observed"))
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    expected = (
+        ca.join(
+            cb,
+            (F.col("ca.user_id") == F.col("cb.user_id"))
+            & (F.col("ca.event_type") != F.col("cb.event_type")),
+        )
+        .groupBy(
+            F.col("ca.event_type").alias("cause"),
+            F.col("cb.event_type").alias("effect"),
+        )
+        .agg(F.sum(F.col("ca.c") * F.col("cb.c")).alias("cc"))
+        .crossJoin(F.broadcast(span))
+        .select(
+            "cause",
+            "effect",
+            (F.col("cc") * F.lit(900.0) / F.col("span_s")).alias("n_exp"),
+        )
+    )
+    o, e = observed.alias("o"), expected.alias("e")
+    return (
+        o.join(
+            e,
+            (F.col("e.cause") == F.col("o.cause"))
+            & (F.col("e.effect") == F.col("o.effect")),
+        )
+        .select(
+            F.col("o.cause").alias("cause"),
+            F.col("o.effect").alias("effect"),
+            F.col("o.n_observed").alias("n_observed"),
+            F.round(F.col("e.n_exp"), 2).alias("n_expected"),
+            F.round(F.col("o.n_observed") / F.col("e.n_exp"), 4).alias(
+                "excitation_ratio"
+            ),
+        )
+        .orderBy("cause", "effect")
+    )

@@ -1,0 +1,69 @@
+"""Invariant tests for the inferential causality screens (round 6):
+Granger F-test, convergent cross-mapping, PC skeleton, excitation
+ratio.  Value-level parity vs DuckDB is the driver contract's job
+(all four are fully oracled); these pin the mathematical invariants
+that hold on ANY input, at sf0.001.
+"""
+from __future__ import annotations
+
+from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+    ccm_cross_mapping_skill,
+    excitation_ratio_screen,
+    granger_f_lag1,
+    pc_skeleton_edges,
+)
+
+
+def test_granger_f_stat_nonnegative(spark, sf_dir):
+    rows = granger_f_lag1(spark, sf_dir).collect()
+    assert rows, "expected at least one directed pair"
+    for r in rows:
+        # adding a regressor can never raise RSS: R2_u >= R2_r, so both
+        # the gain and the F statistic are >= 0 (up to the 4dp round)
+        assert r.r2_gain >= -1e-6, r
+        assert r.f_stat >= -1e-4, r
+        assert r.n_hours > 3
+
+
+def test_ccm_skill_is_a_correlation(spark, sf_dir):
+    rows = ccm_cross_mapping_skill(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        # corr is null when a sparse tiny-SF grid leaves either side
+        # constant; when defined, the skill is a correlation
+        if r.ccm_skill is not None:
+            assert -1.0 - 1e-9 <= r.ccm_skill <= 1.0 + 1e-9, r
+        assert r.cause != r.effect
+        assert (r.cause, r.effect) not in seen
+        seen.add((r.cause, r.effect))
+        assert r.n_points >= 1
+    # at least one pair must have enough cross-mapped points for a
+    # defined skill on any non-degenerate fixture
+    assert any(r.ccm_skill is not None for r in rows)
+
+
+def test_pc_skeleton_edge_consistency(spark, sf_dir):
+    rows = pc_skeleton_edges(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.series_a < r.series_b  # unordered pairs, canonical order
+        assert r.edge_kept in (0, 1)
+        # an edge is kept iff BOTH tests reject independence
+        kept = r.marginal_stat > 1.96 and r.min_partial_stat > 1.96
+        assert r.edge_kept == int(kept), r
+        # the order-1 partial test can only be as strong as the
+        # marginal test's evidence when series are exchangeable; no
+        # sign constraint, but stats must be finite and non-negative
+        assert r.marginal_stat >= 0 and r.min_partial_stat >= 0
+
+
+def test_excitation_ratio_positive_and_calibrated(spark, sf_dir):
+    rows = excitation_ratio_screen(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_observed > 0
+        assert r.n_expected > 0
+        assert r.excitation_ratio > 0
+        # ratio is observed/expected of the SAME pair
+        assert abs(r.excitation_ratio - r.n_observed / r.n_expected) < 0.05
