@@ -572,3 +572,114 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --- Bloom-filter semi-join pruning -----------------------------------
+
+_BLOOM_M = 8192
+_BLOOM_P = 999983
+_BLOOM_HASHES = ((40503, 1), (65599, 17), (131071, 29))
+
+
+@register(
+    "bloom_semijoin_prune",
+    oracle=f"""
+    WITH keys AS (
+        SELECT DISTINCT c_custkey AS k FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    ),
+    bloom AS (
+        SELECT list_sort(list(DISTINCT pos)) AS bl FROM (
+            SELECT unnest(ARRAY[
+                {", ".join(f"((k * {a} + {b}) % {_BLOOM_P}) % {_BLOOM_M}" for a, b in _BLOOM_HASHES)}
+            ]) AS pos FROM keys
+        )
+    ),
+    probe AS (
+        SELECT o.o_orderpriority,
+               ({" AND ".join(f"list_contains((SELECT bl FROM bloom), ((o.o_custkey * {a} + {b}) % {_BLOOM_P}) % {_BLOOM_M})" for a, b in _BLOOM_HASHES)})
+                   AS bloom_pass,
+               (k.k IS NOT NULL) AS is_member
+        FROM orders o LEFT JOIN keys k ON k.k = o.o_custkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE bloom_pass) AS BIGINT) AS n_bloom_pass,
+           CAST(count(*) FILTER (WHERE is_member) AS BIGINT) AS n_true_match,
+           CAST(count(*) FILTER (WHERE bloom_pass AND NOT is_member) AS BIGINT)
+               AS n_false_positive
+    FROM probe
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Bloom-filter semi-join pruning audit: the BUILDING-segment "
+    "customer keys are folded into an m=8192-bit, k=3 Bloom filter "
+    "(Knuth-multiplicative hashes, ANSI-safe moduli), the filter is "
+    "broadcast, and the orders fact is probed MAP-SIDE — the pattern "
+    "that replaces a shuffled semi-join when the build side is too "
+    "big to broadcast raw but its bitset is not (at 100 TB: millions "
+    "of keys -> a few KB..MB of bits vs GBs of keys).  Output "
+    "reconciles the filter against the exact semi-join truth per "
+    "order priority: no-false-negative is the structural guarantee "
+    "(n_bloom_pass >= n_true_match), and n_false_positive measures "
+    "the wasted post-filter work the downstream exact join still "
+    "eliminates.  Deterministic integer hashing keeps the filter "
+    "bit-identical in the DuckDB oracle.",
+    tags=("dataops", "join", "sketch"),
+)
+def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    keys = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    positions = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("k") * a + b) % _BLOOM_P % _BLOOM_M)
+                    for a, b in _BLOOM_HASHES
+                ]
+            )
+        ).alias("pos")
+    )
+    bloom = positions.agg(F.array_sort(F.collect_set("pos")).alias("bl"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+    bloom_pass = None
+    for a, b in _BLOOM_HASHES:
+        term = F.array_contains(
+            F.col("bl"), (F.col("o_custkey") * a + b) % _BLOOM_P % _BLOOM_M
+        )
+        bloom_pass = term if bloom_pass is None else (bloom_pass & term)
+    probe = (
+        orders.crossJoin(F.broadcast(bloom))
+        .join(
+            F.broadcast(keys),
+            F.col("k") == F.col("o_custkey"),
+            "left",
+        )
+        .select(
+            "o_orderpriority",
+            bloom_pass.alias("bloom_pass"),
+            F.col("k").isNotNull().alias("is_member"),
+        )
+    )
+    return (
+        probe.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("bloom_pass").cast("int")).cast("bigint").alias(
+                "n_bloom_pass"
+            ),
+            F.sum(F.col("is_member").cast("int")).cast("bigint").alias(
+                "n_true_match"
+            ),
+            F.sum((F.col("bloom_pass") & ~F.col("is_member")).cast("int"))
+            .cast("bigint")
+            .alias("n_false_positive"),
+        )
+        .orderBy("o_orderpriority")
+    )

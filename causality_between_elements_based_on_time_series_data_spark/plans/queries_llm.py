@@ -4038,3 +4038,124 @@ def applyinarrow_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- Count-min sketch heavy hitters -----------------------------------
+#
+# The streaming-sketch answer to "what are the hottest tokens in 100 TB
+# of text without a full distinct aggregation": d=4 independent hash
+# rows x w=512 counters, each token occurrence incrementing one counter
+# per row, point estimate = min over rows (Cormode & Muthukrishnan
+# 2005).  The counter table is a partial-aggregable d*w-row relation —
+# it merges across partitions/streams like any sum — and the sketch
+# arithmetic is md5-derived integer hashing, so the whole pipeline
+# (counters AND estimates) is bit-identical in DuckDB and hash-checked.
+
+_CMS_W = 512
+_CMS_ROWS = ((31, 7), (131, 13), (1031, 29), (8191, 57))
+
+
+@register(
+    "countmin_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    coded AS (
+        SELECT w, (CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) % {_MH_P})
+                   AS code
+        FROM tok
+    ),
+    cells AS (
+        SELECT j, ((a * code + b) % {_MH_P}) % {_CMS_W} AS bucket
+        FROM coded
+        CROSS JOIN (VALUES {", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_CMS_ROWS))})
+             AS rows(j, a, b)
+    ),
+    counters AS (
+        SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM cells GROUP BY 1, 2
+    ),
+    words AS (
+        SELECT w, any_value(code) AS code, CAST(count(*) AS BIGINT) AS true_count
+        FROM coded GROUP BY w
+    ),
+    est AS (
+        SELECT words.w, words.true_count, min(counters.c) AS est_count
+        FROM words
+        CROSS JOIN (VALUES {", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_CMS_ROWS))})
+             AS rows(j, a, b)
+        JOIN counters ON counters.j = rows.j
+                     AND counters.bucket = ((rows.a * words.code + rows.b) % {_MH_P}) % {_CMS_W}
+        GROUP BY 1, 2
+    )
+    SELECT w AS word, est_count, true_count,
+           est_count - true_count AS overestimate
+    FROM est
+    ORDER BY est_count DESC, word
+    LIMIT 10
+    """,
+    doc="Count-min sketch heavy hitters over the document corpus: "
+    "d=4 x w=512 counters built in ONE pass (each occurrence maps to "
+    "4 cells; the cell explode never shuffles — map-side partials "
+    "reduce it to <= d*w rows per partition before the exchange), "
+    "then point estimates est(w) = min_j counter[j][h_j(w)] for the "
+    "candidate words and the top-10 by estimate.  The est >= true "
+    "overestimate column audits the sketch guarantee.  At 100 TB the "
+    "counter table is a constant-size mergeable summary (union "
+    "streams/shards by summing counters); only candidate scoring "
+    "touches a distinct-word relation.  md5-derived codes keep every "
+    "counter bit-identical in the DuckDB oracle.",
+    tags=("llm", "sketch", "text"),
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    coded = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).select(
+        "w",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("bigint") % _MH_P
+        ).alias("code"),
+    ).localCheckpoint(eager=False)
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (((F.lit(a) * F.col("code") + F.lit(b)) % _MH_P) % _CMS_W).alias(
+                    "bucket"
+                ),
+            )
+            for j, (a, b) in enumerate(_CMS_ROWS)
+        ]
+    )
+    counters = (
+        coded.select(F.explode(cell_structs).alias("cell"))
+        .groupBy(F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    words = coded.groupBy("w").agg(
+        F.any_value("code").alias("code"),
+        F.count("*").cast("bigint").alias("true_count"),
+    )
+    probes = words.select(
+        "w", "true_count", F.explode(cell_structs).alias("cell")
+    )
+    est = (
+        probes.join(
+            counters,
+            (F.col("cell.j") == counters.j) & (F.col("cell.bucket") == counters.bucket),
+        )
+        .groupBy("w", "true_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return (
+        est.select(
+            F.col("w").alias("word"),
+            "est_count",
+            "true_count",
+            (F.col("est_count") - F.col("true_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("est_count"), "word")
+        .limit(10)
+    )
