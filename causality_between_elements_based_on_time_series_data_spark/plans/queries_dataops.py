@@ -683,3 +683,74 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- Order-independent table content fingerprints ---------------------
+
+_FP_P = 999983
+
+
+@register(
+    "table_fingerprint_audit",
+    oracle=f"""
+    WITH r AS (
+        SELECT 'region' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST('0x' || substr(md5(
+                   concat_ws('|', CAST(r_regionkey AS VARCHAR), r_name)
+               ), 1, 12) AS BIGINT) % {_FP_P}) % {_FP_P} AS BIGINT) AS fingerprint
+        FROM region
+    ),
+    n AS (
+        SELECT 'nation', CAST(count(*) AS BIGINT),
+               CAST(sum(CAST('0x' || substr(md5(
+                   concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name,
+                             CAST(n_regionkey AS VARCHAR))
+               ), 1, 12) AS BIGINT) % {_FP_P}) % {_FP_P} AS BIGINT)
+        FROM nation
+    ),
+    s AS (
+        SELECT 'supplier', CAST(count(*) AS BIGINT),
+               CAST(sum(CAST('0x' || substr(md5(
+                   concat_ws('|', CAST(s_suppkey AS VARCHAR), s_name,
+                             CAST(s_nationkey AS VARCHAR))
+               ), 1, 12) AS BIGINT) % {_FP_P}) % {_FP_P} AS BIGINT)
+        FROM supplier
+    )
+    SELECT * FROM r UNION ALL SELECT * FROM n UNION ALL SELECT * FROM s
+    ORDER BY table_name
+    """,
+    doc="Order-independent table content fingerprints (replication / "
+    "migration audit): each row folds to an md5-derived 48-bit code "
+    "over a canonical '|'-joined projection, codes sum mod a prime — "
+    "commutative, so the fingerprint is independent of row order, "
+    "partitioning, and engine, and two replicas compare by exchanging "
+    "one (table, n_rows, fingerprint) row each.  One map-side pass "
+    "per table, no shuffle beyond the 1-row aggregate.  (At extreme "
+    "row counts the partial sums are modded before combining — the "
+    "aggregate stays ANSI-safe.)  String/int columns only: float "
+    "formatting is engine-specific and has no canonical text form.",
+    tags=("dataops", "audit"),
+)
+def table_fingerprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def fp(df: DataFrame, name: str, cols: list) -> DataFrame:
+        canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        code = (
+            F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("bigint") % _FP_P
+        )
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.sum(code) % _FP_P).cast("bigint").alias("fingerprint"),
+        )
+
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        fp(region, "region", ["r_regionkey", "r_name"])
+        .unionAll(
+            fp(nation, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+        )
+        .unionAll(fp(supplier, "supplier", ["s_suppkey", "s_name", "s_nationkey"]))
+        .orderBy("table_name")
+    )

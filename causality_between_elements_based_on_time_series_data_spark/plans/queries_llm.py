@@ -4159,3 +4159,276 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), "word")
         .limit(10)
     )
+
+
+# --- PCA top principal component (power iteration) --------------------
+
+
+@register(
+    "pca_power_iteration_top",
+    oracle="""
+    WITH e1 AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS xi, embedding
+        FROM embeddings
+    ),
+    e2 AS (
+        SELECT vec_id, i, xi,
+               generate_subscripts(embedding, 1) - 1 AS j,
+               CAST(unnest(embedding) AS DOUBLE) AS xj
+        FROM e1
+    ),
+    sums AS (
+        SELECT i, j, sum(xi * xj) AS s, CAST(count(*) AS BIGINT) AS n
+        FROM e2 GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT i, sum(xi) / count(*) AS m FROM e1 GROUP BY 1
+    ),
+    cov AS (
+        SELECT s.i, s.j, round(s.s / s.n - ma.m * mb.m, 6) AS c
+        FROM sums s
+        JOIN means ma ON ma.i = s.i
+        JOIN means mb ON mb.i = s.j
+    ),
+    dims AS (SELECT DISTINCT i FROM cov),
+    v0 AS (SELECT i, 1.0 / sqrt((SELECT count(*) FROM dims)) AS v FROM dims),
+    r1 AS (SELECT c.i, sum(c.c * v0.v) AS u FROM cov c
+           JOIN v0 ON v0.i = c.j GROUP BY 1),
+    v1 AS (SELECT i, u / (SELECT sqrt(sum(u * u)) FROM r1) AS v FROM r1),
+    r2 AS (SELECT c.i, sum(c.c * v1.v) AS u FROM cov c
+           JOIN v1 ON v1.i = c.j GROUP BY 1),
+    v2 AS (SELECT i, u / (SELECT sqrt(sum(u * u)) FROM r2) AS v FROM r2),
+    r3 AS (SELECT c.i, sum(c.c * v2.v) AS u FROM cov c
+           JOIN v2 ON v2.i = c.j GROUP BY 1),
+    v3 AS (SELECT i, u / (SELECT sqrt(sum(u * u)) FROM r3) AS v FROM r3),
+    eig AS (
+        SELECT sum(c.c * va.v * vb.v) AS lam
+        FROM cov c
+        JOIN v3 va ON va.i = c.i
+        JOIN v3 vb ON vb.i = c.j
+    )
+    SELECT v3.i AS dim, round(v3.v, 4) AS loading,
+           round((SELECT lam FROM eig), 4) AS eigenvalue
+    FROM v3 ORDER BY dim
+    """,
+    doc="Top principal component of the embedding corpus by power "
+    "iteration: the d x d covariance matrix accumulates in ONE fact "
+    "pass (the double posexplode never shuffles raw rows — map-side "
+    "partials reduce each partition to <= d^2 cells before the "
+    "exchange), then three unrolled normalize-multiply rounds run on "
+    "the d^2-row covariance relation with 1-row norm broadcasts.  "
+    "Covariance is rounded to 6 dp on both engines so the iteration "
+    "arithmetic is deterministic; the Rayleigh quotient (top "
+    "eigenvalue) rides along as a constant column.  At 100 TB this "
+    "is the canonical distributed-PCA shape: the data is touched "
+    "once, everything iterative runs on dimension^2 rows.  Oracle: "
+    "identical unrolled-CTE power iteration.",
+    tags=("llm", "embedding", "ml"),
+)
+def pca_power_iteration_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e1 = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode("embedding").alias("i", "xi_raw"),
+    ).select(
+        "vec_id", "embedding", "i", F.col("xi_raw").cast("double").alias("xi")
+    ).localCheckpoint(eager=False)
+    e2 = e1.select(
+        "i", "xi", F.posexplode("embedding").alias("j", "xj_raw")
+    ).select("i", "xi", "j", F.col("xj_raw").cast("double").alias("xj"))
+    sums = e2.groupBy("i", "j").agg(
+        F.sum(F.col("xi") * F.col("xj")).alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    means = e1.groupBy("i").agg((F.sum("xi") / F.count("*")).alias("m"))
+    ma, mb = means.alias("ma"), means.alias("mb")
+    cov = (
+        sums.alias("s")
+        .join(F.broadcast(ma), F.col("ma.i") == F.col("s.i"))
+        .join(F.broadcast(mb), F.col("mb.i") == F.col("s.j"))
+        .select(
+            F.col("s.i").alias("i"),
+            F.col("s.j").alias("j"),
+            F.round(
+                F.col("s.s") / F.col("s.n") - F.col("ma.m") * F.col("mb.m"), 6
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dims = cov.select("i").distinct()
+    n_dims = dims.agg(F.count("*").alias("nd"))
+    vec = (
+        dims.crossJoin(F.broadcast(n_dims))
+        .select("i", (F.lit(1.0) / F.sqrt(F.col("nd"))).alias("v"))
+    )
+    for _ in range(3):
+        r = (
+            cov.alias("c")
+            .join(F.broadcast(vec.alias("vv")), F.col("vv.i") == F.col("c.j"))
+            .groupBy(F.col("c.i").alias("i"))
+            .agg(F.sum(F.col("c.c") * F.col("vv.v")).alias("u"))
+        )
+        norm = r.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
+        vec = (
+            r.crossJoin(F.broadcast(norm))
+            .select("i", (F.col("u") / F.col("nrm")).alias("v"))
+            .localCheckpoint(eager=False)
+        )
+    va, vb = vec.alias("va"), vec.alias("vb")
+    eig = (
+        cov.alias("c")
+        .join(F.broadcast(va), F.col("va.i") == F.col("c.i"))
+        .join(F.broadcast(vb), F.col("vb.i") == F.col("c.j"))
+        .agg(F.sum(F.col("c.c") * F.col("va.v") * F.col("vb.v")).alias("lam"))
+    )
+    return (
+        vec.crossJoin(F.broadcast(eig))
+        .select(
+            F.col("i").alias("dim"),
+            F.round("v", 4).alias("loading"),
+            F.round("lam", 4).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )
+
+
+# --- Prefix-filtered set-similarity join (PPJoin-lite) ----------------
+
+
+@register(
+    "prefix_filter_jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+    ),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS dfreq FROM tok GROUP BY w),
+    ranked_vocab AS (
+        SELECT w, row_number() OVER (ORDER BY dfreq, w) AS rnk FROM df
+    ),
+    dtok AS (
+        SELECT t.doc_id, t.w, rv.rnk
+        FROM tok t JOIN ranked_vocab rv ON rv.w = t.w
+    ),
+    sized AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dtok GROUP BY doc_id),
+    pos AS (
+        SELECT doc_id, w,
+               row_number() OVER (PARTITION BY doc_id ORDER BY rnk) AS p
+        FROM dtok
+    ),
+    prefix AS (
+        SELECT p.doc_id, p.w
+        FROM pos p JOIN sized s USING (doc_id)
+        WHERE p.p <= s.sz - CAST(ceil(0.9 * s.sz) AS BIGINT) + 1
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM prefix a JOIN prefix b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM cand c
+        JOIN dtok ta ON ta.doc_id = c.id_a
+        JOIN dtok tb ON tb.doc_id = c.id_b AND tb.w = ta.w
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.sz + sb.sz - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sized sa ON sa.doc_id = i.id_a
+    JOIN sized sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) >= 0.9
+    ORDER BY i.id_a, i.id_b
+    """,
+    doc="Set-similarity join with PREFIX FILTERING (the ppjoin family, "
+    "Xiao et al. 2008): order every document's token set by ascending "
+    "global document frequency, index only each set's first "
+    "|s| - ceil(t*|s|) + 1 tokens, and verify exact Jaccard >= 0.9 on "
+    "candidates only.  The filter is LOSSLESS — two sets meeting the "
+    "threshold must share a prefix token under a common global order "
+    "— yet the inverted index shrinks to the rare-token prefixes, so "
+    "hot stopwords never fan out candidate pairs (the principled "
+    "version of the max-df cut used by ngram_jaccard_pairs).  The "
+    "global token order is a vocabulary-sized window (Heaps' law: "
+    "~corpus^0.5 rows), never a corpus sort; candidates and "
+    "verification cost follow true near-duplicate mass.",
+    tags=("llm", "dedup", "similarity"),
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    ).localCheckpoint(eager=False)
+    df_t = tok.groupBy("w").agg(F.count("*").cast("bigint").alias("dfreq"))
+    ranked_vocab = df_t.select(
+        "w",
+        F.row_number().over(Window.orderBy("dfreq", "w")).alias("rnk"),
+    )
+    dtok = (
+        tok.alias("t")
+        .join(ranked_vocab.alias("rv"), F.col("rv.w") == F.col("t.w"))
+        .select("t.doc_id", "t.w", "rv.rnk")
+        .localCheckpoint(eager=False)
+    )
+    sized = dtok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("sz")
+    ).localCheckpoint(eager=False)
+    pos = dtok.select(
+        "doc_id",
+        "w",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("rnk"))
+        .alias("p"),
+    )
+    prefix = (
+        pos.join(sized, "doc_id")
+        .filter(
+            F.col("p")
+            <= F.col("sz") - F.ceil(F.lit(0.9) * F.col("sz")).cast("bigint") + 1
+        )
+        .select("doc_id", "w")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta, tb = dtok.alias("ta"), dtok.alias("tb")
+    inter = (
+        cand.alias("c")
+        .join(ta, F.col("ta.doc_id") == F.col("c.id_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("c.id_b")) & (F.col("tb.w") == F.col("ta.w")),
+        )
+        .groupBy("c.id_a", "c.id_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa, sb = sized.alias("sa"), sized.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    return (
+        inter.alias("i")
+        .join(sa, F.col("sa.doc_id") == F.col("i.id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("i.id_b"))
+        .filter(jac >= 0.9)
+        .select(
+            F.col("i.id_a").alias("id_a"),
+            F.col("i.id_b").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
