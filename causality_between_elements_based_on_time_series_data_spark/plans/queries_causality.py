@@ -2805,7 +2805,7 @@ def _rounded_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the O(T^2) neighbour join runs per series on the volume-"
     "independent grid (coarsen the grid to bound T for long "
     "horizons); everything downstream is |series| x T x k rows.",
-    tags=("causality", "timeseries", "stats"),
+    tags=("causality", "timeseries", "stats", "bench"),
 )
 def ccm_cross_mapping_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _rounded_hourly_series(spark, sf_dir).localCheckpoint(eager=False)
@@ -3130,4 +3130,151 @@ def excitation_ratio_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("cause", "effect")
+    )
+
+
+@register(
+    "ar2_yule_walker",
+    oracle=_HOURLY_ORACLE
+    + """
+    , l1 AS (
+        SELECT a.event_type, corr(a.v, b.v) AS r1
+        FROM hourly a
+        JOIN hourly b ON b.event_type = a.event_type
+                     AND b.hour = a.hour - INTERVAL 1 HOUR
+        GROUP BY 1
+    ),
+    l2 AS (
+        SELECT a.event_type, corr(a.v, b.v) AS r2
+        FROM hourly a
+        JOIN hourly b ON b.event_type = a.event_type
+                     AND b.hour = a.hour - INTERVAL 2 HOUR
+        GROUP BY 1
+    )
+    SELECT l1.event_type AS series,
+           round(l1.r1, 4) AS acf1, round(l2.r2, 4) AS acf2,
+           round(l1.r1 * (1 - l2.r2) / (1 - l1.r1 * l1.r1), 4) AS phi1,
+           round((l2.r2 - l1.r1 * l1.r1) / (1 - l1.r1 * l1.r1), 4) AS phi2
+    FROM l1 JOIN l2 ON l2.event_type = l1.event_type
+    ORDER BY series
+    """,
+    doc="AR(2) fit per series by Yule-Walker: the calendar-aligned "
+    "lag-1/lag-2 autocorrelations come from two grid self-joins, and "
+    "the coefficients fall out in closed form (phi1 = r1(1-r2)/"
+    "(1-r1^2), phi2 = (r2-r1^2)/(1-r1^2)) — the self-dynamics model "
+    "whose residual any cross-series causality claim must explain.  "
+    "No solver, no per-series second pass; everything after the grid "
+    "is |series|-row arithmetic.",
+    tags=("causality", "timeseries", "stats"),
+)
+def ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly_series(spark, sf_dir).localCheckpoint(eager=False)
+
+    def lag_corr(k: int, out: str) -> DataFrame:
+        a, b = h.alias("a"), h.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("b.event_type") == F.col("a.event_type"))
+                & (F.col("b.hour") == F.col("a.hour") - F.expr(f"INTERVAL {k} HOURS")),
+            )
+            .groupBy(F.col("a.event_type").alias("event_type"))
+            .agg(F.corr("a.v", "b.v").alias(out))
+        )
+
+    l1, l2 = lag_corr(1, "r1").alias("l1"), lag_corr(2, "r2").alias("l2")
+    denom = 1 - F.col("l1.r1") * F.col("l1.r1")
+    return (
+        l1.join(l2, F.col("l2.event_type") == F.col("l1.event_type"))
+        .select(
+            F.col("l1.event_type").alias("series"),
+            F.round(F.col("l1.r1"), 4).alias("acf1"),
+            F.round(F.col("l2.r2"), 4).alias("acf2"),
+            F.round(F.col("l1.r1") * (1 - F.col("l2.r2")) / denom, 4).alias("phi1"),
+            F.round(
+                (F.col("l2.r2") - F.col("l1.r1") * F.col("l1.r1")) / denom, 4
+            ).alias("phi2"),
+        )
+        .orderBy("series")
+    )
+
+
+@register(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               (b.v - a.v) / ((date_part('epoch', b.day)
+                               - date_part('epoch', a.day)) / 86400.0) AS slope
+        FROM daily a
+        JOIN daily b ON b.event_type = a.event_type AND b.day > a.day
+    ),
+    ts_est AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+               quantile_cont(slope, 0.5) AS ts_slope
+        FROM slopes GROUP BY 1
+    ),
+    ols AS (
+        SELECT event_type,
+               regr_slope(v, date_part('epoch', day) / 86400.0) AS ols_slope
+        FROM daily GROUP BY 1
+    )
+    SELECT t.event_type AS series, t.n_pairs,
+           round(t.ts_slope, 6) AS theil_sen_slope,
+           round(o.ols_slope, 6) AS ols_slope
+    FROM ts_est t JOIN ols o ON o.event_type = t.event_type
+    ORDER BY series
+    """,
+    doc="Theil-Sen robust trend per series: the exact median of all "
+    "pairwise slopes on the daily grid (breakdown point 29% — one "
+    "corrupted day cannot move it), beside the OLS slope it "
+    "robustifies.  The O(D^2) pair join runs on the volume-"
+    "independent daily grid (D days -> D(D-1)/2 slope rows per "
+    "series), values rounded to 6 dp so the pairwise arithmetic and "
+    "the interpolated median are engine-identical.",
+    tags=("causality", "timeseries", "stats", "robust"),
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.v") - F.col("a.v"))
+            / ((F.unix_micros("b.day") - F.unix_micros("a.day")) / 86400.0 / 1e6)
+        ).alias("slope"),
+    )
+    ts_est = slopes.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("ts_slope"),
+    )
+    ols = daily.groupBy("event_type").agg(
+        F.regr_slope("v", F.unix_micros("day") / 1e6 / 86400.0).alias("ols_slope")
+    )
+    t, o = ts_est.alias("t"), ols.alias("o")
+    return (
+        t.join(o, F.col("o.event_type") == F.col("t.event_type"))
+        .select(
+            F.col("t.event_type").alias("series"),
+            F.col("t.n_pairs").alias("n_pairs"),
+            F.round(F.col("t.ts_slope"), 6).alias("theil_sen_slope"),
+            F.round(F.col("o.ols_slope"), 6).alias("ols_slope"),
+        )
+        .orderBy("series")
     )

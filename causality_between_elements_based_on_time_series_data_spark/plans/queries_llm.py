@@ -4432,3 +4432,140 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# --- MinHash estimator calibration ------------------------------------
+
+
+def _minhash_calibration_oracle() -> str:
+    n_eq = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+    WITH {_band_core_sql()},
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pruned a JOIN pruned b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    eqs AS (
+        SELECT c.id_a, c.id_b, CAST({n_eq} AS BIGINT) AS n_eq
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM __sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM cand c
+        JOIN __sh ta ON ta.doc_id = c.id_a
+        JOIN __sh tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT e.n_eq,
+               CAST(i.n_common AS DOUBLE)
+                   / (sa.sz + sb.sz - i.n_common) AS true_j
+        FROM eqs e
+        JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+        JOIN sizes sa ON sa.doc_id = e.id_a
+        JOIN sizes sb ON sb.doc_id = e.id_b
+    )
+    SELECT n_eq AS n_equal_slots,
+           round(n_eq / 16.0, 4) AS est_jaccard,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(true_j), 4) AS avg_true_jaccard,
+           round(avg(abs(n_eq / 16.0 - true_j)), 4) AS mae
+    FROM scored
+    GROUP BY n_eq
+    ORDER BY n_equal_slots
+    """
+
+
+@register(
+    "minhash_estimate_calibration",
+    oracle=_minhash_calibration_oracle(),
+    doc="Calibration curve for the MinHash Jaccard estimator: over "
+    "the portable band tier's candidate pairs, the estimated Jaccard "
+    "(fraction of the 16 signature slots that agree) is binned "
+    "against the EXACT shingle-set Jaccard — n_pairs, mean true "
+    "similarity, and mean absolute error per estimator level.  This "
+    "is the audit that justifies trusting signature agreement in the "
+    "dedup pipeline instead of exact verification everywhere: E[est] "
+    "= true Jaccard per slot, and the curve shows the variance at "
+    "k=16.  Costs one signature pass + candidate-only exact "
+    "verification (the same bounded shape as the pipeline itself — "
+    "never all-pairs).",
+    tags=("llm", "dedup", "sketch"),
+)
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = portable_signatures(docs).localCheckpoint(eager=False)
+    cand = (
+        portable_band_pairs(sig)
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        .localCheckpoint(eager=False)
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    n_eq = None
+    for i in range(16):
+        term = (F.col(f"sa.s{i}") == F.col(f"sb.s{i}")).cast("int")
+        n_eq = term if n_eq is None else (n_eq + term)
+    eqs = (
+        cand.alias("c")
+        .join(sa, F.col("sa.doc_id") == F.col("c.id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("c.id_b"))
+        .select("c.id_a", "c.id_b", n_eq.cast("bigint").alias("n_eq"))
+    )
+    tok = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), 3)).alias("tok")
+    ).distinct().localCheckpoint(eager=False)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    inter = (
+        cand.alias("c")
+        .join(ta, F.col("ta.doc_id") == F.col("c.id_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("c.id_b"))
+            & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("c.id_a", "c.id_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sza, szb = sizes.alias("sza"), sizes.alias("szb")
+    true_j = F.col("n_common").cast("double") / (
+        F.col("sza.sz") + F.col("szb.sz") - F.col("n_common")
+    )
+    scored = (
+        eqs.alias("e")
+        .join(
+            inter.alias("i"),
+            (F.col("i.id_a") == F.col("e.id_a"))
+            & (F.col("i.id_b") == F.col("e.id_b")),
+        )
+        .join(sza, F.col("sza.doc_id") == F.col("e.id_a"))
+        .join(szb, F.col("szb.doc_id") == F.col("e.id_b"))
+        .select(F.col("e.n_eq").alias("n_eq"), true_j.alias("true_j"))
+    )
+    return (
+        scored.groupBy("n_eq")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("true_j"), 4).alias("avg_true_jaccard"),
+            F.round(F.avg(F.abs(F.col("n_eq") / 16.0 - F.col("true_j"))), 4).alias(
+                "mae"
+            ),
+        )
+        .select(
+            F.col("n_eq").alias("n_equal_slots"),
+            F.round(F.col("n_eq") / 16.0, 4).alias("est_jaccard"),
+            "n_pairs",
+            "avg_true_jaccard",
+            "mae",
+        )
+        .orderBy("n_equal_slots")
+    )
