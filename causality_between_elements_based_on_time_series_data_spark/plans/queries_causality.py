@@ -3278,3 +3278,257 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("series")
     )
+
+
+@register(
+    "holt_winters_additive",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    ordered AS (
+        SELECT event_type, list(v ORDER BY hour) AS vals
+        FROM hourly GROUP BY 1
+        HAVING count(*) >= 49
+    ),
+    init AS (
+        SELECT event_type, vals, len(vals) AS T,
+               CAST(list_sum(vals[1:24]) / 24.0 AS DOUBLE) AS l0,
+               CAST((list_sum(vals[25:48]) / 24.0
+                     - list_sum(vals[1:24]) / 24.0) / 24.0 AS DOUBLE) AS b0,
+               list_transform(vals[1:24],
+                   x -> CAST(x - list_sum(vals[1:24]) / 24.0 AS DOUBLE)) AS s0
+        FROM ordered
+    ),
+    rec(event_type, vals, nt, it, l, b, s, sse) AS (
+        SELECT event_type, vals, T, 24, l0, b0, s0, CAST(0.0 AS DOUBLE)
+        FROM init
+        UNION ALL
+        SELECT event_type, vals, nt, it + 1,
+               0.3 * (vals[it + 1] - s[1]) + 0.7 * (l + b),
+               0.1 * ((0.3 * (vals[it + 1] - s[1]) + 0.7 * (l + b)) - l)
+                   + 0.9 * b,
+               list_concat(s[2:24],
+                   [0.2 * (vals[it + 1]
+                           - (0.3 * (vals[it + 1] - s[1]) + 0.7 * (l + b)))
+                    + 0.8 * s[1]]),
+               sse + (vals[it + 1] - (l + b + s[1]))
+                   * (vals[it + 1] - (l + b + s[1]))
+        FROM rec WHERE it < nt
+    )
+    SELECT event_type AS series, CAST(nt AS BIGINT) AS n_obs,
+           round(l, 4) AS level, round(b, 4) AS trend,
+           round(l + b + s[1], 4) AS forecast_next,
+           round(sqrt(sse / (nt - 24)), 4) AS rmse
+    FROM rec WHERE it = nt
+    ORDER BY series
+    """,
+    doc="Full additive Holt-Winters (level + trend + 24-slot seasonal "
+    "state) per series: classical init (first-day mean level, day-"
+    "over-day trend, first-day deviations as seasonals), then the "
+    "three coupled recurrences (alpha=.3, beta=.1, gamma=.2) run as "
+    "ONE ordered array fold per series with a struct(level, trend, "
+    "seasonal-list, sse) accumulator — the seasonal list rotates one "
+    "slot per step.  Emits the final state, the next-hour forecast, "
+    "and one-step-ahead RMSE.  The oracle replays the identical "
+    "recurrence as a recursive CTE carrying the seasonal LIST "
+    "through 700 iterations — a full value check of a stateful "
+    "triple recurrence.  Scale: the recurrence is inherently "
+    "sequential per series, so the fold runs where it belongs — "
+    "inside one row per series on the volume-independent grid, "
+    "thousands of series folding in parallel.",
+    tags=("causality", "timeseries", "forecast"),
+)
+def holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _rounded_hourly_series(spark, sf_dir)
+    ordered = (
+        h.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("hour", "v"))
+            ).alias("hv")
+        )
+        .select(
+            "event_type",
+            F.expr("transform(hv, x -> x.v)").alias("vals"),
+        )
+        .filter(F.size("vals") >= 49)
+    )
+    first_day = F.slice("vals", 1, 24)
+    l0 = F.expr(
+        "aggregate(slice(vals, 1, 24), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    ) / 24.0
+    second_mean = (
+        F.expr(
+            "aggregate(slice(vals, 25, 24), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        )
+        / 24.0
+    )
+    init = ordered.select(
+        "event_type",
+        "vals",
+        F.size("vals").cast("bigint").alias("T"),
+        l0.alias("l0"),
+        ((second_mean - l0) / 24.0).alias("b0"),
+        F.transform(first_day, lambda x: x - l0).alias("s0"),
+    )
+    # the triple recurrence as one sequential fold; l' computed once
+    # and reused — identical arithmetic to the oracle's inlined form
+    step = (
+        "(acc, x) -> CAST(("
+        "  0.3 * (x - acc.s[0]) + 0.7 * (acc.l + acc.b),"
+        "  0.1 * ((0.3 * (x - acc.s[0]) + 0.7 * (acc.l + acc.b)) - acc.l)"
+        "      + 0.9 * acc.b,"
+        "  concat(slice(acc.s, 2, 23),"
+        "         array(0.2 * (x - (0.3 * (x - acc.s[0])"
+        "                           + 0.7 * (acc.l + acc.b)))"
+        "               + 0.8 * acc.s[0])),"
+        "  acc.sse + (x - (acc.l + acc.b + acc.s[0]))"
+        "      * (x - (acc.l + acc.b + acc.s[0]))"
+        ") AS struct<l: double, b: double, s: array<double>, sse: double>)"
+    )
+    folded = init.select(
+        "event_type",
+        "T",
+        F.expr(
+            "aggregate(slice(vals, 25, CAST(T AS INT) - 24), "
+            "CAST((l0, b0, s0, CAST(0.0 AS DOUBLE)) "
+            "AS struct<l: double, b: double, s: array<double>, sse: double>), "
+            f"{step})"
+        ).alias("fin"),
+    )
+    return folded.select(
+        F.col("event_type").alias("series"),
+        F.col("T").alias("n_obs"),
+        F.round(F.col("fin.l"), 4).alias("level"),
+        F.round(F.col("fin.b"), 4).alias("trend"),
+        F.round(F.col("fin.l") + F.col("fin.b") + F.col("fin.s")[0], 4).alias(
+            "forecast_next"
+        ),
+        F.round(F.sqrt(F.col("fin.sse") / (F.col("T") - 24)), 4).alias("rmse"),
+    ).orderBy("series")
+
+
+# Normal CDF via the tanh-based approximation (identical closed form on
+# both engines, so p-values agree bit-for-bit; accuracy ~1e-3 absolute,
+# ample for a rank-based procedure that only compares p to i*q/m):
+#   Phi(z) ~= 0.5 * (1 + tanh(sqrt(2/pi) * (z + 0.044715 z^3)))
+_SQRT_2_PI = 0.7978845608028654
+
+
+def _phi_spark(z):
+    inner = F.lit(_SQRT_2_PI) * (z + 0.044715 * z * z * z)
+    return 0.5 * (1 + F.tanh(inner))
+
+
+def _phi_sql(z: str) -> str:
+    from .registry import sql_tanh
+
+    inner = f"({_SQRT_2_PI} * (({z}) + 0.044715 * ({z}) * ({z}) * ({z})))"
+    return f"(0.5 * (1 + {sql_tanh(inner)}))"
+
+
+@register(
+    "granger_fdr_screen",
+    oracle=_HOURLY_ORACLE
+    + f"""
+    , lagcorr AS (
+        SELECT l.event_type AS cause, f.event_type AS effect,
+               corr(f.v, l.v) AS r,
+               CAST(count(*) AS BIGINT) AS n
+        FROM hourly f
+        JOIN hourly l ON l.event_type <> f.event_type
+                     AND l.hour = f.hour - INTERVAL 1 HOUR
+        GROUP BY 1, 2
+    ),
+    pvals AS (
+        SELECT cause, effect, r, n,
+               2 * (1 - {_phi_sql("abs(sqrt(n - 3) * 0.5 * ln((1 + r) / (1 - r)))")})
+                   AS p
+        FROM lagcorr
+    ),
+    ranked AS (
+        SELECT cause, effect, r, p,
+               row_number() OVER (ORDER BY p, cause, effect) AS rnk,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM pvals
+    ),
+    cut AS (
+        SELECT *, CASE WHEN p <= 0.1 * rnk / m THEN rnk ELSE 0 END AS ok_rnk
+        FROM ranked
+    ),
+    kstar AS (
+        SELECT *, max(ok_rnk) OVER () AS k_star FROM cut
+    )
+    SELECT cause, effect, round(r, 4) AS r_lag,
+           round(p, 6) AS p_value, rnk,
+           CAST(CASE WHEN rnk <= k_star THEN 1 ELSE 0 END AS INTEGER)
+               AS significant
+    FROM kstar
+    ORDER BY rnk
+    """,
+    doc="Multiple-testing control for the causality screen: every "
+    "directed lag-1 cross-correlation gets a Fisher-z p-value "
+    "(tanh-form normal CDF, identical closed form on both engines), "
+    "then Benjamini-Hochberg at q=0.1 — rank p ascending, keep all "
+    "ranks up to the largest i with p_i <= q*i/m.  This is the step "
+    "that separates 'screen 20 pairs and report the reddest' from "
+    "defensible discovery: with |series|^2 simultaneous tests, "
+    "uncontrolled per-test alpha would flood the report with false "
+    "edges.  Runs entirely on the |series|^2-row moment table; the "
+    "two global windows rank 20 rows, not events.",
+    tags=("causality", "timeseries", "stats"),
+)
+def granger_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly_series(spark, sf_dir).localCheckpoint(eager=False)
+    f_, l_ = h.alias("f"), h.alias("l")
+    lagcorr = (
+        f_.join(
+            l_,
+            (F.col("l.event_type") != F.col("f.event_type"))
+            & (F.col("l.hour") == F.col("f.hour") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(
+            F.col("l.event_type").alias("cause"),
+            F.col("f.event_type").alias("effect"),
+        )
+        .agg(
+            F.corr("f.v", "l.v").alias("r"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    z = F.abs(
+        F.sqrt(F.col("n") - 3) * 0.5 * F.log((1 + F.col("r")) / (1 - F.col("r")))
+    )
+    pvals = lagcorr.select(
+        "cause", "effect", "r", (2 * (1 - _phi_spark(z))).alias("p")
+    )
+    w_rank = Window.orderBy("p", "cause", "effect")
+    w_all = Window.partitionBy()
+    ranked = pvals.select(
+        "cause",
+        "effect",
+        "r",
+        "p",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count("*").over(w_all).cast("bigint").alias("m"),
+    )
+    cut = ranked.withColumn(
+        "ok_rnk",
+        F.when(F.col("p") <= 0.1 * F.col("rnk") / F.col("m"), F.col("rnk")).otherwise(
+            F.lit(0)
+        ),
+    )
+    kstar = cut.withColumn("k_star", F.max("ok_rnk").over(w_all))
+    return kstar.select(
+        "cause",
+        "effect",
+        F.round("r", 4).alias("r_lag"),
+        F.round("p", 6).alias("p_value"),
+        "rnk",
+        F.when(F.col("rnk") <= F.col("k_star"), 1).otherwise(0).cast("int").alias(
+            "significant"
+        ),
+    ).orderBy("rnk")

@@ -67,3 +67,37 @@ def test_excitation_ratio_positive_and_calibrated(spark, sf_dir):
         assert r.excitation_ratio > 0
         # ratio is observed/expected of the SAME pair
         assert abs(r.excitation_ratio - r.n_observed / r.n_expected) < 0.05
+
+
+def test_holt_winters_state_is_finite_and_rmse_nonneg(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+        holt_winters_additive,
+    )
+    import math
+
+    rows = holt_winters_additive(spark, sf_dir).collect()
+    # sf0.001 series may fall below the 49-observation init floor;
+    # whatever qualifies must carry finite state
+    for r in rows:
+        assert r.n_obs >= 49
+        for v in (r.level, r.trend, r.forecast_next, r.rmse):
+            assert v is not None and math.isfinite(v), r
+        assert r.rmse >= 0
+
+
+def test_bh_fdr_significance_is_downward_closed(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+        granger_fdr_screen,
+    )
+
+    rows = sorted(granger_fdr_screen(spark, sf_dir).collect(), key=lambda r: r.rnk)
+    assert rows
+    # BH keeps a prefix of the p-value ranking: once a rank is not
+    # significant, no later rank may be
+    seen_insignificant = False
+    for r in rows:
+        if r.significant == 0:
+            seen_insignificant = True
+        else:
+            assert not seen_insignificant, r
+        assert 0 <= r.p_value <= 1
