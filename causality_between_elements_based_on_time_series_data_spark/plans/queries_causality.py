@@ -2824,7 +2824,16 @@ def ccm_cross_mapping_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    m1, m2 = manifold.alias("m1"), manifold.alias("m2")
+    # The NN self-join's only equi-key is the series id — a handful of
+    # distinct values, so a shuffle join caps parallelism at |series|
+    # tasks.  The manifold is the volume-independent grid (|series|*T
+    # rows): broadcast the neighbour side and repartition the probe
+    # side so the O(T^2) pair generation spreads over every core.  At
+    # horizons where the grid outgrows a broadcast, coarsen the grid
+    # (doc above) — the join shape is unchanged.
+    n_part = max(2, spark.sparkContext.defaultParallelism)
+    m1 = manifold.repartition(n_part).alias("m1")
+    m2 = F.broadcast(manifold).alias("m2")
     dist = m1.join(
         m2,
         (F.col("m2.ety") == F.col("m1.ety"))
@@ -3532,3 +3541,240 @@ def granger_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant"
         ),
     ).orderBy("rnk")
+
+
+_ROUNDED_DAILY_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    )
+"""
+
+
+def _rounded_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+
+
+@register(
+    "mann_kendall_trend",
+    oracle=_ROUNDED_DAILY_ORACLE
+    + f"""
+    , s_stat AS (
+        SELECT a.event_type,
+               CAST(sum(CASE WHEN b.v > a.v THEN 1
+                             WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+        FROM daily a
+        JOIN daily b ON b.event_type = a.event_type AND b.day > a.day
+        GROUP BY 1
+    ),
+    counts AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0) AS BIGINT)
+                   AS tie_term
+        FROM (
+            SELECT event_type, v, count(*) AS tc
+            FROM daily GROUP BY 1, 2 HAVING count(*) > 1
+        ) GROUP BY 1
+    ),
+    z AS (
+        SELECT c.event_type, s.s, c.n,
+               (CASE WHEN s.s > 0 THEN s.s - 1.0
+                     WHEN s.s < 0 THEN s.s + 1.0 ELSE 0.0 END)
+               / sqrt((c.n * (c.n - 1.0) * (2 * c.n + 5.0)
+                       - coalesce(t.tie_term, 0)) / 18.0) AS zv
+        FROM counts c
+        JOIN s_stat s ON s.event_type = c.event_type
+        LEFT JOIN ties t ON t.event_type = c.event_type
+    )
+    SELECT event_type AS series, n AS n_days, s AS s_stat,
+           round(zv, 4) AS z_stat,
+           round(2 * (1 - {{phi}}), 6) AS p_value,
+           CASE WHEN s > 0 THEN 'increasing'
+                WHEN s < 0 THEN 'decreasing' ELSE 'none' END AS direction
+    FROM z
+    ORDER BY series
+    """.replace("{phi}", _phi_sql("abs(zv)")),
+    doc="Mann-Kendall nonparametric trend test per series: S = sum of "
+    "pairwise sign(v_j - v_i) over the 6-dp-rounded daily grid, "
+    "tie-corrected variance n(n-1)(2n+5)/18 - sum t(t-1)(2t+5)/18, "
+    "continuity-corrected z, and the engine-identical tanh-form "
+    "normal p-value.  The distribution-free significance companion "
+    "to theil_sen_trend's robust slope: no normality or linearity "
+    "assumption, immune to monotone transforms.  The O(D^2) sign "
+    "join runs on the volume-independent daily grid; ties reduce on "
+    "the (series, value) group table.",
+    tags=("causality", "timeseries", "stats", "robust"),
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _rounded_daily_series(spark, sf_dir).localCheckpoint(eager=False)
+    a, b = daily.alias("a"), daily.alias("b")
+    s_stat = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day") > F.col("a.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.v") > F.col("a.v"), 1)
+                .when(F.col("b.v") < F.col("a.v"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    counts = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tie_groups = (
+        daily.groupBy("event_type", "v")
+        .agg(F.count("*").alias("tc"))
+        .filter(F.col("tc") > 1)
+    )
+    ties = tie_groups.groupBy("event_type").agg(
+        F.coalesce(
+            F.sum(F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("tie_term")
+    )
+    c, s, t = counts.alias("c"), s_stat.alias("s"), ties.alias("t")
+    var_s = (
+        F.col("c.n") * (F.col("c.n") - 1.0) * (2 * F.col("c.n") + 5.0)
+        - F.coalesce(F.col("t.tie_term"), F.lit(0))
+    ) / 18.0
+    zv = (
+        F.when(F.col("s.s") > 0, F.col("s.s") - 1.0)
+        .when(F.col("s.s") < 0, F.col("s.s") + 1.0)
+        .otherwise(0.0)
+        / F.sqrt(var_s)
+    )
+    z = (
+        c.join(s, F.col("s.event_type") == F.col("c.event_type"))
+        .join(t, F.col("t.event_type") == F.col("c.event_type"), "left")
+        .select(
+            F.col("c.event_type").alias("series"),
+            F.col("c.n").alias("n_days"),
+            F.col("s.s").alias("s_stat"),
+            zv.alias("zv"),
+        )
+    )
+    return z.select(
+        "series",
+        "n_days",
+        "s_stat",
+        F.round("zv", 4).alias("z_stat"),
+        F.round(2 * (1 - _phi_spark(F.abs(F.col("zv")))), 6).alias("p_value"),
+        F.when(F.col("s_stat") > 0, "increasing")
+        .when(F.col("s_stat") < 0, "decreasing")
+        .otherwise("none")
+        .alias("direction"),
+    ).orderBy("series")
+
+
+@register(
+    "bootstrap_mean_ci",
+    oracle=_ROUNDED_DAILY_ORACLE
+    + """
+    , sv AS (
+        SELECT event_type, list(v ORDER BY day) AS vals,
+               CAST(count(*) AS BIGINT) AS nd
+        FROM daily GROUP BY 1
+    ),
+    draws AS (
+        SELECT event_type, nd, vals, tb.b,
+               unnest(range(nd)) AS j
+        FROM sv, range(50) tb(b)
+    ),
+    picked AS (
+        SELECT event_type, b,
+               vals[CAST((((b * 131 + j * 31 + 7) * 2654435761)
+                          % 2147483647) % nd AS INTEGER) + 1] AS x
+        FROM draws
+    ),
+    boot_means AS (
+        SELECT event_type, b, sum(x) / count(*) AS m
+        FROM picked GROUP BY 1, 2
+    ),
+    obs AS (
+        SELECT event_type, sum(v) / count(*) AS mean_obs FROM daily GROUP BY 1
+    )
+    SELECT bm.event_type AS series, o_.nd AS n_days,
+           round(o.mean_obs, 4) AS mean_obs,
+           round(quantile_cont(bm.m, 0.025), 4) AS ci_lo,
+           round(quantile_cont(bm.m, 0.975), 4) AS ci_hi
+    FROM boot_means bm
+    JOIN obs o ON o.event_type = bm.event_type
+    JOIN sv o_ ON o_.event_type = bm.event_type
+    GROUP BY 1, 2, 3
+    ORDER BY series
+    """,
+    doc="Deterministic bootstrap confidence interval for each "
+    "series' daily mean: 50 resamples drawn by Knuth-multiplicative "
+    "hashing of (replicate, slot) — reproducible across engines, "
+    "partitionings, and retries, unlike rand()-seeded resampling — "
+    "each resample averaging n hash-indexed values from the ordered "
+    "daily list, then the percentile-method 95% CI over the 50 "
+    "replicate means.  The nonparametric uncertainty companion to "
+    "the point estimators: no normality assumption.  Cost: B*n rows "
+    "per series on the volume-independent daily grid (the fact "
+    "table is touched once to build it).",
+    tags=("causality", "timeseries", "stats", "robust"),
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _rounded_daily_series(spark, sf_dir).localCheckpoint(eager=False)
+    sv = daily.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(day, v))), x -> x.v)").alias(
+            "vals"
+        ),
+        F.count("*").cast("bigint").alias("nd"),
+    )
+    draws = sv.select(
+        "event_type", "nd", "vals", F.explode(F.expr("sequence(0, 49)")).alias("b")
+    ).select(
+        "event_type",
+        "nd",
+        "vals",
+        "b",
+        F.explode(F.expr("sequence(0, CAST(nd AS INT) - 1)")).alias("j"),
+    )
+    idx = (
+        (
+            ((F.col("b") * 131 + F.col("j") * 31 + 7) * F.lit(2654435761))
+            % 2147483647
+        )
+        % F.col("nd")
+    ).cast("int") + 1
+    picked = draws.select(
+        "event_type", "b", F.element_at("vals", idx).alias("x")
+    )
+    boot_means = picked.groupBy("event_type", "b").agg(
+        (F.sum("x") / F.count("*")).alias("m")
+    )
+    obs = daily.groupBy("event_type").agg(
+        (F.sum("v") / F.count("*")).alias("mean_obs")
+    )
+    bm, o, s2 = boot_means.alias("bm"), obs.alias("o"), sv.alias("s2")
+    return (
+        bm.join(o, F.col("o.event_type") == F.col("bm.event_type"))
+        .join(s2, F.col("s2.event_type") == F.col("bm.event_type"))
+        .groupBy(
+            F.col("bm.event_type").alias("series"),
+            F.col("s2.nd").alias("n_days"),
+            F.round(F.col("o.mean_obs"), 4).alias("mean_obs"),
+        )
+        .agg(
+            F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
+            F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+        )
+        .orderBy("series")
+    )

@@ -101,3 +101,35 @@ def test_bh_fdr_significance_is_downward_closed(spark, sf_dir):
         else:
             assert not seen_insignificant, r
         assert 0 <= r.p_value <= 1
+
+
+def test_mann_kendall_direction_matches_sign(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+        mann_kendall_trend,
+    )
+
+    rows = mann_kendall_trend(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        want = (
+            "increasing" if r.s_stat > 0 else "decreasing" if r.s_stat < 0 else "none"
+        )
+        assert r.direction == want
+        assert 0 <= r.p_value <= 1
+        # |S| can never exceed the number of pairs
+        assert abs(r.s_stat) <= r.n_days * (r.n_days - 1) // 2
+
+
+def test_bootstrap_ci_brackets_reasonably(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+        bootstrap_mean_ci,
+    )
+
+    rows = bootstrap_mean_ci(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.ci_lo <= r.ci_hi
+        # resample means live inside the observed value range, so the
+        # CI cannot be wildly displaced from the observed mean
+        width = max(r.ci_hi - r.ci_lo, 1e-9)
+        assert r.ci_lo - 5 * width <= r.mean_obs <= r.ci_hi + 5 * width
