@@ -2733,18 +2733,6 @@ _ROUNDED_HOURLY_ORACLE = """
 """
 
 
-def _rounded_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The hour x series grid with the value rounded to 6 dp — the
-    engine-stable variant used where downstream arithmetic (nearest-
-    neighbour ranking) must be bit-identical across engines: after the
-    round, both engines hold the same doubles, and every later
-    expression is deterministic IEEE arithmetic."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(F.round(F.sum("value"), 6).alias("v"))
-
-
 @register(
     "ccm_cross_mapping_skill",
     oracle=_ROUNDED_HOURLY_ORACLE
@@ -2808,7 +2796,7 @@ def _rounded_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("causality", "timeseries", "stats", "bench"),
 )
 def ccm_cross_mapping_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = _rounded_hourly_series(spark, sf_dir).localCheckpoint(eager=False)
+    h = _hourly_series_rounded(spark, sf_dir).localCheckpoint(eager=False)
     a, b = h.alias("a"), h.alias("b")
     manifold = (
         a.join(
@@ -3351,7 +3339,7 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("causality", "timeseries", "forecast"),
 )
 def holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = _rounded_hourly_series(spark, sf_dir)
+    h = _hourly_series_rounded(spark, sf_dir)
     ordered = (
         h.groupBy("event_type")
         .agg(
@@ -3775,6 +3763,193 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
             F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+        )
+        .orderBy("series")
+    )
+
+
+def _markov_entropy_oracle(n_iter: int = 10) -> str:
+    base = _markov_oracle(n_iter)
+    # reuse everything up to the final SELECT; replace the projection
+    # with the entropy-rate composition
+    head = base[: base.rindex("SELECT s AS state")].rstrip().rstrip(",")
+    return (
+        head
+        + f""",
+    entropy AS (
+        SELECT x.s, x.x,
+               -sum(p.p * ln(p.p)) AS h_row
+        FROM x{n_iter} x JOIN p ON p.s1 = x.s
+        GROUP BY x.s, x.x
+    )
+    SELECT s AS state, round(x, 6) AS stationary_p,
+           round(h_row, 6) AS row_entropy_nats,
+           round(sum(x * h_row) OVER (), 6) AS chain_entropy_rate
+    FROM entropy
+    ORDER BY state
+    """
+    )
+
+
+@register(
+    "markov_entropy_rate",
+    oracle=_markov_entropy_oracle(),
+    doc="Entropy rate of the event-type Markov chain: H = -sum_i "
+    "pi_i sum_j P_ij ln P_ij, composing the stationary distribution "
+    "(10 lazy power iterations, the markov_stationary_distribution "
+    "core) with each state's transition-row entropy.  The single "
+    "number that says how predictable the element dynamics are — "
+    "near 0, the next element is determined (strong sequential "
+    "coupling); near ln|states|, dynamics are memoryless noise and "
+    "lag-based causality screens will find nothing.  Everything "
+    "after the one window pass runs on |states|^2 rows.",
+    tags=("causality", "graph", "timeseries", "stats"),
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("s1"), F.lead("event_type").over(w).alias("s2")
+    ).filter(F.col("s2").isNotNull())
+    c = trans.groupBy("s1", "s2").agg(F.count("*").cast("double").alias("c"))
+    c = c.localCheckpoint(eager=False)
+    p = c.select(
+        "s1", "s2", (F.col("c") / F.sum("c").over(Window.partitionBy("s1"))).alias("p")
+    ).localCheckpoint(eager=False)
+    states = c.select(F.col("s1").alias("s")).distinct()
+    n_states = states.agg(F.count("*").alias("n"))
+    x = states.crossJoin(F.broadcast(n_states)).select(
+        "s", (F.lit(1.0) / F.col("n")).alias("x")
+    )
+    for _ in range(10):
+        x = (
+            x.join(p, x.s == p.s1)
+            .groupBy(F.col("s2").alias("s_next"))
+            .agg(F.sum(F.col("x") * F.col("p")).alias("x"))
+            .withColumnRenamed("s_next", "s")
+        )
+    entropy = (
+        x.alias("x")
+        .join(p.alias("pp"), F.col("pp.s1") == F.col("x.s"))
+        .groupBy(F.col("x.s").alias("s"), F.col("x.x").alias("x"))
+        .agg((-F.sum(F.col("pp.p") * F.log(F.col("pp.p")))).alias("h_row"))
+    )
+    return entropy.select(
+        F.col("s").alias("state"),
+        F.round("x", 6).alias("stationary_p"),
+        F.round("h_row", 6).alias("row_entropy_nats"),
+        F.round(F.sum(F.col("x") * F.col("h_row")).over(Window.partitionBy()), 6).alias(
+            "chain_entropy_rate"
+        ),
+    ).orderBy("state")
+
+
+@register(
+    "decomposition_strength",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT hour, event_type, v,
+               avg(v) OVER (PARTITION BY event_type ORDER BY hour
+                            ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend,
+               count(*) OVER (PARTITION BY event_type ORDER BY hour
+                              ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS w
+        FROM hourly
+    ),
+    detrended AS (
+        SELECT event_type, hour, v, trend,
+               CAST(hour(hour) AS INTEGER) AS hod,
+               v - trend AS detr
+        FROM trended WHERE w = 25
+    ),
+    seas AS (
+        SELECT event_type, hod, avg(detr) AS s_hod
+        FROM detrended GROUP BY 1, 2
+    ),
+    comp AS (
+        SELECT d.event_type, d.trend, s.s_hod AS seasonal,
+               d.detr - s.s_hod AS resid
+        FROM detrended d
+        JOIN seas s ON s.event_type = d.event_type AND s.hod = d.hod
+    )
+    SELECT event_type AS series,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           round(greatest(0.0,
+               1 - var_samp(resid) / var_samp(resid + seasonal)), 4)
+               AS seasonal_strength,
+           round(greatest(0.0,
+               1 - var_samp(resid) / var_samp(resid + trend)), 4)
+               AS trend_strength
+    FROM comp
+    GROUP BY 1
+    ORDER BY series
+    """,
+    doc="Trend / seasonal strength per series (the STL-features "
+    "F_T = 1 - var(R)/var(T+R), F_S = 1 - var(R)/var(S+R), Wang-"
+    "Smith-Hyndman): how much of each series' variance the 25-hour "
+    "moving-average trend and the hour-of-day seasonal profile "
+    "explain.  The triage screen that routes series: high F_S means "
+    "deseasonalize before any lag-based causality claim (the clock "
+    "is the confounder), high F_T means detrend first.  Same single "
+    "window pass + tiny joins as the decomposition itself.",
+    tags=("causality", "timeseries", "stats"),
+)
+def decomposition_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_series_rounded(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-12, 12)
+    trended = hourly.select(
+        "hour",
+        "event_type",
+        "v",
+        F.avg("v").over(w).alias("trend"),
+        F.count("*").over(w).alias("w"),
+    )
+    detrended = trended.filter(F.col("w") == 25).select(
+        "event_type",
+        "trend",
+        F.hour("hour").cast("int").alias("hod"),
+        (F.col("v") - F.col("trend")).alias("detr"),
+    ).localCheckpoint(eager=False)
+    seas = detrended.groupBy("event_type", "hod").agg(
+        F.avg("detr").alias("s_hod")
+    )
+    d, s = detrended.alias("d"), seas.alias("s")
+    comp = d.join(
+        s,
+        (F.col("s.event_type") == F.col("d.event_type"))
+        & (F.col("s.hod") == F.col("d.hod")),
+    ).select(
+        F.col("d.event_type").alias("event_type"),
+        F.col("d.trend").alias("trend"),
+        F.col("s.s_hod").alias("seasonal"),
+        (F.col("d.detr") - F.col("s.s_hod")).alias("resid"),
+    )
+    return (
+        comp.groupBy(F.col("event_type").alias("series"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    1
+                    - F.var_samp("resid")
+                    / F.var_samp(F.col("resid") + F.col("seasonal")),
+                ),
+                4,
+            ).alias("seasonal_strength"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    1
+                    - F.var_samp("resid")
+                    / F.var_samp(F.col("resid") + F.col("trend")),
+                ),
+                4,
+            ).alias("trend_strength"),
         )
         .orderBy("series")
     )

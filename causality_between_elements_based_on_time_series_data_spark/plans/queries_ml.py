@@ -563,3 +563,36 @@ def streaming_psi_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events_stream import streaming_psi_monitor
 
     return streaming_psi_monitor(spark, sf_dir)
+
+
+@register(
+    "streaming_topk_trending",
+    oracle="""
+    WITH counts AS (
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT hour_start, event_type, n,
+               CAST(row_number() OVER (PARTITION BY hour_start
+                                       ORDER BY n DESC, event_type)
+                    AS INTEGER) AS rnk
+        FROM counts
+    )
+    SELECT hour_start, event_type, n, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY hour_start, rnk
+    """,
+    doc="Streaming trending top-k: the stream maintains the hour x "
+    "element count state in complete mode; top-3 per window ranks "
+    "the maintained table at read time (the counts-in-stream, "
+    "ranks-at-serve production split — ranking is not an incremental "
+    "operator).  Oracle = batch hourly counts + row_number, so "
+    "stream/batch parity covers the values AND the emission set.",
+    tags=("streaming", "timeseries", "window"),
+)
+def streaming_topk_trending_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import streaming_topk_trending
+
+    return streaming_topk_trending(spark, sf_dir)

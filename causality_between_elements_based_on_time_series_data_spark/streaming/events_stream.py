@@ -731,3 +731,39 @@ def streaming_psi_monitor(
         F.max("n1").cast("bigint").alias("n_period1"),
         F.max("n2").cast("bigint").alias("n_period2"),
     )
+
+
+def streaming_topk_trending(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Trending elements: the stream maintains the hour x type count
+    table in complete mode (the state a serving layer would hold);
+    the top-k rank per window is applied to the maintained table —
+    ranking is not an incremental streaming operator, and the
+    production split is exactly this: counts in the stream, ranks at
+    read time.  Parity target: batch hourly counts + row_number."""
+    from pyspark.sql import Window
+
+    with scoped_conf(spark, _NANOS_FLAG, "true"):
+        stream = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+        agg = stream.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        ).agg(F.count("*").cast("bigint").alias("n"))
+        name = f"stream_trend_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = spark.table(name).select(
+        F.col("win.start").alias("hour_start"), "event_type", "n"
+    )
+    w = Window.partitionBy("hour_start").orderBy(F.desc("n"), "event_type")
+    return (
+        out.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("hour_start", "rnk")
+    )

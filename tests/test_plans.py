@@ -373,3 +373,38 @@ def test_semdedup_pair_join_cluster_keyed(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "semdedup_cluster_prune")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ccm_neighbour_join_is_broadcast(spark, sf_dir):
+    # the NN self-join's only equi-key is the series id (a handful of
+    # values): a shuffle join would cap parallelism at |series| tasks,
+    # so the volume-independent manifold must broadcast
+    plan = plan_of(spark, sf_dir, "ccm_cross_mapping_skill")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_countmin_counters_reduce_before_exchange(spark, sf_dir):
+    # the d*w counter build must partial-aggregate the exploded cells
+    # map-side: a HashAggregate below the Exchange that feeds the
+    # final counter aggregate
+    plan = plan_of(spark, sf_dir, "countmin_heavy_hitters")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bloom_probe_joins_broadcast(spark, sf_dir):
+    # both the 1-row bloom bitset and the membership-truth key set
+    # must reach the orders probe as broadcasts — the fact side never
+    # shuffles for the probe
+    plan = plan_of(spark, sf_dir, "bloom_semijoin_prune")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pca_covariance_single_fact_exchange(spark, sf_dir):
+    # the double posexplode must stay map-side: the only exchanges
+    # carry <= d^2-scale aggregates, and the dimension means join the
+    # covariance cells broadcast
+    plan = plan_of(spark, sf_dir, "pca_power_iteration_top")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
