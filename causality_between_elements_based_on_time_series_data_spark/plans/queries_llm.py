@@ -4569,3 +4569,93 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_equal_slots")
     )
+
+
+# --- Boilerplate sentence audit ---------------------------------------
+
+
+@register(
+    "boilerplate_sentence_audit",
+    oracle="""
+    WITH sent AS (
+        SELECT doc_id, trim(s) AS s
+        FROM (SELECT doc_id, unnest(string_split(text, '.')) AS s
+              FROM documents)
+        WHERE trim(s) <> ''
+    ),
+    n_docs AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    sdf AS (
+        SELECT s, CAST(count(DISTINCT doc_id) AS BIGINT) AS docfreq
+        FROM sent GROUP BY s
+    ),
+    bp AS (
+        SELECT s FROM sdf
+        WHERE docfreq >= 0.05 * (SELECT nd FROM n_docs)
+    ),
+    per_doc AS (
+        SELECT sent.doc_id,
+               CAST(count(*) AS BIGINT) AS n_sent,
+               CAST(count(*) FILTER (WHERE bp.s IS NOT NULL) AS BIGINT)
+                   AS n_bp
+        FROM sent LEFT JOIN bp ON bp.s = sent.s
+        GROUP BY 1
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(CAST(p.n_bp AS DOUBLE) / p.n_sent), 4)
+               AS avg_boilerplate_frac,
+           CAST(sum(p.n_bp) AS BIGINT) AS total_bp_sentences
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY 1
+    ORDER BY lang
+    """,
+    doc="Boilerplate sentence audit (the CCNet/RefinedWeb line-dedup "
+    "signal at sentence granularity): a sentence appearing in >= 5% "
+    "of documents is boilerplate (headers, disclaimers, templates); "
+    "each document gets its boilerplate fraction, rolled up per "
+    "language.  High-fraction cohorts are cleaned by dropping the "
+    "repeated LINES, not the documents — the cheap complement to "
+    "document-level dedup.  Sentence doc-frequency is one "
+    "hash-keyed aggregate over exploded sentences (32-to-few-hundred "
+    "byte keys); the membership check joins sentences to the small "
+    "high-df set — at 100 TB, broadcast it or bloom-filter it.",
+    tags=("llm", "text", "dedup"),
+)
+def boilerplate_sentence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sent = (
+        docs.select("doc_id", F.explode(F.split("text", "\\.")).alias("s0"))
+        .select("doc_id", F.trim("s0").alias("s"))
+        .filter(F.col("s") != "")
+        .localCheckpoint(eager=False)
+    )
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("nd"))
+    sdf = sent.groupBy("s").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("docfreq")
+    )
+    bp = (
+        sdf.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("docfreq") >= 0.05 * F.col("nd"))
+        .select(F.col("s").alias("bps"))
+    )
+    per_doc = (
+        sent.join(F.broadcast(bp), F.col("bps") == F.col("s"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sent"),
+            F.sum(F.col("bps").isNotNull().cast("int")).cast("bigint").alias("n_bp"),
+        )
+    )
+    return (
+        per_doc.alias("p")
+        .join(docs.alias("d"), "doc_id")
+        .groupBy("d.lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.avg(F.col("p.n_bp").cast("double") / F.col("p.n_sent")), 4
+            ).alias("avg_boilerplate_frac"),
+            F.sum("p.n_bp").cast("bigint").alias("total_bp_sentences"),
+        )
+        .orderBy("lang")
+    )

@@ -459,3 +459,45 @@ def pydatasource_synthetic_series(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("entity_id")
     )
+
+
+@register(
+    "dpp_partitioned_probe",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'N') AND l_linenumber <= 2
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Dynamic partition pruning probe: the fact is laid out "
+    "partitionBy(l_returnflag), then probed through a JOIN against a "
+    "filtered dimension of flags — the optimizer must push a runtime "
+    "subquery filter into the fact scan so unselected partitions are "
+    "never read (plan-gated: `dynamicpruning` in the scan).  This is "
+    "THE mechanism that makes star-schema joins over partitioned "
+    "100 TB facts read only the joined slice; static predicate "
+    "pushdown cannot do it because the qualifying keys only exist at "
+    "run time on the dim side.",
+    tags=("sources", "parquet", "join"),
+)
+def dpp_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    path = _io_dir(sf_dir, "lineitem_dpp")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    fact = spark.read.parquet(path)
+    flags = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("flag"))
+        .distinct()
+        .filter(F.col("flag").isin("A", "N"))
+    )
+    return (
+        fact.join(F.broadcast(flags), fact.l_returnflag == flags.flag)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -408,3 +408,10 @@ def test_pca_covariance_single_fact_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "pca_power_iteration_top")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dpp_probe_prunes_partitions_at_runtime(spark, sf_dir):
+    # the partitioned fact scan must carry a dynamicpruningexpression —
+    # the runtime subquery filter that keeps unjoined partitions unread
+    plan = plan_of(spark, sf_dir, "dpp_partitioned_probe")
+    assert "dynamicpruning" in plan.lower(), plan
