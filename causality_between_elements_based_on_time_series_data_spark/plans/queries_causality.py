@@ -4132,3 +4132,212 @@ def event_study_daily_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rel_day")
     )
+
+
+@register(
+    "lead_lag_best_shift",
+    oracle=_HOURLY_ORACLE
+    + """
+    , lags AS (SELECT unnest(range(-6, 7)) AS lag),
+    ccf AS (
+        SELECT a.event_type AS series_a, b.event_type AS series_b,
+               CAST(l.lag AS INTEGER) AS lag,
+               corr(a.v, b.v) AS c,
+               CAST(count(*) AS BIGINT) AS n_hours
+        FROM hourly a
+        CROSS JOIN lags l
+        JOIN hourly b ON b.event_type <> a.event_type
+                     AND b.hour = a.hour + l.lag * INTERVAL 1 HOUR
+        WHERE a.event_type < b.event_type
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= 24
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY series_a, series_b
+            ORDER BY round(abs(c), 6) DESC, lag) AS rn
+        FROM ccf
+    )
+    SELECT series_a, series_b, lag AS best_lag,
+           round(c, 4) AS ccf_at_best, n_hours,
+           CASE WHEN lag > 0 THEN series_a || ' leads'
+                WHEN lag < 0 THEN series_b || ' leads'
+                ELSE 'simultaneous' END AS reading
+    FROM ranked WHERE rn = 1
+    ORDER BY series_a, series_b
+    """,
+    doc="Lead/lag structure summarized to a decision: for each series "
+    "pair, the lag in -6..+6 h maximizing |CCF| (6-dp-rounded argmax "
+    "with a deterministic lag tie-break), with the plain-language "
+    "direction reading.  The one-row-per-pair distillation of "
+    "cross_correlation_function that feeds a screening dashboard.  "
+    "Same |grid|x|lags| join; the argmax window ranks 13 rows per "
+    "pair.",
+    tags=("causality", "timeseries", "stats"),
+)
+def lead_lag_best_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _hourly_series(spark, sf_dir).localCheckpoint(eager=False)
+    lags = grid.sparkSession.range(-6, 7).select(F.col("id").cast("int").alias("lag"))
+    a, b = grid.alias("a"), grid.alias("b")
+    ccf = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") != F.col("a.event_type"))
+            & (
+                F.col("b.hour")
+                == F.col("a.hour")
+                + F.col("lag") * F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("series_a"),
+            F.col("b.event_type").alias("series_b"),
+            F.col("lag"),
+        )
+        .agg(
+            F.corr("a.v", "b.v").alias("c"),
+            F.count("*").cast("bigint").alias("n_hours"),
+        )
+        .filter(F.col("n_hours") >= 24)
+    )
+    w = Window.partitionBy("series_a", "series_b").orderBy(
+        F.desc(F.round(F.abs(F.col("c")), 6)), "lag"
+    )
+    ranked = ccf.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "series_a",
+            "series_b",
+            F.col("lag").alias("best_lag"),
+            F.round("c", 4).alias("ccf_at_best"),
+            "n_hours",
+            F.when(F.col("lag") > 0, F.concat(F.col("series_a"), F.lit(" leads")))
+            .when(F.col("lag") < 0, F.concat(F.col("series_b"), F.lit(" leads")))
+            .otherwise("simultaneous")
+            .alias("reading"),
+        )
+        .orderBy("series_a", "series_b")
+    )
+
+
+@register(
+    "cointegration_screen",
+    oracle=_HOURLY_ORACLE
+    + """
+    , pairs AS (
+        SELECT a.event_type AS sx, b.event_type AS sy, a.hour,
+               a.v AS x, b.v AS y
+        FROM hourly a
+        JOIN hourly b ON a.hour = b.hour AND a.event_type < b.event_type
+    ),
+    fit AS (
+        SELECT sx, sy,
+               regr_slope(y, x) AS beta,
+               regr_intercept(y, x) AS alpha
+        FROM pairs GROUP BY 1, 2
+    ),
+    resid AS (
+        SELECT p.sx, p.sy, p.hour,
+               p.y - (f.alpha + f.beta * p.x) AS r
+        FROM pairs p JOIN fit f ON f.sx = p.sx AND f.sy = p.sy
+    ),
+    lagged AS (
+        SELECT sx, sy, r,
+               lag(r) OVER (PARTITION BY sx, sy ORDER BY hour) AS rl
+        FROM resid
+    ),
+    adf AS (
+        SELECT sx, sy,
+               regr_slope(r - rl, rl) AS phi,
+               regr_count(r - rl, rl) AS n,
+               regr_r2(r - rl, rl) AS r2,
+               var_samp(r - rl) AS sdy,
+               var_samp(rl) AS sdx
+        FROM lagged WHERE rl IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT sx AS series_x, sy AS series_y,
+           round(phi, 4) AS adf_phi,
+           round(phi / sqrt(((n - 1) * sdy * (1 - r2))
+                            / ((n - 2) * (n - 1) * sdx)), 4) AS adf_t,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(CASE WHEN phi / sqrt(((n - 1) * sdy * (1 - r2))
+                            / ((n - 2) * (n - 1) * sdx)) < -2.86
+                     THEN 1 ELSE 0 END AS INTEGER) AS cointegrated
+    FROM adf
+    ORDER BY series_x, series_y
+    """,
+    doc="Engle-Granger cointegration screen: regress Y on X in "
+    "levels (one regr_* aggregate pass), then the Dickey-Fuller "
+    "test on the residual — delta-r regressed on lagged r, with the "
+    "slope's t statistic in closed form from the same moment "
+    "aggregates (se = sqrt(SSE/(n-2)/Sxx)) against the -2.86 "
+    "critical value.  Pairs that co-move in levels (shared trend) "
+    "produce spurious correlation screens; this is the test that "
+    "says whether the relationship is equilibrium-reverting instead. "
+    "Three aggregate passes over the volume-independent grid, no "
+    "solver.",
+    tags=("causality", "timeseries", "stats"),
+)
+def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _hourly_series(spark, sf_dir).localCheckpoint(eager=False)
+    a, b = grid.alias("a"), grid.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.hour") == F.col("b.hour"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("sx"),
+            F.col("b.event_type").alias("sy"),
+            F.col("a.hour").alias("hour"),
+            F.col("a.v").alias("x"),
+            F.col("b.v").alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    fit = pairs.groupBy("sx", "sy").agg(
+        F.regr_slope("y", "x").alias("beta"),
+        F.regr_intercept("y", "x").alias("alpha"),
+    )
+    p, f_ = pairs.alias("p"), fit.alias("f")
+    resid = p.join(
+        F.broadcast(f_),
+        (F.col("f.sx") == F.col("p.sx")) & (F.col("f.sy") == F.col("p.sy")),
+    ).select(
+        F.col("p.sx").alias("sx"),
+        F.col("p.sy").alias("sy"),
+        F.col("p.hour").alias("hour"),
+        (F.col("p.y") - (F.col("f.alpha") + F.col("f.beta") * F.col("p.x"))).alias(
+            "r"
+        ),
+    )
+    w = Window.partitionBy("sx", "sy").orderBy("hour")
+    lagged = resid.select(
+        "sx", "sy", "r", F.lag("r").over(w).alias("rl")
+    ).filter(F.col("rl").isNotNull())
+    adf = lagged.groupBy("sx", "sy").agg(
+        F.regr_slope(F.col("r") - F.col("rl"), F.col("rl")).alias("phi"),
+        F.regr_count(F.col("r") - F.col("rl"), F.col("rl")).alias("n"),
+        F.regr_r2(F.col("r") - F.col("rl"), F.col("rl")).alias("r2"),
+        F.var_samp(F.col("r") - F.col("rl")).alias("sdy"),
+        F.var_samp("rl").alias("sdx"),
+    )
+    se = F.sqrt(
+        ((F.col("n") - 1) * F.col("sdy") * (1 - F.col("r2")))
+        / ((F.col("n") - 2) * (F.col("n") - 1) * F.col("sdx"))
+    )
+    return adf.select(
+        F.col("sx").alias("series_x"),
+        F.col("sy").alias("series_y"),
+        F.round("phi", 4).alias("adf_phi"),
+        F.round(F.col("phi") / se, 4).alias("adf_t"),
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.when(F.col("phi") / se < -2.86, 1).otherwise(0).cast("int").alias(
+            "cointegrated"
+        ),
+    ).orderBy("series_x", "series_y")

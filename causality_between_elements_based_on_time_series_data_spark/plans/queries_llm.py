@@ -4659,3 +4659,167 @@ def boilerplate_sentence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "ngram_novelty_score",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(
+                   list_slice(toks, i, i + {_SUBSTR_W} - 1), ' ')) AS wh
+        FROM arrs, unnest(range(1, len(toks) - {_SUBSTR_W} + 2)) AS t(i)
+        WHERE len(toks) >= {_SUBSTR_W}
+    ),
+    first_seen AS (
+        SELECT wh, min(doc_id) AS introducer FROM wins GROUP BY 1
+    ),
+    perdoc AS (
+        SELECT w.doc_id, w.lang,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN f.introducer = w.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM wins w JOIN first_seen f USING (wh)
+        GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_novel / CAST(n_windows AS DOUBLE)), 6)
+               AS avg_novelty,
+           CAST(sum(CASE WHEN n_novel * 10 < n_windows THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_derivative_docs
+    FROM perdoc GROUP BY lang ORDER BY lang
+    """,
+    doc="N-gram novelty score: in ingestion order (doc_id), a "
+    "document's novelty is the fraction of its 8-token windows it "
+    "introduces to the corpus (window's min doc_id = this doc).  "
+    "Documents under 10% novelty are derivative — near-copies, "
+    "quotations, templates — and are the marginal-value ranking a "
+    "curation pass orders by, where substring_duplication_rate only "
+    "counts symmetric duplication.  Same md5-keyed window shape: "
+    "32-byte shuffle keys, one min-aggregate for first-introducer, "
+    "one hash join back; linear in corpus tokens.",
+    tags=("llm", "text", "dedup", "quality"),
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.select("doc_id", "lang", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= _SUBSTR_W
+    )
+    wins = arrs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_SUBSTR_W} + 1), "
+                f"i -> md5(array_join(slice(toks, i, {_SUBSTR_W}), ' ')))"
+            )
+        ).alias("wh"),
+    ).localCheckpoint(eager=False)
+    first_seen = wins.groupBy("wh").agg(F.min("doc_id").alias("introducer"))
+    perdoc = (
+        wins.join(first_seen, "wh")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.sum((F.col("introducer") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        perdoc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.avg(F.col("n_novel") / F.col("n_windows").cast("double")), 6
+            ).alias("avg_novelty"),
+            F.sum((F.col("n_novel") * 10 < F.col("n_windows")).cast("int"))
+            .cast("bigint")
+            .alias("n_derivative_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "embedding_outlier_screen",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT i, avg(x) AS m, var_samp(x) AS s2 FROM e GROUP BY 1
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label,
+               sum((e.x - st.m) * (e.x - st.m) / st.s2) AS d2,
+               CAST(count(*) AS BIGINT) AS d
+        FROM e JOIN stats st ON st.i = e.i
+        GROUP BY 1, 2
+    )
+    SELECT vec_id, label,
+           round(sqrt(d2 / d), 4) AS rms_z,
+           CAST(row_number() OVER (ORDER BY round(sqrt(d2 / d), 6) DESC,
+                                   vec_id) AS INTEGER) AS rnk
+    FROM dists
+    ORDER BY rnk
+    LIMIT 10
+    """,
+    doc="Embedding outlier screen: diagonal-covariance Mahalanobis "
+    "distance per vector (per-dimension z-scores from one "
+    "posexplode-aggregate pass, RMS over dimensions), top-10 by "
+    "distance with a 6-dp-rounded deterministic ranking.  The "
+    "data-quality gate in front of ANN indexing and SemDeDup — "
+    "corrupted or off-manifold vectors poison centroids and "
+    "neighbour lists.  Per-dim stats are d rows broadcast back; the "
+    "distance is map-side; only the top-k ranking shuffles, and only "
+    "|corpus| scalar distances.",
+    tags=("llm", "embedding", "quality"),
+)
+def embedding_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i0", "x0"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.col("x0").cast("double").alias("x"),
+    ).localCheckpoint(eager=False)
+    stats = e.groupBy("i").agg(
+        F.avg("x").alias("m"), F.var_samp("x").alias("s2")
+    )
+    dists = (
+        e.join(F.broadcast(stats), "i")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("m")) * (F.col("x") - F.col("m")) / F.col("s2")
+            ).alias("d2"),
+            F.count("*").cast("bigint").alias("d"),
+        )
+    )
+    rms = F.sqrt(F.col("d2") / F.col("d"))
+    w = Window.orderBy(F.desc(F.round(rms, 6)), "vec_id")
+    return (
+        dists.select(
+            "vec_id",
+            "label",
+            F.round(rms, 4).alias("rms_z"),
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .orderBy("rnk")
+        .limit(10)
+    )
