@@ -4341,3 +4341,86 @@ def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cointegrated"
         ),
     ).orderBy("series_x", "series_y")
+
+
+@register(
+    "periodogram_peaks",
+    oracle=_HOURLY_ORACLE
+    + """
+    , indexed AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY hour) - 1
+                   AS t
+        FROM hourly
+    ),
+    periods AS (SELECT unnest([24, 12, 8, 6]) AS period),
+    power AS (
+        SELECT i.event_type, p.period,
+               pow(sum(i.v * cos(2 * pi() * i.t / p.period)), 2)
+               + pow(sum(i.v * sin(2 * pi() * i.t / p.period)), 2) AS pw,
+               CAST(count(*) AS BIGINT) AS n
+        FROM indexed i CROSS JOIN periods p
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, period, pw, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY round(pw, 2) DESC, period) AS rn
+        FROM power
+    )
+    SELECT event_type AS series, CAST(period AS INTEGER) AS period_hours,
+           round(pw / n, 4) AS normalized_power,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER)
+               AS dominant
+    FROM ranked
+    ORDER BY series, period_hours
+    """,
+    doc="Periodogram at candidate periods (24/12/8/6 h): the DFT "
+    "power |sum v e^{-i w t}|^2 per series and period, computed as "
+    "two plain cos/sin weighted-sum aggregates — no FFT machinery, "
+    "just map-side partials over the observation-indexed grid — with "
+    "the dominant period flagged (2-dp-rounded argmax, deterministic "
+    "tie-break).  Finds the cycles that seasonal_decomposition "
+    "assumes: run this first when the period is NOT known to be "
+    "diurnal.  |series| x |periods| rows after one grid pass.",
+    tags=("causality", "timeseries", "stats"),
+)
+def periodogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    h = _hourly_series(spark, sf_dir)
+    w_idx = Window.partitionBy("event_type").orderBy("hour")
+    indexed = h.select(
+        "event_type", "v", (F.row_number().over(w_idx) - 1).alias("t")
+    )
+    periods = h.sparkSession.range(0, 4).select(
+        F.element_at(F.array(F.lit(24), F.lit(12), F.lit(8), F.lit(6)), (F.col("id") + 1).cast("int")).alias("period")
+    )
+    two_pi = 2 * math.pi
+    power = (
+        indexed.crossJoin(F.broadcast(periods))
+        .groupBy("event_type", "period")
+        .agg(
+            (
+                F.pow(
+                    F.sum(F.col("v") * F.cos(two_pi * F.col("t") / F.col("period"))),
+                    2,
+                )
+                + F.pow(
+                    F.sum(F.col("v") * F.sin(two_pi * F.col("t") / F.col("period"))),
+                    2,
+                )
+            ).alias("pw"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.desc(F.round(F.col("pw"), 2)), "period"
+    )
+    ranked = power.withColumn("rn", F.row_number().over(w_rank))
+    return ranked.select(
+        F.col("event_type").alias("series"),
+        F.col("period").cast("int").alias("period_hours"),
+        F.round(F.col("pw") / F.col("n"), 4).alias("normalized_power"),
+        F.when(F.col("rn") == 1, 1).otherwise(0).cast("int").alias("dominant"),
+    ).orderBy("series", "period_hours")

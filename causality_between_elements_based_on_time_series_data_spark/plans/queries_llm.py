@@ -4823,3 +4823,51 @@ def embedding_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rnk")
         .limit(10)
     )
+
+
+@register(
+    "zipf_exponent_fit",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freqs AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w
+    ),
+    ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
+        FROM freqs
+    ),
+    top AS (SELECT * FROM ranked WHERE r <= 1000)
+    SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+           round(-regr_slope(ln(f), ln(r)), 4) AS zipf_exponent,
+           round(regr_r2(ln(f), ln(r)), 4) AS loglog_r2
+    FROM top
+    """,
+    doc="Zipf's-law exponent of the corpus token distribution: "
+    "log-frequency regressed on log-rank over the top 1000 ranks "
+    "(one regr_* aggregate).  Natural corpora sit near s=1; a flat "
+    "exponent flags template/generated text, a steep one flags "
+    "vocabulary collapse — the one-number lexical-health screen "
+    "beside the per-doc quality scores.  One corpus pass for counts; "
+    "the rank window runs on the Heaps'-law vocabulary, never the "
+    "corpus.",
+    tags=("llm", "text", "stats"),
+)
+def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    ranked = freqs.select(
+        "f", F.row_number().over(Window.orderBy(F.desc("f"), "w")).alias("r")
+    ).filter(F.col("r") <= 1000)
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_ranks"),
+        F.round(-F.regr_slope(F.log("f"), F.log("r")), 4).alias("zipf_exponent"),
+        F.round(F.regr_r2(F.log("f"), F.log("r")), 4).alias("loglog_r2"),
+    )
