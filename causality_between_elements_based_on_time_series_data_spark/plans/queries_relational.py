@@ -3215,3 +3215,71 @@ def stat_crosstab_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c for c in ct.columns if c != "o_orderstatus_o_orderpriority"
     )
     return ct.select(*cols).orderBy("o_orderstatus_o_orderpriority")
+
+
+@register(
+    "sql_pipe_syntax_rollup",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Spark 4 SQL pipe syntax (|>): the same filter -> aggregate "
+    "rollup written as a linear pipeline (FROM ... |> WHERE ... |> "
+    "AGGREGATE ... GROUP BY), the composable-SQL surface Spark 4 "
+    "added for dataflow-style authoring.  Catalyst lowers it to the "
+    "identical logical plan as the nested form — the oracle is plain "
+    "ANSI SQL and hash-matches, which is exactly the claim: pipe "
+    "syntax is surface, the optimizer is shared.",
+    tags=("relational", "sql", "agg"),
+)
+def sql_pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pipe_orders")
+    return spark.sql(
+        """
+        FROM pipe_orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                     round(sum(o_totalprice), 2) AS total
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "group_by_all_surface",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    doc="GROUP BY ALL / ORDER BY ALL (Spark 4 == DuckDB dialect): "
+    "every non-aggregate select item becomes a grouping key and the "
+    "whole output sorts by its columns left-to-right — the "
+    "keystroke-saving dialect both engines share, run IDENTICALLY on "
+    "both sides (the one oracle in the registry whose SQL text "
+    "equals the Spark query text).",
+    tags=("relational", "sql", "agg"),
+)
+def group_by_all_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM gba_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
