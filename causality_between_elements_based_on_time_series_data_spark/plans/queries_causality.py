@@ -4424,3 +4424,173 @@ def periodogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pw") / F.col("n"), 4).alias("normalized_power"),
         F.when(F.col("rn") == 1, 1).otherwise(0).cast("int").alias("dominant"),
     ).orderBy("series", "period_hours")
+
+
+@register(
+    "position_based_attribution",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, event_id AS pid, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, event_type AS channel, ts, event_id
+        FROM events WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    paired AS (
+        SELECT p.pid, t.channel, t.ts, t.event_id
+        FROM purchases p
+        JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.ts < p.pts
+         AND t.ts >= p.pts - INTERVAL 7 DAY
+    ),
+    ranked AS (
+        SELECT pid, channel,
+               row_number() OVER (PARTITION BY pid ORDER BY ts, event_id)
+                   AS rfirst,
+               row_number() OVER (PARTITION BY pid ORDER BY ts DESC,
+                                  event_id DESC) AS rlast,
+               CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS n
+        FROM paired
+    ),
+    credited AS (
+        SELECT channel,
+               CASE WHEN n = 1 THEN 1.0
+                    WHEN n = 2 THEN 0.5
+                    WHEN rfirst = 1 OR rlast = 1 THEN 0.4
+                    ELSE 0.2 / (n - 2) END AS credit
+        FROM ranked
+    )
+    SELECT channel,
+           round(sum(credit), 4) AS attributed_conversions,
+           CAST(count(*) AS BIGINT) AS n_touches
+    FROM credited
+    GROUP BY 1
+    ORDER BY channel
+    """,
+    doc="Position-based (U-shaped) multi-touch attribution: each "
+    "purchase distributes 40% credit to the first touch in its "
+    "trailing 7-day window, 40% to the last, 20% split across the "
+    "middle (collapsing sensibly for 1-2 touches).  The standard "
+    "upgrade from last_touch_attribution when first-touch discovery "
+    "matters.  The purchase x touch pairing is an entity-keyed range "
+    "join (bounded by per-user activity); position ranks are two "
+    "windows per purchase group; credit rollup is a |channels|-row "
+    "aggregate.",
+    tags=("causality", "window", "timeseries"),
+)
+def position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        "user_id", F.col("event_type").alias("channel"), "ts", "event_id"
+    )
+    p, t = purchases.alias("p"), touches.alias("t")
+    paired = p.join(
+        t,
+        (F.col("t.user_id") == F.col("p.user_id"))
+        & (F.col("t.ts") < F.col("p.pts"))
+        & (F.col("t.ts") >= F.col("p.pts") - F.expr("INTERVAL 7 DAYS")),
+    ).select("p.pid", "t.channel", "t.ts", "t.event_id")
+    w_first = Window.partitionBy("pid").orderBy("ts", "event_id")
+    w_last = Window.partitionBy("pid").orderBy(F.desc("ts"), F.desc("event_id"))
+    w_n = Window.partitionBy("pid")
+    ranked = paired.select(
+        "channel",
+        F.row_number().over(w_first).alias("rfirst"),
+        F.row_number().over(w_last).alias("rlast"),
+        F.count("*").over(w_n).cast("bigint").alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("rfirst") == 1) | (F.col("rlast") == 1), 0.4)
+        .otherwise(0.2 / (F.col("n") - 2))
+    )
+    return (
+        ranked.select("channel", credit.alias("credit"))
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum("credit"), 4).alias("attributed_conversions"),
+            F.count("*").cast("bigint").alias("n_touches"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "threshold_cascade_rounds",
+    oracle=_COSUPPLY_EDGES_ORACLE
+    + """
+    , sym AS (
+        SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ),
+    a0 AS (
+        SELECT DISTINCT u AS node FROM sym WHERE u % 50 = 0
+    ),
+    n1 AS (
+        SELECT s.u AS node FROM sym s JOIN a0 ON a0.node = s.v
+        GROUP BY 1 HAVING count(*) >= 2
+    ),
+    a1 AS (SELECT node FROM a0 UNION SELECT node FROM n1),
+    n2 AS (
+        SELECT s.u AS node FROM sym s JOIN a1 ON a1.node = s.v
+        GROUP BY 1 HAVING count(*) >= 2
+    ),
+    a2 AS (SELECT node FROM a1 UNION SELECT node FROM n2),
+    n3 AS (
+        SELECT s.u AS node FROM sym s JOIN a2 ON a2.node = s.v
+        GROUP BY 1 HAVING count(*) >= 2
+    ),
+    a3 AS (SELECT node FROM a2 UNION SELECT node FROM n3)
+    SELECT r.round,
+           CAST(r.n_active AS BIGINT) AS n_active
+    FROM (
+        SELECT 0 AS round, count(*) AS n_active FROM a0
+        UNION ALL SELECT 1, count(*) FROM a1
+        UNION ALL SELECT 2, count(*) FROM a2
+        UNION ALL SELECT 3, count(*) FROM a3
+    ) r
+    ORDER BY r.round
+    """,
+    doc="Linear-threshold cascade on the co-supply graph: seed nodes "
+    "(suppkey % 50 = 0) activate, then each round activates any node "
+    "with >= 2 active neighbours — three unrolled rounds reporting "
+    "the activation front size.  The influence-propagation primitive "
+    "behind contagion/outage blast-radius analysis: how far does a "
+    "disruption at the seeds travel through shared-part coupling.  "
+    "Per round: one join of the edge list against the current active "
+    "set (broadcastable) + a threshold aggregate; the fact table is "
+    "only touched once to build the edges.",
+    tags=("causality", "graph"),
+)
+def threshold_cascade_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _cosupply_edges(spark, sf_dir).localCheckpoint(eager=False)
+    sym = (
+        edges.select("u", "v")
+        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    active = sym.select(F.col("u").alias("node")).distinct().filter(
+        F.col("node") % 50 == 0
+    )
+    counts = [active.agg(F.count("*").alias("n_active"))]
+    for _ in range(3):
+        newly = (
+            sym.join(F.broadcast(active.withColumnRenamed("node", "act")),
+                     F.col("act") == F.col("v"))
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= 2)
+            .select("node")
+        )
+        active = active.unionAll(newly).distinct().localCheckpoint(eager=False)
+        counts.append(active.agg(F.count("*").alias("n_active")))
+    out = None
+    for i, c in enumerate(counts):
+        row = c.select(F.lit(i).alias("round"), F.col("n_active").cast("bigint"))
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("round")

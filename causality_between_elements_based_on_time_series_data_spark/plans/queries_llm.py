@@ -4871,3 +4871,86 @@ def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.regr_slope(F.log("f"), F.log("r")), 4).alias("zipf_exponent"),
         F.round(F.regr_r2(F.log("f"), F.log("r")), 4).alias("loglog_r2"),
     )
+
+
+def _ann_recall_oracle() -> str:
+    from .registry import REGISTRY
+
+    brute = REGISTRY["cosine_topk_bruteforce"].oracle
+    ivf = REGISTRY["ann_rp_ivf_portable_topk"].oracle
+    return f"""
+    WITH brute AS (SELECT * FROM ({brute})),
+    ivf AS (SELECT * FROM ({ivf})),
+    per_q AS (
+        SELECT b.qid,
+               CAST(count(i.nid) AS BIGINT) AS n_hit,
+               CAST(count(*) AS BIGINT) AS k
+        FROM brute b
+        LEFT JOIN ivf i ON i.qid = b.qid AND i.nid = b.nid
+        GROUP BY 1
+    ),
+    top1 AS (
+        SELECT b.qid,
+               max(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS agree
+        FROM brute b
+        LEFT JOIN ivf i ON i.qid = b.qid AND i.nid = b.nid AND i.rn = 1
+        WHERE b.rn = 1
+        GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(CAST(p.n_hit AS DOUBLE) / p.k), 4) AS recall_at_3,
+           round(avg(CAST(t.agree AS DOUBLE)), 4) AS top1_agreement
+    FROM per_q p JOIN top1 t ON t.qid = p.qid
+    """
+
+
+@register(
+    "ann_recall_audit",
+    oracle=_ann_recall_oracle(),
+    doc="ANN quality as a QUERY, not just a pytest: recall@3 and "
+    "top-1 agreement of the portable IVF tier against the exact "
+    "brute-force baseline, joined on (query, neighbour).  Both tiers "
+    "are deterministic, so the whole evaluation — baseline, index, "
+    "metric — hash-checks against the oracle replaying both "
+    "pipelines.  This is the dashboard number an ANN rollout is "
+    "gated on; computing it relationally means it runs at any scale "
+    "the tiers themselves run.  Costs one extra hash join over the "
+    "two top-k lists (k rows per query each).",
+    tags=("llm", "similarity", "ivf", "dataops"),
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = cosine_topk_bruteforce(spark, sf_dir).localCheckpoint(eager=False)
+    ivf = ann_rp_ivf_portable_topk(spark, sf_dir).localCheckpoint(eager=False)
+    b, i = brute.alias("b"), ivf.alias("i")
+    per_q = (
+        b.join(
+            i,
+            (F.col("i.qid") == F.col("b.qid")) & (F.col("i.nid") == F.col("b.nid")),
+            "left",
+        )
+        .groupBy(F.col("b.qid").alias("qid"))
+        .agg(
+            F.count("i.nid").cast("bigint").alias("n_hit"),
+            F.count("*").cast("bigint").alias("k"),
+        )
+    )
+    top1 = (
+        b.filter(F.col("b.rn") == 1)
+        .join(
+            i,
+            (F.col("i.qid") == F.col("b.qid"))
+            & (F.col("i.nid") == F.col("b.nid"))
+            & (F.col("i.rn") == 1),
+            "left",
+        )
+        .groupBy(F.col("b.qid").alias("qid"))
+        .agg(F.max(F.col("i.nid").isNotNull().cast("int")).alias("agree"))
+    )
+    p, t = per_q.alias("p"), top1.alias("t")
+    return p.join(t, F.col("t.qid") == F.col("p.qid")).agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(F.avg(F.col("p.n_hit").cast("double") / F.col("p.k")), 4).alias(
+            "recall_at_3"
+        ),
+        F.round(F.avg(F.col("t.agree").cast("double")), 4).alias("top1_agreement"),
+    )
