@@ -23,7 +23,16 @@ AMTL training loop:
    15. Kaplan-Meier survival            (lifetime analysis)
    16. Holt smoothing / rolling OLS     (trend structure)
    17. DTW distance                      (variable-delay coupling)
-   18. AMTL causality matrix B           (the reference's learned answer,
+   18. triage + inference (round 6)      (STL strengths, periodogram,
+                                          Mann-Kendall + Theil-Sen,
+                                          bootstrap CI, cointegration,
+                                          AR(2) baseline, Granger F +
+                                          BH-FDR control, CCM, PC
+                                          skeleton, excitation ratio,
+                                          lead/lag argmax, entropy
+                                          rate, DiD + event study,
+                                          attribution, cascades)
+   19. AMTL causality matrix B           (the reference's learned answer,
                                           /root/reference/model.py:166-184)
 
 All descriptive stages reduce events to the hour/day×series grid (or a
@@ -75,6 +84,24 @@ def main() -> None:
         ("Holt level+trend forecast", "holt_linear_smoothing"),
         ("rolling OLS trend slopes", "rolling_ols_slope"),
         ("DTW distance", "dtw_distance_pairs"),
+        ("trend/seasonal strength triage", "decomposition_strength"),
+        ("periodogram dominant periods", "periodogram_peaks"),
+        ("Mann-Kendall trend test", "mann_kendall_trend"),
+        ("Theil-Sen robust slope", "theil_sen_trend"),
+        ("bootstrap mean CI", "bootstrap_mean_ci"),
+        ("cointegration (Engle-Granger)", "cointegration_screen"),
+        ("AR(2) Yule-Walker baseline", "ar2_yule_walker"),
+        ("Granger F-test (lag 1)", "granger_f_lag1"),
+        ("Granger screen under BH-FDR", "granger_fdr_screen"),
+        ("convergent cross-mapping", "ccm_cross_mapping_skill"),
+        ("PC-algorithm skeleton", "pc_skeleton_edges"),
+        ("excitation ratio (Hawkes)", "excitation_ratio_screen"),
+        ("lead/lag best shift", "lead_lag_best_shift"),
+        ("Markov entropy rate", "markov_entropy_rate"),
+        ("diff-in-diff estimate", "diff_in_diff_estimate"),
+        ("event-study daily effects", "event_study_daily_effects"),
+        ("position-based attribution", "position_based_attribution"),
+        ("threshold cascade rounds", "threshold_cascade_rounds"),
         ("AMTL causality matrix B", "amtl_causality_matrix"),
     ]
     for title, name in stages:
