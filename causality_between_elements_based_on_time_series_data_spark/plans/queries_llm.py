@@ -4954,3 +4954,197 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg(F.col("t.agree").cast("double")), 4).alias("top1_agreement"),
     )
+
+
+# --- RAG retrieval evaluation -----------------------------------------
+
+_RAG_CHUNK = 30
+_RAG_STRIDE = 15
+_RAG_QLEN = 8
+
+
+@register(
+    "rag_retrieval_eval",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+               list_slice(toks, i, i + {_RAG_CHUNK} - 1) AS ctoks
+        FROM arrs,
+             unnest(range(1, greatest(len(toks) - {_RAG_CHUNK} + 1, 0) + 1,
+                          {_RAG_STRIDE})) AS t(i)
+        WHERE len(toks) >= {_RAG_CHUNK}
+    ),
+    ctok AS (
+        SELECT doc_id, chunk_id, unnest(ctoks) AS w, len(ctoks) AS dl
+        FROM chunks
+    ),
+    cstats AS (
+        SELECT count(*) AS n_chunks, avg(len(ctoks)) AS avgdl FROM chunks
+    ),
+    queries AS (
+        SELECT doc_id AS qid,
+               list_distinct(list_slice(toks, 1, {_RAG_QLEN})) AS qterms
+        FROM arrs
+        WHERE doc_id % 25 = 0 AND len(toks) >= {_RAG_CHUNK}
+    ),
+    qterm AS (SELECT qid, unnest(qterms) AS w FROM queries),
+    tf AS (
+        SELECT c.doc_id, c.chunk_id, c.w, count(*) AS tf, max(c.dl) AS dl
+        FROM ctok c
+        WHERE c.w IN (SELECT DISTINCT w FROM qterm)
+        GROUP BY 1, 2, 3
+    ),
+    dfreq AS (
+        SELECT w, count(*) AS df FROM tf GROUP BY w
+    ),
+    scored AS (
+        SELECT q.qid, t.doc_id, t.chunk_id,
+               sum(ln(1.0 + (s.n_chunks - d.df + 0.5) / (d.df + 0.5))
+                   * t.tf * ({_BM25_K1} + 1.0)
+                   / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                          + {_BM25_B} * t.dl / s.avgdl))) AS score
+        FROM qterm q
+        JOIN tf t ON t.w = q.w
+        JOIN dfreq d ON d.w = q.w
+        CROSS JOIN cstats s
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT qid, doc_id, chunk_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY round(score, 6) DESC,
+                                           doc_id, chunk_id) AS rn
+        FROM scored
+    ),
+    per_q AS (
+        SELECT qid,
+               max(CASE WHEN rn = 1 AND doc_id = qid THEN 1 ELSE 0 END)
+                   AS hit1,
+               max(CASE WHEN rn <= 3 AND doc_id = qid THEN 1 ELSE 0 END)
+                   AS hit3,
+               coalesce(max(CASE WHEN doc_id = qid AND rn <= 3
+                                 THEN 1.0 / rn END), 0.0) AS rr
+        FROM ranked
+        GROUP BY qid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(CAST(hit1 AS DOUBLE)), 4) AS hit_at_1,
+           round(avg(CAST(hit3 AS DOUBLE)), 4) AS hit_at_3,
+           round(avg(rr), 4) AS mrr_at_3
+    FROM per_q
+    """,
+    doc="RAG retrieval evaluated END-TO-END as one query: documents "
+    "are chunked (30-token windows, stride 15), every 25th document's "
+    "first 8 tokens become its query, BM25 scores queries against "
+    "chunks, and the rollup reports hit@1 / hit@3 / MRR@3 on "
+    "source-document identity.  Sub-perfect hit rates on this corpus "
+    "are real signal — heavy near-duplication makes sibling "
+    "documents legitimately competitive.  Shapes: chunking is "
+    "map-side; term matching is matches-only shuffle; chunk stats "
+    "and df broadcast; ranking is per-query top-k.  The whole "
+    "eval — corpus prep, index, retrieval, metric — hash-checks "
+    "against the oracle replaying it.",
+    tags=("llm", "text", "similarity", "dataops"),
+)
+def rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    chunks = (
+        arrs.filter(F.size("toks") >= _RAG_CHUNK)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.expr(
+                    f"sequence(1, greatest(size(toks) - {_RAG_CHUNK} + 1, 1), "
+                    f"{_RAG_STRIDE})"
+                )
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.slice("toks", F.col("chunk_id"), _RAG_CHUNK).alias("ctoks"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ctok = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.explode("ctoks").alias("w"),
+        F.size("ctoks").alias("dl"),
+    )
+    cstats = chunks.agg(
+        F.count("*").alias("n_chunks"), F.avg(F.size("ctoks")).alias("avgdl")
+    )
+    queries = arrs.filter(
+        (F.col("doc_id") % 25 == 0) & (F.size("toks") >= _RAG_CHUNK)
+    ).select(
+        F.col("doc_id").alias("qid"),
+        F.array_distinct(F.slice("toks", 1, _RAG_QLEN)).alias("qterms"),
+    )
+    qterm = queries.select("qid", F.explode("qterms").alias("w")).localCheckpoint(
+        eager=False
+    )
+    qwords = qterm.select("w").distinct()
+    tf = (
+        ctok.join(F.broadcast(qwords), "w", "semi")
+        .groupBy("doc_id", "chunk_id", "w")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_chunks") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        qterm.alias("q")
+        .join(tf.alias("t"), F.col("t.w") == F.col("q.w"))
+        .join(F.broadcast(dfreq.alias("d")), F.col("d.w") == F.col("q.w"))
+        .crossJoin(F.broadcast(cstats))
+        .groupBy(
+            F.col("q.qid").alias("qid"),
+            F.col("t.doc_id").alias("doc_id"),
+            F.col("t.chunk_id").alias("chunk_id"),
+        )
+        .agg(F.sum(term_score).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), "doc_id", "chunk_id"
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    per_q = ranked.groupBy("qid").agg(
+        F.max(
+            F.when((F.col("rn") == 1) & (F.col("doc_id") == F.col("qid")), 1).otherwise(
+                0
+            )
+        ).alias("hit1"),
+        F.max(
+            F.when((F.col("rn") <= 3) & (F.col("doc_id") == F.col("qid")), 1).otherwise(
+                0
+            )
+        ).alias("hit3"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("doc_id") == F.col("qid")) & (F.col("rn") <= 3),
+                    1.0 / F.col("rn"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("rr"),
+    )
+    return per_q.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(F.avg(F.col("hit1").cast("double")), 4).alias("hit_at_1"),
+        F.round(F.avg(F.col("hit3").cast("double")), 4).alias("hit_at_3"),
+        F.round(F.avg("rr"), 4).alias("mrr_at_3"),
+    )
