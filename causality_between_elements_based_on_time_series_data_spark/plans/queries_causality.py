@@ -4594,3 +4594,177 @@ def threshold_cascade_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = c.select(F.lit(i).alias("round"), F.col("n_active").cast("bigint"))
         out = row if out is None else out.unionAll(row)
     return out.orderBy("round")
+
+
+@register(
+    "rolling_median_robust_screen",
+    oracle=_ROUNDED_DAILY_ORACLE
+    + """
+    , windowed AS (
+        SELECT event_type, day, v,
+               quantile_cont(v, 0.5) OVER w AS med7,
+               quantile_cont(v, 0.75) OVER w
+                   - quantile_cont(v, 0.25) OVER w AS iqr7,
+               count(*) OVER w AS nw
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type AS series, day,
+           round(v, 4) AS v,
+           round(med7, 4) AS med7,
+           round(iqr7, 4) AS iqr7,
+           CAST(CASE WHEN nw >= 4 AND abs(v - med7) > 2 * iqr7
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+    FROM windowed
+    ORDER BY series, day
+    """,
+    doc="Rolling-median robust screen: the trailing 7-day median and "
+    "IQR per series as ORDERED WINDOW PERCENTILES (Spark 4 supports "
+    "percentile as a window function — no self-join, no "
+    "applyInPandas), flagging days beyond 2 IQR of the local median. "
+    "The running robust counterpart to the global MAD screen "
+    "(mad_robust_anomalies): immune to level shifts that poison a "
+    "global median.  One series-keyed window pass over the "
+    "volume-independent daily grid; the 6-dp-rounded grid makes the "
+    "interpolated quantiles engine-identical.",
+    tags=("causality", "timeseries", "window", "robust"),
+)
+def rolling_median_robust_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _rounded_daily_series(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    med = F.expr(
+        "percentile(v, 0.5) OVER (PARTITION BY event_type ORDER BY day "
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+    )
+    q75 = F.expr(
+        "percentile(v, 0.75) OVER (PARTITION BY event_type ORDER BY day "
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+    )
+    q25 = F.expr(
+        "percentile(v, 0.25) OVER (PARTITION BY event_type ORDER BY day "
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+    )
+    windowed = daily.select(
+        F.col("event_type").alias("series"),
+        "day",
+        "v",
+        med.alias("med7"),
+        (q75 - q25).alias("iqr7"),
+        F.count("*").over(w).alias("nw"),
+    )
+    return windowed.select(
+        "series",
+        "day",
+        F.round("v", 4).alias("v"),
+        F.round("med7", 4).alias("med7"),
+        F.round("iqr7", 4).alias("iqr7"),
+        F.when(
+            (F.col("nw") >= 4)
+            & (F.abs(F.col("v") - F.col("med7")) > 2 * F.col("iqr7")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_outlier"),
+    ).orderBy("series", "day")
+
+
+@register(
+    "deseasonalized_lag_correlation",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               round(sum(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT hour, event_type, v,
+               avg(v) OVER (PARTITION BY event_type ORDER BY hour
+                            ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend,
+               count(*) OVER (PARTITION BY event_type ORDER BY hour
+                              ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS w
+        FROM hourly
+    ),
+    detrended AS (
+        SELECT event_type, hour, CAST(hour(hour) AS INTEGER) AS hod,
+               v - trend AS detr
+        FROM trended WHERE w = 25
+    ),
+    seas AS (
+        SELECT event_type, hod, avg(detr) AS s_hod
+        FROM detrended GROUP BY 1, 2
+    ),
+    resid AS (
+        SELECT d.event_type, d.hour, d.detr - s.s_hod AS r
+        FROM detrended d
+        JOIN seas s ON s.event_type = d.event_type AND s.hod = d.hod
+    )
+    SELECT l.event_type AS leader, f.event_type AS follower,
+           round(corr(f.r, l.r), 4) AS resid_lag_r,
+           CAST(count(*) AS BIGINT) AS n_hours
+    FROM resid f
+    JOIN resid l ON l.event_type <> f.event_type
+                AND l.hour = f.hour - INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    ORDER BY leader, follower
+    """,
+    doc="Directional lag-1 correlation on DESEASONALIZED, DETRENDED "
+    "residuals: subtract the 25-hour moving-average trend and the "
+    "hour-of-day seasonal profile, then re-run the lagged screen on "
+    "what remains.  This is the step the seasonal-decomposition "
+    "docstring promises: a pair whose raw lagged correlation "
+    "survives here is coupled beyond the shared clock — the classic "
+    "spurious-causality source is gone by construction.  Compare "
+    "against lagged_cross_correlation: large drops indict the "
+    "diurnal confounder.  Same one-window-pass + grid-join shape.",
+    tags=("causality", "timeseries", "stats"),
+)
+def deseasonalized_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_series_rounded(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-12, 12)
+    trended = hourly.select(
+        "hour",
+        "event_type",
+        "v",
+        F.avg("v").over(w).alias("trend"),
+        F.count("*").over(w).alias("w"),
+    )
+    detrended = trended.filter(F.col("w") == 25).select(
+        "event_type",
+        "hour",
+        F.hour("hour").cast("int").alias("hod"),
+        (F.col("v") - F.col("trend")).alias("detr"),
+    ).localCheckpoint(eager=False)
+    seas = detrended.groupBy("event_type", "hod").agg(F.avg("detr").alias("s_hod"))
+    d, s = detrended.alias("d"), seas.alias("s")
+    resid = d.join(
+        F.broadcast(s),
+        (F.col("s.event_type") == F.col("d.event_type"))
+        & (F.col("s.hod") == F.col("d.hod")),
+    ).select(
+        F.col("d.event_type").alias("event_type"),
+        F.col("d.hour").alias("hour"),
+        (F.col("d.detr") - F.col("s.s_hod")).alias("r"),
+    ).localCheckpoint(eager=False)
+    f_, l_ = resid.alias("f"), resid.alias("l")
+    return (
+        f_.join(
+            l_,
+            (F.col("l.event_type") != F.col("f.event_type"))
+            & (F.col("l.hour") == F.col("f.hour") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(
+            F.col("l.event_type").alias("leader"),
+            F.col("f.event_type").alias("follower"),
+        )
+        .agg(
+            F.round(F.corr("f.r", "l.r"), 4).alias("resid_lag_r"),
+            F.count("*").cast("bigint").alias("n_hours"),
+        )
+        .orderBy("leader", "follower")
+    )

@@ -5148,3 +5148,113 @@ def rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("hit3").cast("double")), 4).alias("hit_at_3"),
         F.round(F.avg("rr"), 4).alias("mrr_at_3"),
     )
+
+
+def _dedup_funnel_oracle() -> str:
+    base = _dedup_pipeline_oracle()
+    # reuse every CTE of the pipeline oracle; swap the final SELECT
+    # for the per-stage accounting rollup
+    head = base[: base.rindex("SELECT s.doc_id, s.lang")]
+    return (
+        head
+        + """
+    SELECT stage, CAST(n AS BIGINT) AS n, CAST(ord AS INTEGER) AS ord
+    FROM (
+        SELECT '1_raw_docs' AS stage, (SELECT count(*) FROM documents) AS n,
+               1 AS ord
+        UNION ALL
+        SELECT '2_exact_survivors', (SELECT count(*) FROM sdocs), 2
+        UNION ALL
+        SELECT '3_lsh_candidate_pairs', (SELECT count(*) FROM cand), 3
+        UNION ALL
+        SELECT '4_verified_pairs', (SELECT count(*) FROM prs), 4
+        UNION ALL
+        SELECT '5_component_dropped', (SELECT count(*) FROM dropped), 5
+        UNION ALL
+        SELECT '6_final_survivors',
+               (SELECT count(*) FROM sdocs
+                WHERE doc_id NOT IN (SELECT doc_id FROM dropped)), 6
+    )
+    ORDER BY ord
+    """
+    )
+
+
+@register(
+    "dedup_funnel_accounting",
+    oracle=_dedup_funnel_oracle(),
+    doc="Observability for the production dedup path: per-stage "
+    "counts through the exact-dedup -> LSH-candidate -> "
+    "Jaccard-verify -> connected-components funnel (raw docs, exact "
+    "survivors, candidate pairs, verified pairs, component-dropped "
+    "docs, final survivors).  This is the number a pipeline owner "
+    "watches per batch — candidate blow-up flags hot buckets, a "
+    "verify ratio collapse flags banding drift — and every stage is "
+    "replayed by the oracle, so the accounting itself is "
+    "hash-checked.  Costs the same bounded stages as the pipeline; "
+    "the counts are side aggregates.  EAGER: building this DataFrame "
+    "executes the per-stage counts (tagged 'eager' so plan tooling "
+    "skips it, like observe_scan_metrics).",
+    tags=("llm", "dedup", "dataops", "pipeline", "eager"),
+)
+def dedup_funnel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").localCheckpoint(eager=False)
+    n_raw = docs.count()
+    keep = dedup_exact(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    sdocs = docs.join(keep, "doc_id", "semi").localCheckpoint(eager=False)
+    n_exact = sdocs.count()
+    cand = (
+        portable_band_pairs(portable_signatures(sdocs))
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        .localCheckpoint(eager=False)
+    )
+    n_cand = cand.count()
+    tok = sdocs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    ).localCheckpoint(eager=False)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    inter = (
+        cand.alias("c")
+        .join(ta, F.col("ta.doc_id") == F.col("c.id_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("c.id_b"))
+            & (F.col("tb.w") == F.col("ta.w")),
+        )
+        .groupBy("c.id_a", "c.id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    prs = (
+        inter.alias("i")
+        .join(sa, F.col("sa.doc_id") == F.col("i.id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("i.id_b"))
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+            >= 0.8
+        )
+        .select(F.col("i.id_a").alias("src"), F.col("i.id_b").alias("dst"))
+        .localCheckpoint(eager=False)
+    )
+    n_verified = prs.count()
+    comp = connected_components(prs, src="src", dst="dst")
+    dropped = comp.filter(F.col("cluster_id") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    ).localCheckpoint(eager=False)
+    n_dropped = dropped.count()
+    n_final = n_exact - n_dropped
+    rows = [
+        ("1_raw_docs", n_raw, 1),
+        ("2_exact_survivors", n_exact, 2),
+        ("3_lsh_candidate_pairs", n_cand, 3),
+        ("4_verified_pairs", n_verified, 4),
+        ("5_component_dropped", n_dropped, 5),
+        ("6_final_survivors", n_final, 6),
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, n bigint, ord int"
+    ).orderBy("ord")
