@@ -4768,3 +4768,157 @@ def deseasonalized_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("leader", "follower")
     )
+
+
+@register(
+    "anova_oneway_value_by_type",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+               avg(value) AS m, var_samp(value) AS v
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(n) AS nt, sum(n * m) / sum(n) AS gm,
+               CAST(count(*) AS DOUBLE) AS k
+        FROM g
+    ),
+    ss AS (
+        SELECT t.k, t.nt,
+               sum(g.n * (g.m - t.gm) * (g.m - t.gm)) AS ssb,
+               sum((g.n - 1) * g.v) AS ssw
+        FROM g CROSS JOIN tot t
+        GROUP BY t.k, t.nt
+    )
+    SELECT CAST(k AS INTEGER) AS n_groups,
+           CAST(nt AS BIGINT) AS n_obs,
+           round(ssb / (k - 1), 4) AS ms_between,
+           round(ssw / (nt - k), 4) AS ms_within,
+           round((ssb / (k - 1)) / (ssw / (nt - k)), 4) AS f_stat
+    FROM ss
+    """,
+    doc="One-way ANOVA across element types on the event values: "
+    "between-group vs within-group mean squares and the F statistic, "
+    "all from ONE per-group moment pass (n, mean, sample variance) "
+    "plus scalar arithmetic on the |groups|-row table — the omnibus "
+    "'do these elements even differ?' test that precedes pairwise "
+    "Welch comparisons.  100 TB of observations reduce to 5 moment "
+    "rows before any inference.",
+    tags=("causality", "stats"),
+)
+def anova_oneway_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.count("*").cast("double").alias("k"),
+    )
+    ss = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "nt")
+        .agg(
+            F.sum(
+                F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+            ).alias("ssb"),
+            F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
+        )
+    )
+    msb = F.col("ssb") / (F.col("k") - 1)
+    msw = F.col("ssw") / (F.col("nt") - F.col("k"))
+    return ss.select(
+        F.col("k").cast("int").alias("n_groups"),
+        F.col("nt").cast("bigint").alias("n_obs"),
+        F.round(msb, 4).alias("ms_between"),
+        F.round(msw, 4).alias("ms_within"),
+        F.round(msb / msw, 4).alias("f_stat"),
+    )
+
+
+@register(
+    "ks_two_sample_test",
+    oracle="""
+    WITH vals AS (
+        SELECT round(value, 6) AS x,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_b
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+    ),
+    counts AS (
+        SELECT CAST(sum(is_a) AS DOUBLE) AS na,
+               CAST(sum(is_b) AS DOUBLE) AS nb
+        FROM vals
+    ),
+    grid AS (
+        SELECT x, sum(is_a) AS ca, sum(is_b) AS cb
+        FROM vals GROUP BY x
+    ),
+    ecdf AS (
+        SELECT x,
+               sum(ca) OVER (ORDER BY x) AS cuma,
+               sum(cb) OVER (ORDER BY x) AS cumb
+        FROM grid
+    )
+    SELECT round(max(abs(e.cuma / c.na - e.cumb / c.nb)), 6) AS ks_stat,
+           CAST(c.na AS BIGINT) AS n_a,
+           CAST(c.nb AS BIGINT) AS n_b,
+           round(max(abs(e.cuma / c.na - e.cumb / c.nb))
+                 / (1.36 * sqrt((c.na + c.nb) / (c.na * c.nb))), 4)
+               AS ks_over_crit_5pct
+    FROM ecdf e CROSS JOIN counts c
+    GROUP BY c.na, c.nb
+    """,
+    doc="Two-sample Kolmogorov-Smirnov test between the purchase and "
+    "view value distributions: D = max |ECDF_a - ECDF_b| over the "
+    "pooled 6-dp-rounded value grid (one ordered cumulative-sum "
+    "window over the DISTINCT-value table, not the raw rows), with "
+    "the ratio to the 5% critical value 1.36*sqrt((na+nb)/(na*nb)).  "
+    "The whole-distribution companion to Welch's mean test — "
+    "sensitive to shape and tail differences a t-test misses.  The "
+    "value grid is a map-side distinct reduce; the global cumsum "
+    "window runs on distinct values only.",
+    tags=("causality", "stats", "robust"),
+)
+def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    vals = ev.select(
+        F.round("value", 6).alias("x"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_a"),
+        (F.col("event_type") == "view").cast("int").alias("is_b"),
+    )
+    counts = vals.agg(
+        F.sum("is_a").cast("double").alias("na"),
+        F.sum("is_b").cast("double").alias("nb"),
+    )
+    grid = vals.groupBy("x").agg(
+        F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = grid.select(
+        "x",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    )
+    d = F.abs(F.col("cuma") / F.col("na") - F.col("cumb") / F.col("nb"))
+    crit = 1.36 * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb")))
+    return (
+        ecdf.crossJoin(F.broadcast(counts))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(F.max(d), 6).alias("ks_stat"),
+            F.round(F.max(d) / crit, 4).alias("ks_over_crit_5pct"),
+        )
+        .select(
+            "ks_stat",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            "ks_over_crit_5pct",
+        )
+    )
