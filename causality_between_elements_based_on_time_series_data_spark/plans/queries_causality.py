@@ -4922,3 +4922,73 @@ def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_over_crit_5pct",
         )
     )
+
+
+@register(
+    "poisson_rate_change",
+    oracle=f"""
+    WITH spans AS (
+        SELECT event_type,
+               CAST(count(*) FILTER (WHERE ts <  TIMESTAMP '{_DID_CUTOFF}')
+                    AS DOUBLE) AS n1,
+               CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '{_DID_CUTOFF}')
+                    AS DOUBLE) AS n2
+        FROM events GROUP BY 1
+    ),
+    bounds AS (
+        SELECT date_part('epoch', TIMESTAMP '{_DID_CUTOFF}')
+                   - date_part('epoch', min(ts)) AS t1,
+               date_part('epoch', max(ts))
+                   - date_part('epoch', TIMESTAMP '{_DID_CUTOFF}') AS t2
+        FROM events
+    )
+    SELECT s.event_type AS series,
+           CAST(s.n1 AS BIGINT) AS n_pre, CAST(s.n2 AS BIGINT) AS n_post,
+           round(s.n1 / b.t1 * 3600, 4) AS rate_pre_per_h,
+           round(s.n2 / b.t2 * 3600, 4) AS rate_post_per_h,
+           round((s.n2 / b.t2 - s.n1 / b.t1)
+                 / sqrt((s.n1 + s.n2) / (b.t1 + b.t2) / b.t1
+                        + (s.n1 + s.n2) / (b.t1 + b.t2) / b.t2), 4) AS z_stat
+    FROM spans s CROSS JOIN bounds b
+    ORDER BY series
+    """,
+    doc="Poisson rate-change test per series around the intervention "
+    "cutoff: pre/post arrival rates and the two-sample rate z "
+    "statistic under the pooled-rate null — the intensity-level "
+    "companion to the value-level DiD (did the *frequency* of the "
+    "element change, not just its magnitude?).  One conditional-"
+    "count pass + a 1-row span broadcast; the inference is scalar "
+    "arithmetic on |series| rows.",
+    tags=("causality", "timeseries", "stats"),
+)
+def poisson_rate_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_DID_CUTOFF).cast("timestamp")
+    spans = ev.groupBy("event_type").agg(
+        F.sum((F.col("ts") < cutoff).cast("int")).cast("double").alias("n1"),
+        F.sum((F.col("ts") >= cutoff).cast("int")).cast("double").alias("n2"),
+    )
+    bounds = ev.agg(
+        (
+            (F.unix_micros(cutoff) - F.unix_micros(F.min("ts"))) / 1e6
+        ).alias("t1"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(cutoff)) / 1e6
+        ).alias("t2"),
+    )
+    pooled = (F.col("n1") + F.col("n2")) / (F.col("t1") + F.col("t2"))
+    z = (F.col("n2") / F.col("t2") - F.col("n1") / F.col("t1")) / F.sqrt(
+        pooled / F.col("t1") + pooled / F.col("t2")
+    )
+    return (
+        spans.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("event_type").alias("series"),
+            F.col("n1").cast("bigint").alias("n_pre"),
+            F.col("n2").cast("bigint").alias("n_post"),
+            F.round(F.col("n1") / F.col("t1") * 3600, 4).alias("rate_pre_per_h"),
+            F.round(F.col("n2") / F.col("t2") * 3600, 4).alias("rate_post_per_h"),
+            F.round(z, 4).alias("z_stat"),
+        )
+        .orderBy("series")
+    )

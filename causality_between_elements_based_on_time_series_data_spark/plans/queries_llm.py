@@ -5258,3 +5258,47 @@ def dedup_funnel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "stage string, n bigint, ord int"
     ).orderBy("ord")
+
+
+@register(
+    "encoding_anomaly_screen",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(CAST(length(regexp_replace(text, '[ -~]', '', 'g'))
+                     AS DOUBLE) / length(text)), 6) AS avg_nonascii_frac,
+           CAST(count(*) FILTER (
+               WHERE CAST(length(regexp_replace(text, '[ -~]', '', 'g'))
+                     AS DOUBLE) / length(text) > 0.3) AS BIGINT)
+               AS n_suspect_docs
+    FROM documents
+    WHERE length(text) > 0
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Encoding / mojibake anomaly screen: per-document fraction of "
+    "characters outside printable ASCII (strip '[ -~]', compare "
+    "lengths), rolled up per language with a >30% suspect count.  "
+    "For an ASCII-dominant corpus a high fraction flags double-"
+    "encoded UTF-8, binary spill, or wrong charset at ingestion — "
+    "caught here before tokenizers silently shred it.  (For "
+    "inherently non-Latin corpora, route per-lang thresholds "
+    "instead.)  Pure map-side regexp arithmetic; only the per-lang "
+    "rollup shuffles.",
+    tags=("llm", "text", "quality", "dataops"),
+)
+def encoding_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    frac = (
+        F.length(F.regexp_replace("text", "[ -~]", "")).cast("double")
+        / F.length("text")
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg(frac), 6).alias("avg_nonascii_frac"),
+            F.sum((frac > 0.3).cast("int")).cast("bigint").alias("n_suspect_docs"),
+        )
+        .orderBy("lang")
+    )
