@@ -1,0 +1,58 @@
+"""Invariants for the round-6 statistical screens: bounds and
+definitional identities that hold on ANY input.  Value parity vs
+DuckDB is the driver contract's job — all of these are fully oracled.
+"""
+from __future__ import annotations
+
+import math
+
+from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+    anova_oneway_value_by_type,
+    ks_two_sample_test,
+    poisson_rate_change,
+)
+from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+    ann_recall_audit,
+    rag_retrieval_eval,
+)
+
+
+def test_anova_f_nonnegative_and_df_consistent(spark, sf_dir):
+    r = anova_oneway_value_by_type(spark, sf_dir).collect()[0]
+    assert r.n_groups >= 2
+    assert r.n_obs > r.n_groups
+    assert r.ms_between >= 0 and r.ms_within > 0
+    assert r.f_stat >= 0
+    assert abs(r.f_stat - r.ms_between / r.ms_within) < 0.01
+
+
+def test_ks_stat_is_a_probability_gap(spark, sf_dir):
+    r = ks_two_sample_test(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.ks_stat <= 1.0
+    assert r.n_a > 0 and r.n_b > 0
+    assert r.ks_over_crit_5pct >= 0
+
+
+def test_poisson_rates_reconstruct_counts(spark, sf_dir):
+    rows = poisson_rate_change(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pre >= 0 and r.n_post >= 0
+        assert r.rate_pre_per_h >= 0 and r.rate_post_per_h >= 0
+        assert math.isfinite(r.z_stat)
+        # direction of z agrees with direction of the rate change
+        if r.rate_post_per_h > r.rate_pre_per_h:
+            assert r.z_stat > 0
+        elif r.rate_post_per_h < r.rate_pre_per_h:
+            assert r.z_stat < 0
+
+
+def test_retrieval_metrics_bounded(spark, sf_dir):
+    r = ann_recall_audit(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.recall_at_3 <= 1.0
+    assert 0.0 <= r.top1_agreement <= 1.0
+    g = rag_retrieval_eval(spark, sf_dir).collect()[0]
+    assert 0.0 <= g.hit_at_1 <= g.hit_at_3 <= 1.0
+    # MRR@3 is bounded by hit@3 (each hit contributes at most 1/1)
+    # and at least hit@3 / 3 (worst rank)
+    assert g.hit_at_3 / 3 - 1e-9 <= g.mrr_at_3 <= g.hit_at_3 + 1e-9
