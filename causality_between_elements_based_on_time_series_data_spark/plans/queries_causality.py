@@ -4992,3 +4992,168 @@ def poisson_rate_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("series")
     )
+
+
+def _det_expr(m: list) -> str:
+    """Laplace-expansion determinant as a plain SQL arithmetic string
+    over entry-expression strings — evaluated VERBATIM by both engines
+    (Spark via F.expr, DuckDB as-is), so the two sides are arithmetic-
+    identical by construction.  Verified against numpy in
+    tests/test_stats_invariants.py."""
+    n = len(m)
+    if n == 1:
+        return m[0][0]
+    terms = []
+    for j in range(n):
+        minor = [row[:j] + row[j + 1 :] for row in m[1:]]
+        sub = _det_expr(minor)
+        sign = "" if j % 2 == 0 else "-"
+        terms.append(f"{sign}({m[0][j]}) * ({sub})")
+    return " + ".join(terms).replace("+ -", "- ")
+
+
+# correlation-matrix determinants for the conditional Granger test:
+# variables (y, ylag, xlag, zlag), entries a..f as pairwise corrs
+_DET4_FULL = _det_expr(
+    [["1", "a", "b", "c"], ["a", "1", "d", "e"], ["b", "d", "1", "f"], ["c", "e", "f", "1"]]
+)
+_DET3_REGS = _det_expr([["1", "d", "e"], ["d", "1", "f"], ["e", "f", "1"]])
+_DET3_RESTR = _det_expr([["1", "a", "c"], ["a", "1", "e"], ["c", "e", "1"]])
+_DET2_RESTR = "1 - (e) * (e)"
+
+# degenerate guard: a near-collinear regressor matrix (tiny aligned
+# sample at small SF) has det ~ 0 and the R2 identity divides by it —
+# both engines drop those triples identically (threshold far above the
+# ~1e-15 cross-engine corr jitter)
+_COND_GRANGER_MATH = f"""
+        SELECT cause, effect, given, n,
+               1 - ({_DET4_FULL}) / ({_DET3_REGS}) AS r2_u,
+               1 - ({_DET3_RESTR}) / ({_DET2_RESTR}) AS r2_r
+        FROM moments
+        WHERE n >= 12 AND abs({_DET3_REGS}) > 1e-6
+          AND abs({_DET2_RESTR}) > 1e-6
+"""
+
+
+@register(
+    "conditional_granger_screen",
+    oracle=_HOURLY_ORACLE
+    + f"""
+    , aligned AS (
+        SELECT l.event_type AS cause, f.event_type AS effect,
+               z.event_type AS given,
+               f.v AS y, fl.v AS ylag, l.v AS xlag, z.v AS zlag
+        FROM hourly f
+        JOIN hourly fl ON fl.event_type = f.event_type
+                      AND fl.hour = f.hour - INTERVAL 1 HOUR
+        JOIN hourly l  ON l.event_type <> f.event_type
+                      AND l.hour = f.hour - INTERVAL 1 HOUR
+        JOIN hourly z  ON z.event_type <> f.event_type
+                      AND z.event_type <> l.event_type
+                      AND z.hour = f.hour - INTERVAL 1 HOUR
+    ),
+    moments AS (
+        SELECT cause, effect, given,
+               CAST(count(*) AS BIGINT) AS n,
+               corr(y, ylag) AS a, corr(y, xlag) AS b, corr(y, zlag) AS c,
+               corr(ylag, xlag) AS d, corr(ylag, zlag) AS e,
+               corr(xlag, zlag) AS f
+        FROM aligned GROUP BY 1, 2, 3
+    ),
+    fits AS (
+{_COND_GRANGER_MATH}
+    ),
+    per_pair AS (
+        SELECT cause, effect,
+               min((r2_u - r2_r) / (1 - r2_u) * (n - 4)) AS min_f,
+               CAST(count(*) AS BIGINT) AS n_conditions
+        FROM fits GROUP BY 1, 2
+    )
+    SELECT cause, effect, round(min_f, 4) AS min_f_stat, n_conditions,
+           CAST(CASE WHEN min_f > 6.63 THEN 1 ELSE 0 END AS INTEGER)
+               AS robust_edge
+    FROM per_pair
+    ORDER BY cause, effect
+    """,
+    doc="CONDITIONAL Granger screen: for every directed pair (x -> y) "
+    "and every third series z, the F-test of adding x_{t-1} to a "
+    "model that already has y_{t-1} AND z_{t-1} — computed in closed "
+    "form from the 4x4 correlation-matrix determinant identity "
+    "R2 = 1 - det(R_full)/det(R_regressors), with the determinant "
+    "polynomials generated ONCE as SQL text and evaluated verbatim "
+    "by both engines.  The pair's reported statistic is the MINIMUM "
+    "F over all conditioning choices: an edge that survives its "
+    "worst confounder (min F > 6.63, the 1% chi-square_1 point) is "
+    "robust — the Granger analog of the PC skeleton's min-partial "
+    "rule, and the defense against 'x Granger-causes y' claims that "
+    "a common driver z explains away.  Everything after the grid is "
+    "|series|^3-row moment arithmetic.",
+    tags=("causality", "timeseries", "stats"),
+)
+def conditional_granger_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _hourly_series(spark, sf_dir).localCheckpoint(eager=False)
+    f_, fl, l_, z_ = h.alias("f"), h.alias("fl"), h.alias("l"), h.alias("z")
+    prev = F.col("f.hour") - F.expr("INTERVAL 1 HOUR")
+    aligned = (
+        f_.join(
+            fl,
+            (F.col("fl.event_type") == F.col("f.event_type"))
+            & (F.col("fl.hour") == prev),
+        )
+        .join(
+            l_,
+            (F.col("l.event_type") != F.col("f.event_type"))
+            & (F.col("l.hour") == prev),
+        )
+        .join(
+            z_,
+            (F.col("z.event_type") != F.col("f.event_type"))
+            & (F.col("z.event_type") != F.col("l.event_type"))
+            & (F.col("z.hour") == prev),
+        )
+        .select(
+            F.col("l.event_type").alias("cause"),
+            F.col("f.event_type").alias("effect"),
+            F.col("z.event_type").alias("given"),
+            F.col("f.v").alias("y"),
+            F.col("fl.v").alias("ylag"),
+            F.col("l.v").alias("xlag"),
+            F.col("z.v").alias("zlag"),
+        )
+    )
+    moments = aligned.groupBy("cause", "effect", "given").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.corr("y", "ylag").alias("a"),
+        F.corr("y", "xlag").alias("b"),
+        F.corr("y", "zlag").alias("c"),
+        F.corr("ylag", "xlag").alias("d"),
+        F.corr("ylag", "zlag").alias("e"),
+        F.corr("xlag", "zlag").alias("f"),
+    )
+    fits = moments.filter(
+        (F.col("n") >= 12)
+        & (F.abs(F.expr(_DET3_REGS)) > 1e-6)
+        & (F.abs(F.expr(_DET2_RESTR)) > 1e-6)
+    ).select(
+        "cause",
+        "effect",
+        "given",
+        "n",
+        F.expr(f"1 - ({_DET4_FULL}) / ({_DET3_REGS})").alias("r2_u"),
+        F.expr(f"1 - ({_DET3_RESTR}) / ({_DET2_RESTR})").alias("r2_r"),
+    )
+    per_pair = fits.groupBy("cause", "effect").agg(
+        F.min(
+            (F.col("r2_u") - F.col("r2_r")) / (1 - F.col("r2_u")) * (F.col("n") - 4)
+        ).alias("min_f"),
+        F.count("*").cast("bigint").alias("n_conditions"),
+    )
+    return per_pair.select(
+        "cause",
+        "effect",
+        F.round("min_f", 4).alias("min_f_stat"),
+        "n_conditions",
+        F.when(F.col("min_f") > 6.63, 1).otherwise(0).cast("int").alias(
+            "robust_edge"
+        ),
+    ).orderBy("cause", "effect")

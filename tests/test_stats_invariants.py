@@ -56,3 +56,42 @@ def test_retrieval_metrics_bounded(spark, sf_dir):
     # MRR@3 is bounded by hit@3 (each hit contributes at most 1/1)
     # and at least hit@3 / 3 (worst rank)
     assert g.hit_at_3 / 3 - 1e-9 <= g.mrr_at_3 <= g.hit_at_3 + 1e-9
+
+
+def test_det_expr_matches_numpy():
+    import numpy as np
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+        _DET2_RESTR,
+        _DET3_REGS,
+        _DET3_RESTR,
+        _DET4_FULL,
+    )
+
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+        a, b, c, d, e, f = rng.uniform(-0.6, 0.6, 6)
+        env = {"a": a, "b": b, "c": c, "d": d, "e": e, "f": f}
+        m4 = np.array(
+            [[1, a, b, c], [a, 1, d, e], [b, d, 1, f], [c, e, f, 1]]
+        )
+        m3 = np.array([[1, d, e], [d, 1, f], [e, f, 1]])
+        m3r = np.array([[1, a, c], [a, 1, e], [c, e, 1]])
+        assert abs(eval(_DET4_FULL, {}, env) - np.linalg.det(m4)) < 1e-10
+        assert abs(eval(_DET3_REGS, {}, env) - np.linalg.det(m3)) < 1e-10
+        assert abs(eval(_DET3_RESTR, {}, env) - np.linalg.det(m3r)) < 1e-10
+        assert abs(eval(_DET2_RESTR, {}, env) - (1 - e * e)) < 1e-12
+
+
+def test_conditional_granger_bounded_by_marginal(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+        conditional_granger_screen,
+    )
+
+    rows = conditional_granger_screen(spark, sf_dir).collect()
+    # the sf0.001 grid can be too sparse for any triple to clear the
+    # n>=12 / non-collinear guards — an empty screen is correct there
+    for r in rows:
+        assert r.robust_edge in (0, 1)
+        assert r.robust_edge == int(r.min_f_stat > 6.63)
+        assert r.n_conditions >= 1
