@@ -5157,3 +5157,162 @@ def conditional_granger_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "robust_edge"
         ),
     ).orderBy("cause", "effect")
+
+
+@register(
+    "brown_forsythe_variance_test",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS md
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, abs(e.value - m.md) AS z
+        FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    g AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+               avg(z) AS m, var_samp(z) AS v
+        FROM dev GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(n) AS nt, sum(n * m) / sum(n) AS gm,
+               CAST(count(*) AS DOUBLE) AS k
+        FROM g
+    ),
+    ss AS (
+        SELECT t.k, t.nt,
+               sum(g.n * (g.m - t.gm) * (g.m - t.gm)) AS ssb,
+               sum((g.n - 1) * g.v) AS ssw
+        FROM g CROSS JOIN tot t GROUP BY 1, 2
+    )
+    SELECT CAST(k AS INTEGER) AS n_groups, CAST(nt AS BIGINT) AS n_obs,
+           round((ssb / (k - 1)) / (ssw / (nt - k)), 4) AS bf_stat
+    FROM ss
+    """,
+    doc="Brown-Forsythe (median-centered Levene) homogeneity-of-"
+    "variance test across element types: ANOVA on |x - group "
+    "median|.  The gate in front of every pooled-variance "
+    "comparison: if spreads differ, use Welch (which this engine "
+    "also ships) instead of pooled t / classic ANOVA.  Exact group "
+    "medians come from one percentile aggregate; deviations are one "
+    "broadcast-join map pass; the rest is moment arithmetic on "
+    "|groups| rows.",
+    tags=("causality", "stats", "robust"),
+)
+def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("md")
+    )
+    e, m = ev.alias("e"), med.alias("m")
+    dev = e.join(
+        F.broadcast(m), F.col("m.event_type") == F.col("e.event_type")
+    ).select(
+        F.col("e.event_type").alias("event_type"),
+        F.abs(F.col("e.value") - F.col("m.md")).alias("z"),
+    )
+    g = dev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("z").alias("m"),
+        F.var_samp("z").alias("v"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.count("*").cast("double").alias("k"),
+    )
+    ss = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "nt")
+        .agg(
+            F.sum(
+                F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+            ).alias("ssb"),
+            F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
+        )
+    )
+    return ss.select(
+        F.col("k").cast("int").alias("n_groups"),
+        F.col("nt").cast("bigint").alias("n_obs"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("nt") - F.col("k"))),
+            4,
+        ).alias("bf_stat"),
+    )
+
+
+@register(
+    "click_purchase_odds_ratio",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS clicked,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS purchased
+        FROM events GROUP BY 1
+    ),
+    cells AS (
+        SELECT CAST(sum(CASE WHEN clicked = 1 AND purchased = 1
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+               CAST(sum(CASE WHEN clicked = 1 AND purchased = 0
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+               CAST(sum(CASE WHEN clicked = 0 AND purchased = 1
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+               CAST(sum(CASE WHEN clicked = 0 AND purchased = 0
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS d
+        FROM per_user
+    )
+    SELECT CAST(a AS BIGINT) AS n_click_buy, CAST(b AS BIGINT) AS n_click_only,
+           CAST(c AS BIGINT) AS n_buy_only, CAST(d AS BIGINT) AS n_neither,
+           round((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)), 4)
+               AS odds_ratio,
+           round(exp(ln((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)))
+                     - 1.96 * sqrt(1/(a+0.5) + 1/(b+0.5) + 1/(c+0.5)
+                                   + 1/(d+0.5))), 4) AS ci_lo,
+           round(exp(ln((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)))
+                     + 1.96 * sqrt(1/(a+0.5) + 1/(b+0.5) + 1/(c+0.5)
+                                   + 1/(d+0.5))), 4) AS ci_hi
+    FROM cells
+    """,
+    doc="Entity-level 2x2 odds ratio (click -> purchase) with the "
+    "Haldane-Anscombe +0.5 correction and the Woolf log-OR 95% CI — "
+    "the effect-size number behind the funnel: not just 'clickers "
+    "buy more' but by what multiplicative factor, with uncertainty.  "
+    "One per-entity flag aggregate -> a single 4-cell row -> scalar "
+    "arithmetic; the canonical 100-TB-to-4-numbers reduction.",
+    tags=("causality", "stats"),
+)
+def click_purchase_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("clicked"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("purchased"),
+    )
+    cells = per_user.agg(
+        F.sum(((F.col("clicked") == 1) & (F.col("purchased") == 1)).cast("int"))
+        .cast("double")
+        .alias("a"),
+        F.sum(((F.col("clicked") == 1) & (F.col("purchased") == 0)).cast("int"))
+        .cast("double")
+        .alias("b"),
+        F.sum(((F.col("clicked") == 0) & (F.col("purchased") == 1)).cast("int"))
+        .cast("double")
+        .alias("c"),
+        F.sum(((F.col("clicked") == 0) & (F.col("purchased") == 0)).cast("int"))
+        .cast("double")
+        .alias("d"),
+    )
+    a, b, c, d = (F.col(x) + 0.5 for x in "abcd")
+    log_or = F.log(a * d / (b * c))
+    se = F.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    return cells.select(
+        F.col("a").cast("bigint").alias("n_click_buy"),
+        F.col("b").cast("bigint").alias("n_click_only"),
+        F.col("c").cast("bigint").alias("n_buy_only"),
+        F.col("d").cast("bigint").alias("n_neither"),
+        F.round(a * d / (b * c), 4).alias("odds_ratio"),
+        F.round(F.exp(log_or - 1.96 * se), 4).alias("ci_lo"),
+        F.round(F.exp(log_or + 1.96 * se), 4).alias("ci_hi"),
+    )
