@@ -5316,3 +5316,120 @@ def click_purchase_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(log_or - 1.96 * se), 4).alias("ci_lo"),
         F.round(F.exp(log_or + 1.96 * se), 4).alias("ci_hi"),
     )
+
+
+@register(
+    "huber_location_estimate",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, round(value, 6) AS x FROM events
+    ),
+    m0 AS (
+        SELECT event_type,
+               quantile_cont(x, 0.5) AS m,
+               CAST(count(*) AS BIGINT) AS n
+        FROM base GROUP BY 1
+    ),
+    scale AS (
+        SELECT b.event_type,
+               1.4826 * quantile_cont(abs(b.x - m0.m), 0.5) AS s
+        FROM base b JOIN m0 ON m0.event_type = b.event_type
+        GROUP BY 1
+    ),
+    r1 AS (
+        SELECT b.event_type,
+               sum(least(1.0, 1.345 * sc.s
+                              / greatest(abs(b.x - m0.m), 1e-12)) * b.x)
+                   / sum(least(1.0, 1.345 * sc.s
+                              / greatest(abs(b.x - m0.m), 1e-12))) AS m
+        FROM base b
+        JOIN m0 ON m0.event_type = b.event_type
+        JOIN scale sc ON sc.event_type = b.event_type
+        GROUP BY 1
+    ),
+    r2 AS (
+        SELECT b.event_type,
+               sum(least(1.0, 1.345 * sc.s
+                              / greatest(abs(b.x - r1.m), 1e-12)) * b.x)
+                   / sum(least(1.0, 1.345 * sc.s
+                              / greatest(abs(b.x - r1.m), 1e-12))) AS m
+        FROM base b
+        JOIN r1 ON r1.event_type = b.event_type
+        JOIN scale sc ON sc.event_type = b.event_type
+        GROUP BY 1
+    )
+    SELECT m0.event_type AS series, m0.n AS n_obs,
+           round(m0.m, 4) AS median_start,
+           round(sc.s, 4) AS mad_scale,
+           round(r2.m, 4) AS huber_location
+    FROM m0
+    JOIN scale sc ON sc.event_type = m0.event_type
+    JOIN r2 ON r2.event_type = m0.event_type
+    ORDER BY series
+    """,
+    doc="Huber M-estimator of location per series: start at the "
+    "exact median, scale by 1.4826*MAD, then two unrolled IRLS "
+    "rounds with the k=1.345 Huber weight min(1, ks/|x-m|) — the "
+    "95%-efficient compromise between the outlier-fragile mean and "
+    "the information-discarding median.  Each round is ONE weighted-"
+    "sum aggregate pass with the previous center broadcast; no "
+    "solver, no per-group iteration in the driver.  6-dp value "
+    "rounding keeps the weighted sums engine-identical.",
+    tags=("causality", "stats", "robust"),
+)
+def huber_location_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.round("value", 6).alias("x")
+    ).localCheckpoint(eager=False)
+    m0 = base.groupBy("event_type").agg(
+        F.expr("percentile(x, 0.5)").alias("m"),
+        F.count("*").cast("bigint").alias("n"),
+    ).localCheckpoint(eager=False)
+    b_, m0_ = base.alias("b"), m0.alias("m0")
+    scale = (
+        b_.join(F.broadcast(m0_), F.col("m0.event_type") == F.col("b.event_type"))
+        .groupBy(F.col("b.event_type").alias("event_type"))
+        .agg(
+            (
+                1.4826
+                * F.expr("percentile(abs(x - m), 0.5)")
+            ).alias("s")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def irls_round(center: DataFrame) -> DataFrame:
+        c_, sc_ = center.alias("c"), scale.alias("sc")
+        w = F.least(
+            F.lit(1.0),
+            1.345
+            * F.col("sc.s")
+            / F.greatest(F.abs(F.col("b.x") - F.col("c.m")), F.lit(1e-12)),
+        )
+        return (
+            b_.join(
+                F.broadcast(c_), F.col("c.event_type") == F.col("b.event_type")
+            )
+            .join(
+                F.broadcast(sc_), F.col("sc.event_type") == F.col("b.event_type")
+            )
+            .groupBy(F.col("b.event_type").alias("event_type"))
+            .agg((F.sum(w * F.col("b.x")) / F.sum(w)).alias("m"))
+        )
+
+    r1 = irls_round(m0.select("event_type", "m")).localCheckpoint(eager=False)
+    r2 = irls_round(r1)
+    sc2, r2_ = scale.alias("sc2"), r2.alias("r2")
+    return (
+        m0_.join(sc2, F.col("sc2.event_type") == F.col("m0.event_type"))
+        .join(r2_, F.col("r2.event_type") == F.col("m0.event_type"))
+        .select(
+            F.col("m0.event_type").alias("series"),
+            F.col("m0.n").alias("n_obs"),
+            F.round(F.col("m0.m"), 4).alias("median_start"),
+            F.round(F.col("sc2.s"), 4).alias("mad_scale"),
+            F.round(F.col("r2.m"), 4).alias("huber_location"),
+        )
+        .orderBy("series")
+    )
