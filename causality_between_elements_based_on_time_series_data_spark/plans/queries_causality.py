@@ -5433,3 +5433,106 @@ def huber_location_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("series")
     )
+
+
+@register(
+    "conversion_rate_inference",
+    oracle="""
+    WITH per_unit AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS clicked,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS purchased
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT clicked AS cohort,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(purchased) AS DOUBLE) AS k
+        FROM per_unit GROUP BY 1
+    ),
+    wilson AS (
+        SELECT cohort, n, k, k / n AS p,
+               (k / n + 1.9208 / n
+                - 1.96 * sqrt((k / n) * (1 - k / n) / n + 0.9604 / (n * n)))
+                   / (1 + 3.8416 / n) AS lo,
+               (k / n + 1.9208 / n
+                + 1.96 * sqrt((k / n) * (1 - k / n) / n + 0.9604 / (n * n)))
+                   / (1 + 3.8416 / n) AS hi
+        FROM g
+    ),
+    z AS (
+        SELECT (a.p - b.p)
+               / sqrt(((a.k + b.k) / (a.n + b.n))
+                      * (1 - (a.k + b.k) / (a.n + b.n))
+                      * (1 / a.n + 1 / b.n)) AS z_stat
+        FROM wilson a, wilson b
+        WHERE a.cohort = 1 AND b.cohort = 0
+    )
+    SELECT w.cohort AS clicked_cohort,
+           CAST(w.n AS BIGINT) AS n_units,
+           round(w.p, 6) AS conversion_rate,
+           round(w.lo, 6) AS wilson_lo,
+           round(w.hi, 6) AS wilson_hi,
+           round((SELECT z_stat FROM z), 4) AS two_prop_z
+    FROM wilson w
+    ORDER BY clicked_cohort
+    """,
+    doc="Conversion-rate inference at the user-day grain: per-cohort "
+    "(clicked that day vs not) purchase rates with Wilson score 95% intervals — the interval "
+    "that behaves at small k and near 0/1 where the Wald CI "
+    "collapses — plus the pooled two-proportion z statistic for the "
+    "cohort difference.  The proportion-scale companion to the odds "
+    "ratio: same 4-cell reduction, now with per-cohort uncertainty "
+    "a dashboard can plot.  One per-(entity, day) flag aggregate; "
+    "everything after is arithmetic on 2 rows.",
+    tags=("causality", "stats"),
+)
+def conversion_rate_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_unit = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("clicked"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("purchased"),
+    )
+    g = per_unit.groupBy(F.col("clicked").alias("cohort")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("purchased").cast("double").alias("k"),
+    )
+    p = F.col("k") / F.col("n")
+    half = 1.96 * F.sqrt(p * (1 - p) / F.col("n") + 0.9604 / (F.col("n") * F.col("n")))
+    denom = 1 + 3.8416 / F.col("n")
+    wilson = g.select(
+        "cohort",
+        "n",
+        "k",
+        p.alias("p"),
+        ((p + 1.9208 / F.col("n") - half) / denom).alias("lo"),
+        ((p + 1.9208 / F.col("n") + half) / denom).alias("hi"),
+    ).localCheckpoint(eager=False)
+    a, b = wilson.alias("a"), wilson.alias("b")
+    pooled = (F.col("a.k") + F.col("b.k")) / (F.col("a.n") + F.col("b.n"))
+    z = (
+        a.filter(F.col("a.cohort") == 1)
+        .crossJoin(b.filter(F.col("b.cohort") == 0))
+        .select(
+            (
+                (F.col("a.p") - F.col("b.p"))
+                / F.sqrt(
+                    pooled * (1 - pooled) * (1 / F.col("a.n") + 1 / F.col("b.n"))
+                )
+            ).alias("z_stat")
+        )
+    )
+    return (
+        wilson.crossJoin(F.broadcast(z))
+        .select(
+            F.col("cohort").alias("clicked_cohort"),
+            F.col("n").cast("bigint").alias("n_units"),
+            F.round("p", 6).alias("conversion_rate"),
+            F.round("lo", 6).alias("wilson_lo"),
+            F.round("hi", 6).alias("wilson_hi"),
+            F.round("z_stat", 4).alias("two_prop_z"),
+        )
+        .orderBy("clicked_cohort")
+    )
