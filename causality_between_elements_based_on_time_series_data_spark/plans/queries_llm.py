@@ -5302,3 +5302,100 @@ def encoding_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "containment_pairs_screen",
+    oracle=f"""
+    WITH {_band_core_sql()},
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pruned a JOIN pruned b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM __sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM cand c
+        JOIN __sh ta ON ta.doc_id = c.id_a
+        JOIN __sh tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.n_common AS DOUBLE) / sa.sz, 4) AS containment_a,
+           round(CAST(i.n_common AS DOUBLE) / sb.sz, 4) AS containment_b,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.sz + sb.sz - i.n_common), 4) AS jaccard,
+           CAST(CASE WHEN greatest(CAST(i.n_common AS DOUBLE) / sa.sz,
+                                   CAST(i.n_common AS DOUBLE) / sb.sz) >= 0.9
+                      AND CAST(i.n_common AS DOUBLE)
+                          / (sa.sz + sb.sz - i.n_common) < 0.5
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_excerpt
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE greatest(CAST(i.n_common AS DOUBLE) / sa.sz,
+                   CAST(i.n_common AS DOUBLE) / sb.sz) >= 0.5
+    ORDER BY i.id_a, i.id_b
+    """,
+    doc="Asymmetric shingle CONTAINMENT over the band tier's "
+    "candidates: C(A,B) = |A and B| / |A| in both directions beside "
+    "the symmetric Jaccard, flagging excerpt pairs (one side >= 90% "
+    "contained while Jaccard stays < 0.5) — the quote / boilerplate-"
+    "embedding / sub-document duplication case that symmetric "
+    "near-dup screens structurally miss (a short doc fully inside a "
+    "long one has low Jaccard but perfect containment).  Same "
+    "bounded candidate-only verification shape as the dedup "
+    "pipeline; fully hash-checked.",
+    tags=("llm", "dedup", "similarity"),
+)
+def containment_pairs_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        portable_band_pairs(portable_signatures(docs))
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        .localCheckpoint(eager=False)
+    )
+    tok = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), 3)).alias("tok")
+    ).distinct().localCheckpoint(eager=False)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    inter = (
+        cand.alias("c")
+        .join(ta, F.col("ta.doc_id") == F.col("c.id_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("c.id_b"))
+            & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("c.id_a", "c.id_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    ca = F.col("n_common").cast("double") / F.col("sa.sz")
+    cb = F.col("n_common").cast("double") / F.col("sb.sz")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    return (
+        inter.alias("i")
+        .join(sa, F.col("sa.doc_id") == F.col("i.id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("i.id_b"))
+        .filter(F.greatest(ca, cb) >= 0.5)
+        .select(
+            F.col("i.id_a").alias("id_a"),
+            F.col("i.id_b").alias("id_b"),
+            F.round(ca, 4).alias("containment_a"),
+            F.round(cb, 4).alias("containment_b"),
+            F.round(jac, 4).alias("jaccard"),
+            F.when((F.greatest(ca, cb) >= 0.9) & (jac < 0.5), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_excerpt"),
+        )
+        .orderBy("id_a", "id_b")
+    )
