@@ -5536,3 +5536,69 @@ def conversion_rate_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("clicked_cohort")
     )
+
+
+@register(
+    "qq_plot_purchase_vs_view",
+    oracle="""
+    WITH aq AS (
+        SELECT quantile_cont(round(value, 6), [1 / 20.0, 2 / 20.0, 3 / 20.0, 4 / 20.0, 5 / 20.0, 6 / 20.0, 7 / 20.0, 8 / 20.0, 9 / 20.0, 10 / 20.0, 11 / 20.0, 12 / 20.0, 13 / 20.0, 14 / 20.0, 15 / 20.0, 16 / 20.0, 17 / 20.0, 18 / 20.0, 19 / 20.0]) AS qs
+        FROM events WHERE event_type = 'purchase'
+    ),
+    bq AS (
+        SELECT quantile_cont(round(value, 6), [1 / 20.0, 2 / 20.0, 3 / 20.0, 4 / 20.0, 5 / 20.0, 6 / 20.0, 7 / 20.0, 8 / 20.0, 9 / 20.0, 10 / 20.0, 11 / 20.0, 12 / 20.0, 13 / 20.0, 14 / 20.0, 15 / 20.0, 16 / 20.0, 17 / 20.0, 18 / 20.0, 19 / 20.0]) AS qs
+        FROM events WHERE event_type = 'view'
+    ),
+    a AS (
+        SELECT CAST(generate_subscripts(qs, 1) AS INTEGER) AS lvl,
+               unnest(qs) AS qa
+        FROM aq
+    ),
+    b AS (
+        SELECT CAST(generate_subscripts(qs, 1) AS INTEGER) AS lvl,
+               unnest(qs) AS qb
+        FROM bq
+    )
+    SELECT a.lvl AS level_20th,
+           round(a.qa, 4) AS q_purchase,
+           round(b.qb, 4) AS q_view,
+           round(a.qa - b.qb, 4) AS gap
+    FROM a JOIN b ON b.lvl = a.lvl
+    ORDER BY level_20th
+    """,
+    doc="QQ-plot table between the purchase and view value "
+    "distributions: matched quantiles at the 19 interior 20-tiles "
+    "with the per-level gap — the visual companion to the KS "
+    "statistic that shows WHERE the distributions diverge (head, "
+    "body, or tail), not just that they do.  Two exact-percentile "
+    "aggregates over 6-dp-rounded values; 100 TB reduces to 19 "
+    "matched rows.",
+    tags=("causality", "stats", "robust"),
+)
+def qq_plot_purchase_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 6).alias("x")
+    )
+
+    levels = ", ".join(f"{i} / 20.0D" for i in range(1, 20))
+
+    def side(etype: str, out: str) -> DataFrame:
+        sub = ev.filter(F.col("event_type") == etype)
+        qarr = sub.agg(
+            F.expr(f"percentile(x, array({levels}))").alias("qs")
+        )
+        return qarr.select(
+            F.posexplode("qs").alias("i", out)
+        ).select((F.col("i") + 1).cast("int").alias("lvl"), out)
+
+    a, b = side("purchase", "qa").alias("a"), side("view", "qb").alias("b")
+    return (
+        a.join(b, F.col("b.lvl") == F.col("a.lvl"))
+        .select(
+            F.col("a.lvl").cast("int").alias("level_20th"),
+            F.round("qa", 4).alias("q_purchase"),
+            F.round("qb", 4).alias("q_view"),
+            F.round(F.col("qa") - F.col("qb"), 4).alias("gap"),
+        )
+        .orderBy("level_20th")
+    )
