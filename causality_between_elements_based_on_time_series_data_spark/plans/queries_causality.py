@@ -5602,3 +5602,49 @@ def qq_plot_purchase_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level_20th")
     )
+
+
+@register(
+    "cosupply_degree_assortativity",
+    oracle=_COSUPPLY_EDGES_ORACLE
+    + """
+    , sym AS (
+        SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT u AS node, CAST(count(*) AS DOUBLE) AS d
+            FROM sym GROUP BY 1)
+    SELECT round(corr(da.d, db.d), 4) AS assortativity,
+           CAST(count(*) AS BIGINT) AS n_edge_ends,
+           round(avg(da.d), 4) AS mean_degree
+    FROM sym s
+    JOIN deg da ON da.node = s.u
+    JOIN deg db ON db.node = s.v
+    """,
+    doc="Degree assortativity of the co-supply graph: the Pearson "
+    "correlation of endpoint degrees over every directed edge end "
+    "(Newman's r).  Positive = hubs couple to hubs (a dense core "
+    "that k-core peeling will expose; cascades spread fast), "
+    "negative = hub-and-spoke.  One degree aggregate + two "
+    "broadcast-sized joins over the edge list; the facts are only "
+    "touched to build the edges.",
+    tags=("causality", "graph", "stats"),
+)
+def cosupply_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _cosupply_edges(spark, sf_dir).localCheckpoint(eager=False)
+    sym = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("double").alias("d")
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    return (
+        sym.alias("s")
+        .join(F.broadcast(da), F.col("da.node") == F.col("s.u"))
+        .join(F.broadcast(db), F.col("db.node") == F.col("s.v"))
+        .agg(
+            F.round(F.corr("da.d", "db.d"), 4).alias("assortativity"),
+            F.count("*").cast("bigint").alias("n_edge_ends"),
+            F.round(F.avg("da.d"), 4).alias("mean_degree"),
+        )
+    )

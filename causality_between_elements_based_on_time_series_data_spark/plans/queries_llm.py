@@ -5399,3 +5399,89 @@ def containment_pairs_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "heaps_law_fit",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    doc_tokens AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+        FROM tok GROUP BY 1
+    ),
+    first_seen AS (
+        SELECT w, min(doc_id) AS intro FROM tok GROUP BY w
+    ),
+    new_types AS (
+        SELECT intro AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+        FROM first_seen GROUP BY 1
+    ),
+    cum AS (
+        SELECT d.doc_id,
+               sum(d.n_tok) OVER (ORDER BY d.doc_id) AS cum_tokens,
+               sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.doc_id)
+                   AS cum_vocab
+        FROM doc_tokens d LEFT JOIN new_types n USING (doc_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 4)
+               AS heaps_beta,
+           round(exp(regr_intercept(ln(cum_vocab), ln(cum_tokens))), 4)
+               AS heaps_k,
+           round(regr_r2(ln(cum_vocab), ln(cum_tokens)), 4) AS loglog_r2
+    FROM cum
+    """,
+    doc="Heaps'-law fit V = K * N^beta over the corpus growth curve: "
+    "cumulative vocabulary (via the first-introducer trick — a "
+    "type's arrival is its min doc_id, so the curve needs NO "
+    "windowed COUNT DISTINCT) against cumulative tokens in ingestion "
+    "order, log-log regressed.  This measures the sublinear "
+    "vocabulary growth that several operators' scale arguments cite "
+    "(never broadcast the vocabulary; rank windows are vocab-sized): "
+    "beta ~ 0.5 confirms them, beta near 1 (no type reuse) would "
+    "invalidate them.  Two hash-keyed aggregates + one cumulative "
+    "window over |docs| rows.",
+    tags=("llm", "text", "stats"),
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).localCheckpoint(eager=False)
+    doc_tokens = tok.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tok")
+    )
+    new_types = (
+        tok.groupBy("w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_new"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        doc_tokens.join(new_types, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )
+    return cum.agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.round(F.regr_slope(F.log("cum_vocab"), F.log("cum_tokens")), 4).alias(
+            "heaps_beta"
+        ),
+        F.round(
+            F.exp(F.regr_intercept(F.log("cum_vocab"), F.log("cum_tokens"))), 4
+        ).alias("heaps_k"),
+        F.round(F.regr_r2(F.log("cum_vocab"), F.log("cum_tokens")), 4).alias(
+            "loglog_r2"
+        ),
+    )
