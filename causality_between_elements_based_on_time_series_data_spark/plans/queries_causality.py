@@ -5643,7 +5643,17 @@ def cosupply_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(da), F.col("da.node") == F.col("s.u"))
         .join(F.broadcast(db), F.col("db.node") == F.col("s.v"))
         .agg(
-            F.round(F.corr("da.d", "db.d"), 4).alias("assortativity"),
+            # explicit corr = cov/(sa*sb) with NULLIF guards: a
+            # degenerate graph (all degrees equal) must yield NULL like
+            # DuckDB's corr, not an ANSI divide-by-zero
+            F.round(
+                F.covar_samp("da.d", "db.d")
+                / (
+                    F.nullif(F.stddev_samp("da.d"), F.lit(0.0))
+                    * F.nullif(F.stddev_samp("db.d"), F.lit(0.0))
+                ),
+                4,
+            ).alias("assortativity"),
             F.count("*").cast("bigint").alias("n_edge_ends"),
             F.round(F.avg("da.d"), 4).alias("mean_degree"),
         )
