@@ -5658,3 +5658,83 @@ def cosupply_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.avg("da.d"), 4).alias("mean_degree"),
         )
     )
+
+
+@register(
+    "cramers_v_association",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, user_id % 3 AS segment,
+               CAST(count(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT event_type, segment, o,
+               sum(o) OVER (PARTITION BY event_type) AS row_tot,
+               sum(o) OVER (PARTITION BY segment) AS col_tot,
+               sum(o) OVER () AS n
+        FROM obs
+    ),
+    agg AS (
+        SELECT sum(pow(o - row_tot * col_tot / n, 2)
+                   / (row_tot * col_tot / n)) AS chi2,
+               CAST(count(DISTINCT event_type) AS DOUBLE) AS r,
+               CAST(count(DISTINCT segment) AS DOUBLE) AS c,
+               max(n) AS n
+        FROM margins
+    )
+    SELECT round(chi2, 6) AS chi2,
+           CAST(n AS BIGINT) AS n_events,
+           round(sqrt(chi2 / (n * (least(r, c) - 1))), 6) AS cramers_v,
+           round(sqrt(greatest(chi2 / n - (r - 1) * (c - 1) / (n - 1), 0)
+                      / greatest(least(r - (r - 1) * (r - 1) / (n - 1),
+                                       c - (c - 1) * (c - 1) / (n - 1)) - 1,
+                                 1e-12)), 6) AS cramers_v_corrected
+    FROM agg
+    """,
+    doc="Cramer's V effect size for the type x segment association: "
+    "chi-square says WHETHER type and segment are dependent (at "
+    "large n it always will); V = sqrt(chi2 / (n * (min(r,c) - 1))) "
+    "in [0, 1] says HOW MUCH, with the Bergsma bias-corrected "
+    "variant beside it — the categorical analog of reporting the "
+    "correlation, not just its p-value, and immune to the "
+    "everything-is-significant trap at 100 TB sample sizes.  Same "
+    "tiny contingency-table windows as the chi-square screen.",
+    tags=("causality", "agg", "stats"),
+)
+def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.col("user_id") % 3).alias("segment")
+    ).agg(F.count("*").cast("double").alias("o"))
+    margins = obs.select(
+        "event_type",
+        "segment",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("segment")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    expected = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    agg = margins.agg(
+        F.sum(F.pow(F.col("o") - expected, 2) / expected).alias("chi2"),
+        F.countDistinct("event_type").cast("double").alias("r"),
+        F.countDistinct("segment").cast("double").alias("c"),
+        F.max("n").alias("n"),
+    )
+    r, c, n, chi2 = F.col("r"), F.col("c"), F.col("n"), F.col("chi2")
+    phi2_corr = F.greatest(chi2 / n - (r - 1) * (c - 1) / (n - 1), F.lit(0.0))
+    r_corr = r - (r - 1) * (r - 1) / (n - 1)
+    c_corr = c - (c - 1) * (c - 1) / (n - 1)
+    return agg.select(
+        F.round(chi2, 6).alias("chi2"),
+        n.cast("bigint").alias("n_events"),
+        F.round(F.sqrt(chi2 / (n * (F.least(r, c) - 1))), 6).alias("cramers_v"),
+        F.round(
+            F.sqrt(
+                phi2_corr
+                / F.greatest(F.least(r_corr, c_corr) - 1, F.lit(1e-12))
+            ),
+            6,
+        ).alias("cramers_v_corrected"),
+    )
