@@ -4657,12 +4657,15 @@ def rolling_median_robust_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (q75 - q25).alias("iqr7"),
         F.count("*").over(w).alias("nw"),
     )
-    return windowed.select(
+    # is_outlier must see the UNROUNDED med7/iqr7 (the oracle does); per
+    # the Spark-4 lateral-alias rule it may never share a select with
+    # round(x).alias(x) siblings — stage through two projections.
+    flagged = windowed.select(
         "series",
         "day",
-        F.round("v", 4).alias("v"),
-        F.round("med7", 4).alias("med7"),
-        F.round("iqr7", 4).alias("iqr7"),
+        "v",
+        "med7",
+        "iqr7",
         F.when(
             (F.col("nw") >= 4)
             & (F.abs(F.col("v") - F.col("med7")) > 2 * F.col("iqr7")),
@@ -4671,6 +4674,14 @@ def rolling_median_robust_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("int")
         .alias("is_outlier"),
+    )
+    return flagged.select(
+        "series",
+        "day",
+        F.round("v", 4).alias("v"),
+        F.round("med7", 4).alias("med7"),
+        F.round("iqr7", 4).alias("iqr7"),
+        "is_outlier",
     ).orderBy("series", "day")
 
 
@@ -5726,15 +5737,20 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     phi2_corr = F.greatest(chi2 / n - (r - 1) * (c - 1) / (n - 1), F.lit(0.0))
     r_corr = r - (r - 1) * (r - 1) / (n - 1)
     c_corr = c - (c - 1) * (c - 1) / (n - 1)
-    return agg.select(
-        F.round(chi2, 6).alias("chi2"),
+    # Both V expressions must read the UNROUNDED chi2; a rounded sibling
+    # alias named "chi2" in the same select would shadow it (Spark-4
+    # lateral-alias rule) — so compute raw, then round in a second select.
+    raw = agg.select(
+        chi2.alias("chi2_raw"),
         n.cast("bigint").alias("n_events"),
-        F.round(F.sqrt(chi2 / (n * (F.least(r, c) - 1))), 6).alias("cramers_v"),
-        F.round(
-            F.sqrt(
-                phi2_corr
-                / F.greatest(F.least(r_corr, c_corr) - 1, F.lit(1e-12))
-            ),
-            6,
-        ).alias("cramers_v_corrected"),
+        F.sqrt(chi2 / (n * (F.least(r, c) - 1))).alias("v_raw"),
+        F.sqrt(
+            phi2_corr / F.greatest(F.least(r_corr, c_corr) - 1, F.lit(1e-12))
+        ).alias("v_corr_raw"),
+    )
+    return raw.select(
+        F.round("chi2_raw", 6).alias("chi2"),
+        "n_events",
+        F.round("v_raw", 6).alias("cramers_v"),
+        F.round("v_corr_raw", 6).alias("cramers_v_corrected"),
     )

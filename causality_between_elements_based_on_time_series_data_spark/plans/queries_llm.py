@@ -5068,7 +5068,14 @@ def rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
+            "toks",
             F.col("chunk_id").cast("int").alias("chunk_id"),
+        )
+        # slice reads chunk_id in a SEPARATE select so it can never be
+        # shadowed by the cast sibling above (lateral-alias rule).
+        .select(
+            "doc_id",
+            "chunk_id",
             F.slice("toks", F.col("chunk_id"), _RAG_CHUNK).alias("ctoks"),
         )
         .localCheckpoint(eager=False)
