@@ -2732,6 +2732,22 @@ _ROUNDED_HOURLY_ORACLE = """
     )
 """
 
+# CCM broadcasts the E=2 manifold for its NN join; cap its row count so
+# a long-horizon / fine-grain grid can never silently blow the
+# broadcast (100k rows x (series, ts, v, vlag) ~ a few MB).  When the
+# hourly grid exceeds the cap, the bucket widens by the smallest
+# power-of-two hour multiple that fits — the CCM shapes (lag = 1
+# bucket, Theiler exclusion = 2 buckets) scale with it.
+_CCM_GRID_CAP = 100_000
+
+
+def _ccm_choose_bucket(n_rows: int, cap: int) -> int:
+    """Smallest power-of-two bucket width (hours) so n_rows/k <= cap."""
+    k = 1
+    while n_rows > cap * k:
+        k *= 2
+    return k
+
 
 @register(
     "ccm_cross_mapping_skill",
@@ -2791,18 +2807,40 @@ _ROUNDED_HOURLY_ORACLE = """
     "x_hat; skill = corr(x, x_hat) per directed pair.  The rounded "
     "grid makes the NN ranking bit-identical across engines.  Scale: "
     "the O(T^2) neighbour join runs per series on the volume-"
-    "independent grid (coarsen the grid to bound T for long "
-    "horizons); everything downstream is |series| x T x k rows.",
+    "independent grid, and the broadcast is GUARDED in code — when "
+    "the grid exceeds _CCM_GRID_CAP rows the bucket widens "
+    "(power-of-two hours) until it fits, lag and Theiler exclusion "
+    "scaling with it; everything downstream is |series| x T x k rows.",
     tags=("causality", "timeseries", "stats", "bench"),
 )
 def ccm_cross_mapping_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _hourly_series_rounded(spark, sf_dir).localCheckpoint(eager=False)
+    # ENFORCED broadcast guard (r7): the manifold is broadcast below, so
+    # its size must be bounded in code, not by a docstring.  Count the
+    # grid (grid-sized job; materializes the lazy checkpoint that every
+    # later stage reuses) and coarsen the bucket until it fits the cap.
+    bucket_hours = _ccm_choose_bucket(h.count(), _CCM_GRID_CAP)
+    if bucket_hours > 1:
+        bucket_us = bucket_hours * 3_600_000_000
+        h = (
+            h.groupBy(
+                "event_type",
+                F.expr(
+                    f"timestamp_micros((unix_micros(hour) div {bucket_us})"
+                    f" * {bucket_us})"
+                ).alias("hour"),
+            )
+            .agg(F.round(F.sum("v"), 6).alias("v"))
+            .localCheckpoint(eager=False)
+        )
+    lag = F.expr(f"INTERVAL {bucket_hours} HOUR")
+    theiler_us = 2 * bucket_hours * 3_600_000_000
     a, b = h.alias("a"), h.alias("b")
     manifold = (
         a.join(
             b,
             (F.col("b.event_type") == F.col("a.event_type"))
-            & (F.col("b.hour") == F.col("a.hour") - F.expr("INTERVAL 1 HOUR")),
+            & (F.col("b.hour") == F.col("a.hour") - lag),
         )
         .select(
             F.col("a.event_type").alias("ety"),
@@ -2827,7 +2865,7 @@ def ccm_cross_mapping_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m2.ety") == F.col("m1.ety"))
         & (
             F.abs(F.unix_micros(F.col("m1.hour")) - F.unix_micros(F.col("m2.hour")))
-            >= 7200 * 1_000_000
+            >= theiler_us
         ),
     ).select(
         F.col("m1.ety").alias("ety"),

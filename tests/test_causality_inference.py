@@ -43,6 +43,42 @@ def test_ccm_skill_is_a_correlation(spark, sf_dir):
     assert any(r.ccm_skill is not None for r in rows)
 
 
+def test_ccm_bucket_chooser_respects_cap():
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+        _ccm_choose_bucket,
+    )
+
+    assert _ccm_choose_bucket(10, 100) == 1
+    assert _ccm_choose_bucket(100, 100) == 1
+    assert _ccm_choose_bucket(101, 100) == 2
+    assert _ccm_choose_bucket(399, 100) == 4
+    # a year at minute grain x 20 series: the pathological case the
+    # docstring used to merely warn about
+    k = _ccm_choose_bucket(525_600 * 20, 100_000)
+    assert 525_600 * 20 / k <= 100_000 and k & (k - 1) == 0
+
+
+def test_ccm_coarsened_path_still_sane(spark, sf_dir, monkeypatch):
+    """Force the broadcast guard to fire (cap far below the fixture
+    grid) and assert the coarsened CCM output is still well-formed:
+    the guard must be exercised end-to-end, not just unit-tested."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        queries_causality as qc,
+    )
+
+    grid_rows = qc._hourly_series_rounded(spark, sf_dir).count()
+    cap = max(2, grid_rows // 4)  # guarantees bucket_hours >= 2
+    monkeypatch.setattr(qc, "_CCM_GRID_CAP", cap)
+    assert qc._ccm_choose_bucket(grid_rows, cap) > 1
+    rows = qc.ccm_cross_mapping_skill(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cause != r.effect
+        if r.ccm_skill is not None:
+            assert -1.0 - 1e-9 <= r.ccm_skill <= 1.0 + 1e-9, r
+        assert r.n_points >= 1
+
+
 def test_pc_skeleton_edge_consistency(spark, sf_dir):
     rows = pc_skeleton_edges(spark, sf_dir).collect()
     assert rows
