@@ -98,20 +98,25 @@ class AMTLTrainer:
 
         return fn
 
+    def _partials_df(self, feats: DataFrame) -> DataFrame:
+        """The per-iteration distributed pipeline as a DataFrame —
+        exposed separately so ``tests/test_plans.py`` can gate its
+        physical plan (cached scan + exactly one Exchange on the
+        salted group key) against the REAL trainer code path."""
+        fn = self._partial_grad_fn({t: self.W[i].tolist() for i, t in enumerate(self.tasks)})
+        salted = feats.withColumn(
+            "__salt", F.pmod(F.hash("entity_id"), F.lit(self.config.grad_salt))
+        )
+        return salted.groupBy("task", "__salt").applyInPandas(
+            fn, schema="task string, n double, loss_sum double, grad array<double>"
+        )
+
     def _distributed_partials(self, feats: DataFrame) -> dict[str, tuple[float, float, np.ndarray]]:
         """Salted two-stage partial aggregation: groups are
         ``(task, salt)`` so no single Python worker ever receives a
         whole task's rows; the T·grad_salt partial rows are combined
         here (associative sums — numerics equal the unsalted pass)."""
-        fn = self._partial_grad_fn({t: self.W[i].tolist() for i, t in enumerate(self.tasks)})
-        salted = feats.withColumn(
-            "__salt", F.pmod(F.hash("entity_id"), F.lit(self.config.grad_salt))
-        )
-        rows = (
-            salted.groupBy("task", "__salt")
-            .applyInPandas(fn, schema="task string, n double, loss_sum double, grad array<double>")
-            .collect()
-        )
+        rows = self._partials_df(feats).collect()
         out: dict[str, tuple[float, float, np.ndarray]] = {}
         for r in rows:
             g = np.asarray(r["grad"])

@@ -2600,14 +2600,17 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    # one-scan discipline: the token explode feeds BOTH the bigram
-    # window and the vocabulary count, and the windowed bigram table
-    # feeds BOTH the count model and the scoring join — lazy
-    # localCheckpoints compute each exactly once instead of re-running
-    # the explode / window shuffle per consumer
+    # bg (the windowed bigram fact) is checkpointed because BOTH the
+    # count model and the scoring join consume it — recomputing it
+    # would mean a second fact-sized window shuffle.  toks is NOT:
+    # materializing the exploded token fact stores the single largest
+    # intermediate of the query for the price of saving one cheap
+    # map-side re-explode (vocab's second scan), which measured as the
+    # dominant variance source at 30x volume (SCALE_r7.md) and is
+    # exactly the intermediate you cannot afford to pin at 100 TB.
     toks = docs.select(
         "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    ).localCheckpoint(eager=False)
+    )
     wdoc = W.partitionBy("doc_id").orderBy("pos")
     bg = (
         toks.withColumn("w2", F.lead("tok").over(wdoc))
@@ -3261,20 +3264,20 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rp_cluster_sql() -> str:
-    """3-bit deterministic cluster code from the first three RP
+def _rp_cluster_sql(nbits: int = 3) -> str:
+    """Deterministic cluster code from the first ``nbits`` RP
     hyperplanes (integer arithmetic + sign bits only — no float
     centroids, so the whole IVF pipeline is oracle-reproducible)."""
     bits = " + ".join(
         f"CASE WHEN {_rp_dot_sql(a, b)} > 0 THEN {1 << i} ELSE 0 END"
-        for i, (a, b) in enumerate(_RP_COEFFS[:3])
+        for i, (a, b) in enumerate(_RP_COEFFS[:nbits])
     )
     return f"CAST({bits} AS BIGINT)"
 
 
-def _rp_cluster_spark():
+def _rp_cluster_spark(nbits: int = 3):
     sig = F.lit(0)
-    for i, (a, b) in enumerate(_RP_COEFFS[:3]):
+    for i, (a, b) in enumerate(_RP_COEFFS[:nbits]):
         dot = F.expr(
             f"aggregate(transform(sequence(1, {_RP_DIM}), "
             f"d -> cast(element_at(embedding, d) as double) * (((({a} * d + {b}) % 1009)) - 504)), "
@@ -3284,21 +3287,52 @@ def _rp_cluster_spark():
     return sig.cast("bigint")
 
 
+# IVF sizing: clusters double until the average inverted list holds
+# ~_IVF_TARGET_BUCKET vectors, so per-query candidate work stays
+# ~constant (bucket * (1 + bits) rows) while the corpus grows — a
+# fixed cluster count would make every probe's list grow linearly
+# with N (measured superlinear in SCALE_r7.md before this guard).
+# 16 RP planes cap the code at 65536 lists (~17M vectors at the 256
+# target); extend _RP_COEFFS to go beyond.
+_IVF_TARGET_BUCKET = 256
+_IVF_MAX_BITS = len(_RP_COEFFS)
+
+
+def _rp_adaptive_bits(n_rows: int) -> int:
+    """max(3, ceil(log2(ceil(n/target)))) capped at the plane count —
+    integer arithmetic only, mirrored verbatim by the SQL oracle's
+    bin()-length formula."""
+    m = (n_rows + _IVF_TARGET_BUCKET - 1) // _IVF_TARGET_BUCKET
+    bits = 0 if m <= 1 else (m - 1).bit_length()
+    return min(max(3, bits), _IVF_MAX_BITS)
+
+
 @register(
     "ann_rp_ivf_portable_topk",
     oracle=f"""
-    WITH assigned AS (
-        SELECT vec_id, embedding, {_rp_cluster_sql()} AS cluster
+    WITH nb AS (
+        SELECT least(greatest(3,
+                   CASE WHEN ((count(*) + {_IVF_TARGET_BUCKET - 1})
+                              // {_IVF_TARGET_BUCKET}) <= 1 THEN 0
+                        ELSE length(bin(((count(*) + {_IVF_TARGET_BUCKET - 1})
+                                         // {_IVF_TARGET_BUCKET}) - 1)) END),
+                     {_IVF_MAX_BITS}) AS bits
         FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, embedding,
+               {_rp_cluster_sql(_IVF_MAX_BITS)} % (1::BIGINT << nb.bits)
+                   AS cluster
+        FROM embeddings CROSS JOIN nb
     ),
     q AS (SELECT * FROM assigned WHERE vec_id % 100 = 0),
     probes AS (
         SELECT q.vec_id AS qid, q.embedding AS qvec,
-               unnest([q.cluster,
-                       xor(q.cluster, 1),
-                       xor(q.cluster, 2),
-                       xor(q.cluster, 4)]) AS cluster
-        FROM q
+               unnest(list_prepend(q.cluster, list_transform(
+                   list_filter({list(range(_IVF_MAX_BITS))},
+                               i -> i < nb.bits),
+                   i -> xor(q.cluster, CAST(1 << i AS BIGINT))))) AS cluster
+        FROM q CROSS JOIN nb
     ),
     cand AS (
         SELECT p.qid, p.qvec, a.vec_id AS nid, a.embedding AS nvec
@@ -3323,25 +3357,30 @@ def _rp_cluster_spark():
     """,
     doc="PORTABLE IVF ANN, hash-checked end-to-end — the oracle-"
     "checkable twin of ann_ivf_topk (whose MLlib-KMeans centroids can "
-    "only be equivalence/recall-tested): clusters are 3-bit sign "
-    "codes from deterministic RP hyperplanes (8 inverted lists, "
-    "integer arithmetic only — no float centroids to drift across "
-    "engines), each query probes its OWN cluster plus the three "
-    "Hamming-1 neighbors (the angular-LSH analog of n_probe=4 "
-    "nearest-centroid probing), and the exact cosine re-rank runs on "
-    "candidates only.  Same physical shape as the production IVF "
-    "tier — assignment map-side, probes explode 4 rows per query, "
-    "candidate join keyed on cluster — so everything the driver "
-    "hash-checks here transfers to the KMeans tier, including the "
-    "bucketed-corpus layout (ann_ivf_bucketed_topk).",
+    "only be equivalence/recall-tested): clusters are ADAPTIVE sign "
+    "codes from deterministic RP hyperplanes (integer arithmetic "
+    "only — no float centroids to drift across engines). The bit "
+    "count grows with the corpus (ceil(log2(n/256)), min 3, max 16 "
+    "planes, derived with engine-identical integer/bin() arithmetic "
+    "on BOTH sides) so the average inverted list stays ~256 vectors "
+    "and per-query candidate work is ~constant at any scale — the "
+    "SCALE_r7.md fix for the fixed-8-list superlinear blow-up. Each "
+    "query probes its own cluster plus every Hamming-1 neighbor; the "
+    "exact cosine re-rank runs on candidates only. Same physical "
+    "shape as the production IVF tier — assignment map-side, probes "
+    "explode per query, candidate join keyed on cluster — so "
+    "everything the driver hash-checks here transfers to the KMeans "
+    "tier, including the bucketed-corpus layout "
+    "(ann_ivf_bucketed_topk).",
     tags=("llm", "similarity", "ivf", "sketch"),
 )
 def ann_rp_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
+    bits = _rp_adaptive_bits(emb.count())
     assigned = emb.select(
-        "vec_id", "embedding", _rp_cluster_spark().alias("cluster")
+        "vec_id", "embedding", _rp_cluster_spark(bits).alias("cluster")
     ).localCheckpoint(eager=False)
     q = assigned.filter(F.col("vec_id") % 100 == 0)
     probes = q.select(
@@ -3350,9 +3389,10 @@ def ann_rp_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(
                 F.col("cluster"),
-                F.col("cluster").bitwiseXOR(F.lit(1)),
-                F.col("cluster").bitwiseXOR(F.lit(2)),
-                F.col("cluster").bitwiseXOR(F.lit(4)),
+                *[
+                    F.col("cluster").bitwiseXOR(F.lit(1 << i))
+                    for i in range(bits)
+                ],
             )
         ).alias("cluster"),
     )

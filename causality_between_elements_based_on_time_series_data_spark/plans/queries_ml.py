@@ -84,6 +84,33 @@ def amtl_training_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "amtl_train_iterations",
+    oracle=None,  # iterative training is driver-looped — rows-only;
+    # the execution-shape claims are GATED in tests/test_plans.py
+    # (one cached scan per iteration: InMemoryTableScan + single
+    # Exchange in the partial-gradient plan) and tests/test_ml.py
+    # (<= T*grad_salt rows collected to the driver per step); the
+    # numerics are the same trainer pinned by the numpy goldens
+    doc="The reference's ACTUAL workload as a bench entry (model.py's "
+    "training loop, VERDICT r6 #4): a fixed-3-iteration AMTL fit at "
+    "the bench SF, fresh each pass so the bench times training, not "
+    "a cache. Each iteration = one applyInPandas pass over the "
+    "persisted featurized input, salted (task, salt) groups, "
+    "T*grad_salt tiny partial rows to the driver, numpy parameter "
+    "update. Emits the per-iteration objective.",
+    tags=("ml", "amtl", "bench", "eager"),
+)
+def amtl_train_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = AMTLConfig(total_iter=3, check_iter=1)
+    train, _ = _split_feats(spark, sf_dir)
+    AMTLTrainer(cfg).fit(train)
+    rows = [(i, float(v)) for i, v in enumerate(cfg.history)]
+    return spark.createDataFrame(rows, "checkpoint int, total_loss double").select(
+        "checkpoint", F.round("total_loss", 6).alias("total_loss")
+    )
+
+
 def _featurized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = retain_entity_features(load_table(spark, sf_dir, "events"))
     med = feats.groupBy("task").agg(F.expr("percentile_approx(mean_value, 0.5)").alias("med"))

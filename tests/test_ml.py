@@ -274,3 +274,37 @@ def test_irls_agrees_with_mllib_lbfgs(spark, sf_dir):
     # fit's (objective histories use different scalings; recompute)
     summ = model.summary
     assert irls.train_accuracy == pytest.approx(summ.accuracy, abs=2e-3)
+
+
+def test_amtl_driver_rows_bounded_per_step(spark, sf_dir, monkeypatch):
+    """ARCHITECTURE claims the driver receives <= T*grad_salt partial
+    rows per training step; spy on DataFrame.collect during a 2-step
+    fit and verify no collect exceeds the bound (VERDICT r6 #4)."""
+    # patch the CONCRETE class: in Spark 4 pyspark.sql.DataFrame is a
+    # facade and instances are classic.dataframe.DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from causality_between_elements_based_on_time_series_data_spark.ml.amtl import (
+        AMTLConfig,
+        AMTLTrainer,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_ml import (
+        _split_feats,
+    )
+
+    sizes = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    cfg = AMTLConfig(total_iter=2, check_iter=1)
+    train, _ = _split_feats(spark, sf_dir)
+    trainer = AMTLTrainer(cfg).fit(train)
+    T = len(trainer.tasks)
+    bound = T * cfg.grad_salt
+    assert sizes, "expected collects during fit"
+    assert max(sizes) <= bound, (sizes, bound)

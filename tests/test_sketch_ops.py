@@ -31,3 +31,32 @@ def test_bloom_has_no_false_negatives(spark, sf_dir):
         assert r.n_bloom_pass == r.n_true_match + r.n_false_positive, r
         assert 0 <= r.n_true_match <= r.n_orders
         assert r.n_false_positive >= 0
+
+
+def test_rp_adaptive_bits_matches_sql_and_bounds_buckets():
+    """The adaptive IVF bit count must be engine-identical: the Python
+    derivation (driver side) and the bin()-length SQL formula (oracle
+    side) agree for n across six orders of magnitude, and the implied
+    average inverted list stays <= the target bucket size until the
+    plane-count cap."""
+    import duckdb
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        _IVF_MAX_BITS,
+        _IVF_TARGET_BUCKET,
+        _rp_adaptive_bits,
+    )
+
+    t = _IVF_TARGET_BUCKET
+    for n in [1, 100, 256, 257, 511, 512, 513, 767, 768, 2000, 2048,
+              60000, 10**6, 10**8, 10**10]:
+        sql = (
+            f"SELECT least(greatest(3, CASE WHEN (({n} + {t - 1}) // {t}) <= 1"
+            f" THEN 0 ELSE length(bin((({n} + {t - 1}) // {t}) - 1)) END),"
+            f" {_IVF_MAX_BITS})"
+        )
+        bits = _rp_adaptive_bits(n)
+        assert duckdb.sql(sql).fetchone()[0] == bits, n
+        assert 3 <= bits <= _IVF_MAX_BITS
+        if bits < _IVF_MAX_BITS:
+            assert n <= t * (1 << bits), (n, bits)
