@@ -5792,3 +5792,441 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v_raw", 6).alias("cramers_v"),
         F.round("v_corr_raw", 6).alias("cramers_v_corrected"),
     )
+
+
+@register(
+    "cusum_changepoint_location",
+    oracle=_ROUNDED_DAILY_ORACLE
+    + """
+    , stats AS (
+        SELECT event_type, avg(v) AS mu, stddev_samp(v) AS sd,
+               CAST(count(*) AS BIGINT) AS n
+        FROM daily GROUP BY 1
+    ),
+    cs AS (
+        SELECT d.event_type, d.day,
+               sum(d.v - s.mu) OVER (PARTITION BY d.event_type
+                                     ORDER BY d.day) AS cums
+        FROM daily d JOIN stats s USING (event_type)
+    ),
+    picked AS (
+        SELECT event_type, day, cums,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY round(abs(cums), 6) DESC, day)
+                   AS rn
+        FROM cs
+    ),
+    cp AS (
+        SELECT event_type, day AS cp_day, abs(cums) AS max_dev
+        FROM picked WHERE rn = 1
+    ),
+    sides AS (
+        SELECT d.event_type,
+               avg(CASE WHEN d.day <= c.cp_day THEN d.v END) AS pre_mean,
+               avg(CASE WHEN d.day > c.cp_day THEN d.v END) AS post_mean
+        FROM daily d JOIN cp c USING (event_type)
+        GROUP BY 1
+    )
+    SELECT c.event_type AS series, c.cp_day, s.n AS n_days,
+           round(c.max_dev / nullif(s.sd * sqrt(s.n), 0), 4) AS cusum_stat,
+           round(sd.pre_mean, 4) AS pre_mean,
+           round(sd.post_mean, 4) AS post_mean
+    FROM cp c
+    JOIN stats s USING (event_type)
+    JOIN sides sd USING (event_type)
+    ORDER BY series
+    """,
+    doc="CUSUM changepoint detection per series (Page 1954 / "
+    "Pettitt-style single changepoint): the running cumulative "
+    "deviation from the series mean peaks where the level shifts; "
+    "emits the argmax day (6-dp-rounded |S| with day tie-break so "
+    "the pick is engine-identical), the standardized statistic "
+    "max|S|/(sd*sqrt(n)) (~Kolmogorov-scaled under the null), and "
+    "the pre/post means.  The companion to poisson_rate_change, "
+    "which TESTS a KNOWN cutoff, and to the cusum_changepoint "
+    "screen, which FLAGS high-|S| days — this LOCATES the shift.  Scale: "
+    "one window pass over the volume-independent daily grid; "
+    "everything after is |series| rows.",
+    tags=("causality", "timeseries", "window", "stats"),
+)
+def cusum_changepoint_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _rounded_daily_series(spark, sf_dir).localCheckpoint(eager=False)
+    stats = daily.groupBy("event_type").agg(
+        F.avg("v").alias("mu"),
+        F.stddev_samp("v").alias("sd"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("day")
+    cs = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        F.sum(F.col("v") - F.col("mu")).over(w_cum).alias("cums"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.round(F.abs(F.col("cums")), 6).desc(), F.asc("day")
+    )
+    cp = (
+        cs.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            F.abs(F.col("cums")).alias("max_dev"),
+        )
+    )
+    sides = (
+        daily.join(F.broadcast(cp), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.avg(F.when(F.col("day") <= F.col("cp_day"), F.col("v"))).alias(
+                "pre_mean"
+            ),
+            F.avg(F.when(F.col("day") > F.col("cp_day"), F.col("v"))).alias(
+                "post_mean"
+            ),
+        )
+    )
+    return (
+        cp.join(stats, "event_type")
+        .join(sides, "event_type")
+        .select(
+            F.col("event_type").alias("series"),
+            "cp_day",
+            F.col("n").alias("n_days"),
+            F.round(
+                F.col("max_dev")
+                / F.nullif(F.col("sd") * F.sqrt(F.col("n")), F.lit(0.0)),
+                4,
+            ).alias("cusum_stat"),
+            F.round("pre_mean", 4).alias("pre_mean"),
+            F.round("post_mean", 4).alias("post_mean"),
+        )
+        .orderBy("series")
+    )
+
+
+# --- experiment / causal-effect estimators (r7) ------------------------
+# IPW composes the reusable IRLS-GLM primitive from queries_llm into
+# propensity-score estimation; CUPED and the Wald-IV estimator are
+# single-moment-pass designs.  No cycle: queries_llm never imports
+# this module.
+from .queries_llm import _irls_oracle_ctes as _glm_ctes  # noqa: E402
+
+# causal unit = USER-DAY (user grain is degenerate on this corpus:
+# every user eventually clicks, leaving no control group — measured,
+# not assumed); outcome rides along in feat so the GLM CTEs and the
+# effect stage share one reduce
+_IPW_FEAT_SQL = """
+        SELECT user_id, date_trunc('day', ts) AS day,
+               round(ln(1 + sum(CASE WHEN event_type = 'view'
+                                     THEN 1 ELSE 0 END)), 6) AS f1,
+               round(coalesce(avg(CASE WHEN event_type = 'view'
+                                       THEN value END), 0), 6) AS f2,
+               CAST(max(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS INTEGER) AS y,
+               coalesce(sum(CASE WHEN event_type = 'purchase'
+                                 THEN value END), 0) AS o
+        FROM events GROUP BY 1, 2"""
+
+
+@register(
+    "ipw_treatment_effect",
+    oracle=_glm_ctes(_IPW_FEAT_SQL)
+    + """,
+    scored AS (
+        SELECT f.y, f.o,
+               least(greatest(1/(1+exp(-(b.b0 + b.b1*f.f1 + b.b2*f.f2))),
+                              0.01), 0.99) AS p
+        FROM feat f CROSS JOIN beta4 b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_treated,
+           round(sum(y * o / p) / sum(y / p)
+                 - sum((1 - y) * o / (1 - p)) / sum((1 - y) / (1 - p)), 4)
+               AS ipw_ate,
+           round(avg(CASE WHEN y = 1 THEN o END)
+                 - avg(CASE WHEN y = 0 THEN o END), 4) AS naive_diff,
+           round(min(p), 4) AS p_min,
+           round(max(p), 4) AS p_max
+    FROM scored
+    """,
+    doc="Inverse-propensity-weighted treatment effect (Horvitz-"
+    "Thompson/Hajek) at USER-DAY grain: treatment = the user clicked "
+    "that day, outcome = that day's purchase value, confounders = "
+    "same-day view activity (log-count + mean view value).  (User "
+    "grain is degenerate here: every user eventually clicks — no "
+    "control group.)  The propensity model is the SAME reusable "
+    "unrolled-IRLS GLM primitive as logistic_irls_portable "
+    "(queries_llm._irls_fit / _irls_oracle_ctes) — fitted "
+    "end-to-end inside the query, propensities clipped to "
+    "[0.01, 0.99] (overlap trimming), Hajek ratio estimator per "
+    "arm, naive difference reported beside it.  Fully hash-checked "
+    "including the embedded GLM fit.  Scale: user-grain reduce, 4 "
+    "IRLS moment passes (9 doubles each), 1-row beta broadcast, one "
+    "final moment pass — no per-row state, no driver loops.",
+    tags=("causality", "stats", "ml", "agg"),
+)
+def ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_llm import _irls_fit
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.round(
+            F.log(
+                1
+                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ),
+            6,
+        ).alias("f1"),
+        F.round(
+            F.coalesce(
+                F.avg(F.when(F.col("event_type") == "view", F.col("value"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("f2"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("int")
+        .alias("y"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            F.lit(0.0),
+        ).alias("o"),
+    ).localCheckpoint(eager=False)
+    beta = _irls_fit(spark, per_user)
+    p_raw = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(
+            -(
+                F.col("b0")
+                + F.col("b1") * F.col("f1")
+                + F.col("b2") * F.col("f2")
+            )
+        )
+    )
+    p = F.least(F.greatest(p_raw, F.lit(0.01)), F.lit(0.99))
+    scored = per_user.crossJoin(F.broadcast(beta)).select(
+        "y", "o", p.alias("p")
+    )
+    y, o, pc = F.col("y"), F.col("o"), F.col("p")
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_treated"),
+        F.round(
+            F.sum(y * o / pc) / F.sum(y / pc)
+            - F.sum((1 - y) * o / (1 - pc)) / F.sum((1 - y) / (1 - pc)),
+            4,
+        ).alias("ipw_ate"),
+        F.round(
+            F.avg(F.when(y == 1, o)) - F.avg(F.when(y == 0, o)), 4
+        ).alias("naive_diff"),
+        F.round(F.min("p"), 4).alias("p_min"),
+        F.round(F.max("p"), 4).alias("p_max"),
+    )
+
+
+@register(
+    "cuped_variance_reduction",
+    oracle="""
+    WITH span AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INTEGER) AS arm,
+               round(coalesce(sum(CASE WHEN epoch_us(ts) <= s.mid_us
+                                       THEN value END), 0), 6) AS pre,
+               round(coalesce(sum(CASE WHEN epoch_us(ts) > s.mid_us
+                                       THEN value END), 0), 6) AS post
+        FROM events CROSS JOIN span s
+        GROUP BY user_id
+    ),
+    theta AS (
+        SELECT covar_samp(pre, post) / nullif(var_samp(pre), 0) AS th,
+               avg(pre) AS mpre
+        FROM per_user
+    ),
+    adj AS (
+        SELECT u.arm, u.post,
+               u.post - t.th * (u.pre - t.mpre) AS ycv
+        FROM per_user u CROSS JOIN theta t
+    )
+    SELECT arm, CAST(count(*) AS BIGINT) AS n,
+           round(avg(post), 4) AS raw_mean,
+           round(avg(ycv), 4) AS cuped_mean,
+           round(var_samp(post), 4) AS raw_var,
+           round(var_samp(ycv), 4) AS cuped_var,
+           round(100 * (1 - var_samp(ycv) / nullif(var_samp(post), 0)), 2)
+               AS var_reduction_pct
+    FROM adj GROUP BY arm ORDER BY arm
+    """,
+    doc="CUPED variance reduction (Deng et al. 2013): each user's "
+    "window splits at the global midpoint timestamp into pre/post "
+    "value sums, arms are a deterministic user_id split, "
+    "theta = cov(pre, post)/var(pre) pooled, and the adjusted metric "
+    "post - theta*(pre - mean_pre) keeps the mean while shedding the "
+    "pre-period-predictable variance — the standard lever for "
+    "shrinking A/B confidence intervals without more traffic.  "
+    "Reports per-arm raw vs adjusted mean/variance and the realized "
+    "reduction.  Scale: one user-grain reduce, a 1-row theta "
+    "broadcast, one moment pass — integer-µs midpoint arithmetic is "
+    "engine-identical.",
+    tags=("causality", "stats", "agg"),
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        (
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+            / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("mid_us")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.unix_micros("ts") <= F.col("mid_us"),
+                            F.col("value"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("pre"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.unix_micros("ts") > F.col("mid_us"),
+                            F.col("value"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("post"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("arm"), "pre", "post"
+        )
+        .localCheckpoint(eager=False)
+    )
+    theta = per_user.agg(
+        (
+            F.covar_samp("pre", "post")
+            / F.nullif(F.var_samp("pre"), F.lit(0.0))
+        ).alias("th"),
+        F.avg("pre").alias("mpre"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "post",
+        (
+            F.col("post") - F.col("th") * (F.col("pre") - F.col("mpre"))
+        ).alias("ycv"),
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("post"), 4).alias("raw_mean"),
+            F.round(F.avg("ycv"), 4).alias("cuped_mean"),
+            F.round(F.var_samp("post"), 4).alias("raw_var"),
+            F.round(F.var_samp("ycv"), 4).alias("cuped_var"),
+            F.round(
+                100
+                * (
+                    1
+                    - F.var_samp("ycv")
+                    / F.nullif(F.var_samp("post"), F.lit(0.0))
+                ),
+                2,
+            ).alias("var_reduction_pct"),
+        )
+        .orderBy("arm")
+    )
+
+
+@register(
+    "iv_wald_estimate",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INTEGER) AS z,
+               CAST(sum(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+               coalesce(sum(CASE WHEN event_type = 'purchase'
+                                 THEN value END), 0) AS yv
+        FROM events GROUP BY user_id
+    ),
+    moments AS (
+        SELECT avg(CASE WHEN z = 1 THEN yv END) AS y1,
+               avg(CASE WHEN z = 0 THEN yv END) AS y0,
+               avg(CASE WHEN z = 1 THEN x END) AS x1,
+               avg(CASE WHEN z = 0 THEN x END) AS x0,
+               covar_samp(x, yv) AS sxy,
+               var_samp(x) AS sxx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM per_user
+    )
+    SELECT n,
+           round((y1 - y0) / nullif(x1 - x0, 0), 4) AS wald_iv_estimate,
+           round(sxy / nullif(sxx, 0), 4) AS ols_estimate,
+           round(x1 - x0, 4) AS first_stage_diff
+    FROM moments
+    """,
+    doc="Wald instrumental-variable estimator (the 2SLS special case "
+    "for a binary instrument): a deterministic user_id split stands "
+    "in for an encouragement-design instrument z, exposure x = click "
+    "count, outcome y = purchase value; beta_IV = "
+    "(E[y|z=1]-E[y|z=0]) / (E[x|z=1]-E[x|z=0]) beside the "
+    "confound-sensitive OLS slope cov(x,y)/var(x), plus the "
+    "first-stage strength (a weak instrument makes the ratio "
+    "explode — the diff is the diagnostic).  With a hash-random z "
+    "the two should agree only when exposure is unconfounded.  "
+    "Scale: user-grain reduce then ONE moment aggregate; arithmetic "
+    "on a single row.",
+    tags=("causality", "stats", "agg"),
+)
+def iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            F.lit(0.0),
+        ).alias("yv"),
+    ).select((F.col("user_id") % 2).cast("int").alias("z"), "x", "yv")
+    z, x, yv = F.col("z"), F.col("x"), F.col("yv")
+    m = per_user.agg(
+        F.avg(F.when(z == 1, yv)).alias("y1"),
+        F.avg(F.when(z == 0, yv)).alias("y0"),
+        F.avg(F.when(z == 1, x)).alias("x1"),
+        F.avg(F.when(z == 0, x)).alias("x0"),
+        F.covar_samp("x", "yv").alias("sxy"),
+        F.var_samp("x").alias("sxx"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return m.select(
+        "n",
+        F.round(
+            (F.col("y1") - F.col("y0"))
+            / F.nullif(F.col("x1") - F.col("x0"), F.lit(0.0)),
+            4,
+        ).alias("wald_iv_estimate"),
+        F.round(
+            F.col("sxy") / F.nullif(F.col("sxx"), F.lit(0.0)), 4
+        ).alias("ols_estimate"),
+        F.round(F.col("x1") - F.col("x0"), 4).alias("first_stage_diff"),
+    )

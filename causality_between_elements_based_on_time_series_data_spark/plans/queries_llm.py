@@ -1037,8 +1037,11 @@ def mllib_logistic_head(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IRLS_ROUNDS = 4
 
 
-def _irls_logistic_oracle(rounds: int = _IRLS_ROUNDS) -> str:
-    """Generate the unrolled-IRLS DuckDB oracle.
+def _irls_oracle_ctes(feat_sql: str, rounds: int = _IRLS_ROUNDS) -> str:
+    """Generate the unrolled-IRLS CTE chain over any feature relation
+    ``feat(f1, f2, y [, ...])`` — the reusable GLM-fitting primitive
+    (logistic_irls_portable is the direct consumer; ipw_treatment_effect
+    composes it into causal estimation).
 
     Built programmatically so the Spark side and the SQL side stay
     mechanically in lockstep round-for-round; the INDEPENDENT check on
@@ -1049,13 +1052,8 @@ def _irls_logistic_oracle(rounds: int = _IRLS_ROUNDS) -> str:
     sig = "1/(1+exp(-eta))"
     w = f"greatest({sig} * (1 - {sig}), 1e-9)"
     ctes = [
-        """
-    WITH feat AS (
-        SELECT round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum')
-                     / 64, 6) AS f1,
-               round(CAST(embedding[1] AS DOUBLE), 6) AS f2,
-               CAST(label >= 5 AS INTEGER) AS y
-        FROM embeddings
+        f"""
+    WITH feat AS ({feat_sql}
     ),
     beta0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"""
     ]
@@ -1090,6 +1088,18 @@ def _irls_logistic_oracle(rounds: int = _IRLS_ROUNDS) -> str:
                         + s02*(s01*s12 - s11*s02) AS det FROM agg{r})
     )"""
         )
+    return ",".join(ctes)
+
+
+_IRLS_EMB_FEAT_SQL = """
+        SELECT round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum')
+                     / 64, 6) AS f1,
+               round(CAST(embedding[1] AS DOUBLE), 6) AS f2,
+               CAST(label >= 5 AS INTEGER) AS y
+        FROM embeddings"""
+
+
+def _irls_logistic_oracle(rounds: int = _IRLS_ROUNDS) -> str:
     p = "least(greatest(1/(1+exp(-(b0 + b1*f1 + b2*f2))), 1e-12), 1 - 1e-12)"
     final = f"""
     SELECT CAST(count(*) AS BIGINT) AS n,
@@ -1101,7 +1111,7 @@ def _irls_logistic_oracle(rounds: int = _IRLS_ROUNDS) -> str:
            round(avg(CAST(({p} >= 0.5) = (y = 1) AS DOUBLE)), 4)
                AS train_accuracy
     FROM feat CROSS JOIN beta{rounds}"""
-    return ",".join(ctes) + final
+    return _irls_oracle_ctes(_IRLS_EMB_FEAT_SQL, rounds) + final
 
 
 def _irls_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1123,28 +1133,14 @@ def _irls_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "logistic_irls_portable",
-    oracle=_irls_logistic_oracle(),
-    doc="Portable logistic regression via 4 unrolled IRLS/Newton "
-    "rounds on a low-dim design (embedding mean + first component + "
-    "intercept, y = label >= 5): each round is ONE map-side-combined "
-    "moment aggregate (9 sums) and a closed-form 3x3 weighted "
-    "normal-equation solve on the driver-free 1-row broadcast — the "
-    "huber_location_estimate pattern lifted to multivariate GLM "
-    "fitting.  The fully-oracled twin of mllib_logistic_head "
-    "(VERDICT r6 #5); agreement with MLlib LBFGS on the same design "
-    "is pinned in tests/test_ml.py.  Scale: per round, one pass over "
-    "the fact table reduced map-side to 9 doubles; the only "
-    "broadcast is the 1-row beta — fixed cost, any corpus size.",
-    tags=("ml", "llm", "stats"),
-)
-def logistic_irls_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feat = _irls_features(spark, sf_dir).localCheckpoint(eager=False)
+def _irls_fit(spark: SparkSession, feat: DataFrame, rounds: int = _IRLS_ROUNDS) -> DataFrame:
+    """Unrolled-IRLS logistic fit over ``feat(f1, f2, y, ...)`` —
+    returns the 1-row (b0, b1, b2) DataFrame.  The Spark half of the
+    reusable GLM primitive (_irls_oracle_ctes is the oracle half)."""
     beta = spark.range(1).select(
         F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
     )
-    for _ in range(_IRLS_ROUNDS):
+    for _ in range(rounds):
         eta = F.col("b0") + F.col("b1") * F.col("f1") + F.col("b2") * F.col("f2")
         j = feat.crossJoin(F.broadcast(beta)).select(
             "y", "f1", "f2", eta.alias("eta")
@@ -1208,6 +1204,28 @@ def logistic_irls_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 8,
             ).alias("b2"),
         )
+    return beta
+
+
+@register(
+    "logistic_irls_portable",
+    oracle=_irls_logistic_oracle(),
+    doc="Portable logistic regression via 4 unrolled IRLS/Newton "
+    "rounds on a low-dim design (embedding mean + first component + "
+    "intercept, y = label >= 5): each round is ONE map-side-combined "
+    "moment aggregate (9 sums) and a closed-form 3x3 weighted "
+    "normal-equation solve on the driver-free 1-row broadcast — the "
+    "huber_location_estimate pattern lifted to multivariate GLM "
+    "fitting.  The fully-oracled twin of mllib_logistic_head "
+    "(VERDICT r6 #5); agreement with MLlib LBFGS on the same design "
+    "is pinned in tests/test_ml.py.  Scale: per round, one pass over "
+    "the fact table reduced map-side to 9 doubles; the only "
+    "broadcast is the 1-row beta — fixed cost, any corpus size.",
+    tags=("ml", "llm", "stats"),
+)
+def logistic_irls_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat = _irls_features(spark, sf_dir).localCheckpoint(eager=False)
+    beta = _irls_fit(spark, feat)
     scored = feat.crossJoin(F.broadcast(beta))
     p_raw = F.lit(1.0) / (
         F.lit(1.0)

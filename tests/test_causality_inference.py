@@ -176,3 +176,60 @@ def test_bootstrap_ci_brackets_reasonably(spark, sf_dir):
         # CI cannot be wildly displaced from the observed mean
         width = max(r.ci_hi - r.ci_lo, 1e-9)
         assert r.ci_lo - 5 * width <= r.mean_obs <= r.ci_hi + 5 * width
+
+
+def test_cusum_location_invariants(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+        cusum_changepoint_location,
+    )
+
+    rows = cusum_changepoint_location(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days >= 1
+        if r.cusum_stat is not None:
+            assert r.cusum_stat >= 0
+        # the argmax day always has at least itself on the left
+        assert r.pre_mean is not None
+
+
+def test_ipw_effect_invariants(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+        ipw_treatment_effect,
+    )
+
+    r = ipw_treatment_effect(spark, sf_dir).first()
+    # both arms must be populated or the estimator is undefined —
+    # this pins the user-day grain choice (user grain had no controls)
+    assert 0 < r.n_treated < r.n
+    assert 0.01 <= r.p_min <= r.p_max <= 0.99
+    assert r.ipw_ate is not None and r.naive_diff is not None
+
+
+def test_cuped_preserves_pooled_mean(spark, sf_dir):
+    import pytest
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+        cuped_variance_reduction,
+    )
+
+    rows = cuped_variance_reduction(spark, sf_dir).collect()
+    assert len(rows) == 2
+    n = sum(r.n for r in rows)
+    raw = sum(r.n * r.raw_mean for r in rows) / n
+    adj = sum(r.n * r.cuped_mean for r in rows) / n
+    # theta-adjustment is mean-zero over the POOLED population
+    assert adj == pytest.approx(raw, rel=1e-3, abs=1e-2)
+
+
+def test_iv_wald_invariants(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+        iv_wald_estimate,
+    )
+
+    r = iv_wald_estimate(spark, sf_dir).first()
+    assert r.n > 0
+    assert r.ols_estimate is not None
+    # wald may be null exactly when the first stage is zero
+    if r.first_stage_diff != 0:
+        assert r.wald_iv_estimate is not None
