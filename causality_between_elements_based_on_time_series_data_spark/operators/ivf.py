@@ -25,10 +25,22 @@ from pyspark.sql import functions as F
 
 from ..functions.arrays import cosine_similarity
 
+# Average inverted-list target: the cluster count must GROW with the
+# corpus or every probe's list grows linearly with N and the index
+# degenerates to brute force (measured on the fixed-count RP tier in
+# SCALE_r7.md finding 1 — the same math applies to the KMeans tier).
+TARGET_BUCKET = 256
+
+
+def adaptive_n_clusters(n_rows: int, floor: int = 8) -> int:
+    """max(floor, ceil(n/TARGET_BUCKET)) — keeps the average inverted
+    list ~TARGET_BUCKET vectors at any corpus size."""
+    return max(floor, (n_rows + TARGET_BUCKET - 1) // TARGET_BUCKET)
+
 
 def ivf_assign(
     corpus: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -36,10 +48,16 @@ def ivf_assign(
     """One-time IVF build: KMeans over the corpus, every vector assigned
     to its nearest centroid.  Returns ``(assigned, centers)`` where
     ``assigned`` is (nid, nvec, cluster) and ``centers`` is the tiny
-    (cluster, center) table (k rows — always broadcastable)."""
+    (cluster, center) table (k rows — always broadcastable).
+
+    ``n_clusters=None`` (the default) derives the cluster count from
+    the corpus size via :func:`adaptive_n_clusters`; at fixture sizes
+    (<= 2048 vectors) that resolves to the historical k=8."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if n_clusters is None:
+        n_clusters = adaptive_n_clusters(corpus.count())
     c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")).withColumn(
         "features", array_to_vector(F.col("nvec").cast("array<double>"))
     )
@@ -86,7 +104,7 @@ def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 3,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -107,7 +125,7 @@ def ivf_bucketed_cosine_topk(
     queries: DataFrame,
     table: str,
     k: int = 3,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -126,6 +144,8 @@ def ivf_bucketed_cosine_topk(
     model → same answer; equivalence pytested); only the corpus layout
     and therefore the physical plan differ.
     """
+    if n_clusters is None:
+        n_clusters = adaptive_n_clusters(corpus.count())
     assigned, centers_df = ivf_assign(corpus, n_clusters, id_col, vec_col, seed)
     (
         assigned.write.mode("overwrite")

@@ -50,6 +50,17 @@ def get_spark(app_name: str = "causality-ts-spark", shuffle_partitions: int | No
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start shuffles WIDE and let AQE coalesce down: with the
+        # static partition count alone, a 100x volume jump makes
+        # per-partition shuffle blocks outgrow memory and spill
+        # (measured: q21 at x100 ran 2.5x faster at 256 partitions —
+        # SCALE_r7.md finding 4).  initialPartitionNum is the
+        # scale-portable knob — small queries still coalesce to few
+        # partitions, big ones keep enough to stay in memory.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * cpus),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

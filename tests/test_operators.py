@@ -1051,3 +1051,21 @@ def test_streaming_append_drops_late_data_past_watermark(spark, tmp_path):
         (us(5), 1, 1.0),
         (us(6), 1, 1.0),
     ], got
+
+
+def test_ivf_adaptive_cluster_count_bounds():
+    """The KMeans IVF tier derives its cluster count from the corpus
+    size (SCALE_r7 finding 1 applied to the production tier): average
+    inverted list stays ~TARGET_BUCKET, floor keeps fixture-size
+    behavior identical to the historical k=8."""
+    from causality_between_elements_based_on_time_series_data_spark.operators.ivf import (
+        TARGET_BUCKET,
+        adaptive_n_clusters,
+    )
+
+    assert adaptive_n_clusters(200) == 8
+    assert adaptive_n_clusters(2048) == 8
+    for n in [2049, 60000, 10**6, 10**8]:
+        k = adaptive_n_clusters(n)
+        assert n / k <= TARGET_BUCKET
+        assert k >= 8
