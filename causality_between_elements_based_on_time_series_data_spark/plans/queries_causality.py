@@ -6230,3 +6230,203 @@ def iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ols_estimate"),
         F.round(F.col("x1") - F.col("x0"), 4).alias("first_stage_diff"),
     )
+
+
+_AIPW_OLS_CTES = """,
+    ols AS (
+        SELECT y AS arm,
+               sum(1.0) AS s00, sum(f1) AS s01, sum(f2) AS s02,
+               sum(f1 * f1) AS s11, sum(f1 * f2) AS s12,
+               sum(f2 * f2) AS s22,
+               sum(o) AS t0, sum(f1 * o) AS t1, sum(f2 * o) AS t2
+        FROM feat GROUP BY y
+    ),
+    ols_det AS (
+        SELECT *, s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s12*s02)
+                  + s02*(s01*s12 - s11*s02) AS det
+        FROM ols
+    ),
+    ols_beta AS (
+        SELECT arm,
+               ((s11*s22 - s12*s12) * t0 + (s02*s12 - s01*s22) * t1
+                + (s01*s12 - s02*s11) * t2) / det AS a0,
+               ((s02*s12 - s01*s22) * t0 + (s00*s22 - s02*s02) * t1
+                + (s01*s02 - s00*s12) * t2) / det AS a1,
+               ((s01*s12 - s02*s11) * t0 + (s01*s02 - s00*s12) * t1
+                + (s00*s11 - s01*s01) * t2) / det AS a2
+        FROM ols_det
+    )"""
+
+
+@register(
+    "aipw_doubly_robust_effect",
+    oracle=_glm_ctes(_IPW_FEAT_SQL)
+    + _AIPW_OLS_CTES
+    + """,
+    scored AS (
+        SELECT f.y, f.o,
+               least(greatest(1/(1+exp(-(b.b0 + b.b1*f.f1 + b.b2*f.f2))),
+                              0.01), 0.99) AS p,
+               m1.a0 + m1.a1 * f.f1 + m1.a2 * f.f2 AS m1,
+               m0.a0 + m0.a1 * f.f1 + m0.a2 * f.f2 AS m0
+        FROM feat f
+        CROSS JOIN beta4 b
+        CROSS JOIN (SELECT * FROM ols_beta WHERE arm = 1) m1
+        CROSS JOIN (SELECT * FROM ols_beta WHERE arm = 0) m0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(avg(m1 - m0
+                     + y * (o - m1) / p
+                     - (1 - y) * (o - m0) / (1 - p)), 4) AS aipw_ate,
+           round(avg(m1 - m0), 4) AS outcome_model_ate,
+           round(sum(y * o / p) / sum(y / p)
+                 - sum((1 - y) * o / (1 - p)) / sum((1 - y) / (1 - p)), 4)
+               AS ipw_ate,
+           round(avg(CASE WHEN y = 1 THEN o END)
+                 - avg(CASE WHEN y = 0 THEN o END), 4) AS naive_diff
+    FROM scored
+    """,
+    doc="Doubly-robust (AIPW) treatment effect on the same user-day "
+    "design as ipw_treatment_effect: per-arm OLS outcome models "
+    "(closed-form 3x3 normal-equation solves — one grouped moment "
+    "pass fits BOTH arms) augment the IRLS propensity, and the "
+    "estimator m1 - m0 + y(o-m1)/p - (1-y)(o-m0)/(1-p) is consistent "
+    "if EITHER model is right.  Emits AIPW beside its three "
+    "ingredients (outcome-only, IPW, naive) so model disagreement is "
+    "visible in one row.  Fully hash-checked, including both "
+    "embedded fits.  Scale: the same GLM moment passes plus ONE "
+    "grouped 10-sum aggregate; three 1-row broadcasts.",
+    tags=("causality", "stats", "ml", "agg"),
+)
+def aipw_doubly_robust_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_llm import _irls_fit
+
+    ev = load_table(spark, sf_dir, "events")
+    feat = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.round(
+            F.log(
+                1
+                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ),
+            6,
+        ).alias("f1"),
+        F.round(
+            F.coalesce(
+                F.avg(F.when(F.col("event_type") == "view", F.col("value"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("f2"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("int")
+        .alias("y"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            F.lit(0.0),
+        ).alias("o"),
+    ).localCheckpoint(eager=False)
+    beta = _irls_fit(spark, feat)
+    f1, f2, o = F.col("f1"), F.col("f2"), F.col("o")
+    ols = feat.groupBy(F.col("y").alias("arm")).agg(
+        F.sum(F.lit(1.0)).alias("s00"),
+        F.sum(f1).alias("s01"),
+        F.sum(f2).alias("s02"),
+        F.sum(f1 * f1).alias("s11"),
+        F.sum(f1 * f2).alias("s12"),
+        F.sum(f2 * f2).alias("s22"),
+        F.sum(o).alias("t0"),
+        F.sum(f1 * o).alias("t1"),
+        F.sum(f2 * o).alias("t2"),
+    )
+    s00, s01, s02 = F.col("s00"), F.col("s01"), F.col("s02")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    t0, t1, t2 = F.col("t0"), F.col("t1"), F.col("t2")
+    det = (
+        s00 * (s11 * s22 - s12 * s12)
+        - s01 * (s01 * s22 - s12 * s02)
+        + s02 * (s01 * s12 - s11 * s02)
+    )
+    d = F.col("det")
+    ols_beta = ols.select("arm", det.alias("det"), *ols.columns[1:]).select(
+        "arm",
+        (
+            (
+                (s11 * s22 - s12 * s12) * t0
+                + (s02 * s12 - s01 * s22) * t1
+                + (s01 * s12 - s02 * s11) * t2
+            )
+            / d
+        ).alias("a0"),
+        (
+            (
+                (s02 * s12 - s01 * s22) * t0
+                + (s00 * s22 - s02 * s02) * t1
+                + (s01 * s02 - s00 * s12) * t2
+            )
+            / d
+        ).alias("a1"),
+        (
+            (
+                (s01 * s12 - s02 * s11) * t0
+                + (s01 * s02 - s00 * s12) * t1
+                + (s00 * s11 - s01 * s01) * t2
+            )
+            / d
+        ).alias("a2"),
+    )
+    m1b = ols_beta.filter(F.col("arm") == 1).select(
+        F.col("a0").alias("m1_a0"),
+        F.col("a1").alias("m1_a1"),
+        F.col("a2").alias("m1_a2"),
+    )
+    m0b = ols_beta.filter(F.col("arm") == 0).select(
+        F.col("a0").alias("m0_a0"),
+        F.col("a1").alias("m0_a1"),
+        F.col("a2").alias("m0_a2"),
+    )
+    p_raw = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.col("b0") + F.col("b1") * f1 + F.col("b2") * f2))
+    )
+    p = F.least(F.greatest(p_raw, F.lit(0.01)), F.lit(0.99))
+    scored = (
+        feat.crossJoin(F.broadcast(beta))
+        .crossJoin(F.broadcast(m1b))
+        .crossJoin(F.broadcast(m0b))
+        .select(
+            "y",
+            "o",
+            p.alias("p"),
+            (F.col("m1_a0") + F.col("m1_a1") * f1 + F.col("m1_a2") * f2).alias(
+                "m1"
+            ),
+            (F.col("m0_a0") + F.col("m0_a1") * f1 + F.col("m0_a2") * f2).alias(
+                "m0"
+            ),
+        )
+    )
+    y, oc, pc = F.col("y"), F.col("o"), F.col("p")
+    m1, m0 = F.col("m1"), F.col("m0")
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(
+            F.avg(
+                m1
+                - m0
+                + y * (oc - m1) / pc
+                - (1 - y) * (oc - m0) / (1 - pc)
+            ),
+            4,
+        ).alias("aipw_ate"),
+        F.round(F.avg(m1 - m0), 4).alias("outcome_model_ate"),
+        F.round(
+            F.sum(y * oc / pc) / F.sum(y / pc)
+            - F.sum((1 - y) * oc / (1 - pc)) / F.sum((1 - y) / (1 - pc)),
+            4,
+        ).alias("ipw_ate"),
+        F.round(
+            F.avg(F.when(y == 1, oc)) - F.avg(F.when(y == 0, oc)), 4
+        ).alias("naive_diff"),
+    )

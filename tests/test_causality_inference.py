@@ -233,3 +233,23 @@ def test_iv_wald_invariants(spark, sf_dir):
     # wald may be null exactly when the first stage is zero
     if r.first_stage_diff != 0:
         assert r.wald_iv_estimate is not None
+
+
+def test_aipw_consistent_with_ipw_query(spark, sf_dir):
+    """aipw_doubly_robust_effect recomputes the Hajek IPW estimate on
+    the same user-day design as ipw_treatment_effect — the two
+    queries' ipw numbers must agree exactly (same design, same
+    propensity primitive)."""
+    import pytest
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+        aipw_doubly_robust_effect,
+        ipw_treatment_effect,
+    )
+
+    a = aipw_doubly_robust_effect(spark, sf_dir).first()
+    i = ipw_treatment_effect(spark, sf_dir).first()
+    assert a.ipw_ate == pytest.approx(i.ipw_ate, abs=2e-4)
+    assert a.naive_diff == pytest.approx(i.naive_diff, abs=2e-4)
+    for v in (a.aipw_ate, a.outcome_model_ate):
+        assert v is not None
