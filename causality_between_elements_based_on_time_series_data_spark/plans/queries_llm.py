@@ -1037,20 +1037,34 @@ def mllib_logistic_head(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IRLS_ROUNDS = 4
 
 
-def _irls_oracle_ctes(feat_sql: str, rounds: int = _IRLS_ROUNDS) -> str:
+def _irls_oracle_ctes(
+    feat_sql: str, rounds: int = _IRLS_ROUNDS, family: str = "logistic"
+) -> str:
     """Generate the unrolled-IRLS CTE chain over any feature relation
     ``feat(f1, f2, y [, ...])`` — the reusable GLM-fitting primitive
-    (logistic_irls_portable is the direct consumer; ipw_treatment_effect
-    composes it into causal estimation).
+    (logistic_irls_portable / poisson_irls_portable are the direct
+    consumers; ipw_treatment_effect / aipw_doubly_robust_effect compose
+    it into causal estimation).
 
-    Built programmatically so the Spark side and the SQL side stay
+    ``family`` picks the link: "logistic" (Bernoulli, logit link) or
+    "poisson" (log link, eta clamped to ±30 for stability).  Built
+    programmatically so the Spark side and the SQL side stay
     mechanically in lockstep round-for-round; the INDEPENDENT check on
     the numbers (VERDICT r6 "shared-SQL-text" discipline) is the MLlib
-    LogisticRegression agreement pytest in tests/test_ml.py, which
-    optimizes the same likelihood with a different algorithm (LBFGS).
+    agreement pytest in tests/test_ml.py, which optimizes the same
+    likelihood with a different algorithm (LBFGS).
     """
-    sig = "1/(1+exp(-eta))"
-    w = f"greatest({sig} * (1 - {sig}), 1e-9)"
+    if family == "logistic":
+        sig = "1/(1+exp(-eta))"
+        w = f"greatest({sig} * (1 - {sig}), 1e-9)"
+        z = f"eta + (y - {sig}) / {w}"
+    elif family == "poisson":
+        etac = "least(greatest(eta, -30.0), 30.0)"
+        mu = f"exp({etac})"
+        w = f"greatest({mu}, 1e-9)"
+        z = f"{etac} + (y - {mu}) / {w}"
+    else:
+        raise ValueError(f"unknown GLM family {family!r}")
     ctes = [
         f"""
     WITH feat AS ({feat_sql}
@@ -1066,7 +1080,7 @@ def _irls_oracle_ctes(feat_sql: str, rounds: int = _IRLS_ROUNDS) -> str:
     ),
     resp{r} AS (
         SELECT y, f1, f2, {w} AS w,
-               eta + (y - {sig}) / {w} AS z
+               {z} AS z
         FROM stage{r}
     ),
     agg{r} AS (
@@ -1133,10 +1147,16 @@ def _irls_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _irls_fit(spark: SparkSession, feat: DataFrame, rounds: int = _IRLS_ROUNDS) -> DataFrame:
-    """Unrolled-IRLS logistic fit over ``feat(f1, f2, y, ...)`` —
-    returns the 1-row (b0, b1, b2) DataFrame.  The Spark half of the
-    reusable GLM primitive (_irls_oracle_ctes is the oracle half)."""
+def _irls_fit(
+    spark: SparkSession,
+    feat: DataFrame,
+    rounds: int = _IRLS_ROUNDS,
+    family: str = "logistic",
+) -> DataFrame:
+    """Unrolled-IRLS GLM fit over ``feat(f1, f2, y, ...)`` — returns
+    the 1-row (b0, b1, b2) DataFrame.  The Spark half of the reusable
+    GLM primitive (_irls_oracle_ctes is the oracle half); ``family``
+    mirrors its link choice expression-for-expression."""
     beta = spark.range(1).select(
         F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
     )
@@ -1145,14 +1165,23 @@ def _irls_fit(spark: SparkSession, feat: DataFrame, rounds: int = _IRLS_ROUNDS) 
         j = feat.crossJoin(F.broadcast(beta)).select(
             "y", "f1", "f2", eta.alias("eta")
         )
-        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta")))
-        w = F.greatest(sig * (1 - sig), F.lit(1e-9))
+        if family == "logistic":
+            sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta")))
+            w = F.greatest(sig * (1 - sig), F.lit(1e-9))
+            z = F.col("eta") + (F.col("y") - sig) / w
+        elif family == "poisson":
+            etac = F.least(F.greatest(F.col("eta"), F.lit(-30.0)), F.lit(30.0))
+            mu = F.exp(etac)
+            w = F.greatest(mu, F.lit(1e-9))
+            z = etac + (F.col("y") - mu) / w
+        else:
+            raise ValueError(f"unknown GLM family {family!r}")
         resp = j.select(
             "y",
             "f1",
             "f2",
             w.alias("w"),
-            (F.col("eta") + (F.col("y") - sig) / w).alias("z"),
+            z.alias("z"),
         )
         c = resp.agg(
             F.sum("w").alias("s00"),
@@ -1248,6 +1277,95 @@ def logistic_irls_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.avg(((p >= 0.5) == (F.col("y") == 1)).cast("double")), 4
         ).alias("train_accuracy"),
+    )
+
+
+_POISSON_FEAT_SQL = """
+        SELECT round(ln(1 + sum(CASE WHEN event_type = 'view'
+                                     THEN 1 ELSE 0 END)), 6) AS f1,
+               round(coalesce(avg(CASE WHEN event_type = 'view'
+                                       THEN value END), 0), 6) AS f2,
+               CAST(sum(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS y
+        FROM events GROUP BY user_id, date_trunc('day', ts)"""
+
+
+def _poisson_irls_oracle(rounds: int = _IRLS_ROUNDS) -> str:
+    mu = "exp(least(greatest(b0 + b1*f1 + b2*f2, -30.0), 30.0))"
+    return (
+        _irls_oracle_ctes(_POISSON_FEAT_SQL, rounds, family="poisson")
+        + f"""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(any_value(b0), 4) AS beta0,
+           round(any_value(b1), 4) AS beta1,
+           round(any_value(b2), 4) AS beta2,
+           round(2 * sum((CASE WHEN y > 0 THEN y * ln(y / {mu})
+                               ELSE 0 END) - (y - {mu})), 4) AS deviance,
+           round(avg({mu}), 4) AS mean_rate
+    FROM feat CROSS JOIN beta{rounds}"""
+    )
+
+
+@register(
+    "poisson_irls_portable",
+    oracle=_poisson_irls_oracle(),
+    doc="Portable Poisson regression (log link) via the SAME unrolled "
+    "IRLS primitive as logistic_irls_portable, second GLM family: "
+    "daily click counts modeled on same-day view activity at "
+    "user-day grain.  Newton weights w = mu = exp(eta) (eta clamped "
+    "to +-30 for stability, identically on both sides), working "
+    "response z = eta + (y - mu)/mu; emits coefficients, the Poisson "
+    "deviance, and the mean fitted rate.  Agreement with MLlib "
+    "GeneralizedLinearRegression (poisson/log, IRLS too but a "
+    "different codebase) pinned in tests/test_ml.py.  Scale: "
+    "identical to the logistic twin — per round one 9-sum moment "
+    "pass, 1-row beta broadcast.",
+    tags=("ml", "stats", "agg"),
+)
+def poisson_irls_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    feat = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.round(
+            F.log(
+                1
+                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ),
+            6,
+        ).alias("f1"),
+        F.round(
+            F.coalesce(
+                F.avg(F.when(F.col("event_type") == "view", F.col("value"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("f2"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("y"),
+    ).localCheckpoint(eager=False)
+    beta = _irls_fit(spark, feat, family="poisson")
+    eta = F.col("b0") + F.col("b1") * F.col("f1") + F.col("b2") * F.col("f2")
+    mu = F.exp(F.least(F.greatest(eta, F.lit(-30.0)), F.lit(30.0)))
+    scored = feat.crossJoin(F.broadcast(beta)).select(
+        "y", "b0", "b1", "b2", mu.alias("mu")
+    )
+    y, m = F.col("y"), F.col("mu")
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.any_value("b0"), 4).alias("beta0"),
+        F.round(F.any_value("b1"), 4).alias("beta1"),
+        F.round(F.any_value("b2"), 4).alias("beta2"),
+        F.round(
+            2
+            * F.sum(
+                F.when(y > 0, y * F.log(y / m)).otherwise(F.lit(0.0))
+                - (y - m)
+            ),
+            4,
+        ).alias("deviance"),
+        F.round(F.avg("mu"), 4).alias("mean_rate"),
     )
 
 

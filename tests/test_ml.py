@@ -308,3 +308,53 @@ def test_amtl_driver_rows_bounded_per_step(spark, sf_dir, monkeypatch):
     bound = T * cfg.grad_salt
     assert sizes, "expected collects during fit"
     assert max(sizes) <= bound, (sizes, bound)
+
+
+def test_poisson_irls_agrees_with_mllib_glr(spark, sf_dir):
+    """Second GLM family, same discipline as the logistic pair: the
+    portable unrolled-IRLS Poisson fit must agree with MLlib
+    GeneralizedLinearRegression (poisson/log) on the same design —
+    independent codebases optimizing the same likelihood."""
+    import pytest
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.regression import GeneralizedLinearRegression
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        poisson_irls_portable,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    irls = poisson_irls_portable(spark, sf_dir).first()
+
+    ev = load_table(spark, sf_dir, "events")
+    feat = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.round(
+            F.log(
+                1 + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ),
+            6,
+        ).alias("f1"),
+        F.round(
+            F.coalesce(
+                F.avg(F.when(F.col("event_type") == "view", F.col("value"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("f2"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("label"),
+    )
+    ds = feat.select("label", array_to_vector(F.array("f1", "f2")).alias("features"))
+    model = GeneralizedLinearRegression(
+        family="poisson", link="log", maxIter=100, regParam=0.0, tol=1e-10
+    ).fit(ds)
+
+    assert irls.beta0 == pytest.approx(model.intercept, rel=0.05, abs=5e-3)
+    assert irls.beta1 == pytest.approx(model.coefficients[0], rel=0.05, abs=5e-3)
+    assert irls.beta2 == pytest.approx(model.coefficients[1], rel=0.05, abs=5e-3)
