@@ -44,6 +44,19 @@ def main() -> None:
         )
 
     print("== learned causality (AMTL, held-out eval) ==")
+    print("== causal-effect estimators (r7) ==")
+    # treatment = clicked that user-day; outcome = that day's purchase
+    # value.  The four estimators disagree exactly where their
+    # assumptions disagree — reading them together is the analysis.
+    for name in (
+        "ipw_treatment_effect",
+        "aipw_doubly_robust_effect",
+        "cuped_variance_reduction",
+        "iv_wald_estimate",
+    ):
+        print(f"-- {name}")
+        REGISTRY[name].fn(spark, sf_dir).show(truncate=False)
+
     REGISTRY["amtl_causality_matrix"].fn(spark, sf_dir).orderBy(
         "src_task", "dst_task"
     ).show(10, truncate=False)
