@@ -6430,3 +6430,156 @@ def aipw_doubly_robust_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(y == 1, oc)) - F.avg(F.when(y == 0, oc)), 4
         ).alias("naive_diff"),
     )
+
+
+@register(
+    "msprt_always_valid_test",
+    oracle="""
+    WITH obs AS (
+        SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+               date_trunc('day', ts) AS day,
+               round(sum(value), 6) AS x
+        FROM events GROUP BY 1, user_id, 2
+    ),
+    cum AS (
+        SELECT arm, day,
+               CAST(count(*) AS DOUBLE) AS c,
+               sum(x) AS s,
+               sum(x * x) AS ss
+        FROM obs GROUP BY 1, 2
+    ),
+    run AS (
+        SELECT arm, day,
+               sum(c) OVER w AS cn,
+               sum(s) OVER w AS cs,
+               sum(ss) OVER w AS css
+        FROM cum
+        WINDOW w AS (PARTITION BY arm ORDER BY day)
+    ),
+    paired AS (
+        SELECT a.day,
+               a.cn AS na, a.cs / a.cn AS ma,
+               a.css - a.cs * a.cs / a.cn AS ssa,
+               b.cn AS nb, b.cs / b.cn AS mb,
+               b.css - b.cs * b.cs / b.cn AS ssb
+        FROM run a JOIN run b ON b.day = a.day AND a.arm = 1 AND b.arm = 0
+        WHERE a.cn >= 2 AND b.cn >= 2
+    ),
+    stat AS (
+        SELECT day, na, nb, ma - mb AS delta,
+               greatest((ssa + ssb) / (na + nb - 2), 1e-12)
+                   * (1 / na + 1 / nb) AS vn
+        FROM paired
+    ),
+    lam AS (
+        SELECT day, CAST(na + nb AS BIGINT) AS n_obs, delta, vn,
+               sqrt(vn / (vn + 1e4))
+                   * exp(least(delta * delta * 1e4
+                               / (2 * vn * (vn + 1e4)), 50.0)) AS lambda
+        FROM stat
+    )
+    SELECT day, n_obs,
+           round(delta, 4) AS mean_diff,
+           round(ln(lambda), 4) AS log_lambda,
+           round(least(1.0, 1.0 / max(lambda) OVER (ORDER BY day)), 4)
+               AS always_valid_p
+    FROM lam
+    ORDER BY day
+    """,
+    doc="Always-valid sequential A/B test (mixture SPRT, Johari et "
+    "al. 2017): per day, the cumulative per-arm user-day value means "
+    "feed the normal-mixture likelihood ratio "
+    "Lambda_n = sqrt(Vn/(Vn+tau2)) * exp(delta^2 tau2 / (2 Vn "
+    "(Vn+tau2))) with plug-in pooled variance, tau2 = 1e4 matched to "
+    "the outcome scale, and the always-valid p-value is the running "
+    "1/max(Lambda) — the p you may legally peek at every day, unlike "
+    "the fixed-horizon z-test (welch_ttest_purchase_vs_view) that "
+    "inflates false positives under continuous monitoring.  The "
+    "exp argument clamps at 50 identically on both engines.  Scale: "
+    "user-day reduce map-side, per-arm running sums on the daily "
+    "grid, one day-keyed self-join of two |days| tables — the "
+    "statistic stream is grid-sized at any event volume.",
+    tags=("causality", "stats", "window", "timeseries"),
+)
+def msprt_always_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    cum = obs.groupBy("arm", "day").agg(
+        F.count("*").cast("double").alias("c"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    w = Window.partitionBy("arm").orderBy("day")
+    run = cum.select(
+        "arm",
+        "day",
+        F.sum("c").over(w).alias("cn"),
+        F.sum("s").over(w).alias("cs"),
+        F.sum("ss").over(w).alias("css"),
+    )
+    a, b = run.alias("a"), run.alias("b")
+    paired = (
+        a.join(
+            b,
+            (F.col("b.day") == F.col("a.day"))
+            & (F.col("a.arm") == 1)
+            & (F.col("b.arm") == 0),
+        )
+        .filter((F.col("a.cn") >= 2) & (F.col("b.cn") >= 2))
+        .select(
+            F.col("a.day").alias("day"),
+            F.col("a.cn").alias("na"),
+            (F.col("a.cs") / F.col("a.cn")).alias("ma"),
+            (F.col("a.css") - F.col("a.cs") * F.col("a.cs") / F.col("a.cn")).alias(
+                "ssa"
+            ),
+            F.col("b.cn").alias("nb"),
+            (F.col("b.cs") / F.col("b.cn")).alias("mb"),
+            (F.col("b.css") - F.col("b.cs") * F.col("b.cs") / F.col("b.cn")).alias(
+                "ssb"
+            ),
+        )
+    )
+    na, nb = F.col("na"), F.col("nb")
+    stat = paired.select(
+        "day",
+        na,
+        nb,
+        (F.col("ma") - F.col("mb")).alias("delta"),
+        (
+            F.greatest(
+                (F.col("ssa") + F.col("ssb")) / (na + nb - 2), F.lit(1e-12)
+            )
+            * (1 / na + 1 / nb)
+        ).alias("vn"),
+    )
+    tau2 = F.lit(1e4)
+    vn, delta = F.col("vn"), F.col("delta")
+    lam = stat.select(
+        "day",
+        (na + nb).cast("bigint").alias("n_obs"),
+        delta,
+        vn,
+        (
+            F.sqrt(vn / (vn + tau2))
+            * F.exp(
+                F.least(
+                    delta * delta * tau2 / (2 * vn * (vn + tau2)), F.lit(50.0)
+                )
+            )
+        ).alias("lambda"),
+    )
+    w_run = Window.orderBy("day")
+    return lam.select(
+        "day",
+        "n_obs",
+        F.round("delta", 4).alias("mean_diff"),
+        F.round(F.log("lambda"), 4).alias("log_lambda"),
+        F.round(
+            F.least(F.lit(1.0), 1.0 / F.max("lambda").over(w_run)), 4
+        ).alias("always_valid_p"),
+    ).orderBy("day")

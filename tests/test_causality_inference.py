@@ -253,3 +253,23 @@ def test_aipw_consistent_with_ipw_query(spark, sf_dir):
     assert a.naive_diff == pytest.approx(i.naive_diff, abs=2e-4)
     for v in (a.aipw_ate, a.outcome_model_ate):
         assert v is not None
+
+
+def test_msprt_always_valid_p_is_monotone(spark, sf_dir):
+    """The defining property of an always-valid p-value process: it is
+    non-increasing in time (1/running-max), bounded in (0, 1]."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+        msprt_always_valid_test,
+    )
+
+    rows = sorted(
+        msprt_always_valid_test(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    assert rows
+    prev = 1.0
+    prev_n = 0
+    for r in rows:
+        assert 0 < r.always_valid_p <= 1
+        assert r.always_valid_p <= prev + 1e-9, r
+        assert r.n_obs >= prev_n  # cumulative sample sizes grow
+        prev, prev_n = r.always_valid_p, r.n_obs
