@@ -6583,3 +6583,63 @@ def msprt_always_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), 1.0 / F.max("lambda").over(w_run)), 4
         ).alias("always_valid_p"),
     ).orderBy("day")
+
+
+@register(
+    "poisson_overdispersion_check",
+    oracle="""
+    WITH y AS (
+        SELECT CAST(sum(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS y
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, avg(y) AS mu,
+               var_samp(y) AS v
+        FROM y
+    )
+    SELECT n, round(mu, 4) AS mean_count,
+           round(v, 4) AS var_count,
+           round(v / nullif(mu, 0), 4) AS dispersion_index,
+           round(sqrt(2 * (n - 1) * v / nullif(mu, 0))
+                 - sqrt(2 * (n - 1) - 1), 4) AS z_wilson_hilferty,
+           CAST(sqrt(2 * (n - 1) * v / nullif(mu, 0))
+                - sqrt(2 * (n - 1) - 1) > 1.645 AS INTEGER)
+               AS overdispersed
+    FROM m
+    """,
+    doc="Overdispersion check for the Poisson model "
+    "(poisson_irls_portable's assumption audit): the dispersion "
+    "index D = var/mean of the same user-day click counts, with the "
+    "classic chi-square dispersion statistic (n-1)D mapped to a "
+    "normal z via the sqrt(2*chi2) - sqrt(2*df - 1) approximation.  "
+    "D near 1 = Poisson plausible; D >> 1 (z > 1.645) means the "
+    "GLM's standard errors are too small and a quasi-/negative-"
+    "binomial family is indicated — the pre-flight every Poisson "
+    "regression deserves.  Scale: user-day reduce, ONE moment row.",
+    tags=("causality", "stats", "agg"),
+)
+def poisson_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    y = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("y")
+    )
+    m = y.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("y").alias("mu"),
+        F.var_samp("y").alias("v"),
+    )
+    n, mu, v = F.col("n"), F.col("mu"), F.col("v")
+    z = F.sqrt(2 * (n - 1) * v / F.nullif(mu, F.lit(0.0))) - F.sqrt(
+        2 * (n - 1) - F.lit(1.0)
+    )
+    return m.select(
+        "n",
+        F.round(mu, 4).alias("mean_count"),
+        F.round(v, 4).alias("var_count"),
+        F.round(v / F.nullif(mu, F.lit(0.0)), 4).alias("dispersion_index"),
+        F.round(z, 4).alias("z_wilson_hilferty"),
+        (z > 1.645).cast("int").alias("overdispersed"),
+    )

@@ -273,3 +273,18 @@ def test_msprt_always_valid_p_is_monotone(spark, sf_dir):
         assert r.always_valid_p <= prev + 1e-9, r
         assert r.n_obs >= prev_n  # cumulative sample sizes grow
         prev, prev_n = r.always_valid_p, r.n_obs
+
+
+def test_overdispersion_check_consistency(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+        poisson_overdispersion_check,
+    )
+
+    r = poisson_overdispersion_check(spark, sf_dir).first()
+    assert r.n > 1
+    assert r.mean_count >= 0 and r.var_count >= 0
+    assert r.overdispersed in (0, 1)
+    # the flag is the z threshold applied to unrounded z; check with
+    # rounding-aware tolerance (pc_skeleton discipline)
+    if abs(r.z_wilson_hilferty - 1.645) > 5e-5:
+        assert r.overdispersed == int(r.z_wilson_hilferty > 1.645)
