@@ -455,3 +455,32 @@ def test_amtl_iteration_plan_cached_scan_single_exchange(spark, sf_dir):
         assert "CartesianProduct" not in live
     finally:
         feats.unpersist()
+
+
+def test_r7_estimator_family_plan_shapes(spark, sf_dir):
+    """The round-7 estimator family: no CartesianProduct anywhere, and
+    the GLM-fit queries' only joins are 1-row broadcast folds (the
+    IRLS beta / theta / outcome-model rows) — a fact-side SortMergeJoin
+    appearing in these plans would mean a scalar stopped broadcasting."""
+    grid_ok_smj = {
+        # day-keyed joins between grid-sized window outputs may plan
+        # SMJ statically — harmless, the tables are |days| rows
+        "msprt_always_valid_test",
+        "cusum_changepoint_location",
+    }
+    for name in [
+        "logistic_irls_portable",
+        "poisson_irls_portable",
+        "ipw_treatment_effect",
+        "aipw_doubly_robust_effect",
+        "cuped_variance_reduction",
+        "iv_wald_estimate",
+        "poisson_overdispersion_check",
+        "msprt_always_valid_test",
+        "cusum_changepoint_location",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in grid_ok_smj:
+            assert "SortMergeJoin" not in plan, name
+            assert "ShuffledHashJoin" not in plan, name
