@@ -95,3 +95,126 @@ def test_conditional_granger_bounded_by_marginal(spark, sf_dir):
         assert r.robust_edge in (0, 1)
         assert r.robust_edge == int(r.min_f_stat > 6.63)
         assert r.n_conditions >= 1
+
+
+def test_aipw_outcome_models_match_numpy_lstsq(spark, sf_dir):
+    """The AIPW per-arm OLS outcome models use the same adjugate SQL
+    text on both engines (shared-text oracle) — this pins the math
+    against numpy.linalg.lstsq on the identical design, independently
+    of either engine's formula."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+        aipw_doubly_robust_effect,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    feat = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.round(
+                F.log(
+                    1
+                    + F.sum(
+                        F.when(F.col("event_type") == "view", 1).otherwise(0)
+                    )
+                ),
+                6,
+            ).alias("f1"),
+            F.round(
+                F.coalesce(
+                    F.avg(
+                        F.when(F.col("event_type") == "view", F.col("value"))
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("f2"),
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("int")
+            .alias("y"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                ),
+                F.lit(0.0),
+            ).alias("o"),
+        )
+        .collect()
+    )
+    X = np.array([[1.0, r.f1, r.f2] for r in feat])
+    o = np.array([r.o for r in feat])
+    y = np.array([r.y for r in feat])
+    b1, *_ = np.linalg.lstsq(X[y == 1], o[y == 1], rcond=None)
+    b0, *_ = np.linalg.lstsq(X[y == 0], o[y == 0], rcond=None)
+    np_outcome_ate = float(np.mean(X @ b1 - X @ b0))
+
+    q = aipw_doubly_robust_effect(spark, sf_dir).first()
+    assert q.outcome_model_ate == pytest.approx(np_outcome_ate, abs=5e-3)
+
+
+def test_msprt_lambda_matches_numpy_replay(spark, sf_dir):
+    """The mSPRT likelihood-ratio formula is shared SQL text between
+    engines — replay the whole statistic stream in pure numpy from
+    the raw user-day observations and pin the final day's log-Lambda
+    and the always-valid p."""
+    import math
+
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_causality import (
+        msprt_always_valid_test,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.groupBy(
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            "user_id",
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("x"))
+        .collect()
+    )
+    days = sorted({r.day for r in obs})
+    tau2 = 1e4
+    lambdas = {}
+    for d in days:
+        a = np.array([r.x for r in obs if r.arm == 1 and r.day <= d])
+        b = np.array([r.x for r in obs if r.arm == 0 and r.day <= d])
+        if len(a) < 2 or len(b) < 2:
+            continue
+        na, nb = len(a), len(b)
+        delta = a.mean() - b.mean()
+        ssa = ((a - a.mean()) ** 2).sum()
+        ssb = ((b - b.mean()) ** 2).sum()
+        vn = max((ssa + ssb) / (na + nb - 2), 1e-12) * (1 / na + 1 / nb)
+        lam = math.sqrt(vn / (vn + tau2)) * math.exp(
+            min(delta * delta * tau2 / (2 * vn * (vn + tau2)), 50.0)
+        )
+        lambdas[d] = lam
+    assert lambdas, "fixture too small for the mSPRT stream"
+    running = []
+    mx = 0.0
+    for d in sorted(lambdas):
+        mx = max(mx, lambdas[d])
+        running.append((d, lambdas[d], min(1.0, 1.0 / mx)))
+
+    rows = sorted(
+        msprt_always_valid_test(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    assert len(rows) == len(running)
+    last_q, (last_d, last_lam, last_p) = rows[-1], running[-1]
+    assert last_q.day == last_d
+    assert last_q.log_lambda == pytest.approx(math.log(last_lam), abs=1e-3)
+    assert last_q.always_valid_p == pytest.approx(last_p, abs=1e-3)
