@@ -358,3 +358,18 @@ def test_poisson_irls_agrees_with_mllib_glr(spark, sf_dir):
     assert irls.beta0 == pytest.approx(model.intercept, rel=0.05, abs=5e-3)
     assert irls.beta1 == pytest.approx(model.coefficients[0], rel=0.05, abs=5e-3)
     assert irls.beta2 == pytest.approx(model.coefficients[1], rel=0.05, abs=5e-3)
+
+
+def test_quantile_regression_tau_coverage(spark, sf_dir):
+    """The algorithm-independent check of the pinball optimum: at the
+    fitted 75th-percentile surface, ~tau of observations sit below it
+    (the defining subgradient condition of quantile regression) —
+    independent of the IRLS algorithm and of either engine."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        quantile_regression_pinball,
+    )
+
+    r = quantile_regression_pinball(spark, sf_dir).first()
+    assert r.n > 100
+    assert abs(r.frac_below - 0.75) < 0.05, r
+    assert r.mean_pinball_loss >= 0
