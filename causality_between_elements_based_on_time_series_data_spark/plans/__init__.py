@@ -10,6 +10,7 @@ and "local pytest" are the identical check.
 from . import (  # noqa: F401  (import for registration side effects)
     queries_causality,
     queries_dataops,
+    queries_experiments,
     queries_llm,
     queries_ml,
     queries_relational,

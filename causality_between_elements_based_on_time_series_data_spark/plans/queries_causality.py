@@ -5916,6 +5916,42 @@ from .queries_llm import _irls_oracle_ctes as _glm_ctes  # noqa: E402
 # every user eventually clicks, leaving no control group — measured,
 # not assumed); outcome rides along in feat so the GLM CTEs and the
 # effect stage share one reduce
+def _user_day_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family's shared causal design matrix: one row per user-day
+    with confounders f1/f2 (log view count, mean view value), treatment
+    y (clicked that day) and outcome o (purchase value) — the Spark
+    twin of ``_IPW_FEAT_SQL``, consumed by ipw/aipw here and by the
+    propensity-stratification/matching estimators in
+    ``queries_experiments.py``.  Lazily checkpointed: every consumer
+    reads it at least twice (GLM fit + effect pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.round(
+            F.log(
+                1
+                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            ),
+            6,
+        ).alias("f1"),
+        F.round(
+            F.coalesce(
+                F.avg(F.when(F.col("event_type") == "view", F.col("value"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("f2"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("int")
+        .alias("y"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            F.lit(0.0),
+        ).alias("o"),
+    ).localCheckpoint(eager=False)
+
+
 _IPW_FEAT_SQL = """
         SELECT user_id, date_trunc('day', ts) AS day,
                round(ln(1 + sum(CASE WHEN event_type = 'view'
@@ -5969,32 +6005,7 @@ _IPW_FEAT_SQL = """
 def ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_llm import _irls_fit
 
-    ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(
-        F.round(
-            F.log(
-                1
-                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
-            ),
-            6,
-        ).alias("f1"),
-        F.round(
-            F.coalesce(
-                F.avg(F.when(F.col("event_type") == "view", F.col("value"))),
-                F.lit(0.0),
-            ),
-            6,
-        ).alias("f2"),
-        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("int")
-        .alias("y"),
-        F.coalesce(
-            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
-            F.lit(0.0),
-        ).alias("o"),
-    ).localCheckpoint(eager=False)
+    per_user = _user_day_feat(spark, sf_dir)
     beta = _irls_fit(spark, per_user)
     p_raw = F.lit(1.0) / (
         F.lit(1.0)
@@ -6301,32 +6312,7 @@ _AIPW_OLS_CTES = """,
 def aipw_doubly_robust_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_llm import _irls_fit
 
-    ev = load_table(spark, sf_dir, "events")
-    feat = ev.groupBy(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(
-        F.round(
-            F.log(
-                1
-                + F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
-            ),
-            6,
-        ).alias("f1"),
-        F.round(
-            F.coalesce(
-                F.avg(F.when(F.col("event_type") == "view", F.col("value"))),
-                F.lit(0.0),
-            ),
-            6,
-        ).alias("f2"),
-        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("int")
-        .alias("y"),
-        F.coalesce(
-            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
-            F.lit(0.0),
-        ).alias("o"),
-    ).localCheckpoint(eager=False)
+    feat = _user_day_feat(spark, sf_dir)
     beta = _irls_fit(spark, feat)
     f1, f2, o = F.col("f1"), F.col("f2"), F.col("o")
     ols = feat.groupBy(F.col("y").alias("arm")).agg(

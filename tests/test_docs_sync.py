@@ -46,7 +46,8 @@ NON_QUERY_ALLOWLIST = {
     # test names cited in prose
     "test_streaming_merge_upsert_multibatch_out_of_order",
     # generated-appendix structural tokens (module headers, column val)
-    "oracle", "queries_causality", "queries_dataops", "queries_llm",
+    "oracle", "queries_causality", "queries_dataops",
+    "queries_experiments", "queries_llm",
     "queries_ml", "queries_relational", "queries_sources",
     "queries_timeseries", "queries_window",
 }

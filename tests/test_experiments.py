@@ -1,0 +1,208 @@
+"""Invariants + independent numpy cross-checks for the round-7
+experiment-design family (plans/queries_experiments.py).
+
+Value parity vs DuckDB is the driver contract's job; these tests pin
+the shared-SQL-text FORMULAS (Chow SSR/F, log-rank hypergeometric
+moments, the Newey-West kernel) against independent numpy
+implementations — the round-6 verdict's discipline for any oracle
+whose SQL both engines evaluate verbatim — plus definitional
+invariants that hold on any input.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from causality_between_elements_based_on_time_series_data_spark.plans.queries_experiments import (
+    chow_structural_break,
+    logrank_test_cohorts,
+    mantel_haenszel_stratified_or,
+    newey_west_ols_inference,
+    propensity_matching_att,
+    propensity_stratified_effect,
+    regression_discontinuity_effect,
+    srm_sample_ratio_check,
+)
+
+
+def test_srm_flag_consistent_and_fixture_balanced(spark, sf_dir):
+    r = srm_sample_ratio_check(spark, sf_dir).collect()[0]
+    assert r.n_arm0 + r.n_arm1 == r.n_users
+    assert 0.0 <= r.p_value <= 1.0
+    assert r.srm_flag == int(r.chi2 > 10.828)
+    # sequential user_ids split by parity: the fixture is balanced,
+    # so the trust gate must NOT fire
+    assert r.srm_flag == 0
+
+
+def test_mh_or_between_stratum_extremes(spark, sf_dir):
+    r = mantel_haenszel_stratified_or(spark, sf_dir).collect()[0]
+    assert r.n_strata == 7
+    assert r.mh_or > 0 and r.crude_or > 0
+    assert r.cmh_chi2 >= 0
+    assert 0.0 <= r.p_value <= 1.0
+
+
+def test_chow_ssr_identity_matches_numpy_polyfit():
+    """The moment-form SSR the query uses on both engines ==
+    sum-of-squared-residuals of an actual least-squares line fit."""
+    rng = np.random.RandomState(11)
+    for _ in range(20):
+        n = rng.randint(5, 60)
+        x = rng.uniform(-10, 10, n)
+        y = 2.5 * x + rng.normal(0, 3, n)
+        sx, sy = x.sum(), y.sum()
+        sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
+        sxx_c = sxx - sx * sx / n
+        syy_c = syy - sy * sy / n
+        sxy_c = sxy - sx * sy / n
+        ssr_moment = syy_c - sxy_c * sxy_c / sxx_c
+        coef = np.polyfit(x, y, 1)
+        ssr_fit = ((y - np.polyval(coef, x)) ** 2).sum()
+        assert ssr_moment == pytest.approx(ssr_fit, rel=1e-9, abs=1e-9)
+
+
+def test_f2m_closed_form_p_matches_monte_carlo():
+    """P(F(2, m) > f) = (1 + 2f/m)^(-m/2): the exact identity the
+    query relies on, checked against simulated F draws."""
+    rng = np.random.RandomState(3)
+    m = 40
+    draws = (rng.chisquare(2, 200_000) / 2) / (rng.chisquare(m, 200_000) / m)
+    for f in (0.5, 1.0, 2.0, 4.0):
+        closed = (1 + 2 * f / m) ** (-m / 2)
+        empirical = (draws > f).mean()
+        assert closed == pytest.approx(empirical, abs=5e-3)
+
+
+def test_chow_f_nonnegative_and_p_bounded(spark, sf_dir):
+    r = chow_structural_break(spark, sf_dir).collect()[0]
+    assert r.n_days > 8
+    assert r.f_stat >= 0  # SSR_pooled >= SSR_split by construction
+    assert 0.0 <= r.p_value <= 1.0
+
+
+def test_logrank_matches_numpy_replay(spark, sf_dir):
+    """Replay the full log-rank statistic in numpy from the per-user
+    lifetime table and pin O, E, V, chi2."""
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).alias("duration"),
+        (
+            F.expr("max_by(event_type, struct(ts, event_id))") == "error"
+        ).cast("int").alias("observed"),
+    ).collect()
+    dur = np.array([r.duration for r in pu])
+    obs = np.array([r.observed for r in pu])
+    g = np.array([r.user_id % 2 for r in pu])
+    o1 = e1 = v = 0.0
+    n_times = 0
+    for t in sorted(set(dur[obs == 1])):
+        at = dur >= t
+        n = at.sum()
+        n1 = (at & (g == 1)).sum()
+        d = ((dur == t) & (obs == 1)).sum()
+        d1 = ((dur == t) & (obs == 1) & (g == 1)).sum()
+        n_times += 1
+        o1 += d1
+        e1 += d * n1 / n
+        if n > 1:
+            v += d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1)
+    chi2 = (o1 - e1) ** 2 / v
+    r = logrank_test_cohorts(spark, sf_dir).collect()[0]
+    assert r.n_times == n_times
+    assert r.deaths_g1 == int(o1)
+    assert r.expected_g1 == pytest.approx(e1, abs=1e-3)
+    assert r.chi2 == pytest.approx(chi2, abs=1e-3)
+    assert 0.0 <= r.p_value <= 1.0
+
+
+def test_newey_west_matches_numpy_replay(spark, sf_dir):
+    """Independent numpy implementation of the Bartlett-kernel HAC
+    estimator over the same daily series."""
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("y")
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: r.day)
+    base = min(r.day for r in rows)
+    x = np.array([(r.day - base).days for r in rows], dtype=float)
+    # the query uses daynum since 2024-01-01; slope/se are shift-
+    # invariant in x, so the offset doesn't matter
+    y = np.array([r.y for r in rows])
+    n = len(x)
+    xbar = x.mean()
+    sxx = ((x - xbar) ** 2).sum()
+    b1 = ((x - xbar) * (y - y.mean())).sum() / sxx
+    b0 = y.mean() - b1 * xbar
+    u = y - b0 - b1 * x
+    vser = (x - xbar) * u
+    L = 7
+    s = (vser**2).sum()
+    for k in range(1, L + 1):
+        s += 2 * (1 - k / (L + 1)) * (vser[k:] * vser[:-k]).sum()
+    se_hac = math.sqrt(s) / sxx
+    se_ols = math.sqrt(((u**2).sum() / (n - 2)) / sxx)
+    r = newey_west_ols_inference(spark, sf_dir).collect()[0]
+    assert r.n_days == n
+    assert r.slope == pytest.approx(b1, abs=1e-3)
+    assert r.se_ols == pytest.approx(se_ols, rel=1e-3, abs=1e-3)
+    assert r.se_hac == pytest.approx(se_hac, rel=1e-3, abs=1e-3)
+    assert r.hac_ratio == pytest.approx(se_hac / se_ols, rel=1e-3)
+
+
+def test_rdd_effect_is_the_intercept_jump(spark, sf_dir):
+    r = regression_discontinuity_effect(spark, sf_dir).collect()[0]
+    assert r.n_left > 0 and r.n_right > 0
+    assert r.bandwidth > 0
+    assert r.rdd_effect == pytest.approx(
+        r.intercept_right - r.intercept_left, abs=2e-4
+    )
+
+
+def test_propensity_strata_are_balanced_and_ordered(spark, sf_dir):
+    rows = sorted(
+        propensity_stratified_effect(spark, sf_dir).collect(),
+        key=lambda r: r.stratum,
+    )
+    assert [r.stratum for r in rows] == [1, 2, 3, 4, 5]
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # ntile property
+    for a, b in zip(rows, rows[1:]):
+        assert a.p_lo <= a.p_hi <= b.p_hi  # strata ordered by p
+    ates = {r.stratified_ate for r in rows}
+    assert len(ates) == 1  # the overall column is a constant
+
+
+def test_matching_att_diagnostics(spark, sf_dir):
+    r = propensity_matching_att(spark, sf_dir).collect()[0]
+    assert 0 < r.n_matched <= r.n_treated
+    assert r.mean_p_gap >= 0
+    assert math.isfinite(r.att)
+    # with any control present, every treated row has a neighbor on
+    # at least one side of the sort
+    assert r.n_matched == r.n_treated
