@@ -33,7 +33,7 @@ B matrix; it has no experiment-design layer at all — this module is
 part of the mandated 100 TB [EXT] surface.  Every query here is fully
 DuckDB-oracled; shared-SQL-text formulas (Chow F, log-rank variance,
 Newey-West kernel) get independent numpy cross-checks in
-``tests/test_stats_invariants.py`` per the round-6 verdict's
+``tests/test_experiments.py`` per the round-6 verdict's
 discipline.
 """
 
@@ -260,7 +260,7 @@ def mantel_haenszel_stratified_or(
 # the _c are centered second moments.  Shared between the pooled and
 # per-segment fits so the Spark and SQL texts stay in lockstep; the
 # formula itself is pinned against numpy.polyfit residuals in
-# tests/test_stats_invariants.py (shared-text-oracle discipline).
+# tests/test_experiments.py (shared-text-oracle discipline).
 def _ssr_sql(n: str, sx: str, sy: str, sxx: str, syy: str, sxy: str) -> str:
     sxx_c = f"({sxx} - {sx} * {sx} / {n})"
     syy_c = f"({syy} - {sy} * {sy} / {n})"
@@ -340,7 +340,7 @@ _CHOW_SLOPE_SQL = (
     "cusum_changepoint_location points at and poisson_rate_change "
     "tests in counts; every SSR comes from one closed-form moment "
     "identity (pinned against numpy.polyfit residuals in "
-    "tests/test_stats_invariants.py).  Scale: facts reduce to the "
+    "tests/test_experiments.py).  Scale: facts reduce to the "
     "daily grid in one pass; segment moments are a 2-row table and "
     "the pooled moments are their SUMS — one grouped aggregate "
     "total, no second scan.",
@@ -363,8 +363,10 @@ def chow_structural_break(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         "y",
     )
+    # F.floor (not a bigint cast, which truncates toward zero) so the
+    # midpoint floors like DuckDB's `//` even if daynums were negative.
     mid = daily.agg(
-        ((F.min("x") + F.max("x")).cast("bigint") / 2)
+        F.floor((F.min("x") + F.max("x")) / F.lit(2.0))
         .cast("bigint")
         .alias("m")
     )
@@ -642,10 +644,14 @@ _NW_LAGS = 7  # Bartlett-kernel truncation: one weekly cycle of lags
     "v_t = (x_t - xbar)*u_t is rounded to 6dp so both engines' "
     "lag-window sums are bit-identical; the kernel formula is "
     "pinned against an independent numpy implementation in "
-    "tests/test_stats_invariants.py.  Scale: facts reduce to the "
-    "daily grid in one pass; the OLS fit is a 1-row moment "
-    "broadcast; all L lag products are ONE window pass over the "
-    "volume-independent grid.",
+    "tests/test_experiments.py.  Lag convention: lag(v, k) is a ROW "
+    "lag over the observed daily grid, so Bartlett weights apply to "
+    "calendar lags only when the grid is dense (no missing days); "
+    "tests/test_experiments.py asserts count(*) == max(x)-min(x)+1 "
+    "on the fixtures, so row-lags == calendar-lags here.  Scale: "
+    "facts reduce to the daily grid in one pass; the OLS fit is a "
+    "1-row moment broadcast; all L lag products are ONE window pass "
+    "over the volume-independent grid.",
     tags=("causality", "stats", "timeseries", "window", "experiments"),
 )
 def newey_west_ols_inference(spark: SparkSession, sf_dir: str) -> DataFrame:

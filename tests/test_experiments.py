@@ -167,6 +167,9 @@ def test_newey_west_matches_numpy_replay(spark, sf_dir):
         s += 2 * (1 - k / (L + 1)) * (vser[k:] * vser[:-k]).sum()
     se_hac = math.sqrt(s) / sxx
     se_ols = math.sqrt(((u**2).sum() / (n - 2)) / sxx)
+    # Grid-density guard: the query's lag(v, k) is a ROW lag, which
+    # equals a calendar lag only when every day is present.
+    assert n == int(x.max() - x.min()) + 1
     r = newey_west_ols_inference(spark, sf_dir).collect()[0]
     assert r.n_days == n
     assert r.slope == pytest.approx(b1, abs=1e-3)
