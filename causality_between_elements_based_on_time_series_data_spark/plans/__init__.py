@@ -13,6 +13,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     queries_experiments,
     queries_llm,
     queries_ml,
+    queries_panel,
     queries_relational,
     queries_sources,
     queries_timeseries,

@@ -1,0 +1,1308 @@
+"""Panel-data and counterfactual estimators (SURVEY.md §2.12 [EXT]
+causal-inference surface, round-8 batch).
+
+The round-7 families covered single-cross-section estimators (IPW /
+AIPW / matching / stratification on one design matrix) and design
+validity (SRM / Chow / log-rank / Newey-West).  This module adds the
+PANEL and COUNTERFACTUAL-SERIES layer — the estimators that exploit
+the time dimension itself, which is the reference's whole subject
+(`run.py:39-73` trains on time-series tensors; `model.py:178-181`
+learns a causality matrix B between series):
+
+- ``two_way_fixed_effects_did`` — the workhorse panel regression:
+  user and day fixed effects absorbed by double-demeaning on a dense
+  balanced user x day grid.
+- ``placebo_permutation_did`` — inference by design: the actual DiD
+  against 16 deterministic placebo treatment assignments; the
+  empirical p-value is the rank of the real estimate.
+- ``cox_ph_one_step`` — proportional-hazards regression (one Newton
+  step from beta=0, Breslow ties) for time-to-first-purchase; the
+  score z here IS the log-rank z, tying the survival family together.
+- ``synthetic_control_gap`` — regression-on-donors counterfactual
+  (the CausalImpact/SC idea in closed form): fit the treated cohort's
+  pre-period series on two donor-cohort series, report the post-period
+  gap beside the pre-period fit quality.
+- ``mediation_product_effect`` — Baron-Kenny product-of-coefficients
+  decomposition (views -> clicks -> purchase value) from closed-form
+  OLS moments.
+- ``local_projection_irf`` — Jorda local-projection impulse response:
+  the dynamic-effect curve beta_h of purchases on clicks at horizons
+  h=0..5, one lead-window pass.
+- ``var1_stability_check`` — bivariate VAR(1) companion-matrix fit
+  with its spectral radius: the stationarity gate every multivariate
+  lag-regression (conditional_granger_screen, ar2_yule_walker)
+  silently assumes.
+- ``evalue_sensitivity_bound`` — VanderWeele's E-value: how strong
+  would an unmeasured confounder need to be to explain the observed
+  click->purchase risk ratio away?
+- ``page_hinkley_drift`` — sequential drift detection on the daily
+  mean-value series (the online complement to cusum_changepoint).
+- ``quantile_treatment_effect`` — distributional effects at the
+  quartiles via rank-based (discrete) quantiles, robust to the mean
+  chasing the tail.
+
+Everything is moment-closed-form: facts reduce to a small grid (users,
+days, or user-days), estimation is tiny-table algebra, so every query
+carries a full DuckDB oracle and scales flat in event volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+_DAYNUM_SQL = (
+    "date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))"
+)
+
+
+def _daynum(col: str = "ts"):
+    return F.datediff(
+        F.date_trunc("day", col).cast("date"), F.lit("2024-01-01")
+    )
+
+
+# ---------------------------------------------------------------------------
+# two_way_fixed_effects_did
+# ---------------------------------------------------------------------------
+
+_TWFE_GRID_SQL = f"""
+    WITH cells AS (
+        SELECT user_id, {_DAYNUM_SQL} AS day,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS y,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                       THEN value END), 0), 6) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    days AS (SELECT DISTINCT {_DAYNUM_SQL} AS day FROM events),
+    grid AS (
+        SELECT u.user_id, d.day,
+               CAST(coalesce(c.y, 0) AS DOUBLE) AS y,
+               coalesce(c.o, 0.0) AS o
+        FROM users u CROSS JOIN days d
+        LEFT JOIN cells c ON c.user_id = u.user_id AND c.day = d.day
+    )
+"""
+
+
+@register(
+    "two_way_fixed_effects_did",
+    oracle=_TWFE_GRID_SQL
+    + """,
+    ubar AS (
+        SELECT user_id, avg(y) AS yu, avg(o) AS ou FROM grid GROUP BY 1
+    ),
+    dbar AS (
+        SELECT day, avg(y) AS yd, avg(o) AS od FROM grid GROUP BY 1
+    ),
+    gbar AS (SELECT avg(y) AS yg, avg(o) AS og FROM grid),
+    within AS (
+        SELECT g.y - u.yu - d.yd + b.yg AS yt,
+               g.o - u.ou - d.od + b.og AS ot,
+               g.y, g.o
+        FROM grid g
+        JOIN ubar u ON u.user_id = g.user_id
+        JOIN dbar d ON d.day = g.day
+        CROSS JOIN gbar b
+    )
+    SELECT CAST((SELECT count(*) FROM ubar) AS BIGINT) AS n_users,
+           CAST((SELECT count(*) FROM dbar) AS BIGINT) AS n_days,
+           round(sum(yt * ot) / nullif(sum(yt * yt), 0), 4) AS twfe_effect,
+           round((sum(y * o) - sum(y) * sum(o) / count(*))
+                 / nullif(sum(y * y) - sum(y) * sum(y) / count(*), 0),
+                 4) AS pooled_effect
+    FROM within
+    """,
+    doc="Two-way fixed-effects regression of daily purchase value on "
+    "the daily click indicator: user and day effects are absorbed by "
+    "double-demeaning (y - ybar_user - ybar_day + ybar), which is the "
+    "EXACT within estimator because the grid is made balanced by "
+    "construction (distinct users x distinct days, absent cells = "
+    "0/0.0 — a user-day with no events is a true zero-activity "
+    "observation, not missing data).  Reported beside the pooled OLS "
+    "slope: the gap between them is what user heterogeneity plus "
+    "calendar shocks were doing to the naive estimate.  Scale: one "
+    "grain reduce over events, then a users x days grid (1.5k x 30 at "
+    "sf0.1) built from two broadcast-sized dimensions; the three "
+    "mean tables are grouped aggregates of the grid and join back "
+    "broadcast — no shuffle wider than the grid itself, flat in "
+    "event volume.",
+    tags=("causality", "stats", "panel", "agg", "join"),
+)
+def two_way_fixed_effects_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy("user_id", _daynum().alias("day")).agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("y_raw"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("o_raw"),
+    )
+    users = ev.select("user_id").distinct()
+    days = ev.select(_daynum().alias("day")).distinct()
+    grid = (
+        users.crossJoin(F.broadcast(days))
+        .join(cells, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("y_raw"), F.lit(0)).cast("double").alias("y"),
+            F.coalesce(F.col("o_raw"), F.lit(0.0)).alias("o"),
+        )
+    )
+    ubar = grid.groupBy("user_id").agg(
+        F.avg("y").alias("yu"), F.avg("o").alias("ou")
+    )
+    dbar = grid.groupBy("day").agg(
+        F.avg("y").alias("yd"), F.avg("o").alias("od")
+    )
+    gbar = grid.agg(F.avg("y").alias("yg"), F.avg("o").alias("og"))
+    within = (
+        grid.join(F.broadcast(ubar), "user_id")
+        .join(F.broadcast(dbar), "day")
+        .crossJoin(F.broadcast(gbar))
+        .select(
+            (F.col("y") - F.col("yu") - F.col("yd") + F.col("yg")).alias(
+                "yt"
+            ),
+            (F.col("o") - F.col("ou") - F.col("od") + F.col("og")).alias(
+                "ot"
+            ),
+            "y",
+            "o",
+        )
+    )
+    n_users = users.count()
+    n_days = days.count()
+    y, o, yt, ot = F.col("y"), F.col("o"), F.col("yt"), F.col("ot")
+    cnt = F.count(F.lit(1))
+    return within.agg(
+        F.lit(n_users).cast("bigint").alias("n_users"),
+        F.lit(n_days).cast("bigint").alias("n_days"),
+        F.round(
+            F.sum(yt * ot) / F.nullif(F.sum(yt * yt), F.lit(0.0)), 4
+        ).alias("twfe_effect"),
+        F.round(
+            (F.sum(y * o) - F.sum(y) * F.sum(o) / cnt)
+            / F.nullif(
+                F.sum(y * y) - F.sum(y) * F.sum(y) / cnt, F.lit(0.0)
+            ),
+            4,
+        ).alias("pooled_effect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# placebo_permutation_did
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "placebo_permutation_did",
+    oracle=f"""
+    WITH per_user_period AS (
+        SELECT user_id,
+               CAST({_DAYNUM_SQL} >= 15 AS INTEGER) AS post,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                       THEN value END), 0), 6) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    ks AS (SELECT unnest(generate_series(0, 16)) AS k),
+    assigned AS (
+        SELECT k.k, p.post, p.o,
+               CASE WHEN k.k = 0 THEN CAST(p.user_id % 2 AS INTEGER)
+                    ELSE CAST(((p.user_id * (2 * k.k + 1)) % 101) % 2
+                              AS INTEGER)
+               END AS arm
+        FROM per_user_period p CROSS JOIN ks k
+    ),
+    cell AS (
+        SELECT k, arm, post, avg(o) AS m
+        FROM assigned GROUP BY 1, 2, 3
+    ),
+    did AS (
+        SELECT k,
+               round(sum(CASE WHEN arm = 1 AND post = 1 THEN m END)
+                     - sum(CASE WHEN arm = 1 AND post = 0 THEN m END)
+                     - sum(CASE WHEN arm = 0 AND post = 1 THEN m END)
+                     + sum(CASE WHEN arm = 0 AND post = 0 THEN m END),
+                     6) AS d
+        FROM cell GROUP BY 1
+    ),
+    act AS (SELECT d AS actual FROM did WHERE k = 0)
+    SELECT round(max(a.actual), 4) AS actual_did,
+           CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_placebos,
+           round(avg(CASE WHEN k > 0 THEN d END), 4) AS placebo_mean,
+           round(max(CASE WHEN k > 0 THEN abs(d) END), 4)
+               AS placebo_max_abs,
+           round((1.0 + sum(CASE WHEN k > 0 AND abs(d) >= abs(a.actual)
+                                 THEN 1 ELSE 0 END))
+                 / (1.0 + sum(CASE WHEN k > 0 THEN 1 ELSE 0 END)),
+                 4) AS empirical_p
+    FROM did CROSS JOIN act a
+    """,
+    doc="Placebo-permutation inference for the difference-in-"
+    "differences design: the actual DiD (arm = user_id parity, post = "
+    "day >= 15) is ranked against 16 DETERMINISTIC placebo "
+    "assignments (arm_k = ((user_id*(2k+1)) mod 101) mod 2 — "
+    "engine-portable arithmetic, no engine RNG), and the empirical "
+    "p-value is (1 + #{|placebo| >= |actual|}) / (K+1), the "
+    "standard permutation-test form.  On null fixture data the "
+    "actual estimate should sit well inside the placebo "
+    "distribution.  Scale: events reduce to the user x period grain "
+    "FIRST (2 rows per user), THEN the 17-way assignment fan-out "
+    "happens on that tiny table — the explode never touches raw "
+    "event volume, and each placebo is two grouped means.",
+    tags=("causality", "stats", "experiments", "agg", "bench"),
+)
+def placebo_permutation_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pup = ev.groupBy(
+        "user_id", (_daynum() >= 15).cast("int").alias("post")
+    ).agg(
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("o")
+    )
+    assigned = pup.select(
+        "post",
+        "o",
+        F.explode(F.sequence(F.lit(0), F.lit(16))).alias("k"),
+        "user_id",
+    ).select(
+        "k",
+        "post",
+        "o",
+        F.when(F.col("k") == 0, (F.col("user_id") % 2).cast("int"))
+        .otherwise(
+            ((F.col("user_id") * (2 * F.col("k") + 1)) % 101 % 2).cast(
+                "int"
+            )
+        )
+        .alias("arm"),
+    )
+    cell = assigned.groupBy("k", "arm", "post").agg(F.avg("o").alias("m"))
+    m = F.col("m")
+    did = cell.groupBy("k").agg(
+        F.round(
+            F.sum(F.when((F.col("arm") == 1) & (F.col("post") == 1), m))
+            - F.sum(F.when((F.col("arm") == 1) & (F.col("post") == 0), m))
+            - F.sum(F.when((F.col("arm") == 0) & (F.col("post") == 1), m))
+            + F.sum(F.when((F.col("arm") == 0) & (F.col("post") == 0), m)),
+            6,
+        ).alias("d")
+    )
+    d, k = F.col("d"), F.col("k")
+    actual = F.max(F.when(k == 0, d))
+    wall = Window.partitionBy()
+    scored = did.select(
+        "k", "d", actual.over(wall).alias("actual")
+    )
+    return scored.agg(
+        F.round(F.max(F.when(k == 0, d)), 4).alias("actual_did"),
+        F.sum(F.when(k > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_placebos"),
+        F.round(F.avg(F.when(k > 0, d)), 4).alias("placebo_mean"),
+        F.round(F.max(F.when(k > 0, F.abs(d))), 4).alias(
+            "placebo_max_abs"
+        ),
+        F.round(
+            (
+                F.lit(1.0)
+                + F.sum(
+                    F.when(
+                        (k > 0) & (F.abs(d) >= F.abs(F.col("actual"))), 1
+                    ).otherwise(0)
+                )
+            )
+            / (F.lit(1.0) + F.sum(F.when(k > 0, 1).otherwise(0))),
+            4,
+        ).alias("empirical_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cox_ph_one_step
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cox_ph_one_step",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS DOUBLE) AS x,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN {_DAYNUM_SQL} END) AS tp
+        FROM events GROUP BY 1
+    ),
+    horizon AS (SELECT max({_DAYNUM_SQL}) AS c FROM events),
+    subj AS (
+        SELECT coalesce(p.tp, h.c) AS t,
+               CAST(p.tp IS NOT NULL AS INTEGER) AS ev,
+               p.x
+        FROM per_user p CROSS JOIN horizon h
+    ),
+    at_t AS (
+        SELECT t, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+               CAST(sum(ev) AS DOUBLE) AS d, sum(x * ev) AS dx
+        FROM subj GROUP BY 1
+    ),
+    risk AS (
+        SELECT t, d, dx,
+               sum(n) OVER (ORDER BY t DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS s0,
+               sum(sx) OVER (ORDER BY t DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS s1
+        FROM at_t
+    ),
+    score AS (
+        SELECT sum(dx - d * s1 / s0) AS u,
+               sum(d * (s1 / s0) * (1 - s1 / s0)) AS i,
+               CAST(sum(d) AS BIGINT) AS n_events
+        FROM risk WHERE d > 0
+    )
+    SELECT CAST((SELECT count(*) FROM subj) AS BIGINT) AS n_subjects,
+           n_events,
+           round(u / i, 4) AS beta,
+           round(exp(u / i), 4) AS hazard_ratio,
+           round(1 / sqrt(i), 4) AS se,
+           round(u / sqrt(i), 4) AS score_z
+    FROM score
+    """,
+    doc="Cox proportional-hazards regression for time-to-first-"
+    "purchase on the experiment arm (user_id parity), as ONE Newton "
+    "step from beta=0 with Breslow tie handling: beta = U/I where "
+    "U = sum over event times of (observed arm events - risk-set "
+    "expectation) and I is the risk-set binomial variance — for a "
+    "binary covariate the score statistic U/sqrt(I) IS the log-rank "
+    "z, so this extends kaplan_meier_survival/logrank_test_cohorts "
+    "to a regression coefficient with a hazard ratio and SE.  "
+    "Censoring: users who never purchase are censored at the last "
+    "observed day.  Risk-set sums S0/S1 come from ONE descending "
+    "cumulative window over the distinct-time grid (at-or-after = "
+    "cumulative-from-the-top), never a per-subject rescan.  Scale: "
+    "events reduce to one row per user, the risk grid is bounded by "
+    "distinct days (~31 rows), and the window runs on that grid — "
+    "flat in event volume.",
+    tags=("causality", "stats", "survival", "window", "agg"),
+)
+def cox_ph_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", _daynum())
+        ).alias("tp")
+    )
+    horizon = ev.agg(F.max(_daynum()).alias("c"))
+    subj = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.coalesce(F.col("tp"), F.col("c")).alias("t"),
+        F.col("tp").isNotNull().cast("int").alias("ev"),
+        (F.col("user_id") % 2).cast("double").alias("x"),
+    )
+    at_t = subj.groupBy("t").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("ev").cast("double").alias("d"),
+        F.sum(F.col("x") * F.col("ev")).alias("dx"),
+    )
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = at_t.select(
+        "t",
+        "d",
+        "dx",
+        F.sum("n").over(wdesc).alias("s0"),
+        F.sum("sx").over(wdesc).alias("s1"),
+    ).where(F.col("d") > 0)
+    ratio = F.col("s1") / F.col("s0")
+    score = risk.agg(
+        F.sum(F.col("dx") - F.col("d") * ratio).alias("u"),
+        F.sum(F.col("d") * ratio * (1 - ratio)).alias("i"),
+        F.sum("d").cast("bigint").alias("n_events"),
+    )
+    n_subjects = subj.count()
+    u, i = F.col("u"), F.col("i")
+    return score.select(
+        F.lit(n_subjects).cast("bigint").alias("n_subjects"),
+        "n_events",
+        F.round(u / i, 4).alias("beta"),
+        F.round(F.exp(u / i), 4).alias("hazard_ratio"),
+        F.round(F.lit(1.0) / F.sqrt(i), 4).alias("se"),
+        F.round(u / F.sqrt(i), 4).alias("score_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# synthetic_control_gap
+# ---------------------------------------------------------------------------
+
+_SC_SERIES_SQL = f"""
+    WITH daily AS (
+        SELECT {_DAYNUM_SQL} AS day,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                        AND user_id % 3 = 0
+                                       THEN value END), 0), 6) AS yt,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                        AND user_id % 3 = 1
+                                       THEN value END), 0), 6) AS x1,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                        AND user_id % 3 = 2
+                                       THEN value END), 0), 6) AS x2
+        FROM events GROUP BY 1
+    )
+"""
+
+
+@register(
+    "synthetic_control_gap",
+    oracle=_SC_SERIES_SQL
+    + """,
+    mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS s00,
+               sum(x1) AS s01, sum(x2) AS s02,
+               sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+               sum(x2 * x2) AS s22,
+               sum(yt) AS t0, sum(x1 * yt) AS t1, sum(x2 * yt) AS t2
+        FROM daily WHERE day < 20
+    ),
+    beta AS (
+        SELECT round(((s11*s22 - s12*s12)*t0 + (s02*s12 - s01*s22)*t1
+                      + (s01*s12 - s02*s11)*t2)
+                     / (s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s12*s02)
+                        + s02*(s01*s12 - s11*s02)), 8) AS b0,
+               round(((s02*s12 - s01*s22)*t0 + (s00*s22 - s02*s02)*t1
+                      + (s01*s02 - s00*s12)*t2)
+                     / (s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s12*s02)
+                        + s02*(s01*s12 - s11*s02)), 8) AS b1,
+               round(((s01*s12 - s02*s11)*t0 + (s01*s02 - s00*s12)*t1
+                      + (s00*s11 - s01*s01)*t2)
+                     / (s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s12*s02)
+                        + s02*(s01*s12 - s11*s02)), 8) AS b2
+        FROM mom
+    ),
+    gaps AS (
+        SELECT d.day < 20 AS pre,
+               d.yt - (b.b0 + b.b1 * d.x1 + b.b2 * d.x2) AS gap
+        FROM daily d CROSS JOIN beta b
+    )
+    SELECT CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+           CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS BIGINT) AS n_post,
+           round(max(b.b1), 4) AS w_donor1,
+           round(max(b.b2), 4) AS w_donor2,
+           round(sqrt(avg(CASE WHEN pre THEN gap * gap END)), 4)
+               AS pre_rmse,
+           round(avg(CASE WHEN NOT pre THEN gap END), 4) AS post_att_gap
+    FROM gaps CROSS JOIN beta b
+    """,
+    doc="Synthetic-control-style counterfactual (the regression form "
+    "popularized by CausalImpact): the 'treated' cohort's daily "
+    "purchase series (users with id%3=0) is fit on two donor-cohort "
+    "series over the pre-period (day < 20) by closed-form 3-variable "
+    "OLS (one Cramer 3x3 solve on a single moment row — the same "
+    "linear-algebra device as the IRLS GLM primitive), and the "
+    "post-period mean gap between the actual and the predicted "
+    "counterfactual is the effect estimate.  The fixture has no "
+    "intervention at day 20, so the gap is a null-calibration check "
+    "reported beside the pre-period RMSE (the fit-quality gate a "
+    "real SC analysis thresholds on).  Scale: events reduce to a "
+    "~30-row daily grid; everything downstream is 1-row algebra.",
+    tags=("causality", "stats", "timeseries", "agg"),
+)
+def synthetic_control_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def cohort(r: int):
+        return F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.col("user_id") % 3 == r),
+                        F.col("value"),
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        )
+
+    daily = ev.groupBy(_daynum().alias("day")).agg(
+        cohort(0).alias("yt"), cohort(1).alias("x1"), cohort(2).alias("x2")
+    )
+    x1, x2, yt = F.col("x1"), F.col("x2"), F.col("yt")
+    mom = daily.where(F.col("day") < 20).agg(
+        F.count(F.lit(1)).cast("double").alias("s00"),
+        F.sum(x1).alias("s01"),
+        F.sum(x2).alias("s02"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(yt).alias("t0"),
+        F.sum(x1 * yt).alias("t1"),
+        F.sum(x2 * yt).alias("t2"),
+    )
+    s00, s01, s02 = F.col("s00"), F.col("s01"), F.col("s02")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    t0, t1, t2 = F.col("t0"), F.col("t1"), F.col("t2")
+    det = (
+        s00 * (s11 * s22 - s12 * s12)
+        - s01 * (s01 * s22 - s12 * s02)
+        + s02 * (s01 * s12 - s11 * s02)
+    )
+    beta = mom.select(
+        F.round(
+            (
+                (s11 * s22 - s12 * s12) * t0
+                + (s02 * s12 - s01 * s22) * t1
+                + (s01 * s12 - s02 * s11) * t2
+            )
+            / det,
+            8,
+        ).alias("b0"),
+        F.round(
+            (
+                (s02 * s12 - s01 * s22) * t0
+                + (s00 * s22 - s02 * s02) * t1
+                + (s01 * s02 - s00 * s12) * t2
+            )
+            / det,
+            8,
+        ).alias("b1"),
+        F.round(
+            (
+                (s01 * s12 - s02 * s11) * t0
+                + (s01 * s02 - s00 * s12) * t1
+                + (s00 * s11 - s01 * s01) * t2
+            )
+            / det,
+            8,
+        ).alias("b2"),
+    )
+    gaps = daily.crossJoin(F.broadcast(beta)).select(
+        (F.col("day") < 20).alias("pre"),
+        (
+            yt - (F.col("b0") + F.col("b1") * x1 + F.col("b2") * x2)
+        ).alias("gap"),
+        "b1",
+        "b2",
+    )
+    pre, gap = F.col("pre"), F.col("gap")
+    return gaps.agg(
+        F.sum(F.when(pre, 1).otherwise(0)).cast("bigint").alias("n_pre"),
+        F.sum(F.when(pre, 0).otherwise(1)).cast("bigint").alias("n_post"),
+        F.round(F.max("b1"), 4).alias("w_donor1"),
+        F.round(F.max("b2"), 4).alias("w_donor2"),
+        F.round(
+            F.sqrt(F.avg(F.when(pre, gap * gap))), 4
+        ).alias("pre_rmse"),
+        F.round(F.avg(F.when(~pre, gap)), 4).alias("post_att_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mediation_product_effect
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mediation_product_effect",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS x,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS m,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                       THEN value END), 0), 6) AS o
+        FROM events GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(x * m) - sum(x) * sum(m) / count(*) AS sxm,
+               sum(x * x) - sum(x) * sum(x) / count(*) AS sxx,
+               sum(m * m) - sum(m) * sum(m) / count(*) AS smm,
+               sum(m * o) - sum(m) * sum(o) / count(*) AS smo,
+               sum(x * o) - sum(x) * sum(o) / count(*) AS sxo
+        FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(sxm / sxx, 4) AS a_path,
+           round((smo * sxx - sxo * sxm) / (smm * sxx - sxm * sxm), 4)
+               AS b_path,
+           round((sxo * smm - smo * sxm) / (smm * sxx - sxm * sxm), 4)
+               AS direct_effect,
+           round((sxm / sxx)
+                 * ((smo * sxx - sxo * sxm) / (smm * sxx - sxm * sxm)),
+                 4) AS indirect_effect,
+           round(sxo / sxx, 4) AS total_effect,
+           round((sxm / sxx)
+                 * ((smo * sxx - sxo * sxm) / (smm * sxx - sxm * sxm))
+                 / nullif(sxo / sxx, 0), 4) AS prop_mediated
+    FROM mom
+    """,
+    doc="Baron-Kenny mediation decomposition on the user funnel "
+    "(views -> clicks -> purchase value): the a-path (clicks on "
+    "views), the b-path and direct effect from the two-regressor "
+    "OLS of purchase value on clicks AND views (closed-form from "
+    "centered moments), the product-of-coefficients indirect effect "
+    "a*b, and the proportion mediated against the total (reduced-"
+    "form) slope.  For linear models total = direct + indirect "
+    "exactly — tests pin that identity.  Scale: one user-grain "
+    "reduce, then 1-row moment algebra.",
+    tags=("causality", "stats", "agg"),
+)
+def mediation_product_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("m"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("o"),
+    )
+    x, m, o = F.col("x"), F.col("m"), F.col("o")
+    n = F.count(F.lit(1)).cast("double")
+    mom = per_user.agg(
+        n.alias("n"),
+        (F.sum(x * m) - F.sum(x) * F.sum(m) / n).alias("sxm"),
+        (F.sum(x * x) - F.sum(x) * F.sum(x) / n).alias("sxx"),
+        (F.sum(m * m) - F.sum(m) * F.sum(m) / n).alias("smm"),
+        (F.sum(m * o) - F.sum(m) * F.sum(o) / n).alias("smo"),
+        (F.sum(x * o) - F.sum(x) * F.sum(o) / n).alias("sxo"),
+    )
+    sxm, sxx, smm = F.col("sxm"), F.col("sxx"), F.col("smm")
+    smo, sxo = F.col("smo"), F.col("sxo")
+    det = smm * sxx - sxm * sxm
+    a = sxm / sxx
+    b = (smo * sxx - sxo * sxm) / det
+    direct = (sxo * smm - smo * sxm) / det
+    total = sxo / sxx
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(a, 4).alias("a_path"),
+        F.round(b, 4).alias("b_path"),
+        F.round(direct, 4).alias("direct_effect"),
+        F.round(a * b, 4).alias("indirect_effect"),
+        F.round(total, 4).alias("total_effect"),
+        F.round(a * b / F.nullif(total, F.lit(0.0)), 4).alias(
+            "prop_mediated"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# local_projection_irf
+# ---------------------------------------------------------------------------
+
+_LP_HORIZONS = 6
+
+_LP_DAILY_SQL = f"""
+    WITH daily AS (
+        SELECT {_DAYNUM_SQL} AS day,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS x,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                       THEN value END), 0), 6) AS y
+        FROM events GROUP BY 1
+    ),
+    leads AS (
+        SELECT x,
+               {", ".join(f"lead(y, {h}) OVER (ORDER BY day) AS y{h}"
+                          for h in range(_LP_HORIZONS))}
+        FROM daily
+    ),
+    long AS (
+        {" UNION ALL ".join(
+            f"SELECT {h} AS h, x, y{h} AS yl FROM leads"
+            f" WHERE y{h} IS NOT NULL"
+            for h in range(_LP_HORIZONS))}
+    )
+"""
+
+
+@register(
+    "local_projection_irf",
+    oracle=_LP_DAILY_SQL
+    + """
+    SELECT h AS horizon,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round((sum(x * yl) - sum(x) * sum(yl) / count(*))
+                 / nullif(sum(x * x) - sum(x) * sum(x) / count(*), 0),
+                 4) AS beta
+    FROM long GROUP BY 1 ORDER BY 1
+    """,
+    doc="Jorda local-projection impulse-response function: for each "
+    "horizon h=0..5, the OLS slope of purchase value at day t+h on "
+    "click count at day t — the dynamic-effect curve that a single "
+    "distributed-lag regression constrains but local projections "
+    "estimate horizon-by-horizon.  All six leads come from ONE "
+    "window pass over the ~30-row daily grid, stacked long and "
+    "grouped by horizon (six moment sets in one aggregate).  The "
+    "h=0 slope ties back to granger_lag_regression's "
+    "contemporaneous term.  Scale: events reduce to the daily grid "
+    "in one pass; everything downstream is bounded by days x "
+    "horizons.",
+    tags=("causality", "stats", "timeseries", "window"),
+)
+def local_projection_irf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(_daynum().alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("y"),
+    )
+    w = Window.orderBy("day")
+    leads = daily.select(
+        "x",
+        *[F.lead("y", h).over(w).alias(f"y{h}") for h in range(_LP_HORIZONS)],
+    )
+    long = leads.select(
+        "x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(h).alias("h"), F.col(f"y{h}").alias("yl")
+                    )
+                    for h in range(_LP_HORIZONS)
+                ]
+            )
+        ).alias("s"),
+    ).select("x", F.col("s.h").alias("h"), F.col("s.yl").alias("yl"))
+    long = long.where(F.col("yl").isNotNull())
+    x, yl = F.col("x"), F.col("yl")
+    cnt = F.count(F.lit(1))
+    return (
+        long.groupBy(F.col("h").alias("horizon"))
+        .agg(
+            cnt.cast("bigint").alias("n_obs"),
+            F.round(
+                (F.sum(x * yl) - F.sum(x) * F.sum(yl) / cnt)
+                / F.nullif(
+                    F.sum(x * x) - F.sum(x) * F.sum(x) / cnt, F.lit(0.0)
+                ),
+                4,
+            ).alias("beta"),
+        )
+        .orderBy("horizon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# var1_stability_check
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "var1_stability_check",
+    oracle=f"""
+    WITH daily AS (
+        SELECT {_DAYNUM_SQL} AS day,
+               round(coalesce(sum(CASE WHEN event_type = 'view'
+                                       THEN value END), 0), 6) AS u,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                       THEN value END), 0), 6) AS v
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT u, v,
+               lag(u) OVER (ORDER BY day) AS ul,
+               lag(v) OVER (ORDER BY day) AS vl
+        FROM daily
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(ul * ul) - sum(ul) * sum(ul) / count(*) AS suu,
+               sum(vl * vl) - sum(vl) * sum(vl) / count(*) AS svv,
+               sum(ul * vl) - sum(ul) * sum(vl) / count(*) AS suv,
+               sum(ul * u) - sum(ul) * sum(u) / count(*) AS cu_u,
+               sum(vl * u) - sum(vl) * sum(u) / count(*) AS cv_u,
+               sum(ul * v) - sum(ul) * sum(v) / count(*) AS cu_v,
+               sum(vl * v) - sum(vl) * sum(v) / count(*) AS cv_v
+        FROM lagged WHERE ul IS NOT NULL
+    ),
+    coefs AS (
+        SELECT n,
+               (cu_u * svv - cv_u * suv) / (suu * svv - suv * suv) AS a11,
+               (cv_u * suu - cu_u * suv) / (suu * svv - suv * suv) AS a12,
+               (cu_v * svv - cv_v * suv) / (suu * svv - suv * suv) AS a21,
+               (cv_v * suu - cu_v * suv) / (suu * svv - suv * suv) AS a22
+        FROM mom
+    ),
+    spec AS (
+        SELECT n, a11, a12, a21, a22,
+               a11 + a22 AS tr,
+               a11 * a22 - a12 * a21 AS dt,
+               (a11 + a22) * (a11 + a22)
+                   - 4 * (a11 * a22 - a12 * a21) AS disc
+        FROM coefs
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(a11, 4) AS a_uu, round(a12, 4) AS a_uv,
+           round(a21, 4) AS a_vu, round(a22, 4) AS a_vv,
+           round(CASE WHEN disc >= 0
+                      THEN greatest(abs((tr + sqrt(disc)) / 2),
+                                    abs((tr - sqrt(disc)) / 2))
+                      ELSE sqrt(dt) END, 4) AS spectral_radius,
+           CAST((CASE WHEN disc >= 0
+                      THEN greatest(abs((tr + sqrt(disc)) / 2),
+                                    abs((tr - sqrt(disc)) / 2))
+                      ELSE sqrt(dt) END) < 1 AS INTEGER) AS stable
+    FROM spec
+    """,
+    doc="Bivariate VAR(1) stability check on the daily view-value / "
+    "purchase-value pair: both equations are fit by closed-form "
+    "2-regressor OLS (with intercept) on the lagged pair, and the "
+    "companion matrix's spectral radius comes from the 2x2 "
+    "eigenvalue closed form — real roots (tr +- sqrt(disc))/2 when "
+    "the discriminant is nonnegative, modulus sqrt(det) for the "
+    "complex pair otherwise.  radius < 1 is the stationarity gate "
+    "that every lag-regression screen (granger_*, ar2_yule_walker, "
+    "conditional_granger_screen) silently assumes; an explosive "
+    "pair invalidates their F/t inference.  Scale: events reduce to "
+    "the ~30-row daily grid; one lag window and 1-row algebra.",
+    tags=("causality", "stats", "timeseries", "window", "agg"),
+)
+def var1_stability_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def series(et: str):
+        return F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == et, F.col("value"))),
+                F.lit(0.0),
+            ),
+            6,
+        )
+
+    daily = ev.groupBy(_daynum().alias("day")).agg(
+        series("view").alias("u"), series("purchase").alias("v")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "u",
+        "v",
+        F.lag("u").over(w).alias("ul"),
+        F.lag("v").over(w).alias("vl"),
+    ).where(F.col("ul").isNotNull())
+    u, v, ul, vl = F.col("u"), F.col("v"), F.col("ul"), F.col("vl")
+    n = F.count(F.lit(1)).cast("double")
+    mom = lagged.agg(
+        n.alias("n"),
+        (F.sum(ul * ul) - F.sum(ul) * F.sum(ul) / n).alias("suu"),
+        (F.sum(vl * vl) - F.sum(vl) * F.sum(vl) / n).alias("svv"),
+        (F.sum(ul * vl) - F.sum(ul) * F.sum(vl) / n).alias("suv"),
+        (F.sum(ul * u) - F.sum(ul) * F.sum(u) / n).alias("cu_u"),
+        (F.sum(vl * u) - F.sum(vl) * F.sum(u) / n).alias("cv_u"),
+        (F.sum(ul * v) - F.sum(ul) * F.sum(v) / n).alias("cu_v"),
+        (F.sum(vl * v) - F.sum(vl) * F.sum(v) / n).alias("cv_v"),
+    )
+    suu, svv, suv = F.col("suu"), F.col("svv"), F.col("suv")
+    det = suu * svv - suv * suv
+    coefs = mom.select(
+        "n",
+        ((F.col("cu_u") * svv - F.col("cv_u") * suv) / det).alias("a11"),
+        ((F.col("cv_u") * suu - F.col("cu_u") * suv) / det).alias("a12"),
+        ((F.col("cu_v") * svv - F.col("cv_v") * suv) / det).alias("a21"),
+        ((F.col("cv_v") * suu - F.col("cu_v") * suv) / det).alias("a22"),
+    )
+    a11, a12 = F.col("a11"), F.col("a12")
+    a21, a22 = F.col("a21"), F.col("a22")
+    tr = a11 + a22
+    dt = a11 * a22 - a12 * a21
+    disc = tr * tr - 4 * dt
+    radius = F.when(
+        disc >= 0,
+        F.greatest(
+            F.abs((tr + F.sqrt(disc)) / 2), F.abs((tr - F.sqrt(disc)) / 2)
+        ),
+    ).otherwise(F.sqrt(dt))
+    return coefs.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(a11, 4).alias("a_uu"),
+        F.round(a12, 4).alias("a_uv"),
+        F.round(a21, 4).alias("a_vu"),
+        F.round(a22, 4).alias("a_vv"),
+        F.round(radius, 4).alias("spectral_radius"),
+        (radius < 1).cast("int").alias("stable"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# evalue_sensitivity_bound
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "evalue_sensitivity_bound",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    >= 13 AS DOUBLE) AS t,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    >= 14 AS DOUBLE) AS y
+        FROM events GROUP BY 1
+    ),
+    cells AS (
+        SELECT sum(t) AS n1, count(*) - sum(t) AS n0,
+               sum(t * y) / nullif(sum(t), 0) AS p1,
+               sum((1 - t) * y) / nullif(count(*) - sum(t), 0) AS p0
+        FROM per_user
+    ),
+    rrci AS (
+        SELECT n1, n0, p1 / p0 AS rr,
+               exp(ln(p1 / p0) - 1.96 * sqrt((1 - p1) / (n1 * p1)
+                                             + (1 - p0) / (n0 * p0))) AS lo,
+               exp(ln(p1 / p0) + 1.96 * sqrt((1 - p1) / (n1 * p1)
+                                             + (1 - p0) / (n0 * p0))) AS hi
+        FROM cells
+    ),
+    ev AS (
+        SELECT n1, n0, rr, lo, hi,
+               greatest(rr, 1 / rr) AS rrs,
+               CASE WHEN rr >= 1 THEN lo ELSE 1 / hi END AS b
+        FROM rrci
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_treated,
+           CAST(n0 AS BIGINT) AS n_control,
+           round(rr, 4) AS risk_ratio,
+           round(lo, 4) AS rr_ci_low,
+           round(hi, 4) AS rr_ci_high,
+           round(rrs + sqrt(rrs * (rrs - 1)), 4) AS e_value,
+           round(CASE WHEN b <= 1 THEN 1.0
+                      ELSE b + sqrt(b * (b - 1)) END, 4) AS e_value_ci
+    FROM ev
+    """,
+    doc="VanderWeele-Ding E-value for the heavy-viewer -> heavy-"
+    "purchaser risk ratio at the user grain (treatment: >= 13 views, "
+    "outcome: >= 14 purchases — median splits of the fixture's scale-"
+    "invariant per-user intensities, so every 2x2 cell is nonempty at "
+    "every sf; a binary any-click/any-purchase contrast saturates, "
+    "every user has both): the minimum strength of association (on the "
+    "risk-ratio scale) an unmeasured confounder would need with BOTH "
+    "treatment and outcome to fully explain the observed RR away — "
+    "E = RR* + sqrt(RR*(RR*-1)) on RR* = max(RR, 1/RR).  Also "
+    "reported for the 95% CI limit nearer the null (log-RR delta-"
+    "method SE): E=1 there means the CI already touches the null "
+    "and NO confounding is needed.  This is exactly the contrast an "
+    "OBSERVATIONAL claim rides on (heavy viewers buy more), which is "
+    "what an E-value is for.  The sensitivity-analysis "
+    "companion to click_purchase_odds_ratio and "
+    "conversion_rate_inference.  Scale: one user-grain reduce, then "
+    "1-row arithmetic.",
+    tags=("causality", "stats", "agg"),
+)
+def evalue_sensitivity_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            >= 13
+        )
+        .cast("double")
+        .alias("t"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14
+        )
+        .cast("double")
+        .alias("y"),
+    )
+    t, y = F.col("t"), F.col("y")
+    cells = per_user.agg(
+        F.sum(t).alias("n1"),
+        (F.count(F.lit(1)) - F.sum(t)).alias("n0"),
+        (F.sum(t * y) / F.nullif(F.sum(t), F.lit(0.0))).alias("p1"),
+        (
+            F.sum((1 - t) * y)
+            / F.nullif(F.count(F.lit(1)) - F.sum(t), F.lit(0.0))
+        ).alias("p0"),
+    )
+    n1, n0, p1, p0 = F.col("n1"), F.col("n0"), F.col("p1"), F.col("p0")
+    se = F.sqrt((1 - p1) / (n1 * p1) + (1 - p0) / (n0 * p0))
+    rrci = cells.select(
+        "n1",
+        "n0",
+        (p1 / p0).alias("rr"),
+        F.exp(F.log(p1 / p0) - 1.96 * se).alias("lo"),
+        F.exp(F.log(p1 / p0) + 1.96 * se).alias("hi"),
+    )
+    rr, lo, hi = F.col("rr"), F.col("lo"), F.col("hi")
+    evd = rrci.select(
+        "n1",
+        "n0",
+        "rr",
+        "lo",
+        "hi",
+        F.greatest(rr, 1 / rr).alias("rrs"),
+        F.when(rr >= 1, lo).otherwise(1 / hi).alias("b"),
+    )
+    rrs, b = F.col("rrs"), F.col("b")
+    return evd.select(
+        F.col("n1").cast("bigint").alias("n_treated"),
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.round(rr, 4).alias("risk_ratio"),
+        F.round(lo, 4).alias("rr_ci_low"),
+        F.round(hi, 4).alias("rr_ci_high"),
+        F.round(rrs + F.sqrt(rrs * (rrs - 1)), 4).alias("e_value"),
+        F.round(
+            F.when(b <= 1, F.lit(1.0)).otherwise(
+                b + F.sqrt(b * (b - 1))
+            ),
+            4,
+        ).alias("e_value_ci"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# page_hinkley_drift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "page_hinkley_drift",
+    oracle=f"""
+    WITH daily AS (
+        SELECT {_DAYNUM_SQL} AS day, round(avg(value), 6) AS x
+        FROM events GROUP BY 1
+    ),
+    thr AS (SELECT round(2 * stddev_samp(x), 6) AS lam FROM daily),
+    c1 AS (
+        SELECT day, x,
+               row_number() OVER (ORDER BY day) AS rn,
+               sum(x) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cx
+        FROM daily
+    ),
+    c2 AS (SELECT day, x - cx / rn AS dev FROM c1),
+    c3 AS (
+        SELECT day,
+               sum(dev) OVER (ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS ph
+        FROM c2
+    ),
+    c4 AS (
+        SELECT day,
+               ph - min(ph) OVER (ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS excess
+        FROM c3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(max(t.lam), 4) AS lambda_threshold,
+           round(max(excess), 4) AS max_excess,
+           CAST(coalesce(min(CASE WHEN excess > t.lam THEN day END), -1)
+                AS BIGINT) AS first_alarm_day,
+           CAST(max(CASE WHEN excess > t.lam THEN 1 ELSE 0 END)
+                AS INTEGER) AS alarm
+    FROM c4 CROSS JOIN thr t
+    """,
+    doc="Page-Hinkley sequential drift detector on the daily mean "
+    "event value: PH_t accumulates deviations of each day's value "
+    "from the RUNNING mean (the online quantity — no lookahead), and "
+    "an alarm fires when PH_t rises more than lambda above its "
+    "running minimum.  lambda = 2 x the series' sample std — a "
+    "data-driven threshold so the query is self-calibrating across "
+    "scale factors.  The running mean needs a window-over-window "
+    "(cumsum/rank -> deviation -> cumsum -> running min), staged "
+    "through CTEs for the oracle because DuckDB cannot nest window "
+    "functions.  The ONLINE complement to the retrospective "
+    "cusum_changepoint/cusum_changepoint_location pair.  Scale: "
+    "events reduce to the ~30-row daily grid; four O(days) "
+    "cumulative windows.",
+    tags=("causality", "stats", "timeseries", "window"),
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(_daynum().alias("day")).agg(
+        F.round(F.avg("value"), 6).alias("x")
+    )
+    thr = daily.agg(F.round(2 * F.stddev_samp("x"), 6).alias("lam"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wo = Window.orderBy("day")
+    c1 = daily.select(
+        "day",
+        "x",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("x").over(w).alias("cx"),
+    )
+    c2 = c1.select(
+        "day", (F.col("x") - F.col("cx") / F.col("rn")).alias("dev")
+    )
+    c3 = c2.select("day", F.sum("dev").over(w).alias("ph"))
+    c4 = c3.select(
+        "day", (F.col("ph") - F.min("ph").over(w)).alias("excess")
+    )
+    excess = F.col("excess")
+    return c4.crossJoin(F.broadcast(thr)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.max("lam"), 4).alias("lambda_threshold"),
+        F.round(F.max(excess), 4).alias("max_excess"),
+        F.coalesce(
+            F.min(F.when(excess > F.col("lam"), F.col("day"))), F.lit(-1)
+        )
+        .cast("bigint")
+        .alias("first_alarm_day"),
+        F.max(F.when(excess > F.col("lam"), 1).otherwise(0))
+        .cast("int")
+        .alias("alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantile_treatment_effect
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantile_treatment_effect",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INTEGER) AS arm,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                       THEN value END), 0), 6) AS o
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT arm, o,
+               row_number() OVER (PARTITION BY arm
+                                  ORDER BY o, user_id) AS rn,
+               count(*) OVER (PARTITION BY arm) AS cnt
+        FROM per_user
+    ),
+    qs AS (
+        SELECT CAST(k * 0.25 AS DOUBLE) AS q
+        FROM (SELECT unnest(generate_series(1, 3)) AS k)
+    ),
+    pick AS (
+        SELECT q.q, r.arm, r.o
+        FROM ranked r CROSS JOIN qs q
+        WHERE r.rn = CAST(ceil(q.q * r.cnt) AS BIGINT)
+    )
+    SELECT q AS quantile,
+           round(max(CASE WHEN arm = 1 THEN o END), 4) AS q_treated,
+           round(max(CASE WHEN arm = 0 THEN o END), 4) AS q_control,
+           round(max(CASE WHEN arm = 1 THEN o END)
+                 - max(CASE WHEN arm = 0 THEN o END), 4) AS qte
+    FROM pick GROUP BY 1 ORDER BY 1
+    """,
+    doc="Quantile treatment effects at the quartiles: per-arm "
+    "(user_id parity) distributions of total purchase value compared "
+    "at q=0.25/0.5/0.75 via RANK-BASED discrete quantiles (the value "
+    "at row ceil(q*n) in (o, user_id) order) — deliberately not the "
+    "engines' interpolating percentile functions, whose interpolation "
+    "conventions differ; picking an actual order statistic is "
+    "bit-identical on both engines by construction.  QTE curves "
+    "reveal effects the mean hides (a treatment moving only the "
+    "upper tail).  Scale: one user-grain reduce, one per-arm "
+    "rank window over users, and a 3-row quantile probe joined "
+    "against it.",
+    tags=("causality", "stats", "window", "agg"),
+)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("o")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), "o", "user_id"
+    )
+    warm = Window.partitionBy("arm")
+    ranked = per_user.select(
+        "arm",
+        "o",
+        F.row_number().over(warm.orderBy("o", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(warm).alias("cnt"),
+    )
+    qs = spark.range(1, 4).select(
+        (F.col("id") * 0.25).cast("double").alias("q")
+    )
+    pick = ranked.crossJoin(F.broadcast(qs)).where(
+        F.col("rn") == F.ceil(F.col("q") * F.col("cnt")).cast("bigint")
+    )
+    o = F.col("o")
+    return (
+        pick.groupBy(F.col("q").alias("quantile"))
+        .agg(
+            F.round(F.max(F.when(F.col("arm") == 1, o)), 4).alias(
+                "q_treated"
+            ),
+            F.round(F.max(F.when(F.col("arm") == 0, o)), 4).alias(
+                "q_control"
+            ),
+            F.round(
+                F.max(F.when(F.col("arm") == 1, o))
+                - F.max(F.when(F.col("arm") == 0, o)),
+                4,
+            ).alias("qte"),
+        )
+        .orderBy("quantile")
+    )

@@ -47,7 +47,7 @@ NON_QUERY_ALLOWLIST = {
     "test_streaming_merge_upsert_multibatch_out_of_order",
     # generated-appendix structural tokens (module headers, column val)
     "oracle", "queries_causality", "queries_dataops",
-    "queries_experiments", "queries_llm",
+    "queries_experiments", "queries_llm", "queries_panel",
     "queries_ml", "queries_relational", "queries_sources",
     "queries_timeseries", "queries_window",
 }
