@@ -1194,3 +1194,692 @@ def regression_discontinuity_effect(
             "slope_right"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 experimentation-platform utilities: the pre-launch (power),
+# post-read (CATE/uplift/shrinkage), and trust (calibration, weighting)
+# layers around the round-7 estimators.
+# ---------------------------------------------------------------------------
+
+_Z_ALPHA = 1.959964  # Phi^-1(0.975)
+_Z_BETA = 0.841621  # Phi^-1(0.8)
+
+
+@register(
+    "mde_power_analysis",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                       THEN value END), 0), 6) AS o
+        FROM events GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               avg(o) AS mu, stddev_samp(o) AS sd
+        FROM per_user
+    ),
+    calc AS (
+        SELECT n, mu, sd, floor(n / 2) AS npa,
+               ({_Z_ALPHA} + {_Z_BETA})
+                   * sqrt(2 * sd * sd / floor(n / 2)) AS mde,
+               0.05 * mu / sqrt(2 * sd * sd / floor(n / 2)) AS z5
+        FROM mom
+    )
+    SELECT CAST(npa AS BIGINT) AS n_per_arm,
+           round(mu, 4) AS mean_outcome,
+           round(sd, 4) AS sd_outcome,
+           round(mde, 4) AS mde_abs,
+           round(mde / mu, 4) AS mde_rel,
+           round({_phi_sql(f"(z5 - {_Z_ALPHA})")}, 4) AS power_at_5pct_lift
+    FROM calc
+    """,
+    doc="Pre-launch power analysis for a 50/50 user-split experiment "
+    "on total purchase value: the minimum detectable effect at "
+    "alpha=.05 / power=.8 is (z_.975 + z_.8) * sqrt(2 sigma^2 / "
+    "n_per_arm) with sigma taken from the fixture itself, plus the "
+    "achieved power against a 5% lift of the mean — the two numbers "
+    "every experiment review asks for before anything launches "
+    "(mSPRT/DiD/CUPED all assume someone sized the test first).  "
+    "Normal CDF via the shared tanh-approximation _phi (identical "
+    "expression text on both engines).  Scale: one user-grain "
+    "reduce, then 1-row arithmetic.",
+    tags=("experiments", "stats", "agg"),
+)
+def mde_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("o")
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("o").alias("mu"),
+        F.stddev_samp("o").alias("sd"),
+    )
+    n, mu, sd = F.col("n"), F.col("mu"), F.col("sd")
+    npa = F.floor(n / 2)
+    se = F.sqrt(2 * sd * sd / npa)
+    calc = mom.select(
+        "n",
+        "mu",
+        "sd",
+        npa.alias("npa"),
+        ((_Z_ALPHA + _Z_BETA) * se).alias("mde"),
+        (0.05 * mu / se).alias("z5"),
+    )
+    return calc.select(
+        F.col("npa").cast("bigint").alias("n_per_arm"),
+        F.round(mu, 4).alias("mean_outcome"),
+        F.round(sd, 4).alias("sd_outcome"),
+        F.round(F.col("mde"), 4).alias("mde_abs"),
+        F.round(F.col("mde") / mu, 4).alias("mde_rel"),
+        F.round(_phi_spark(F.col("z5") - _Z_ALPHA), 4).alias(
+            "power_at_5pct_lift"
+        ),
+    )
+
+
+_CATE_FEAT_SQL = """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS DOUBLE) AS t,
+               round(ln(1 + sum(CASE WHEN event_type = 'view'
+                                     THEN 1 ELSE 0 END)), 6) AS x,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                       THEN value END), 0), 6) AS o
+        FROM events GROUP BY 1
+    )
+"""
+
+
+@register(
+    "cate_interaction_ols",
+    oracle=_CATE_FEAT_SQL
+    + """,
+    per_arm AS (
+        SELECT t, CAST(count(*) AS DOUBLE) AS n,
+               avg(x) AS xb, avg(o) AS ob,
+               (sum(x * o) - sum(x) * sum(o) / count(*))
+                   / nullif(sum(x * x) - sum(x) * sum(x) / count(*), 0)
+                   AS c
+        FROM per_user GROUP BY 1
+    ),
+    lines AS (
+        SELECT max(CASE WHEN t = 1 THEN n END) AS n1,
+               max(CASE WHEN t = 0 THEN n END) AS n0,
+               max(CASE WHEN t = 1 THEN ob - c * xb END) AS a1,
+               max(CASE WHEN t = 0 THEN ob - c * xb END) AS a0,
+               max(CASE WHEN t = 1 THEN c END) AS c1,
+               max(CASE WHEN t = 0 THEN c END) AS c0
+        FROM per_arm
+    ),
+    gx AS (
+        SELECT avg(x) AS xbar, stddev_samp(x) AS sdx FROM per_user
+    )
+    SELECT CAST(l.n1 AS BIGINT) AS n_treated,
+           CAST(l.n0 AS BIGINT) AS n_control,
+           round((l.a1 + l.c1 * g.xbar) - (l.a0 + l.c0 * g.xbar), 4)
+               AS ate_at_mean_x,
+           round(l.c1 - l.c0, 4) AS modification_slope,
+           round((l.a1 + l.c1 * (g.xbar - g.sdx))
+                 - (l.a0 + l.c0 * (g.xbar - g.sdx)), 4) AS cate_low_x,
+           round((l.a1 + l.c1 * (g.xbar + g.sdx))
+                 - (l.a0 + l.c0 * (g.xbar + g.sdx)), 4) AS cate_high_x
+    FROM lines l CROSS JOIN gx g
+    """,
+    doc="Heterogeneous treatment effects via the saturated "
+    "interaction model o ~ t + x + t*x, fit as TWO per-arm simple "
+    "regressions (algebraically identical because t is binary and "
+    "the model is saturated in t — no 4x4 solve needed): CATE(x) = "
+    "(a1-a0) + (c1-c0)x, reported at the covariate mean and one sd "
+    "either side, with the modification slope c1-c0 as the "
+    "one-number effect-heterogeneity summary.  x = ln(1+views), the "
+    "same confounder f1 the IRLS propensity uses.  Scale: user "
+    "reduce, ONE grouped moment pass (2 rows), 1-row algebra.",
+    tags=("causality", "experiments", "stats", "agg"),
+)
+def cate_interaction_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(
+            F.log1p(
+                F.sum(
+                    F.when(F.col("event_type") == "view", 1).otherwise(0)
+                )
+            ),
+            6,
+        ).alias("x"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("o"),
+    ).select((F.col("user_id") % 2).cast("double").alias("t"), "x", "o")
+    x, o = F.col("x"), F.col("o")
+    cnt = F.count(F.lit(1)).cast("double")
+    per_arm = per_user.groupBy("t").agg(
+        cnt.alias("n"),
+        F.avg(x).alias("xb"),
+        F.avg(o).alias("ob"),
+        (
+            (F.sum(x * o) - F.sum(x) * F.sum(o) / cnt)
+            / F.nullif(
+                F.sum(x * x) - F.sum(x) * F.sum(x) / cnt, F.lit(0.0)
+            )
+        ).alias("c"),
+    )
+    t = F.col("t")
+    lines = per_arm.agg(
+        F.max(F.when(t == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(t == 0, F.col("n"))).alias("n0"),
+        F.max(
+            F.when(t == 1, F.col("ob") - F.col("c") * F.col("xb"))
+        ).alias("a1"),
+        F.max(
+            F.when(t == 0, F.col("ob") - F.col("c") * F.col("xb"))
+        ).alias("a0"),
+        F.max(F.when(t == 1, F.col("c"))).alias("c1"),
+        F.max(F.when(t == 0, F.col("c"))).alias("c0"),
+    )
+    gx = per_user.agg(
+        F.avg(x).alias("xbar"), F.stddev_samp(x).alias("sdx")
+    )
+    j = lines.crossJoin(F.broadcast(gx))
+    a1, a0 = F.col("a1"), F.col("a0")
+    c1, c0 = F.col("c1"), F.col("c0")
+    xbar, sdx = F.col("xbar"), F.col("sdx")
+
+    def cate(x0):
+        return (a1 + c1 * x0) - (a0 + c0 * x0)
+
+    return j.select(
+        F.col("n1").cast("bigint").alias("n_treated"),
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.round(cate(xbar), 4).alias("ate_at_mean_x"),
+        F.round(c1 - c0, 4).alias("modification_slope"),
+        F.round(cate(xbar - sdx), 4).alias("cate_low_x"),
+        F.round(cate(xbar + sdx), 4).alias("cate_high_x"),
+    )
+
+
+@register(
+    "uplift_by_decile_qini",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS DOUBLE) AS t,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) >= 14 AS DOUBLE) AS y,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS score
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT t, y,
+               row_number() OVER (ORDER BY score DESC, user_id) AS rn,
+               count(*) OVER () AS n
+        FROM per_user
+    ),
+    dec AS (
+        SELECT CAST(ceil(rn * 10.0 / n) AS INTEGER) AS decile, t, y
+        FROM ranked
+    ),
+    agg AS (
+        SELECT decile,
+               sum(t) AS nt, sum(1 - t) AS nc,
+               sum(t * y) AS rt, sum((1 - t) * y) AS rc
+        FROM dec GROUP BY 1
+    ),
+    cum AS (
+        SELECT decile, nt, nc, rt, rc,
+               sum(nt) OVER w AS cnt, sum(nc) OVER w AS cnc,
+               sum(rt) OVER w AS crt, sum(rc) OVER w AS crc
+        FROM agg
+        WINDOW w AS (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT decile,
+           CAST(nt AS BIGINT) AS n_treated,
+           CAST(nc AS BIGINT) AS n_control,
+           round(rt / nullif(nt, 0) - rc / nullif(nc, 0), 4) AS uplift,
+           round(crt - crc * cnt / nullif(cnc, 0), 4) AS cum_qini
+    FROM cum ORDER BY decile
+    """,
+    doc="Uplift-by-decile table with the cumulative Qini curve: users "
+    "ranked by an observable targeting score (view count, "
+    "deterministic user_id tie-break), cut into 10 RANK-BASED "
+    "deciles (ceil(rn*10/n) — no engine ntile, whose remainder "
+    "placement is implementation-defined), and per-decile treated-vs-"
+    "control response rates on the heavy-purchaser outcome.  "
+    "cum_qini(k) = R_t(k) - R_c(k)*N_t(k)/N_c(k) is the standard "
+    "Qini numerator — the curve a targeting model is judged by "
+    "before anyone trusts its uplift claims.  Scale: user reduce, "
+    "one global rank window over users (the same sort every top-k "
+    "query pays), 10-row cumulative algebra.",
+    tags=("causality", "experiments", "ml", "window", "agg"),
+)
+def uplift_by_decile_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14
+        )
+        .cast("double")
+        .alias("y"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("score"),
+    ).select((F.col("user_id") % 2).cast("double").alias("t"), "y", "score", "user_id")
+    wrank = Window.orderBy(F.desc("score"), "user_id")
+    wall = Window.partitionBy()
+    ranked = per_user.select(
+        "t",
+        "y",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    dec = ranked.select(
+        F.ceil(F.col("rn") * 10.0 / F.col("n")).cast("int").alias("decile"),
+        "t",
+        "y",
+    )
+    t, y = F.col("t"), F.col("y")
+    agg = dec.groupBy("decile").agg(
+        F.sum(t).alias("nt"),
+        F.sum(1 - t).alias("nc"),
+        F.sum(t * y).alias("rt"),
+        F.sum((1 - t) * y).alias("rc"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = agg.select(
+        "decile",
+        "nt",
+        "nc",
+        "rt",
+        "rc",
+        F.sum("nt").over(wcum).alias("cnt"),
+        F.sum("nc").over(wcum).alias("cnc"),
+        F.sum("rt").over(wcum).alias("crt"),
+        F.sum("rc").over(wcum).alias("crc"),
+    )
+    return cum.select(
+        "decile",
+        F.col("nt").cast("bigint").alias("n_treated"),
+        F.col("nc").cast("bigint").alias("n_control"),
+        F.round(
+            F.col("rt") / F.nullif(F.col("nt"), F.lit(0.0))
+            - F.col("rc") / F.nullif(F.col("nc"), F.lit(0.0)),
+            4,
+        ).alias("uplift"),
+        F.round(
+            F.col("crt")
+            - F.col("crc") * F.col("cnt") / F.nullif(F.col("cnc"), F.lit(0.0)),
+            4,
+        ).alias("cum_qini"),
+    ).orderBy("decile")
+
+
+@register(
+    "james_stein_segment_shrinkage",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST((user_id // 2) % 12 AS INTEGER) AS seg,
+               CAST(user_id % 2 AS DOUBLE) AS t,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                       THEN value END), 0), 6) AS o
+        FROM events GROUP BY 1
+    ),
+    seg AS (
+        SELECT seg,
+               CAST(count(*) AS BIGINT) AS n_users,
+               sum(t * o) / nullif(sum(t), 0)
+                   - sum((1 - t) * o) / nullif(count(*) - sum(t), 0)
+                   AS z,
+               (sum(t * o * o) / nullif(sum(t), 0)
+                    - (sum(t * o) / nullif(sum(t), 0))
+                      * (sum(t * o) / nullif(sum(t), 0)))
+                   / nullif(sum(t), 0)
+               + (sum((1 - t) * o * o) / nullif(count(*) - sum(t), 0)
+                    - (sum((1 - t) * o) / nullif(count(*) - sum(t), 0))
+                      * (sum((1 - t) * o) / nullif(count(*) - sum(t), 0)))
+                   / nullif(count(*) - sum(t), 0) AS v
+        FROM per_user GROUP BY 1
+    ),
+    pool AS (
+        SELECT CAST(count(z) AS DOUBLE) AS k,
+               avg(z) AS zbar,
+               avg(v) AS s2,
+               sum((z - (SELECT avg(z) FROM seg))
+                   * (z - (SELECT avg(z) FROM seg))) AS ss
+        FROM seg
+    ),
+    fac AS (
+        SELECT zbar, least(1.0, greatest(0.0,
+                   1 - (k - 3) * s2 / nullif(ss, 0))) AS shrink
+        FROM pool
+    )
+    SELECT s.seg AS segment, s.n_users,
+           round(s.z, 4) AS raw_effect,
+           round(f.zbar + f.shrink * (s.z - f.zbar), 4) AS shrunk_effect,
+           round(f.shrink, 4) AS shrink_factor
+    FROM seg s CROSS JOIN fac f
+    ORDER BY s.seg
+    """,
+    doc="James-Stein (positive-part) shrinkage of per-segment "
+    "treatment effects: 12 deterministic user segments ((user_id//2) "
+    "mod 12 — the //2 strips the parity bit so segments cross-cut "
+    "the arm split) each get a "
+    "noisy arm-difference estimate z_s; the JS factor "
+    "(1 - (k-3)*sigma^2/S)+ with sigma^2 = the average per-segment "
+    "sampling variance (biased per-arm variance / n_arm) pulls every "
+    "estimate toward the grand mean — the winner's-curse correction "
+    "for 'which segment did the experiment help most?' readouts, "
+    "which naive per-segment tables get wrong by construction "
+    "(max of k noisy estimates is biased up).  Dominates the raw "
+    "estimates in total squared error whenever k >= 4.  Scale: user "
+    "reduce, one 12-row grouped pass, 1-row factor broadcast.",
+    tags=("causality", "experiments", "stats", "agg"),
+)
+def james_stein_segment_shrinkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("o")
+    ).select(
+        # user_id // 2 strips the parity bit so segments are
+        # independent of the arm (user_id % 12 alone would make
+        # every segment single-arm: %12 preserves parity).
+        (F.floor(F.col("user_id") / 2).cast("bigint") % 12)
+        .cast("int")
+        .alias("seg"),
+        (F.col("user_id") % 2).cast("double").alias("t"),
+        "o",
+    )
+    t, o = F.col("t"), F.col("o")
+    cnt = F.count(F.lit(1))
+    n1 = F.nullif(F.sum(t), F.lit(0.0))
+    n0 = F.nullif(cnt - F.sum(t), F.lit(0.0))
+    m1 = F.sum(t * o) / n1
+    m0 = F.sum((1 - t) * o) / n0
+    seg = per_user.groupBy("seg").agg(
+        cnt.cast("bigint").alias("n_users"),
+        (m1 - m0).alias("z"),
+        (
+            (F.sum(t * o * o) / n1 - m1 * m1) / n1
+            + (F.sum((1 - t) * o * o) / n0 - m0 * m0) / n0
+        ).alias("v"),
+    )
+    z = F.col("z")
+    zbar_w = Window.partitionBy()
+    staged = seg.select(
+        "seg", "n_users", "z", "v", F.avg(z).over(zbar_w).alias("zbar")
+    )
+    pool = staged.agg(
+        # count(z), not count(*): a segment missing an arm (possible
+        # only on tiny fixtures) contributes no estimate and must not
+        # inflate k in the (k-3) shrinkage numerator
+        F.count(F.col("z")).cast("double").alias("k"),
+        F.max("zbar").alias("zbar"),
+        F.avg("v").alias("s2"),
+        F.sum((z - F.col("zbar")) * (z - F.col("zbar"))).alias("ss"),
+    )
+    fac = pool.select(
+        "zbar",
+        # clamp to [0, 1]: the positive-part JS factor, plus an upper
+        # clamp so k <= 3 (tiny fixtures) can never EXPAND estimates
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                1
+                - (F.col("k") - 3)
+                * F.col("s2")
+                / F.nullif(F.col("ss"), F.lit(0.0)),
+            ),
+        ).alias("shrink"),
+    )
+    out = seg.crossJoin(F.broadcast(fac))
+    return out.select(
+        F.col("seg").alias("segment"),
+        "n_users",
+        F.round(z, 4).alias("raw_effect"),
+        F.round(
+            F.col("zbar") + F.col("shrink") * (z - F.col("zbar")), 4
+        ).alias("shrunk_effect"),
+        F.round(F.col("shrink"), 4).alias("shrink_factor"),
+    ).orderBy("segment")
+
+
+@register(
+    "raking_weights_ipf",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INTEGER) AS arm,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    >= 13 AS INTEGER) AS tier
+        FROM events GROUP BY 1
+    ),
+    cells AS (
+        SELECT arm, tier, CAST(count(*) AS DOUBLE) AS n
+        FROM per_user GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS nt FROM cells),
+    r1 AS (
+        SELECT arm, tier, n, t.nt,
+               n * (t.nt / 2)
+                   / sum(n) OVER (PARTITION BY arm) AS w
+        FROM cells CROSS JOIN tot t
+    ),
+    c1 AS (
+        SELECT arm, tier, n, nt,
+               w * (nt / 2) / sum(w) OVER (PARTITION BY tier) AS w
+        FROM r1
+    ),
+    r2 AS (
+        SELECT arm, tier, n, nt,
+               w * (nt / 2) / sum(w) OVER (PARTITION BY arm) AS w
+        FROM c1
+    ),
+    c2 AS (
+        SELECT arm, tier, n, nt,
+               w * (nt / 2) / sum(w) OVER (PARTITION BY tier) AS w
+        FROM r2
+    )
+    SELECT arm, tier,
+           CAST(n AS BIGINT) AS n_users,
+           round(w / n, 6) AS weight,
+           round(w / nt, 6) AS weighted_share,
+           round(sum(w) OVER (PARTITION BY arm) / nt, 6) AS arm_share,
+           round(sum(w) OVER (PARTITION BY tier) / nt, 6) AS tier_share
+    FROM c2 ORDER BY arm, tier
+    """,
+    doc="Raking / iterative proportional fitting of post-"
+    "stratification weights: the 2x2 (arm x heavy-viewer-tier) cell "
+    "counts are rescaled toward 50/50 target margins on BOTH "
+    "dimensions by two full IPF rounds (row-scale, column-scale, "
+    "repeat), each scaling a margin-partitioned window sum over the "
+    "4-row cell table — the window-over-window chain is staged "
+    "through CTEs for the oracle.  Emits per-cell weights (total "
+    "cell weight / cell count = the per-user weight), the achieved "
+    "weighted shares, and both margins after round 2 (convergence "
+    "diagnostic: arm_share ~ tier_share ~ 0.5).  The reweighting "
+    "layer survey/observational pipelines run before any estimator "
+    "upstream.  Scale: user reduce to a 4-row cell table; "
+    "everything after is constant-size.",
+    tags=("experiments", "stats", "dataops", "window"),
+)
+def raking_weights_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            >= 13
+        )
+        .cast("int")
+        .alias("tier")
+    ).select((F.col("user_id") % 2).cast("int").alias("arm"), "tier")
+    cells = per_user.groupBy("arm", "tier").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tot = cells.agg(F.sum("n").alias("nt"))
+    warm = Window.partitionBy("arm")
+    wtier = Window.partitionBy("tier")
+    cur = cells.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "tier",
+        "n",
+        "nt",
+        (
+            F.col("n") * (F.col("nt") / 2) / F.sum("n").over(warm)
+        ).alias("w"),
+    )
+    for wspec in (wtier, warm, wtier):
+        cur = cur.select(
+            "arm",
+            "tier",
+            "n",
+            "nt",
+            (
+                F.col("w") * (F.col("nt") / 2) / F.sum("w").over(wspec)
+            ).alias("w"),
+        )
+    return cur.select(
+        "arm",
+        "tier",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(F.col("w") / F.col("n"), 6).alias("weight"),
+        F.round(F.col("w") / F.col("nt"), 6).alias("weighted_share"),
+        F.round(
+            F.sum("w").over(warm) / F.col("nt"), 6
+        ).alias("arm_share"),
+        F.round(
+            F.sum("w").over(wtier) / F.col("nt"), 6
+        ).alias("tier_share"),
+    ).orderBy("arm", "tier")
+
+
+@register(
+    "brier_calibration_decomposition",
+    oracle=_SCORED_SQL
+    + """,
+    base AS (SELECT avg(y) AS ybar, count(*) AS n FROM scored),
+    bins AS (
+        SELECT CAST(floor(p * 10) AS INTEGER) AS bin,
+               CAST(count(*) AS DOUBLE) AS nb,
+               avg(p) AS pb, avg(y) AS yb
+        FROM scored GROUP BY 1
+    ),
+    parts AS (
+        SELECT sum(nb * (pb - yb) * (pb - yb)) / max(b.n) AS rel,
+               sum(nb * (yb - b.ybar) * (yb - b.ybar)) / max(b.n) AS res,
+               max(b.ybar) * (1 - max(b.ybar)) AS unc,
+               CAST(max(b.n) AS BIGINT) AS n
+        FROM bins CROSS JOIN base b
+    ),
+    raw AS (SELECT avg((p - y) * (p - y)) AS brier FROM scored)
+    SELECT p.n AS n_obs,
+           round(r.brier, 6) AS brier_score,
+           round(p.rel, 6) AS reliability,
+           round(p.res, 6) AS resolution,
+           round(p.unc, 6) AS uncertainty,
+           round(r.brier - (p.rel - p.res + p.unc), 6) AS decomp_gap
+    FROM parts p CROSS JOIN raw r
+    """,
+    doc="Murphy decomposition of the Brier score for the shared IRLS "
+    "propensity model (the probability model every weighting "
+    "estimator in this family trusts): brier = reliability - "
+    "resolution + uncertainty over 10 fixed probability bins, where "
+    "reliability (miscalibration) should be ~0 for a usable "
+    "propensity and resolution measures how much the model actually "
+    "separates.  decomp_gap reports the within-bin variance term the "
+    "binned identity drops — near 0 means 10 bins suffice; a large "
+    "gap says the calibration table itself is too coarse to trust.  "
+    "The model-trust gate in front of ipw/aipw/matching.  Scale: "
+    "GLM moment passes + ONE binned aggregate (10 rows) + one "
+    "scalar pass.",
+    tags=("experiments", "ml", "stats", "agg"),
+)
+def brier_calibration_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scored = _scored_feat(spark, sf_dir)
+    p, y = F.col("p"), F.col("y").cast("double")
+    base = scored.agg(
+        F.avg(y).alias("ybar"), F.count(F.lit(1)).alias("n")
+    )
+    bins = scored.groupBy(
+        F.floor(p * 10).cast("int").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("nb"),
+        F.avg(p).alias("pb"),
+        F.avg(y).alias("yb"),
+    )
+    parts = bins.crossJoin(F.broadcast(base)).agg(
+        (
+            F.sum(
+                F.col("nb")
+                * (F.col("pb") - F.col("yb"))
+                * (F.col("pb") - F.col("yb"))
+            )
+            / F.max("n")
+        ).alias("rel"),
+        (
+            F.sum(
+                F.col("nb")
+                * (F.col("yb") - F.col("ybar"))
+                * (F.col("yb") - F.col("ybar"))
+            )
+            / F.max("n")
+        ).alias("res"),
+        (F.max("ybar") * (1 - F.max("ybar"))).alias("unc"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    raw = scored.agg(F.avg((p - y) * (p - y)).alias("brier"))
+    j = parts.crossJoin(F.broadcast(raw))
+    return j.select(
+        F.col("n").alias("n_obs"),
+        F.round(F.col("brier"), 6).alias("brier_score"),
+        F.round(F.col("rel"), 6).alias("reliability"),
+        F.round(F.col("res"), 6).alias("resolution"),
+        F.round(F.col("unc"), 6).alias("uncertainty"),
+        F.round(
+            F.col("brier")
+            - (F.col("rel") - F.col("res") + F.col("unc")),
+            6,
+        ).alias("decomp_gap"),
+    )

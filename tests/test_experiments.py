@@ -209,3 +209,209 @@ def test_matching_att_diagnostics(spark, sf_dir):
     # with any control present, every treated row has a neighbor on
     # at least one side of the sort
     assert r.n_matched == r.n_treated
+
+
+# --- round-8 experimentation-platform utilities ------------------------
+
+
+def _per_user(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("views"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("purchases"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("event_type") == "purchase",
+                            F.col("value"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("o"),
+        )
+        .collect()
+    )
+
+
+def test_mde_power_matches_exact_normal(spark, sf_dir):
+    from statistics import NormalDist
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_experiments import (
+        mde_power_analysis,
+    )
+
+    rows = _per_user(spark, sf_dir)
+    o = np.array([r.o for r in rows])
+    n_per_arm = len(o) // 2
+    sd = o.std(ddof=1)
+    se = math.sqrt(2 * sd * sd / n_per_arm)
+    mde = (NormalDist().inv_cdf(0.975) + NormalDist().inv_cdf(0.8)) * se
+    power = NormalDist().cdf(0.05 * o.mean() / se - NormalDist().inv_cdf(0.975))
+    r = mde_power_analysis(spark, sf_dir).collect()[0]
+    assert r.n_per_arm == n_per_arm
+    assert r.mde_abs == pytest.approx(mde, rel=2e-4)
+    assert r.mde_rel == pytest.approx(mde / o.mean(), rel=2e-3)
+    # query uses the tanh Phi approximation: ~1e-3 absolute agreement
+    assert r.power_at_5pct_lift == pytest.approx(power, abs=5e-3)
+
+
+def test_cate_matches_numpy_interaction_lstsq(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_experiments import (
+        cate_interaction_ols,
+    )
+
+    rows = _per_user(spark, sf_dir)
+    t = np.array([r.user_id % 2 for r in rows], dtype=float)
+    x = np.round(np.log1p([r.views for r in rows]), 6)
+    o = np.array([r.o for r in rows])
+    A = np.column_stack([np.ones_like(t), t, x, t * x])
+    b = np.linalg.lstsq(A, o, rcond=None)[0]
+    xbar, sdx = x.mean(), x.std(ddof=1)
+    r = cate_interaction_ols(spark, sf_dir).collect()[0]
+    assert r.modification_slope == pytest.approx(b[3], abs=1e-3)
+    assert r.ate_at_mean_x == pytest.approx(b[1] + b[3] * xbar, abs=1e-3)
+    assert r.cate_low_x == pytest.approx(
+        b[1] + b[3] * (xbar - sdx), abs=1e-3
+    )
+    assert r.cate_high_x == pytest.approx(
+        b[1] + b[3] * (xbar + sdx), abs=1e-3
+    )
+
+
+def test_qini_replay_and_final_point(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_experiments import (
+        uplift_by_decile_qini,
+    )
+
+    rows = _per_user(spark, sf_dir)
+    recs = sorted(
+        ((-r.views, r.user_id, r.user_id % 2, int(r.purchases >= 14)) for r in rows)
+    )
+    n = len(recs)
+    out = {r.decile: r for r in uplift_by_decile_qini(spark, sf_dir).collect()}
+    assert sorted(out) == list(range(1, 11))
+    # replay the cumulative qini at each decile boundary
+    for k in range(1, 11):
+        top = recs[: math.ceil(k * n / 10)]
+        # decile membership via the same ceil(rn*10/n) rule
+        top = [rec for i, rec in enumerate(recs, 1) if math.ceil(i * 10 / n) <= k]
+        nt = sum(r[2] for r in top)
+        nc = len(top) - nt
+        rt = sum(r[2] * r[3] for r in top)
+        rc = sum((1 - r[2]) * r[3] for r in top)
+        assert out[k].cum_qini == pytest.approx(
+            rt - rc * nt / nc, abs=1e-3
+        )
+    # the final point uses ALL users: qini(10) = R_t - R_c*N_t/N_c
+    full_rt = sum(r[2] * r[3] for r in recs)
+    full_nt = sum(r[2] for r in recs)
+    full_rc = sum((1 - r[2]) * r[3] for r in recs)
+    assert out[10].cum_qini == pytest.approx(
+        full_rt - full_rc * full_nt / (n - full_nt), abs=1e-3
+    )
+
+
+def test_james_stein_shrinks_toward_grand_mean(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_experiments import (
+        james_stein_segment_shrinkage,
+    )
+
+    rows = _per_user(spark, sf_dir)
+    segs = {}
+    for r in rows:
+        segs.setdefault((r.user_id // 2) % 12, []).append(
+            (r.user_id % 2, r.o)
+        )
+    zmap, vmap = {}, {}
+    for s in sorted(segs):
+        arr = segs[s]
+        o1 = np.array([o for t, o in arr if t == 1])
+        o0 = np.array([o for t, o in arr if t == 0])
+        if len(o1) and len(o0):  # SQL null semantics: single-arm
+            zmap[s] = o1.mean() - o0.mean()  # segments contribute no z
+            vmap[s] = o1.var() / len(o1) + o0.var() / len(o0)
+    z = np.array(list(zmap.values()))
+    v = np.array(list(vmap.values()))
+    k = len(z)
+    zbar = z.mean()
+    shrink = min(
+        1.0, max(0.0, 1 - (k - 3) * v.mean() / ((z - zbar) ** 2).sum())
+    )
+    res = james_stein_segment_shrinkage(spark, sf_dir).collect()
+    # (user_id//2)%12 yields min(12, distinct id pairs) segments — 12
+    # at sf0.01+, fewer on the 15-user sf0.001 fixture
+    assert len(res) == len(segs)
+    for row in res:
+        if row.segment not in zmap:
+            assert row.raw_effect is None
+            continue
+        zi = zmap[row.segment]
+        assert row.raw_effect == pytest.approx(zi, abs=1e-3)
+        assert row.shrunk_effect == pytest.approx(
+            zbar + shrink * (zi - zbar), abs=1e-3
+        )
+        assert row.shrink_factor == pytest.approx(shrink, abs=1e-3)
+        # shrunk estimate always lies between raw and the grand mean
+        lo, hi = sorted((row.raw_effect, round(zbar, 3)))
+        assert lo - 1e-3 <= row.shrunk_effect <= hi + 1e-3
+
+
+def test_raking_hits_both_margins(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_experiments import (
+        raking_weights_ipf,
+    )
+
+    rows = raking_weights_ipf(spark, sf_dir).collect()
+    assert len(rows) == 4
+    # after the final column scaling, tier margins are EXACT 0.5 and
+    # arm margins are within IPF round-2 tolerance
+    for r in rows:
+        assert r.tier_share == pytest.approx(0.5, abs=1e-9)
+        assert r.arm_share == pytest.approx(0.5, abs=0.02)
+        assert r.weight > 0
+
+
+def test_brier_decomposition_replay(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_experiments import (
+        _scored_feat,
+        brier_calibration_decomposition,
+    )
+
+    sc = _scored_feat(spark, sf_dir).select("p", "y").collect()
+    p = np.array([r.p for r in sc])
+    y = np.array([float(r.y) for r in sc])
+    brier = ((p - y) ** 2).mean()
+    ybar = y.mean()
+    rel = res = 0.0
+    for b in np.unique(np.floor(p * 10)):
+        mask = np.floor(p * 10) == b
+        nb = mask.sum()
+        rel += nb * (p[mask].mean() - y[mask].mean()) ** 2
+        res += nb * (y[mask].mean() - ybar) ** 2
+    rel /= len(p)
+    res /= len(p)
+    unc = ybar * (1 - ybar)
+    r = brier_calibration_decomposition(spark, sf_dir).collect()[0]
+    assert r.n_obs == len(p)
+    assert r.brier_score == pytest.approx(brier, abs=1e-4)
+    assert r.reliability == pytest.approx(rel, abs=1e-4)
+    assert r.resolution == pytest.approx(res, abs=1e-4)
+    assert r.uncertainty == pytest.approx(unc, abs=1e-4)
+    assert r.decomp_gap == pytest.approx(
+        brier - (rel - res + unc), abs=1e-4
+    )
