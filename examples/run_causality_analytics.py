@@ -6,6 +6,12 @@ AMTL causality matrix — the workflow an analyst runs on a new corpus:
                lag regression / autocorrelation / precedence
     events ──► RETAIN features ──► AMTL fit (train/eval split)
                ──► learned B matrix + held-out eval metrics
+    events ──► causal-effect estimators (r7: IPW/AIPW/CUPED/IV;
+               r8 panel: TWFE / placebo DiD / Cox PH / synthetic
+               control / mediation / local projections / VAR(1) / QTE)
+    events ──► experimentation utilities (r8: MDE+power, CATE,
+               Qini uplift, James-Stein shrinkage, raking weights,
+               Brier calibration, E-value, Page-Hinkley drift)
 
 Run: ``python examples/run_causality_analytics.py [sf_dir]``
 (defaults to $SPARK_GRAFT_SF_DIR, then /root/testdata/sf0.01).
@@ -56,6 +62,38 @@ def main() -> None:
     ):
         print(f"-- {name}")
         REGISTRY[name].fn(spark, sf_dir).show(truncate=False)
+
+    print("== panel / counterfactual estimators (r8) ==")
+    # the time-exploiting layer: fixed effects, placebo inference,
+    # survival regression, donor counterfactuals, dynamic effects
+    for name in (
+        "two_way_fixed_effects_did",
+        "placebo_permutation_did",
+        "cox_ph_one_step",
+        "synthetic_control_gap",
+        "mediation_product_effect",
+        "local_projection_irf",
+        "var1_stability_check",
+        "quantile_treatment_effect",
+    ):
+        print(f"-- {name}")
+        REGISTRY[name].fn(spark, sf_dir).show(12, truncate=False)
+
+    print("== experimentation-platform utilities (r8) ==")
+    # size it (MDE/power), read it honestly (CATE, uplift, shrinkage),
+    # trust it (calibration, reweighting, drift)
+    for name in (
+        "mde_power_analysis",
+        "cate_interaction_ols",
+        "uplift_by_decile_qini",
+        "james_stein_segment_shrinkage",
+        "raking_weights_ipf",
+        "brier_calibration_decomposition",
+        "evalue_sensitivity_bound",
+        "page_hinkley_drift",
+    ):
+        print(f"-- {name}")
+        REGISTRY[name].fn(spark, sf_dir).show(12, truncate=False)
 
     REGISTRY["amtl_causality_matrix"].fn(spark, sf_dir).orderBy(
         "src_task", "dst_task"
