@@ -17,6 +17,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     queries_relational,
     queries_sources,
     queries_timeseries,
+    queries_tsdiag,
     queries_window,
 )
 from .registry import REGISTRY, Query, register

@@ -102,6 +102,16 @@ def main() -> None:
         ("event-study daily effects", "event_study_daily_effects"),
         ("position-based attribution", "position_based_attribution"),
         ("threshold cascade rounds", "threshold_cascade_rounds"),
+        ("Ljung-Box whiteness gate", "ljung_box_test"),
+        ("ARCH heteroskedasticity gate", "arch_lm_test"),
+        ("rolling-correlation stability", "rolling_corr_stability"),
+        ("block-bootstrap SE inflation", "block_bootstrap_variance"),
+        ("spectral coherence + phase", "spectral_coherence_pair"),
+        ("Hurst long-memory estimate", "hurst_exponent_rs"),
+        ("Kalman local-level filter", "kalman_local_level"),
+        ("binary segmentation", "binary_segmentation_changepoints"),
+        ("VAR(1) stability gate", "var1_stability_check"),
+        ("local-projection IRF", "local_projection_irf"),
         ("AMTL causality matrix B", "amtl_causality_matrix"),
     ]
     for title, name in stages:

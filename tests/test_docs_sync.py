@@ -48,6 +48,7 @@ NON_QUERY_ALLOWLIST = {
     # generated-appendix structural tokens (module headers, column val)
     "oracle", "queries_causality", "queries_dataops",
     "queries_experiments", "queries_llm", "queries_panel",
+    "queries_tsdiag",
     "queries_ml", "queries_relational", "queries_sources",
     "queries_timeseries", "queries_window",
 }

@@ -484,3 +484,60 @@ def test_r7_estimator_family_plan_shapes(spark, sf_dir):
         if name not in grid_ok_smj:
             assert "SortMergeJoin" not in plan, name
             assert "ShuffledHashJoin" not in plan, name
+
+
+def test_r8_estimator_family_plan_shapes(spark, sf_dir):
+    """Round-8 pack: no CartesianProduct anywhere; the scalar folds
+    (moment rows, IPF totals, thresholds, qini quantile probes) must
+    broadcast — a fact-side SortMergeJoin/ShuffledHashJoin in these
+    plans means a 1-row or grid-sized table stopped broadcasting."""
+    grid_ok_smj = {
+        # users x days grid built from two DISTINCT aggregates: the
+        # cells join may plan SMJ statically — both sides are the
+        # grid, not raw facts
+        "two_way_fixed_effects_did",
+    }
+    for name in [
+        "two_way_fixed_effects_did",
+        "placebo_permutation_did",
+        "cox_ph_one_step",
+        "synthetic_control_gap",
+        "mediation_product_effect",
+        "local_projection_irf",
+        "var1_stability_check",
+        "evalue_sensitivity_bound",
+        "page_hinkley_drift",
+        "quantile_treatment_effect",
+        "mde_power_analysis",
+        "cate_interaction_ols",
+        "uplift_by_decile_qini",
+        "james_stein_segment_shrinkage",
+        "raking_weights_ipf",
+        "brier_calibration_decomposition",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in grid_ok_smj:
+            assert "SortMergeJoin" not in plan, name
+            assert "ShuffledHashJoin" not in plan, name
+
+
+def test_propensity_matching_windows_are_linear_frames(spark, sf_dir):
+    """The round-8 rewrite gate: the matching plan must contain NO
+    ignore-nulls last/first over running frames (Spark evaluates
+    those O(rows^2) per partition — the 43s hot-bucket regression)
+    and no shrinking unboundedfollowing aggregate frame; the nearest-
+    control device is cumulative struct max/min in both directions."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "propensity_matching_att")
+    low = plan.lower()
+    # The ONLY allowed shrinking frame / ignore-nulls windows are the
+    # cross-bucket carry pass, which runs on the <=|buckets| (~99 row)
+    # summary table — its window spec orders by bkt directly.  Any
+    # other occurrence means a fact-sized O(rows^2) frame crept back.
+    assert low.count("unboundedfollowing") <= 1, plan
+    ign = re.findall(
+        r"(?:last|first)\([^)]*, true\) windowspecdefinition\((\w+)#", low
+    )
+    assert len(ign) <= 2 and all(c == "bkt" for c in ign), (ign, plan)
