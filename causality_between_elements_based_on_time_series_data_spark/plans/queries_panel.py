@@ -1306,3 +1306,174 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quantile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retail-table causal estimators: the same panel machinery applied to
+# the warehouse fact tables (lineitem/orders/part), where the data is
+# big and the joins are real.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_elasticity_within_part",
+    oracle="""
+    WITH li AS (
+        SELECT l_partkey AS pk,
+               round(ln(CAST(l_quantity AS DOUBLE)), 6) AS y,
+               round(ln(l_extendedprice / l_quantity), 6) AS x
+        FROM lineitem
+    ),
+    demeaned AS (
+        SELECT pk, x, y,
+               x - round(avg(x) OVER (PARTITION BY pk), 6) AS xt,
+               y - round(avg(y) OVER (PARTITION BY pk), 6) AS yt
+        FROM li
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT pk) AS BIGINT) AS n_parts,
+           round(sum(xt * yt) / nullif(sum(xt * xt), 0), 4)
+               AS elasticity_within,
+           round((sum(x * y) - sum(x) * sum(y) / count(*))
+                 / nullif(sum(x * x) - sum(x) * sum(x) / count(*), 0),
+                 4) AS elasticity_pooled
+    FROM demeaned
+    """,
+    doc="Price elasticity of demand with part fixed effects: the "
+    "log-log regression ln(quantity) ~ ln(unit price) demeaned "
+    "WITHIN part (one-way FE via a part-partitioned window — the "
+    "panel device of two_way_fixed_effects_did applied to the "
+    "6k-part/600k-line warehouse side), beside the pooled slope "
+    "whose gap exposes cross-part price-mix confounding.  TPC-H "
+    "draws quantity independent of price, so the within estimate is "
+    "a null calibration (~0) — the pipeline, not the number, is the "
+    "product.  Per-part means are rounded 6dp so both engines "
+    "demean identical values.  Scale: ONE window pass partitioned "
+    "by l_partkey (the natural key, no skew), then a single moment "
+    "aggregate — no join at all.",
+    tags=("causality", "panel", "window", "agg", "bench"),
+)
+def price_elasticity_within_part(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.round(F.log(F.col("l_quantity").cast("double")), 6).alias("y"),
+        F.round(
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")), 6
+        ).alias("x"),
+    )
+    wpk = Window.partitionBy("pk")
+    demeaned = li.select(
+        "pk",
+        "x",
+        "y",
+        (F.col("x") - F.round(F.avg("x").over(wpk), 6)).alias("xt"),
+        (F.col("y") - F.round(F.avg("y").over(wpk), 6)).alias("yt"),
+    )
+    x, y = F.col("x"), F.col("y")
+    xt, yt = F.col("xt"), F.col("yt")
+    cnt = F.count(F.lit(1))
+    return demeaned.agg(
+        cnt.cast("bigint").alias("n_lines"),
+        F.countDistinct("pk").cast("bigint").alias("n_parts"),
+        F.round(
+            F.sum(xt * yt) / F.nullif(F.sum(xt * xt), F.lit(0.0)), 4
+        ).alias("elasticity_within"),
+        F.round(
+            (F.sum(x * y) - F.sum(x) * F.sum(y) / cnt)
+            / F.nullif(
+                F.sum(x * x) - F.sum(x) * F.sum(x) / cnt, F.lit(0.0)
+            ),
+            4,
+        ).alias("elasticity_pooled"),
+    )
+
+
+@register(
+    "promo_did_lineitem",
+    oracle="""
+    WITH lines AS (
+        SELECT CAST(p.p_type LIKE 'PROMO%' AS INTEGER) AS treated,
+               CAST(o.o_orderdate >= DATE '1995-06-01' AS INTEGER)
+                   AS post,
+               round(l.l_extendedprice * (1 - l.l_discount), 4) AS rev
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    cell AS (
+        SELECT treated, post, avg(rev) AS m,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lines GROUP BY 1, 2
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_lines,
+           round(max(CASE WHEN treated = 1 AND post = 1 THEN m END), 4)
+               AS treated_post,
+           round(max(CASE WHEN treated = 1 AND post = 0 THEN m END), 4)
+               AS treated_pre,
+           round(max(CASE WHEN treated = 0 AND post = 1 THEN m END), 4)
+               AS control_post,
+           round(max(CASE WHEN treated = 0 AND post = 0 THEN m END), 4)
+               AS control_pre,
+           round(max(CASE WHEN treated = 1 AND post = 1 THEN m END)
+                 - max(CASE WHEN treated = 1 AND post = 0 THEN m END)
+                 - max(CASE WHEN treated = 0 AND post = 1 THEN m END)
+                 + max(CASE WHEN treated = 0 AND post = 0 THEN m END),
+                 4) AS promo_did
+    FROM cell
+    """,
+    doc="Difference-in-differences on the warehouse facts: PROMO-type "
+    "parts (treated) vs the rest, before/after a mid-window cutoff "
+    "(1995-06-01), outcome = discounted line revenue.  TPC-H prices "
+    "carry no promo intervention, so the DiD is a null calibration — "
+    "what matters is the execution shape: the full "
+    "lineitem JOIN orders (fact-to-fact, orderkey-colocated shuffle) "
+    "JOIN part (broadcast dimension) pipeline feeding a 4-cell "
+    "grouped reduce, i.e. the q3-class join tree with an estimator "
+    "on top instead of a rollup.  Line revenue is rounded 4dp "
+    "before averaging so both engines aggregate identical values.  "
+    "Scale: one orderkey shuffle (AQE-sized); part broadcasts; the "
+    "estimator itself is 4-row algebra.",
+    tags=("causality", "experiments", "join", "agg", "bench"),
+)
+def promo_did_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    lines = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+        )
+        .select(
+            F.col("p_type").startswith("PROMO").cast("int").alias(
+                "treated"
+            ),
+            (F.col("o_orderdate") >= F.lit("1995-06-01"))
+            .cast("int")
+            .alias("post"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("rev"),
+        )
+    )
+    cell = lines.groupBy("treated", "post").agg(
+        F.avg("rev").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    t, p, m = F.col("treated"), F.col("post"), F.col("m")
+
+    def c(ti, pi):
+        return F.max(F.when((t == ti) & (p == pi), m))
+
+    return cell.agg(
+        F.sum("n").cast("bigint").alias("n_lines"),
+        F.round(c(1, 1), 4).alias("treated_post"),
+        F.round(c(1, 0), 4).alias("treated_pre"),
+        F.round(c(0, 1), 4).alias("control_post"),
+        F.round(c(0, 0), 4).alias("control_pre"),
+        F.round(c(1, 1) - c(1, 0) - c(0, 1) + c(0, 0), 4).alias(
+            "promo_did"
+        ),
+    )

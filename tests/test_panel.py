@@ -381,3 +381,66 @@ def test_qte_is_order_statistic(spark, sf_dir):
         assert row.qte == pytest.approx(
             row.q_treated - row.q_control, abs=1e-9
         )
+
+
+def test_elasticity_matches_numpy_within_estimator(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_panel import (
+        price_elasticity_within_part,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("pk"),
+            F.round(F.log(F.col("l_quantity").cast("double")), 6).alias(
+                "y"
+            ),
+            F.round(
+                F.log(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("x"),
+        )
+        .collect()
+    )
+    import collections
+
+    by_pk = collections.defaultdict(list)
+    for r in rows:
+        by_pk[r.pk].append((r.x, r.y))
+    sxy = sxx = 0.0
+    for vals in by_pk.values():
+        xs = np.array([v[0] for v in vals])
+        ys = np.array([v[1] for v in vals])
+        xt = xs - round(xs.mean(), 6)
+        yt = ys - round(ys.mean(), 6)
+        sxy += (xt * yt).sum()
+        sxx += (xt * xt).sum()
+    x = np.array([r.x for r in rows])
+    y = np.array([r.y for r in rows])
+    pooled = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    r = price_elasticity_within_part(spark, sf_dir).collect()[0]
+    assert r.n_lines == len(rows)
+    assert r.n_parts == len(by_pk)
+    assert r.elasticity_within == pytest.approx(sxy / sxx, abs=1e-3)
+    assert r.elasticity_pooled == pytest.approx(pooled, abs=1e-3)
+
+
+def test_promo_did_is_the_cell_identity(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_panel import (
+        promo_did_lineitem,
+    )
+
+    r = promo_did_lineitem(spark, sf_dir).collect()[0]
+    assert r.n_lines > 0
+    assert r.promo_did == pytest.approx(
+        r.treated_post - r.treated_pre - r.control_post + r.control_pre,
+        abs=2e-4,  # four independently-4dp-rounded cells
+    )
+    # all four cells populated: the cutoff and the part-type split
+    # both land inside the data on every fixture sf
+    for c in (r.treated_post, r.treated_pre, r.control_post, r.control_pre):
+        assert c is not None and c > 0

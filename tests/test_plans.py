@@ -541,3 +541,16 @@ def test_propensity_matching_windows_are_linear_frames(spark, sf_dir):
         r"(?:last|first)\([^)]*, true\) windowspecdefinition\((\w+)#", low
     )
     assert len(ign) <= 2 and all(c == "bkt" for c in ign), (ign, plan)
+
+
+def test_retail_estimators_plan_shapes(spark, sf_dir):
+    """price_elasticity_within_part must be join-free (one window
+    pass); promo_did_lineitem must broadcast the part dimension and
+    never plan a nested-loop or cartesian."""
+    plan = plan_of(spark, sf_dir, "price_elasticity_within_part")
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan, plan
+    plan = plan_of(spark, sf_dir, "promo_did_lineitem")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan  # part side
