@@ -1883,3 +1883,198 @@ def brier_calibration_decomposition(
             6,
         ).alias("decomp_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Off-policy (counterfactual) evaluation: what WOULD a different
+# targeting policy have earned on the logged experiment data?
+# ---------------------------------------------------------------------------
+
+_OPE_FEAT_SQL = """
+    WITH logged AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS DOUBLE) AS a,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    >= 13 AS DOUBLE) AS pi,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                       THEN value END), 0), 6) AS r
+        FROM events GROUP BY 1
+    )
+"""
+
+
+@register(
+    "offline_policy_ips_snips",
+    oracle=_OPE_FEAT_SQL
+    + """
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(CAST(pi = a AS DOUBLE)), 4) AS match_rate,
+           round(avg(r), 4) AS value_logging,
+           round(avg(CAST(pi = a AS DOUBLE) * r / 0.5), 4) AS value_ips,
+           round(sum(CAST(pi = a AS DOUBLE) * r / 0.5)
+                 / nullif(sum(CAST(pi = a AS DOUBLE) / 0.5), 0), 4)
+               AS value_snips,
+           round(power(sum(CAST(pi = a AS DOUBLE) / 0.5), 2)
+                 / nullif(sum(power(CAST(pi = a AS DOUBLE) / 0.5, 2)), 0),
+                 2) AS effective_sample_size
+    FROM logged
+    """,
+    doc="Off-policy evaluation by inverse propensity scoring: the "
+    "logged randomized action is the 50/50 arm (known propensity "
+    "0.5 — no model needed), the TARGET policy treats heavy viewers "
+    "(views >= 13), reward = total purchase value.  value_ips = "
+    "E[1{pi(x)=a} r / 0.5] is unbiased for the target policy's value; "
+    "value_snips (self-normalized) trades a little bias for much "
+    "lower variance; the effective sample size (sum w)^2 / sum w^2 "
+    "says how much data actually supports the counterfactual "
+    "(~n*match_rate here since weights are two-valued).  The "
+    "logged-policy mean sits alongside as the baseline.  This is "
+    "the estimator family behind every offline recommender/RLHF "
+    "policy readout.  Scale: one user-grain reduce, one moment row.",
+    tags=("causality", "experiments", "ml", "agg"),
+)
+def offline_policy_ips_snips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    logged = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            >= 13
+        )
+        .cast("double")
+        .alias("pi"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("r"),
+    ).select(
+        (F.col("user_id") % 2).cast("double").alias("a"), "pi", "r"
+    )
+    w = (F.col("pi") == F.col("a")).cast("double") / 0.5
+    r = F.col("r")
+    return logged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(
+            F.avg((F.col("pi") == F.col("a")).cast("double")), 4
+        ).alias("match_rate"),
+        F.round(F.avg(r), 4).alias("value_logging"),
+        F.round(F.avg(w * r), 4).alias("value_ips"),
+        F.round(
+            F.sum(w * r) / F.nullif(F.sum(w), F.lit(0.0)), 4
+        ).alias("value_snips"),
+        F.round(
+            F.pow(F.sum(w), 2)
+            / F.nullif(F.sum(F.pow(w, 2)), F.lit(0.0)),
+            2,
+        ).alias("effective_sample_size"),
+    )
+
+
+@register(
+    "offline_policy_doubly_robust",
+    oracle=_OPE_FEAT_SQL
+    + """,
+    ctx AS (
+        SELECT a, pi, r,
+               CAST(pi AS INTEGER) AS tier  -- pi IS the context split
+        FROM logged
+    ),
+    model AS (
+        SELECT tier, a, avg(r) AS m FROM ctx GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.a, c.pi, c.r,
+               ml.m AS m_logged,
+               mt.m AS m_target
+        FROM ctx c
+        JOIN model ml ON ml.tier = c.tier AND ml.a = c.a
+        JOIN model mt ON mt.tier = c.tier AND mt.a = c.pi
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(m_target), 4) AS value_direct,
+           round(avg(CAST(pi = a AS DOUBLE) * r / 0.5), 4) AS value_ips,
+           round(avg(m_target
+                     + CAST(pi = a AS DOUBLE) * (r - m_logged) / 0.5),
+                 4) AS value_dr
+    FROM scored
+    """,
+    doc="Doubly-robust off-policy evaluation: the direct method "
+    "scores the target policy with a per-(context, action) outcome "
+    "model (cell means over the tier x arm table — exactly the "
+    "model-based half), IPS reweights logged rewards, and DR "
+    "combines them: DM prediction + importance-weighted model "
+    "residual.  Unbiased if EITHER the outcome model or the "
+    "(known, 0.5) propensity is right; here both are, so DM/IPS/DR "
+    "should agree within noise — the disagreement IS the diagnostic. "
+    " The AIPW idea (aipw_doubly_robust_effect) transplanted from "
+    "effect estimation to policy value.  Scale: user reduce, a "
+    "4-row model broadcast back, one moment pass.",
+    tags=("causality", "experiments", "ml", "agg", "join"),
+)
+def offline_policy_doubly_robust(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    logged = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            >= 13
+        )
+        .cast("double")
+        .alias("pi"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("r"),
+    ).select(
+        (F.col("user_id") % 2).cast("double").alias("a"),
+        "pi",
+        "r",
+        F.col("pi").cast("int").alias("tier"),
+    )
+    model = logged.groupBy("tier", "a").agg(F.avg("r").alias("m"))
+    ml = model.select(
+        F.col("tier").alias("tier_l"),
+        F.col("a").alias("a_l"),
+        F.col("m").alias("m_logged"),
+    )
+    mt = model.select(
+        F.col("tier").alias("tier_t"),
+        F.col("a").alias("a_t"),
+        F.col("m").alias("m_target"),
+    )
+    scored = logged.join(
+        F.broadcast(ml),
+        (F.col("tier") == F.col("tier_l")) & (F.col("a") == F.col("a_l")),
+    ).join(
+        F.broadcast(mt),
+        (F.col("tier") == F.col("tier_t"))
+        & (F.col("pi") == F.col("a_t")),
+    )
+    match = (F.col("pi") == F.col("a")).cast("double")
+    r = F.col("r")
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.avg(F.col("m_target")), 4).alias("value_direct"),
+        F.round(F.avg(match * r / 0.5), 4).alias("value_ips"),
+        F.round(
+            F.avg(
+                F.col("m_target")
+                + match * (r - F.col("m_logged")) / 0.5
+            ),
+            4,
+        ).alias("value_dr"),
+    )

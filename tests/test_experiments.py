@@ -415,3 +415,56 @@ def test_brier_decomposition_replay(spark, sf_dir):
     assert r.decomp_gap == pytest.approx(
         brier - (rel - res + unc), abs=1e-4
     )
+
+
+def test_ips_snips_matches_numpy(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_experiments import (
+        offline_policy_ips_snips,
+    )
+
+    rows = _per_user(spark, sf_dir)
+    a = np.array([r.user_id % 2 for r in rows], dtype=float)
+    pi = np.array([float(r.views >= 13) for r in rows])
+    rew = np.array([r.o for r in rows])
+    w = (pi == a).astype(float) / 0.5
+    r = offline_policy_ips_snips(spark, sf_dir).collect()[0]
+    assert r.n_users == len(rows)
+    assert r.match_rate == pytest.approx((pi == a).mean(), abs=1e-4)
+    assert r.value_logging == pytest.approx(rew.mean(), abs=1e-3)
+    assert r.value_ips == pytest.approx((w * rew).mean(), abs=1e-3)
+    assert r.value_snips == pytest.approx(
+        (w * rew).sum() / w.sum(), abs=1e-3
+    )
+    assert r.effective_sample_size == pytest.approx(
+        w.sum() ** 2 / (w**2).sum(), abs=0.02
+    )
+
+
+def test_dr_policy_value_ties_out(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_experiments import (
+        offline_policy_doubly_robust,
+        offline_policy_ips_snips,
+    )
+
+    rows = _per_user(spark, sf_dir)
+    a = np.array([r.user_id % 2 for r in rows], dtype=float)
+    tier = np.array([int(r.views >= 13) for r in rows])
+    pi = tier.astype(float)
+    rew = np.array([r.o for r in rows])
+    m = {}
+    for t in (0, 1):
+        for act in (0.0, 1.0):
+            mask = (tier == t) & (a == act)
+            m[(t, act)] = rew[mask].mean()
+    m_logged = np.array([m[(t, act)] for t, act in zip(tier, a)])
+    m_target = np.array([m[(t, p)] for t, p in zip(tier, pi)])
+    match = (pi == a).astype(float)
+    dm = m_target.mean()
+    dr = (m_target + match * (rew - m_logged) / 0.5).mean()
+    r = offline_policy_doubly_robust(spark, sf_dir).collect()[0]
+    assert r.n_users == len(rows)
+    assert r.value_direct == pytest.approx(dm, abs=1e-3)
+    assert r.value_dr == pytest.approx(dr, abs=1e-3)
+    # the two queries' IPS columns are the same estimator
+    r2 = offline_policy_ips_snips(spark, sf_dir).collect()[0]
+    assert r.value_ips == pytest.approx(r2.value_ips, abs=1e-9)
