@@ -623,3 +623,35 @@ def streaming_topk_trending_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events_stream import streaming_topk_trending
 
     return streaming_topk_trending(spark, sf_dir)
+
+
+def _register_streaming_page_hinkley() -> None:
+    # Deferred import: queries_panel owns the detector chain AND its
+    # oracle; importing it lazily here keeps plans/__init__'s module
+    # order irrelevant.
+    from .queries_panel import PAGE_HINKLEY_ORACLE
+
+    @register(
+        "streaming_page_hinkley",
+        oracle=PAGE_HINKLEY_ORACLE,
+        doc="Streaming drift monitor with a FULL value oracle: the "
+        "per-day mean table is maintained by a complete-mode "
+        "streaming aggregation and the Page-Hinkley detector runs "
+        "over the final emitted state via the SAME window chain as "
+        "the batch page_hinkley_drift — stream/batch parity on the "
+        "detector output (lambda, max excess, first alarm day), not "
+        "just on counts.  Means in the stream, detector at read "
+        "time: recomputing PH from the maintained day table on each "
+        "poll raises the same alarms an incremental evaluator "
+        "would, because new days only append to the walk.",
+        tags=("streaming", "dataops", "drift", "causality", "eager"),
+    )
+    def streaming_page_hinkley_q(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from ..streaming.events_stream import streaming_page_hinkley
+
+        return streaming_page_hinkley(spark, sf_dir)
+
+
+_register_streaming_page_hinkley()

@@ -1113,9 +1113,7 @@ def evalue_sensitivity_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "page_hinkley_drift",
-    oracle=f"""
+PAGE_HINKLEY_ORACLE = f"""
     WITH daily AS (
         SELECT {_DAYNUM_SQL} AS day, round(avg(value), 6) AS x
         FROM events GROUP BY 1
@@ -1152,27 +1150,14 @@ def evalue_sensitivity_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(CASE WHEN excess > t.lam THEN 1 ELSE 0 END)
                 AS INTEGER) AS alarm
     FROM c4 CROSS JOIN thr t
-    """,
-    doc="Page-Hinkley sequential drift detector on the daily mean "
-    "event value: PH_t accumulates deviations of each day's value "
-    "from the RUNNING mean (the online quantity — no lookahead), and "
-    "an alarm fires when PH_t rises more than lambda above its "
-    "running minimum.  lambda = 2 x the series' sample std — a "
-    "data-driven threshold so the query is self-calibrating across "
-    "scale factors.  The running mean needs a window-over-window "
-    "(cumsum/rank -> deviation -> cumsum -> running min), staged "
-    "through CTEs for the oracle because DuckDB cannot nest window "
-    "functions.  The ONLINE complement to the retrospective "
-    "cusum_changepoint/cusum_changepoint_location pair.  Scale: "
-    "events reduce to the ~30-row daily grid; four O(days) "
-    "cumulative windows.",
-    tags=("causality", "stats", "timeseries", "window"),
-)
-def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(_daynum().alias("day")).agg(
-        F.round(F.avg("value"), 6).alias("x")
-    )
+    """
+
+
+def _page_hinkley_chain(daily: DataFrame) -> DataFrame:
+    """The PH window chain over a (day, x) daily table — shared by
+    the batch query and the streaming monitor (streaming/events_
+    stream.py), whose final state must reduce to the identical
+    detector output."""
     thr = daily.agg(F.round(2 * F.stddev_samp("x"), 6).alias("lam"))
     w = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1205,6 +1190,32 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("alarm"),
     )
+
+
+@register(
+    "page_hinkley_drift",
+    oracle=PAGE_HINKLEY_ORACLE,
+    doc="Page-Hinkley sequential drift detector on the daily mean "
+    "event value: PH_t accumulates deviations of each day's value "
+    "from the RUNNING mean (the online quantity — no lookahead), and "
+    "an alarm fires when PH_t rises more than lambda above its "
+    "running minimum.  lambda = 2 x the series' sample std — a "
+    "data-driven threshold so the query is self-calibrating across "
+    "scale factors.  The running mean needs a window-over-window "
+    "(cumsum/rank -> deviation -> cumsum -> running min), staged "
+    "through CTEs for the oracle because DuckDB cannot nest window "
+    "functions.  The ONLINE complement to the retrospective "
+    "cusum_changepoint/cusum_changepoint_location pair.  Scale: "
+    "events reduce to the ~30-row daily grid; four O(days) "
+    "cumulative windows.",
+    tags=("causality", "stats", "timeseries", "window"),
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(_daynum().alias("day")).agg(
+        F.round(F.avg("value"), 6).alias("x")
+    )
+    return _page_hinkley_chain(daily)
 
 
 # ---------------------------------------------------------------------------

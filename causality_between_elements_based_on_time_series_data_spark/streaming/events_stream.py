@@ -767,3 +767,47 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str, k: int = 3) -> Dat
         .filter(F.col("rnk") <= k)
         .orderBy("hour_start", "rnk")
     )
+
+
+def streaming_page_hinkley(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming sequential drift monitor: the per-day mean-value
+    table is maintained by a complete-mode streaming aggregation (the
+    state a drift dashboard holds), and the Page-Hinkley detector —
+    running mean, cumulative deviation, running-min excess, the
+    data-driven lambda — is computed from the final emitted state by
+    the SAME window chain as the batch query
+    (plans/queries_panel._page_hinkley_chain).  Draining the fixture
+    the batch query reads, the result equals page_hinkley_drift
+    exactly, so the streaming path carries a FULL value oracle.
+    Detection semantics note: PH's excess statistic is monotone in
+    new days only — recomputing it from the maintained day table on
+    each poll yields the same alarms an incremental evaluator would
+    raise, which is why the split (means in the stream, detector at
+    read time) is the production shape, like streaming_topk_trending.
+    """
+    from ..plans.queries_panel import _page_hinkley_chain
+
+    with scoped_conf(spark, _NANOS_FLAG, "true"):
+        stream = _stream_events(
+            spark, sf_dir, max_files_per_trigger=max_files_per_trigger
+        )
+        daily = stream.groupBy(
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01")
+            ).alias("day")
+        ).agg(F.round(F.avg("value"), 6).alias("x"))
+        name = f"stream_ph_{uuid.uuid4().hex[:8]}"
+        q = (
+            daily.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    return _page_hinkley_chain(spark.table(name))

@@ -1069,3 +1069,23 @@ def test_ivf_adaptive_cluster_count_bounds():
         k = adaptive_n_clusters(n)
         assert n / k <= TARGET_BUCKET
         assert k >= 8
+
+
+def test_streaming_page_hinkley_multibatch_equals_batch(spark, sf_dir):
+    """Stream/batch parity for the drift monitor under forced
+    multi-batch processing: with maxFilesPerTrigger=1 the complete-
+    mode day table is built incrementally across triggers, and the
+    detector over the final state must still equal the batch query
+    row-for-row."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_panel import (
+        page_hinkley_drift,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.streaming.events_stream import (
+        streaming_page_hinkley,
+    )
+
+    batch = page_hinkley_drift(spark, sf_dir).collect()[0]
+    stream = streaming_page_hinkley(
+        spark, sf_dir, max_files_per_trigger=1
+    ).collect()[0]
+    assert stream.asDict() == batch.asDict()

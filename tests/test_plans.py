@@ -554,3 +554,28 @@ def test_retail_estimators_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan, plan  # part side
+
+
+def test_tsdiag_family_plan_shapes(spark, sf_dir):
+    """The diagnostics pack runs on the daily/hourly grid: scalar
+    folds broadcast (1-row BNLJ is the intended shape), block-stat
+    joins broadcast, and nothing may plan a CartesianProduct or a
+    fact-sided SortMergeJoin."""
+    for name in [
+        "ljung_box_test",
+        "arch_lm_test",
+        "rolling_corr_stability",
+        "block_bootstrap_variance",
+        "spectral_coherence_pair",
+        "hurst_exponent_rs",
+        "kalman_local_level",
+        "binary_segmentation_changepoints",
+        "page_hinkley_drift",  # the streaming twin executes a stream;
+        # its parity test lives in test_operators.py instead
+        "offline_policy_ips_snips",
+        "offline_policy_doubly_robust",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "ShuffledHashJoin" not in plan, name
