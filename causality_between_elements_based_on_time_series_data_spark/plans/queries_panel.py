@@ -1488,3 +1488,239 @@ def promo_did_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "promo_did"
         ),
     )
+
+
+
+
+# ---------------------------------------------------------------------------
+# Interference / spillovers (the SUTVA check) on the co-supply graph
+# ---------------------------------------------------------------------------
+
+from .queries_causality import (  # noqa: E402  (shared graph base)
+    _COSUPPLY_EDGES_ORACLE,
+    _cosupply_edges,
+)
+
+
+@register(
+    "network_interference_exposure",
+    oracle=_COSUPPLY_EDGES_ORACLE
+    + """,
+    und AS (
+        SELECT u AS s, v AS nbr FROM edges
+        UNION ALL
+        SELECT v AS s, u AS nbr FROM edges
+    ),
+    treat AS (
+        SELECT s_suppkey AS s,
+               CAST(s_suppkey % 2 AS DOUBLE) AS t,
+               round(s_acctbal, 4) AS y
+        FROM supplier
+    ),
+    expo AS (
+        SELECT u.s, round(avg(tn.t), 6) AS e
+        FROM und u JOIN treat tn ON tn.s = u.nbr
+        GROUP BY 1
+    ),
+    frame AS (
+        SELECT t.t, t.y, x.e
+        FROM treat t JOIN expo x ON x.s = t.s
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(t * t) - sum(t) * sum(t) / count(*) AS stt,
+               sum(e * e) - sum(e) * sum(e) / count(*) AS see,
+               sum(t * e) - sum(t) * sum(e) / count(*) AS ste,
+               sum(t * y) - sum(t) * sum(y) / count(*) AS sty,
+               sum(e * y) - sum(e) * sum(y) / count(*) AS sey,
+               avg(e) AS ebar
+        FROM frame
+    ),
+    guarded AS (
+        -- dimensionless collinearity guard: det/(stt*see) is 1-r^2
+        -- of the two regressors; a bipartite co-supply graph (tiny
+        -- fixtures) makes exposure EXACTLY 1-t and the solve is
+        -- noise on every engine — report NULL effects instead
+        SELECT *,
+               CAST(abs(stt * see - ste * ste)
+                    <= 1e-6 * stt * see AS INTEGER) AS collinear
+        FROM mom
+    )
+    SELECT CAST((SELECT count(*) FROM treat) AS BIGINT) AS n_suppliers,
+           CAST(n AS BIGINT) AS n_connected,
+           round(ebar, 4) AS mean_exposure,
+           CAST(collinear AS INTEGER) AS collinear,
+           round(CASE WHEN collinear = 0
+                      THEN (sty * see - sey * ste)
+                           / (stt * see - ste * ste) END, 4)
+               AS direct_effect,
+           round(CASE WHEN collinear = 0
+                      THEN (sey * stt - sty * ste)
+                           / (stt * see - ste * ste) END, 4)
+               AS spillover_effect
+    FROM guarded
+    """,
+    doc="Interference / spillover check (the SUTVA audit every "
+    "estimator in this family silently assumes passes): each "
+    "supplier's network exposure is the treated share of its "
+    "co-supply neighbours (the shared >= 3-parts edge list of the "
+    "cosupply_* family), and the 2-regressor OLS "
+    "y ~ t + exposure separates the direct effect from the "
+    "spillover term — a nonzero spillover coefficient means units "
+    "are NOT independent and per-unit estimators are biased.  A "
+    "dimensionless collinearity guard NULLs both effects when the "
+    "graph makes exposure an exact function of treatment (the "
+    "15-supplier sf0.001 graph is bipartite-by-parity; any engine's "
+    "solve there is pure float noise).  "
+    "Treatment = suppkey parity, outcome = account balance (null "
+    "calibration: both coefficients ~ noise).  Exposure is rounded "
+    "6dp so both engines regress identical values.  Scale: the edge "
+    "list is the bounded cosupply graph (hot-part degree cut); the "
+    "exposure join is node-keyed; the regression is ONE moment row.",
+    tags=("causality", "graph", "panel", "agg", "join"),
+)
+def network_interference_exposure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    edges = _cosupply_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("u").alias("s"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("nbr")))
+    supplier = load_table(spark, sf_dir, "supplier")
+    treat = supplier.select(
+        F.col("s_suppkey").alias("s"),
+        (F.col("s_suppkey") % 2).cast("double").alias("t"),
+        F.round(F.col("s_acctbal"), 4).alias("y"),
+    )
+    expo = (
+        und.join(
+            F.broadcast(
+                treat.select(F.col("s").alias("nbr"), F.col("t").alias("tn"))
+            ),
+            "nbr",
+        )
+        .groupBy("s")
+        .agg(F.round(F.avg("tn"), 6).alias("e"))
+    )
+    frame = treat.join(expo, "s").select("t", "y", "e")
+    t, e, y = F.col("t"), F.col("e"), F.col("y")
+    n = F.count(F.lit(1)).cast("double")
+    mom = frame.agg(
+        n.alias("n"),
+        (F.sum(t * t) - F.sum(t) * F.sum(t) / n).alias("stt"),
+        (F.sum(e * e) - F.sum(e) * F.sum(e) / n).alias("see"),
+        (F.sum(t * e) - F.sum(t) * F.sum(e) / n).alias("ste"),
+        (F.sum(t * y) - F.sum(t) * F.sum(y) / n).alias("sty"),
+        (F.sum(e * y) - F.sum(e) * F.sum(y) / n).alias("sey"),
+        F.avg(e).alias("ebar"),
+    )
+    n_suppliers = treat.count()
+    stt, see, ste = F.col("stt"), F.col("see"), F.col("ste")
+    sty, sey = F.col("sty"), F.col("sey")
+    det = stt * see - ste * ste
+    # dimensionless collinearity guard — see the oracle comment
+    collinear = (F.abs(det) <= 1e-6 * stt * see).cast("int")
+    guarded = mom.select("*", collinear.alias("collinear"))
+    c0 = F.col("collinear") == 0
+    return guarded.select(
+        F.lit(n_suppliers).cast("bigint").alias("n_suppliers"),
+        F.col("n").cast("bigint").alias("n_connected"),
+        F.round(F.col("ebar"), 4).alias("mean_exposure"),
+        F.col("collinear").cast("int").alias("collinear"),
+        F.round(
+            F.when(c0, (sty * see - sey * ste) / det), 4
+        ).alias("direct_effect"),
+        F.round(
+            F.when(c0, (sey * stt - sty * ste) / det), 4
+        ).alias("spillover_effect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval for the daily series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conformal_prediction_interval",
+    oracle=f"""
+    WITH daily AS (
+        SELECT {_DAYNUM_SQL} AS day, round(avg(value), 6) AS x
+        FROM events GROUP BY 1
+    ),
+    resid AS (
+        SELECT day,
+               abs(x - lag(x) OVER (ORDER BY day)) AS r
+        FROM daily
+    ),
+    cal AS (
+        SELECT r, row_number() OVER (ORDER BY r, day) AS rk,
+               count(*) OVER () AS n_cal
+        FROM resid WHERE r IS NOT NULL AND day < 20
+    ),
+    q AS (
+        SELECT r AS qhat, n_cal FROM cal
+        WHERE rk = least(n_cal,
+                         CAST(ceil((n_cal + 1) * 0.9) AS BIGINT))
+    ),
+    eval_set AS (
+        SELECT r FROM resid WHERE r IS NOT NULL AND day >= 20
+    )
+    SELECT CAST(max(q.n_cal) AS BIGINT) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           0.9 AS nominal_coverage,
+           round(max(q.qhat), 4) AS q_hat,
+           round(2 * max(q.qhat), 4) AS interval_width,
+           round(avg(CAST(e.r <= q.qhat AS DOUBLE)), 4)
+               AS empirical_coverage
+    FROM eval_set e CROSS JOIN q
+    """,
+    doc="Split-conformal prediction interval for the daily mean-value "
+    "series with a naive one-step forecast (yhat_t = x_(t-1)): "
+    "calibration residuals |x_t - x_(t-1)| from days < 20 give the "
+    "conformal quantile q = the ceil((n+1)*0.9)-th smallest (the "
+    "finite-sample-valid order statistic, capped at n; rank-based, "
+    "so engine-identical — the same no-interpolation discipline as "
+    "quantile_treatment_effect), and days >= 20 report the achieved "
+    "coverage of yhat +- q.  Split conformal is distribution-free: "
+    "coverage >= 90% holds under exchangeability REGARDLESS of the "
+    "forecast's quality — the uncertainty layer missing from point "
+    "forecasts like holt_linear_smoothing/kalman_local_level.  "
+    "Scale: daily-grid bounded; one lag window, one rank window, "
+    "1-row quantile broadcast.",
+    tags=("causality", "stats", "timeseries", "window", "experiments"),
+)
+def conformal_prediction_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(_daynum().alias("day")).agg(
+        F.round(F.avg("value"), 6).alias("x")
+    )
+    w = Window.orderBy("day")
+    resid = daily.select(
+        "day", F.abs(F.col("x") - F.lag("x").over(w)).alias("r")
+    ).where(F.col("r").isNotNull())
+    cal = resid.where(F.col("day") < 20).select(
+        "r",
+        F.row_number().over(Window.orderBy("r", "day")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_cal"),
+    )
+    q = cal.where(
+        F.col("rk")
+        == F.least(
+            F.col("n_cal"),
+            F.ceil((F.col("n_cal") + 1) * 0.9).cast("bigint"),
+        )
+    ).select(F.col("r").alias("qhat"), "n_cal")
+    ev_set = resid.where(F.col("day") >= 20).select("r")
+    return ev_set.crossJoin(F.broadcast(q)).agg(
+        F.max("n_cal").cast("bigint").alias("n_cal"),
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.lit(0.9).alias("nominal_coverage"),
+        F.round(F.max("qhat"), 4).alias("q_hat"),
+        F.round(2 * F.max("qhat"), 4).alias("interval_width"),
+        F.round(
+            F.avg((F.col("r") <= F.col("qhat")).cast("double")), 4
+        ).alias("empirical_coverage"),
+    )

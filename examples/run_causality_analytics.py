@@ -91,6 +91,10 @@ def main() -> None:
         "brier_calibration_decomposition",
         "evalue_sensitivity_bound",
         "page_hinkley_drift",
+        "offline_policy_ips_snips",
+        "offline_policy_doubly_robust",
+        "network_interference_exposure",
+        "conformal_prediction_interval",
     ):
         print(f"-- {name}")
         REGISTRY[name].fn(spark, sf_dir).show(12, truncate=False)

@@ -444,3 +444,94 @@ def test_promo_did_is_the_cell_identity(spark, sf_dir):
     # both land inside the data on every fixture sf
     for c in (r.treated_post, r.treated_pre, r.control_post, r.control_pre):
         assert c is not None and c > 0
+
+
+def test_interference_matches_numpy_two_regressor(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_panel import (
+        _cosupply_edges,
+        network_interference_exposure,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    edges = [(r.u, r.v) for r in _cosupply_edges(spark, sf_dir).collect()]
+    sup = {
+        r.s_suppkey: round(r.s_acctbal, 4)
+        for r in load_table(spark, sf_dir, "supplier").collect()
+    }
+    import collections
+
+    nbrs = collections.defaultdict(list)
+    for u, v in edges:
+        nbrs[u].append(v)
+        nbrs[v].append(u)
+    t, e, y = [], [], []
+    for s, ns in nbrs.items():
+        t.append(float(s % 2))
+        e.append(round(np.mean([n % 2 for n in ns]), 6))
+        y.append(sup[s])
+    t, e, y = np.array(t), np.array(e), np.array(y)
+    r = network_interference_exposure(spark, sf_dir).collect()[0]
+    assert r.n_suppliers == len(sup)
+    assert r.n_connected == len(nbrs)
+    assert r.mean_exposure == pytest.approx(e.mean(), abs=1e-3)
+    # replicate the dimensionless degeneracy guard
+    n = len(t)
+    stt = (t * t).sum() - t.sum() ** 2 / n
+    see = (e * e).sum() - e.sum() ** 2 / n
+    ste = (t * e).sum() - t.sum() * e.sum() / n
+    det = stt * see - ste * ste
+    if abs(det) <= 1e-6 * stt * see:
+        # sf0.001's near-complete graph: exposure is an exact affine
+        # function of own treatment (e = (n_treated - t)/(n-1))
+        assert r.collinear == 1
+        assert r.direct_effect is None and r.spillover_effect is None
+        assert abs(np.corrcoef(t, e)[0, 1]) > 1 - 1e-9
+    else:
+        assert r.collinear == 0
+        A = np.column_stack([np.ones_like(t), t, e])
+        b = np.linalg.lstsq(A, y, rcond=None)[0]
+        assert r.direct_effect == pytest.approx(b[1], abs=1e-2)
+        assert r.spillover_effect == pytest.approx(b[2], abs=1e-2)
+
+
+def test_conformal_quantile_and_coverage_replay(spark, sf_dir):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_panel import (
+        conformal_prediction_interval,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy(
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01")
+            ).alias("day")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("x"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r.day)
+    days = [r.day for r in rows]
+    x = [r.x for r in rows]
+    resid = {
+        days[i]: abs(x[i] - x[i - 1]) for i in range(1, len(days))
+    }
+    cal = sorted(v for d, v in resid.items() if d < 20)
+    ev_r = [v for d, v in resid.items() if d >= 20]
+    k = min(len(cal), math.ceil((len(cal) + 1) * 0.9))
+    qhat = cal[k - 1]
+    r = conformal_prediction_interval(spark, sf_dir).collect()[0]
+    assert r.n_cal == len(cal) and r.n_eval == len(ev_r)
+    assert r.q_hat == pytest.approx(qhat, abs=1e-4)
+    assert r.interval_width == pytest.approx(2 * qhat, abs=2e-4)
+    assert r.empirical_coverage == pytest.approx(
+        np.mean([v <= qhat for v in ev_r]), abs=1e-4
+    )
