@@ -58,11 +58,18 @@ def main() -> None:
     # Whole-suite passes (not per-query back-to-back repeats) so pass 2's
     # caches reflect steady state, and a burst of external load poisons
     # at most one pass of each query.
+    import gc
+
     for _ in range(n_passes):
         for name, q in sorted(bench_queries.items()):
             t0 = time.monotonic()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             passes[name].append(round(time.monotonic() - t0, 3))
+            # Drop py4j DataFrame refs NOW so ContextCleaner can free
+            # each query's localCheckpoint blocks — without this the
+            # suite accumulates block-manager state and later passes
+            # of the memory-heavy queries (amtl) read 2x slower.
+            gc.collect()
 
     timings = {name: min(ts) for name, ts in passes.items()}
     total = round(sum(timings.values()), 3)
