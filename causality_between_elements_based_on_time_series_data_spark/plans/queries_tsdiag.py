@@ -1105,3 +1105,121 @@ def binary_segmentation_changepoints(
         ).alias("stat"),
     )
     return lvl1.unionAll(lvl2).orderBy("level", "side")
+
+
+@register(
+    "forecast_backtest_mape",
+    oracle=_DAILY_MEAN_SQL
+    + """,
+    idx AS (
+        SELECT day, x,
+               row_number() OVER (ORDER BY day) AS rn,
+               lag(x, 1) OVER (ORDER BY day) AS l1,
+               lag(x, 7) OVER (ORDER BY day) AS l7,
+               first_value(x) OVER (ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS x1
+        FROM daily
+    ),
+    fcst AS (
+        SELECT day, x,
+               l1 AS f_naive,
+               l7 AS f_seasonal_naive,
+               l1 + (l1 - x1) / nullif(rn - 2, 0) AS f_drift
+        FROM idx WHERE rn > 8
+    ),
+    long AS (
+        SELECT 'naive' AS method, x, f_naive AS f FROM fcst
+        UNION ALL
+        SELECT 'seasonal_naive', x, f_seasonal_naive FROM fcst
+        UNION ALL
+        SELECT 'drift', x, f_drift FROM fcst
+    ),
+    scored AS (
+        SELECT method,
+               CAST(count(*) AS BIGINT) AS n_evals,
+               round(avg(abs(x - f) / nullif(abs(x), 0)), 6) AS mape,
+               round(sqrt(avg((x - f) * (x - f))), 6) AS rmse
+        FROM long GROUP BY 1
+    )
+    SELECT method, n_evals,
+           round(mape, 4) AS mape,
+           round(rmse, 4) AS rmse,
+           CAST(rank() OVER (ORDER BY mape, method) AS INTEGER)
+               AS mape_rank
+    FROM scored ORDER BY mape_rank, method
+    """,
+    doc="Rolling-origin forecast backtest — the model-selection layer "
+    "in front of the forecasting family (holt_linear_smoothing, "
+    "kalman_local_level, ewma_daily_series): three CAUSAL one-step "
+    "forecasters (naive = yesterday, seasonal-naive = same weekday "
+    "last week, drift = yesterday + historical mean increment, all "
+    "computed from lag/first-value windows with NO lookahead) are "
+    "scored on the same holdout days (rn > 8, so every method has "
+    "its inputs), by MAPE and RMSE, and ranked.  Which baseline "
+    "wins is itself diagnostic: seasonal-naive beating naive "
+    "confirms the weekly cycle that seasonal_decomposition_hourly "
+    "decomposes.  Scale: events reduce to the daily grid; ONE "
+    "window pass builds all three forecasts; the scoreboard is 3 "
+    "rows.",
+    tags=("causality", "stats", "timeseries", "window", "tsdiag"),
+)
+def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_mean(spark, sf_dir)
+    w = Window.orderBy("day")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx = daily.select(
+        "day",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.lag("x", 1).over(w).alias("l1"),
+        F.lag("x", 7).over(w).alias("l7"),
+        F.first("x").over(wcum).alias("x1"),
+    )
+    fcst = idx.where(F.col("rn") > 8).select(
+        "x",
+        F.col("l1").alias("f_naive"),
+        F.col("l7").alias("f_seasonal_naive"),
+        (
+            F.col("l1")
+            + (F.col("l1") - F.col("x1"))
+            / F.nullif((F.col("rn") - 2).cast("double"), F.lit(0.0))
+        ).alias("f_drift"),
+    )
+    long = fcst.select(
+        "x",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("naive").alias("method"),
+                    F.col("f_naive").alias("f"),
+                ),
+                F.struct(
+                    F.lit("seasonal_naive").alias("method"),
+                    F.col("f_seasonal_naive").alias("f"),
+                ),
+                F.struct(
+                    F.lit("drift").alias("method"),
+                    F.col("f_drift").alias("f"),
+                ),
+            )
+        ).alias("s"),
+    ).select("x", F.col("s.method").alias("method"), F.col("s.f").alias("f"))
+    x, f = F.col("x"), F.col("f")
+    scored = long.groupBy("method").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_evals"),
+        F.round(
+            F.avg(F.abs(x - f) / F.nullif(F.abs(x), F.lit(0.0))), 6
+        ).alias("mape6"),
+        F.round(F.sqrt(F.avg((x - f) * (x - f))), 6).alias("rmse6"),
+    )
+    return scored.select(
+        "method",
+        "n_evals",
+        F.round(F.col("mape6"), 4).alias("mape"),
+        F.round(F.col("rmse6"), 4).alias("rmse"),
+        F.rank()
+        .over(Window.orderBy("mape6", "method"))
+        .cast("int")
+        .alias("mape_rank"),
+    ).orderBy("mape_rank", "method")

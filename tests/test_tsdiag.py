@@ -304,3 +304,34 @@ def test_binary_segmentation_matches_numpy(spark, sf_dir):
         r = rows[(2, side)]
         assert r.split_day == ds and r.n_obs == ns
         assert r.stat == pytest.approx(ss, abs=1e-3)
+
+
+def test_forecast_backtest_replay(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_tsdiag import (
+        forecast_backtest_mape,
+    )
+
+    _, x = _daily_mean_np(spark, sf_dir)
+    n = len(x)
+    evals = {"naive": [], "seasonal_naive": [], "drift": []}
+    for i in range(8, n):  # rn > 8, 0-indexed i = rn-1
+        evals["naive"].append((x[i], x[i - 1]))
+        evals["seasonal_naive"].append((x[i], x[i - 7]))
+        evals["drift"].append(
+            (x[i], x[i - 1] + (x[i - 1] - x[0]) / (i - 1))
+        )
+    out = {r.method: r for r in forecast_backtest_mape(spark, sf_dir).collect()}
+    assert sorted(out) == ["drift", "naive", "seasonal_naive"]
+    mapes = {}
+    for m, pairs in evals.items():
+        a = np.array(pairs)
+        mape = np.mean(np.abs(a[:, 0] - a[:, 1]) / np.abs(a[:, 0]))
+        rmse = math.sqrt(np.mean((a[:, 0] - a[:, 1]) ** 2))
+        assert out[m].n_evals == len(pairs)
+        assert out[m].mape == pytest.approx(mape, abs=1e-3)
+        assert out[m].rmse == pytest.approx(rmse, abs=1e-3)
+        mapes[m] = round(mape, 6)
+    order = sorted(mapes, key=lambda m: (mapes[m], m))
+    for rank, m in enumerate(order, 1):
+        # rank() semantics: ties share a rank; fixture mapes are distinct
+        assert out[m].mape_rank == rank
