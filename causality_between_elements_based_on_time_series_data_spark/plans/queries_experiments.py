@@ -691,7 +691,8 @@ def newey_west_ols_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b1"),
     )
     # b0 needs ybar/xbar; recompute via a second tiny projection to
-    # dodge lateral-alias shadowing (CLAUDE.md rule)
+    # dodge Spark 4 lateral-alias shadowing (an expression in a select
+    # resolves a sibling alias of the same name, not the input column)
     m2 = daily.crossJoin(F.broadcast(m)).select(
         "x",
         "y",
