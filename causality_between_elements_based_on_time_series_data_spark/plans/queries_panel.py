@@ -1724,3 +1724,179 @@ def conformal_prediction_interval(
             F.avg((F.col("r") <= F.col("qhat")).cast("double")), 4
         ).alias("empirical_coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Staggered-adoption DiD: the event-time ATT(g, t) grid
+# ---------------------------------------------------------------------------
+
+_STAG_SQL = f"""
+    WITH wk AS (
+        SELECT user_id, {_DAYNUM_SQL} // 7 AS w,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS clicks,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                       THEN value END), 0), 6) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    cohort AS (
+        SELECT user_id,
+               min(CASE WHEN clicks >= 6 THEN w END) AS g
+        FROM wk GROUP BY 1
+    ),
+    sizes AS (
+        SELECT coalesce(g, -1) AS gl, CAST(count(*) AS DOUBLE) AS n
+        FROM cohort GROUP BY 1
+    ),
+    means AS (
+        SELECT coalesce(c.g, -1) AS gl, k.w,
+               sum(k.y) / max(s.n) AS ybar
+        FROM wk k
+        JOIN cohort c ON c.user_id = k.user_id
+        JOIN sizes s ON s.gl = coalesce(c.g, -1)
+        WHERE k.w <= 3
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT g.g, t.t
+        FROM (SELECT unnest(generate_series(1, 3)) AS g) g
+        CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS t) t
+        WHERE t.t >= g.g
+    )
+    SELECT gr.g AS cohort_week, gr.t AS calendar_week,
+           gr.t - gr.g AS event_time,
+           CAST(st.n AS BIGINT) AS n_treated,
+           CAST(sn.n AS BIGINT) AS n_control,
+           round(mt.ybar - mp.ybar - nt.ybar + np.ybar, 4) AS att
+    FROM grid gr
+    JOIN sizes st ON st.gl = gr.g
+    JOIN sizes sn ON sn.gl = -1
+    JOIN means mt ON mt.gl = gr.g AND mt.w = gr.t
+    JOIN means mp ON mp.gl = gr.g AND mp.w = gr.g - 1
+    JOIN means nt ON nt.gl = -1 AND nt.w = gr.t
+    JOIN means np ON np.gl = -1 AND np.w = gr.g - 1
+    ORDER BY cohort_week, calendar_week
+"""
+
+
+@register(
+    "staggered_adoption_att",
+    oracle=_STAG_SQL,
+    doc="Staggered-adoption difference-in-differences (the Callaway-"
+    "Sant'Anna building block): users adopt in the first week they "
+    "click >= 6 times (a deterministic intensity rule that spreads "
+    "cohorts g=0..3 AND leaves a large never-treated pool at every "
+    "sf — the all-users-click-in-week-0 degeneracy a raw first-"
+    "click rule hits), and each cohort-period effect ATT(g,t) = "
+    "(ybar_g,t - ybar_g,g-1) - (ybar_never,t - ybar_never,g-1) uses "
+    "the NEVER-TREATED as clean controls with the cohort's own "
+    "g-1 week as baseline — never the already-treated comparison "
+    "that biases classic TWFE under staggered timing.  Cohort means "
+    "divide the conditional purchase sum by the COHORT size, so "
+    "zero-activity user-weeks count as true zeros without a dense "
+    "grid.  g=0 is excluded (no pre-period); the partial week 4 is "
+    "dropped.  Emits the 6-cell (g, t) triangle with event_time = "
+    "t - g.  Scale: one user-week reduce; the means table is "
+    "|cohorts| x |weeks| (~20 rows) and the grid assembly is "
+    "broadcast joins on it.",
+    tags=("causality", "panel", "experiments", "agg", "join"),
+)
+def staggered_adoption_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "user_id", F.floor(_daynum() / 7).cast("bigint").alias("w")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("clicks"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("y"),
+    )
+    cohort = wk.groupBy("user_id").agg(
+        F.min(F.when(F.col("clicks") >= 6, F.col("w"))).alias("g")
+    )
+    gl = F.coalesce(F.col("g"), F.lit(-1))
+    sizes = cohort.groupBy(gl.alias("gl")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    means = (
+        wk.where(F.col("w") <= 3)
+        .join(cohort, "user_id")
+        .select(gl.alias("gl"), "w", "y")
+        .join(F.broadcast(sizes), "gl")
+        .groupBy("gl", "w")
+        .agg((F.sum("y") / F.max("n")).alias("ybar"))
+    )
+    grid = (
+        spark.range(1, 4)
+        .select(F.col("id").cast("int").alias("g"))
+        .crossJoin(
+            spark.range(1, 4).select(F.col("id").cast("int").alias("t"))
+        )
+        .where(F.col("t") >= F.col("g"))
+    )
+
+    def m(alias):
+        return F.broadcast(
+            means.select(
+                F.col("gl").alias(f"{alias}_gl"),
+                F.col("w").alias(f"{alias}_w"),
+                F.col("ybar").alias(f"{alias}_y"),
+            )
+        )
+
+    out = (
+        grid.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("gl").alias("st_gl"), F.col("n").alias("st_n")
+                )
+            ),
+            F.col("st_gl") == F.col("g"),
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("gl").alias("sn_gl"), F.col("n").alias("sn_n")
+                )
+            ),
+            F.col("sn_gl") == -1,
+        )
+        .join(
+            m("mt"),
+            (F.col("mt_gl") == F.col("g")) & (F.col("mt_w") == F.col("t")),
+        )
+        .join(
+            m("mp"),
+            (F.col("mp_gl") == F.col("g"))
+            & (F.col("mp_w") == F.col("g") - 1),
+        )
+        .join(
+            m("nt"),
+            (F.col("nt_gl") == -1) & (F.col("nt_w") == F.col("t")),
+        )
+        .join(
+            m("np"),
+            (F.col("np_gl") == -1) & (F.col("np_w") == F.col("g") - 1),
+        )
+    )
+    return out.select(
+        F.col("g").alias("cohort_week"),
+        F.col("t").alias("calendar_week"),
+        (F.col("t") - F.col("g")).alias("event_time"),
+        F.col("st_n").cast("bigint").alias("n_treated"),
+        F.col("sn_n").cast("bigint").alias("n_control"),
+        F.round(
+            F.col("mt_y") - F.col("mp_y") - F.col("nt_y") + F.col("np_y"),
+            4,
+        ).alias("att"),
+    ).orderBy("cohort_week", "calendar_week")

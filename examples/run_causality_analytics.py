@@ -68,6 +68,7 @@ def main() -> None:
     # survival regression, donor counterfactuals, dynamic effects
     for name in (
         "two_way_fixed_effects_did",
+        "staggered_adoption_att",
         "placebo_permutation_did",
         "cox_ph_one_step",
         "synthetic_control_gap",

@@ -535,3 +535,78 @@ def test_conformal_quantile_and_coverage_replay(spark, sf_dir):
     assert r.empirical_coverage == pytest.approx(
         np.mean([v <= qhat for v in ev_r]), abs=1e-4
     )
+
+
+def test_staggered_att_matches_numpy_replay(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_panel import (
+        staggered_adoption_att,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy(
+            "user_id",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("day", "ts").cast("date"),
+                    F.lit("2024-01-01"),
+                )
+                / 7
+            ).alias("w"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("clicks"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("event_type") == "purchase",
+                            F.col("value"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("y"),
+        )
+        .collect()
+    )
+    import collections
+
+    by_user = collections.defaultdict(dict)
+    for r in rows:
+        by_user[r.user_id][r.w] = (r.clicks, r.y)
+    g_of = {}
+    for u, wks in by_user.items():
+        adopted = [w for w, (c, _) in wks.items() if c >= 6]
+        g_of[u] = min(adopted) if adopted else -1
+    cohorts = collections.defaultdict(list)
+    for u, g in g_of.items():
+        cohorts[g].append(u)
+
+    def ybar(g, w):
+        users = cohorts[g]
+        return sum(by_user[u].get(w, (0, 0.0))[1] for u in users) / len(
+            users
+        )
+
+    out = {
+        (r.cohort_week, r.calendar_week): r
+        for r in staggered_adoption_att(spark, sf_dir).collect()
+    }
+    assert sorted(out) == [(1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (3, 3)]
+    for (g, t), r in out.items():
+        assert r.event_time == t - g
+        assert r.n_treated == len(cohorts[g])
+        assert r.n_control == len(cohorts[-1])
+        expect = (
+            ybar(g, t) - ybar(g, g - 1) - ybar(-1, t) + ybar(-1, g - 1)
+        )
+        assert r.att == pytest.approx(expect, abs=1e-3)
