@@ -2079,3 +2079,244 @@ def offline_policy_doubly_robust(
             4,
         ).alias("value_dr"),
     )
+
+
+@register(
+    "triple_difference_ddd",
+    oracle=f"""
+    WITH per_user_period AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INTEGER) AS a,
+               CAST(date_diff('day', DATE '2024-01-01',
+                              CAST(date_trunc('day', ts) AS DATE))
+                    >= 15 AS INTEGER)
+                   AS post,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                       THEN value END), 0), 6) AS o
+        FROM events GROUP BY 1, 2, 3
+    ),
+    tiers AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    >= 13 AS INTEGER) AS h
+        FROM events GROUP BY 1
+    ),
+    cells AS (
+        SELECT p.a, t.h, p.post, avg(p.o) AS m,
+               CAST(count(*) AS BIGINT) AS n
+        FROM per_user_period p JOIN tiers t ON t.user_id = p.user_id
+        GROUP BY 1, 2, 3
+    ),
+    did AS (
+        SELECT h,
+               sum(CASE WHEN a = 1 AND post = 1 THEN m END)
+               - sum(CASE WHEN a = 1 AND post = 0 THEN m END)
+               - sum(CASE WHEN a = 0 AND post = 1 THEN m END)
+               + sum(CASE WHEN a = 0 AND post = 0 THEN m END) AS d
+        FROM cells GROUP BY 1
+    )
+    SELECT CAST((SELECT sum(n) FROM cells) AS BIGINT) AS n_user_periods,
+           round(max(CASE WHEN h = 1 THEN d END), 4) AS did_heavy,
+           round(max(CASE WHEN h = 0 THEN d END), 4) AS did_light,
+           round(max(CASE WHEN h = 1 THEN d END)
+                 - max(CASE WHEN h = 0 THEN d END), 4) AS ddd
+    FROM did
+    """,
+    doc="Triple difference (DDD): the arm x period DiD computed "
+    "separately within the heavy-viewer and light-viewer tiers, and "
+    "differenced AGAINST EACH OTHER — the design that survives a "
+    "tier-specific shock violating plain DiD's parallel-trends "
+    "assumption (the shock cancels if it hits both arms within a "
+    "tier equally).  Eight cell means, alternating signs; the two "
+    "component DiDs are reported so the reader sees WHERE the "
+    "triple difference comes from.  Scale: one user x period reduce "
+    "+ one user-grain tier reduce joined at the user key, then an "
+    "8-row cell table.",
+    tags=("causality", "experiments", "stats", "agg", "join"),
+)
+def triple_difference_ddd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01")
+    )
+    pup = ev.groupBy(
+        "user_id", (day >= 15).cast("int").alias("post")
+    ).agg(
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("o")
+    ).select((F.col("user_id") % 2).cast("int").alias("a"), "post", "o", "user_id")
+    tiers = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            >= 13
+        )
+        .cast("int")
+        .alias("h")
+    )
+    cells = (
+        pup.join(F.broadcast(tiers), "user_id")
+        .groupBy("a", "h", "post")
+        .agg(
+            F.avg("o").alias("m"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    a, p, m, h = F.col("a"), F.col("post"), F.col("m"), F.col("h")
+    did = cells.groupBy("h").agg(
+        (
+            F.sum(F.when((a == 1) & (p == 1), m))
+            - F.sum(F.when((a == 1) & (p == 0), m))
+            - F.sum(F.when((a == 0) & (p == 1), m))
+            + F.sum(F.when((a == 0) & (p == 0), m))
+        ).alias("d"),
+        F.sum("n").alias("n"),
+    )
+    d = F.col("d")
+    return did.agg(
+        F.sum("n").cast("bigint").alias("n_user_periods"),
+        F.round(F.max(F.when(h == 1, d)), 4).alias("did_heavy"),
+        F.round(F.max(F.when(h == 0, d)), 4).alias("did_light"),
+        F.round(
+            F.max(F.when(h == 1, d)) - F.max(F.when(h == 0, d)), 4
+        ).alias("ddd"),
+    )
+
+
+@register(
+    "holm_fwer_adjust",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST((user_id // 2) % 12 AS INTEGER) AS seg,
+               CAST(user_id % 2 AS DOUBLE) AS t,
+               round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                       THEN value END), 0), 6) AS o
+        FROM events GROUP BY 1
+    ),
+    seg AS (
+        SELECT seg,
+               sum(t * o) / nullif(sum(t), 0)
+                   - sum((1 - t) * o) / nullif(count(*) - sum(t), 0)
+                   AS z,
+               (sum(t * o * o) / nullif(sum(t), 0)
+                    - power(sum(t * o) / nullif(sum(t), 0), 2))
+                   / nullif(sum(t), 0)
+               + (sum((1 - t) * o * o)
+                      / nullif(count(*) - sum(t), 0)
+                    - power(sum((1 - t) * o)
+                            / nullif(count(*) - sum(t), 0), 2))
+                   / nullif(count(*) - sum(t), 0) AS v
+        FROM per_user GROUP BY 1
+    ),
+    pvals AS (
+        SELECT seg,
+               round(2 * (1 - {_phi_sql("abs(z) / sqrt(v)")}), 6) AS p
+        FROM seg WHERE v > 0
+    ),
+    ranked AS (
+        SELECT seg, p,
+               row_number() OVER (ORDER BY p, seg) AS i,
+               count(*) OVER () AS k
+        FROM pvals
+    ),
+    stepped AS (
+        SELECT seg, p, i, k,
+               max((k - i + 1) * p)
+                   OVER (ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS holm_raw
+        FROM ranked
+    )
+    SELECT seg AS segment,
+           round(p, 4) AS raw_p,
+           round(least(1.0, holm_raw), 4) AS holm_adj_p,
+           CAST(least(1.0, holm_raw) < 0.05 AS INTEGER) AS rejected
+    FROM stepped ORDER BY segment
+    """,
+    doc="Holm step-down FWER adjustment over the 12 per-segment arm "
+    "effects (the same segments james_stein_segment_shrinkage pulls "
+    "toward the grand mean — shrinkage fixes the MAGNITUDES, Holm "
+    "fixes the CLAIMS): per-segment Welch z -> two-sided p (shared "
+    "tanh-Phi), then adj_p_i = max_(j<=i) (k-j+1)*p_j capped at 1 — "
+    "a running max over the p-sorted order, one cumulative window.  "
+    "The family-wise complement to granger_fdr_screen's "
+    "Benjamini-Hochberg FDR: Holm controls ANY false rejection, "
+    "BH controls the false-discovery rate.  On null fixture data "
+    "every segment should survive adjustment unrejected.  Scale: "
+    "user reduce -> 12-row segment table; windows run on 12 rows.",
+    tags=("causality", "experiments", "stats", "window"),
+)
+def holm_fwer_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("o")
+    ).select(
+        (F.floor(F.col("user_id") / 2).cast("bigint") % 12)
+        .cast("int")
+        .alias("seg"),
+        (F.col("user_id") % 2).cast("double").alias("t"),
+        "o",
+    )
+    t, o = F.col("t"), F.col("o")
+    cnt = F.count(F.lit(1))
+    n1 = F.nullif(F.sum(t), F.lit(0.0))
+    n0 = F.nullif(cnt - F.sum(t), F.lit(0.0))
+    m1 = F.sum(t * o) / n1
+    m0 = F.sum((1 - t) * o) / n0
+    seg = per_user.groupBy("seg").agg(
+        (m1 - m0).alias("z"),
+        (
+            (F.sum(t * o * o) / n1 - m1 * m1) / n1
+            + (F.sum((1 - t) * o * o) / n0 - m0 * m0) / n0
+        ).alias("v"),
+    )
+    pvals = seg.where(F.col("v") > 0).select(
+        "seg",
+        F.round(
+            2 * (1 - _phi_spark(F.abs(F.col("z")) / F.sqrt(F.col("v")))),
+            6,
+        ).alias("p"),
+    )
+    wrank = Window.orderBy("p", "seg")
+    ranked = pvals.select(
+        "seg",
+        "p",
+        F.row_number().over(wrank).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("k"),
+    )
+    wstep = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = ranked.select(
+        "seg",
+        "p",
+        F.max((F.col("k") - F.col("i") + 1) * F.col("p"))
+        .over(wstep)
+        .alias("holm_raw"),
+    )
+    adj = F.least(F.lit(1.0), F.col("holm_raw"))
+    return stepped.select(
+        F.col("seg").alias("segment"),
+        F.round(F.col("p"), 4).alias("raw_p"),
+        F.round(adj, 4).alias("holm_adj_p"),
+        (adj < 0.05).cast("int").alias("rejected"),
+    ).orderBy("segment")

@@ -90,6 +90,8 @@ def main() -> None:
         "james_stein_segment_shrinkage",
         "raking_weights_ipf",
         "brier_calibration_decomposition",
+        "triple_difference_ddd",
+        "holm_fwer_adjust",
         "evalue_sensitivity_bound",
         "page_hinkley_drift",
         "offline_policy_ips_snips",

@@ -468,3 +468,41 @@ def test_dr_policy_value_ties_out(spark, sf_dir):
     # the two queries' IPS columns are the same estimator
     r2 = offline_policy_ips_snips(spark, sf_dir).collect()[0]
     assert r.value_ips == pytest.approx(r2.value_ips, abs=1e-9)
+
+
+def test_ddd_is_the_two_did_difference(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_experiments import (
+        triple_difference_ddd,
+    )
+
+    r = triple_difference_ddd(spark, sf_dir).collect()[0]
+    assert r.n_user_periods > 0
+    assert r.ddd == pytest.approx(
+        r.did_heavy - r.did_light, abs=2e-4
+    )
+
+
+def test_holm_adjustment_replay_and_monotone(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_experiments import (
+        holm_fwer_adjust,
+    )
+
+    rows = holm_fwer_adjust(spark, sf_dir).collect()
+    k = len(rows)
+    # replay Holm on the emitted raw p-values (6dp-rounded upstream;
+    # raw_p is the 4dp display of the same number)
+    order = sorted(rows, key=lambda r: (r.raw_p, r.segment))
+    running = 0.0
+    for i, r in enumerate(order, 1):
+        running = max(running, (k - i + 1) * r.raw_p)
+        assert r.holm_adj_p == pytest.approx(
+            min(1.0, running), abs=2e-3  # 4dp raw_p vs 6dp internal
+        )
+        assert r.rejected == int(r.holm_adj_p < 0.05)
+    # adjusted p never below raw, and step-down is monotone in rank
+    for r in rows:
+        assert r.holm_adj_p >= r.raw_p - 1e-9
+    adj_in_order = [r.holm_adj_p for r in order]
+    assert adj_in_order == sorted(adj_in_order)
+    # null fixture: nothing should be rejected family-wise
+    assert sum(r.rejected for r in rows) == 0
