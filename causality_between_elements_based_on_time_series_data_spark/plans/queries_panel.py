@@ -1749,8 +1749,11 @@ _STAG_SQL = f"""
         FROM cohort GROUP BY 1
     ),
     means AS (
+        -- ybar rounded 6dp: the att combination re-rounds at 4dp and
+        -- a 1-ulp cross-engine sum difference sat exactly on a 4dp
+        -- boundary at sf0.001 — identical 6dp inputs close that door
         SELECT coalesce(c.g, -1) AS gl, k.w,
-               sum(k.y) / max(s.n) AS ybar
+               round(sum(k.y) / max(s.n), 6) AS ybar
         FROM wk k
         JOIN cohort c ON c.user_id = k.user_id
         JOIN sizes s ON s.gl = coalesce(c.g, -1)
@@ -1834,7 +1837,7 @@ def staggered_adoption_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(gl.alias("gl"), "w", "y")
         .join(F.broadcast(sizes), "gl")
         .groupBy("gl", "w")
-        .agg((F.sum("y") / F.max("n")).alias("ybar"))
+        .agg(F.round(F.sum("y") / F.max("n"), 6).alias("ybar"))
     )
     grid = (
         spark.range(1, 4)
