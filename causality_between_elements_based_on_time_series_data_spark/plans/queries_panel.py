@@ -1778,13 +1778,14 @@ _STAG_SQL = f"""
     JOIN means mp ON mp.gl = gr.g AND mp.w = gr.g - 1
     JOIN means nt ON nt.gl = -1 AND nt.w = gr.t
     JOIN means np ON np.gl = -1 AND np.w = gr.g - 1
-    ORDER BY cohort_week, calendar_week
 """
+
+_STAG_SQL_ORDERED = _STAG_SQL + "\n    ORDER BY cohort_week, calendar_week"
 
 
 @register(
     "staggered_adoption_att",
-    oracle=_STAG_SQL,
+    oracle=_STAG_SQL_ORDERED,
     doc="Staggered-adoption difference-in-differences (the Callaway-"
     "Sant'Anna building block): users adopt in the first week they "
     "click >= 6 times (a deterministic intensity rule that spreads "
@@ -1903,3 +1904,47 @@ def staggered_adoption_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("att"),
     ).orderBy("cohort_week", "calendar_week")
+
+
+@register(
+    "staggered_event_study",
+    oracle="WITH att_cells AS (" + _STAG_SQL.strip() + """)
+    SELECT event_time,
+           CAST(count(*) AS BIGINT) AS n_cohorts,
+           CAST(sum(n_treated) AS BIGINT) AS n_treated_total,
+           round(sum(att * n_treated) / sum(n_treated), 4)
+               AS att_event
+    FROM att_cells
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Event-study aggregation of the staggered-adoption grid: the "
+    "6 ATT(g,t) cells collapse to the dynamic-effect curve "
+    "ATT(e) at event time e = t-g, each cell weighted by its cohort "
+    "size — the Callaway-Sant'Anna group-time-to-event-study "
+    "aggregation, and the staggered-design answer to "
+    "event_study_daily_effects' single-cohort curve.  Note the "
+    "composition honesty: later event times draw only from earlier "
+    "cohorts (e=2 exists only for g=1), so the curve confounds "
+    "dynamics with cohort mix exactly as the literature warns — "
+    "n_cohorts per row makes that visible.  Scale: identical fact "
+    "passes to staggered_adoption_att; the aggregation is 6 -> 3 "
+    "rows.",
+    tags=("causality", "panel", "experiments", "agg"),
+)
+def staggered_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = staggered_adoption_att(spark, sf_dir)
+    # att is already 4dp-rounded in the cells (identical on both
+    # engines), so the weighted average re-rounds identical inputs
+    return (
+        cells.groupBy("event_time")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cohorts"),
+            F.sum("n_treated").cast("bigint").alias("n_treated_total"),
+            F.round(
+                F.sum(F.col("att") * F.col("n_treated"))
+                / F.sum("n_treated"),
+                4,
+            ).alias("att_event"),
+        )
+        .orderBy("event_time")
+    )

@@ -610,3 +610,28 @@ def test_staggered_att_matches_numpy_replay(spark, sf_dir):
             ybar(g, t) - ybar(g, g - 1) - ybar(-1, t) + ybar(-1, g - 1)
         )
         assert r.att == pytest.approx(expect, abs=1e-3)
+
+
+def test_event_study_is_weighted_cell_average(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_panel import (
+        staggered_adoption_att,
+        staggered_event_study,
+    )
+
+    cells = staggered_adoption_att(spark, sf_dir).collect()
+    out = {r.event_time: r for r in staggered_event_study(spark, sf_dir).collect()}
+    assert sorted(out) == [0, 1, 2]
+    import collections
+
+    acc = collections.defaultdict(lambda: [0.0, 0, 0])
+    for c in cells:
+        e = c.calendar_week - c.cohort_week
+        acc[e][0] += c.att * c.n_treated
+        acc[e][1] += c.n_treated
+        acc[e][2] += 1
+    for e, (num, den, k) in acc.items():
+        assert out[e].n_cohorts == k
+        assert out[e].n_treated_total == den
+        assert out[e].att_event == pytest.approx(num / den, abs=1e-4)
+    # composition honesty: cohort support shrinks with event time
+    assert out[0].n_cohorts >= out[1].n_cohorts >= out[2].n_cohorts
