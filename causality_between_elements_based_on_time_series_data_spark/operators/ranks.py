@@ -1,0 +1,191 @@
+"""Distributed exact global ranks — the bucket+offset device.
+
+Spark evaluates an unpartitioned window (``Window.orderBy(...)`` with
+no ``partitionBy``) by moving EVERY row to one task: a one-task sort
+that caps the whole query at single-core speed at 100 TB, however
+correct the answer.  The device used across this repo's plans (first
+proven in ``plans/queries_experiments.py`` ``propensity_stratified_
+effect``) replaces it with three bounded pieces:
+
+1. bucket every row by a MONOTONE function of the sort key (value-range
+   buckets from a 1-row broadcast min/max — no eager action);
+2. rank within each bucket with an ordinary distributed window;
+3. add the tiny (≤ n_buckets-row) bucket-count table's cumulative
+   prefix offsets, broadcast back.
+
+The result is bit-identical to the literal global ``row_number()``
+because bucket order refines the sort order (equal keys share a
+bucket).  Skewed keys make hot buckets — a straggler on a LINEAR
+window, never a blow-up.
+
+These helpers are driver-side plan builders (plain DataFrame ops), not
+worker-shipped closures, so importing package symbols here is safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_BUCKETS = 128
+
+
+def with_range_bucket(
+    df: DataFrame,
+    value_col: str,
+    *,
+    descending: bool = False,
+    out: str = "bkt",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Add an integer bucket column that ascends in the requested sort
+    order of ``value_col`` (any numeric type): equal values share a
+    bucket, and bucket index is monotone in the sort order, so
+    ``(bkt, value_col, tiebreaks...)`` sorts identically to
+    ``(value_col, tiebreaks...)``.  Bounds come from a 1-row broadcast
+    min/max aggregate — no eager action.  Double arithmetic is order-
+    preserving (monotone ops compose), so one float path serves ints
+    and doubles alike.
+    """
+    bounds = df.agg(
+        F.min(value_col).alias("_rb_mn"), F.max(value_col).alias("_rb_mx")
+    )
+    v = F.col(value_col).cast("double")
+    mn = F.col("_rb_mn").cast("double")
+    mx = F.col("_rb_mx").cast("double")
+    span = mx - mn
+    pos = (mx - v) if descending else (v - mn)
+    bkt = F.when(
+        span > 0,
+        F.least(
+            F.floor(pos * float(n_buckets) / span), F.lit(n_buckets - 1)
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out, bkt.cast("int"))
+        .drop("_rb_mn", "_rb_mx")
+    )
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    *,
+    bucket_col: str = "bkt",
+    out: str = "rn",
+    total: str | None = None,
+) -> DataFrame:
+    """Exact global ``row_number()`` over ``order_by`` given a bucket
+    column that ascends in that order (see ``with_range_bucket``):
+    per-bucket distributed windows + the ≤ n_buckets-row count table's
+    cumulative offsets, broadcast back.  ``total`` optionally adds the
+    overall row count (from the same tiny table — no extra pass over
+    ``df``).  The input should be cached/checkpointed by the caller if
+    recomputing it twice (counts + ranks) is expensive.
+    """
+    counts = df.groupBy(bucket_col).agg(F.count("*").alias("_gr_cnt"))
+    # tiny (≤ n_buckets-row) table: the global window is fine HERE
+    woff = Window.orderBy(bucket_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        bucket_col,
+        F.coalesce(F.sum("_gr_cnt").over(woff), F.lit(0)).alias("_gr_off"),
+        *(
+            [
+                F.sum("_gr_cnt")
+                .over(Window.partitionBy(F.lit(1)))
+                .alias(total)
+            ]
+            if total
+            else []
+        ),
+    )
+    wb = Window.partitionBy(bucket_col).orderBy(*order_by)
+    ranked = df.join(F.broadcast(offs), bucket_col).withColumn(
+        out, F.row_number().over(wb) + F.col("_gr_off")
+    )
+    return ranked.drop("_gr_off")
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_by: list[Column],
+    sums: dict[str, str],
+    *,
+    bucket_col: str = "bkt",
+) -> DataFrame:
+    """Exact global running sums over ``order_by`` (``sums`` maps input
+    column -> output column), given an order-ascending bucket column:
+    per-bucket cumulative windows + the tiny bucket-total table's
+    prefix offsets broadcast back.  Integer/exact inputs stay
+    bit-identical to the literal global cumulative window; float
+    inputs are bit-identical too because addition order within the
+    global sequence is preserved (prefix offset first, then in-order
+    partial sums) only when the caller's values are bucket-prefix
+    associative — for floats, keep inputs rounded/integral if the
+    oracle compares exactly.
+    """
+    totals = df.groupBy(bucket_col).agg(
+        *[F.sum(c).alias(f"_gc_{c}") for c in sums]
+    )
+    # tiny (≤ n_buckets-row) table: the global window is fine HERE
+    woff = Window.orderBy(bucket_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.select(
+        bucket_col,
+        *[
+            F.coalesce(F.sum(f"_gc_{c}").over(woff), F.lit(0)).alias(
+                f"_gco_{c}"
+            )
+            for c in sums
+        ],
+    )
+    wb = (
+        Window.partitionBy(bucket_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    res = df.join(F.broadcast(offs), bucket_col)
+    for c, out in sums.items():
+        res = res.withColumn(out, F.sum(c).over(wb) + F.col(f"_gco_{c}"))
+    return res.drop(*[f"_gco_{c}" for c in sums])
+
+
+def topk_ranked(
+    df: DataFrame,
+    keys: list[tuple[str, str]],
+    k: int,
+    *,
+    out: str = "rnk",
+) -> DataFrame:
+    """Global top-k WITH exact ranks, window-free: ``orderBy().limit(k)``
+    plans as a distributed TakeOrderedAndProject (per-partition heaps,
+    never a global sort), then the rank column is rebuilt on the ≤k
+    survivors by a broadcast k×k self-join count.  ``keys`` is the
+    total order as (column, "asc"|"desc") pairs — it must be a TOTAL
+    order (include a unique tiebreak) or ranks would be ambiguous.
+    """
+    sort_cols = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in keys
+    ]
+    top = df.orderBy(*sort_cols).limit(k).localCheckpoint(eager=False)
+    other = top.select(
+        *[F.col(c).alias(f"_tk_{c}") for c, _ in keys]
+    )
+    # "strictly before" under the lexicographic (keys) order
+    before = F.lit(False)
+    eq = F.lit(True)
+    for c, d in keys:
+        o, s = F.col(f"_tk_{c}"), F.col(c)
+        lt = (o > s) if d == "desc" else (o < s)
+        before = before | (eq & lt)
+        eq = eq & (o == s)
+    group_cols = [c for c in top.columns]
+    return (
+        top.join(F.broadcast(other), before, "left")
+        .groupBy(*group_cols)
+        .agg((F.count(f"_tk_{keys[0][0]}") + 1).cast("int").alias(out))
+    )

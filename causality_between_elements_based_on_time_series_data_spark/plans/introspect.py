@@ -1,0 +1,144 @@
+"""Physical-plan introspection: structural detection of the WindowExec
+trap (an unpartitioned — or constant-key — Window over a relation that
+grows with the data is a one-task sort at 100 TB, however green its
+correctness check).  Shared by ``tests/test_plans.py``'s registry-wide
+gate and ``tools/window_audit.py``.
+
+Spark renders a physical Window node in ``explain("formatted")`` as::
+
+    (4) Window
+    Input [2]: [id#0L, g#1L]
+    Arguments: [row_number() windowspecdefinition(g#1L, id#0L ASC ...)
+                AS r#6], [g#1L], [id#0L ASC NULLS FIRST]
+
+The ``Arguments:`` line carries 1-3 top-level ``[...]`` groups: the
+window functions, then (optionally) the partition spec, then
+(optionally) the sort spec.  Sort-spec entries always carry an
+``ASC``/``DESC`` direction token; partition entries never do — that is
+the classifier.  A ``partitionBy(lit(1))`` constant key is folded away
+by Catalyst before the physical plan (the node's required distribution
+becomes SinglePartition), so constant-key windows are caught by the
+same "no partition group" test; a surviving all-literal partition spec
+is classified unpartitioned explicitly.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+def formatted_plan(df) -> str:
+    """The ``explain("formatted")`` string of a DataFrame (returned,
+    not printed)."""
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@dataclass
+class WindowNode:
+    node: str  # "Window" | "WindowInPandas"
+    functions: str
+    partition: list[str]
+    order: list[str]
+
+    @property
+    def is_unpartitioned(self) -> bool:
+        if not self.partition:
+            return True
+        # a surviving all-literal partition spec is still one task
+        return all(re.fullmatch(r"-?\d+(\.\d+)?", p) for p in self.partition)
+
+
+_NODE_RE = re.compile(
+    r"^\(\d+\) (Window(?:InPandas)?)(?:\s.*)?$\n"
+    r"(?:^(?!\(\d|Arguments:).*$\n)*?"
+    r"^Arguments: (.*)$",
+    re.M,
+)
+
+
+def _top_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups of an Arguments line (bracket-depth
+    aware, so nested brackets inside expressions don't split)."""
+    groups: list[str] = []
+    depth = 0
+    start = -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+    return groups
+
+
+def _split_exprs(g: str) -> list[str]:
+    """Split a group on top-level commas (paren/bracket aware)."""
+    out: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in g:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+_DIRECTION = re.compile(r"\b(ASC|DESC) NULLS (FIRST|LAST)\b")
+
+
+def window_nodes(plan: str) -> list[WindowNode]:
+    """All physical Window / WindowInPandas nodes in a formatted plan,
+    with their partition and sort specs separated."""
+    nodes: list[WindowNode] = []
+    for m in _NODE_RE.finditer(plan):
+        name, args = m.group(1), m.group(2)
+        groups = _top_groups(args)
+        funcs = groups[0] if groups else ""
+        partition: list[str] = []
+        order: list[str] = []
+        for g in groups[1:]:
+            exprs = _split_exprs(g)
+            if exprs and all(_DIRECTION.search(e) for e in exprs):
+                order.extend(exprs)
+            else:
+                partition.extend(exprs)
+        nodes.append(
+            WindowNode(
+                node=name, functions=funcs, partition=partition, order=order
+            )
+        )
+    return nodes
+
+
+def unpartitioned_windows(plan: str) -> list[WindowNode]:
+    """The Window nodes whose partition spec is empty or all-literal —
+    each is a single-task sort over its input relation."""
+    return [n for n in window_nodes(plan) if n.is_unpartitioned]
+
+
+def order_signature(node: WindowNode) -> tuple[str, ...]:
+    """The sorted base column names of a window's sort spec (expr IDs
+    stripped) — stable across plan rebuilds, so usable as a gate
+    whitelist key.  An empty tuple = whole-relation frame (no sort)."""
+    names = set()
+    for e in node.order:
+        names.update(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", e))
+    return tuple(sorted(names))

@@ -4929,11 +4929,17 @@ def anova_oneway_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the ratio to the 5% critical value 1.36*sqrt((na+nb)/(na*nb)).  "
     "The whole-distribution companion to Welch's mean test — "
     "sensitive to shape and tail differences a t-test misses.  The "
-    "value grid is a map-side distinct reduce; the global cumsum "
-    "window runs on distinct values only.",
+    "value grid is a map-side distinct reduce; the ECDF cumsums run "
+    "via the bucket+offset device (operators/ranks.py: value-range "
+    "buckets, per-bucket cumulative windows, broadcast prefix "
+    "offsets) — integer counts, so bit-identical to the oracle's "
+    "literal global cumulative window, and never a one-task sort of "
+    "the distinct-value grid.",
     tags=("causality", "stats", "robust"),
 )
 def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import with_global_cumsum, with_range_bucket
+
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
     )
@@ -4948,13 +4954,12 @@ def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = vals.groupBy("x").agg(
         F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb")
-    )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ecdf = grid.select(
-        "x",
-        F.sum("ca").over(w).alias("cuma"),
-        F.sum("cb").over(w).alias("cumb"),
-    )
+    ).localCheckpoint(eager=False)
+    ecdf = with_global_cumsum(
+        with_range_bucket(grid, "x"),
+        [F.col("x")],
+        {"ca": "cuma", "cb": "cumb"},
+    ).select("x", "cuma", "cumb")
     d = F.abs(F.col("cuma") / F.col("na") - F.col("cumb") / F.col("nb"))
     crit = 1.36 * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb")))
     return (

@@ -400,36 +400,44 @@ def roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     "threshold, AQE skew-join expectations): per-key counts reduced "
     "map-side, then heavy-hitter shares (top-1/top-10) and the Gini "
     "coefficient of the key distribution from the rank formula "
-    "G = 2·Σi·cᵢ/(n·Σc) − (n+1)/n.  The global rank window runs over "
-    "the KEY-COUNT table (|keys| rows, orders of magnitude below the "
-    "facts) — at 100 TB that table is millions of rows, still a "
-    "single-executor sort; tie order within equal counts cannot "
-    "change Σi·cᵢ (the index block sums identically under any "
-    "permutation), so the statistic is deterministic.",
+    "G = 2·Σi·cᵢ/(n·Σc) − (n+1)/n.  NO rank window over the |keys| "
+    "table (millions of rows at 100 TB — the WindowExec trap): tie "
+    "order within equal counts cannot change Σi·cᵢ, so the rank sum "
+    "collapses to the COUNT HISTOGRAM identity "
+    "Σ_c c·(m_c·off_c + m_c(m_c+1)/2) over distinct count values "
+    "(off_c = keys with smaller count, via the bucket+offset cumsum "
+    "device of operators/ranks.py), and the top-10 share needs only "
+    "a distributed TakeOrderedAndProject + sum, never ranks.",
     tags=("dataops", "agg", "skew"),
 )
 def key_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..operators.ranks import with_global_cumsum, with_range_bucket
 
     li = load_table(spark, sf_dir, "lineitem")
     kc = li.groupBy(F.col("l_partkey").alias("k")).agg(
         F.count("*").cast("double").alias("c")
+    ).localCheckpoint(eager=False)
+    # count histogram: one row per distinct count value — the rank-sum
+    # identity makes per-key ranks unnecessary
+    hist = kc.groupBy("c").agg(F.count("*").cast("double").alias("m"))
+    cum = with_global_cumsum(
+        with_range_bucket(hist, "c"), [F.col("c")], {"m": "cum_m"}
     )
-    ranked = kc.select(
-        "c",
-        F.row_number().over(W.orderBy("c", "k")).alias("i"),
-    )
+    m, c = F.col("m"), F.col("c")
+    off = F.col("cum_m") - m
+    acc = cum.select(
+        (c * (m * off + m * (m + 1) / 2)).alias("term")
+    ).agg(F.sum("term").alias("sic"))
     stats = kc.agg(
         F.count("*").cast("double").alias("n"),
         F.sum("c").alias("tot"),
         F.max("c").alias("cmax"),
     )
     top10 = (
-        kc.select("c", F.row_number().over(W.orderBy(F.desc("c"), F.asc("k"))).alias("r"))
-        .filter(F.col("r") <= 10)
+        kc.orderBy(F.desc("c"), F.asc("k"))
+        .limit(10)
         .agg(F.sum("c").alias("top10"))
     )
-    acc = ranked.agg(F.sum(F.col("i") * F.col("c")).alias("sic"))
     return (
         acc.crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(top10))

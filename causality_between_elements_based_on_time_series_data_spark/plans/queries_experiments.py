@@ -1472,8 +1472,15 @@ def cate_interaction_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cum_qini(k) = R_t(k) - R_c(k)*N_t(k)/N_c(k) is the standard "
     "Qini numerator — the curve a targeting model is judged by "
     "before anyone trusts its uplift claims.  Scale: user reduce, "
-    "one global rank window over users (the same sort every top-k "
-    "query pays), 10-row cumulative algebra.",
+    "then the EXACT global rank without a single-partition window "
+    "(the WindowExec trap): scores hash into ~128 value-range "
+    "buckets (bounds from a 1-row broadcast min/max — no eager "
+    "action), ranks are per-bucket row_numbers (distributed "
+    "windows) plus the ≤129-row bucket-count table's cumulative "
+    "offsets, bit-identical to the oracle's literal row_number() "
+    "OVER (ORDER BY score DESC, user_id).  Heavy-tailed view "
+    "counts can make hot buckets — a straggler (linear windows), "
+    "never a blow-up.  10-row cumulative algebra on top.",
     tags=("causality", "experiments", "ml", "window", "agg"),
 )
 def uplift_by_decile_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1491,13 +1498,41 @@ def uplift_by_decile_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("score"),
     ).select((F.col("user_id") % 2).cast("double").alias("t"), "y", "score", "user_id")
-    wrank = Window.orderBy(F.desc("score"), "user_id")
-    wall = Window.partitionBy()
-    ranked = per_user.select(
+    # score-range buckets ascending in the DESC-score sort order:
+    # bkt = floor((mx - score) * 128 / (mx - mn + 1)) — monotone
+    # non-increasing in score, equal scores share a bucket, so
+    # (bkt, score DESC, user_id) is exactly (score DESC, user_id).
+    bounds = per_user.agg(
+        F.min("score").alias("_mn"), F.max("score").alias("_mx")
+    )
+    bucketed = per_user.crossJoin(F.broadcast(bounds)).select(
         "t",
         "y",
-        F.row_number().over(wrank).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n"),
+        "score",
+        "user_id",
+        (
+            (F.col("_mx") - F.col("score"))
+            * F.lit(128)
+            / (F.col("_mx") - F.col("_mn") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("bkt"),
+    ).localCheckpoint(eager=False)
+    counts = bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))
+    # ≤129-row bucket table: global windows are fine HERE
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    wtot = Window.partitionBy(F.lit(1))
+    offs = counts.select(
+        "bkt",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
+        F.sum("cnt").over(wtot).alias("n"),
+    )
+    wb = Window.partitionBy("bkt").orderBy(F.desc("score"), "user_id")
+    ranked = bucketed.join(F.broadcast(offs), "bkt").select(
+        "t",
+        "y",
+        (F.row_number().over(wb) + F.col("off")).alias("rn"),
+        "n",
     )
     dec = ranked.select(
         F.ceil(F.col("rn") * 10.0 / F.col("n")).cast("int").alias("decile"),

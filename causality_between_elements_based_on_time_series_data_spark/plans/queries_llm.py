@@ -3748,23 +3748,23 @@ def ann_rp_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "independently oracled pipelines; fusion adds one outer join on "
     "two 20-row lists — at 100 TB the fusion cost is the max of the "
     "two retrievers, never their product.  Ranks on ROUNDED scores "
-    "keep both legs' orderings engine-stable.",
+    "keep both legs' orderings engine-stable.  Each leg's top-20 is "
+    "a distributed TakeOrderedAndProject with ranks rebuilt on the "
+    "20 survivors (operators/ranks.topk_ranked) — zero unpartitioned "
+    "Window nodes.",
     tags=("llm", "similarity", "text"),
 )
 def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     from ..functions.arrays import cosine_similarity
+    from ..operators.ranks import topk_ranked
 
     lex_scores = bm25_retrieval_topk(spark, sf_dir)
-    lex = (
-        lex_scores.withColumn(
-            "r",
-            F.row_number().over(W.orderBy(F.desc("bm25_score"), F.asc("doc_id"))),
-        )
-        .filter(F.col("r") <= 20)
-        .select("doc_id", F.col("r").alias("lex_rank"))
-    )
+    lex = topk_ranked(
+        lex_scores,
+        [("bm25_score", "desc"), ("doc_id", "asc")],
+        20,
+        out="lex_rank",
+    ).select("doc_id", "lex_rank")
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     cos = (
@@ -3772,17 +3772,14 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            cosine_similarity(F.col("embedding"), F.col("qvec")).alias("sim"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qvec")), 6
+            ).alias("sim"),
         )
     )
-    sem = (
-        cos.withColumn(
-            "r",
-            F.row_number().over(W.orderBy(F.round("sim", 6).desc(), F.asc("doc_id"))),
-        )
-        .filter(F.col("r") <= 20)
-        .select("doc_id", F.col("r").alias("sem_rank"))
-    )
+    sem = topk_ranked(
+        cos, [("sim", "desc"), ("doc_id", "asc")], 20, out="sem_rank"
+    ).select("doc_id", "sem_rank")
     fused = lex.join(sem, "doc_id", "full_outer").select(
         "doc_id",
         (
@@ -3831,22 +3828,54 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "each only to its next-2 lexicographic neighbors (lead windows), "
     "keep levenshtein <= 3.  Candidate count is exactly 2n regardless "
     "of block-size skew — the property that makes sorted-neighborhood "
-    "the fallback when no good blocking key exists.  The sort runs on "
-    "the distinct-name table (catalog-sized, post-dedup); at 100 TB "
-    "a range-partitioned sort keeps it distributed, with window "
-    "continuity across partition boundaries handled by the standard "
-    "2-row overlap trick.",
+    "the fallback when no good blocking key exists.  The sort is "
+    "DISTRIBUTED: names bucket by their 2-char prefix (order-"
+    "preserving, bounded alphabet), lead(1)/lead(2) run per bucket, "
+    "and continuity across bucket boundaries comes from the standard "
+    "2-row overlap trick — each bucket's first-two-names summary, "
+    "carried backward on the tiny bucket table and broadcast — "
+    "bit-identical to the oracle's literal global lead windows.",
     tags=("llm", "dedup", "window"),
 )
 def sorted_neighborhood_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
-    w = W.orderBy("p_name")
-    seq = names.select(
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("bkt", F.substring("p_name", 1, 2))
+        .localCheckpoint(eager=False)
+    )
+    wb = W.partitionBy("bkt").orderBy("p_name")
+    # per-bucket first-two-names summary (the 2-row overlap)
+    firsts = names.select(
+        "bkt", "p_name", F.row_number().over(wb).alias("rn")
+    ).filter(F.col("rn") <= 2)
+    heads = firsts.groupBy("bkt").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("p_name"))).alias("f1"),
+        F.max(F.when(F.col("rn") == 2, F.col("p_name"))).alias("f2"),
+    )
+    # tiny bounded-alphabet bucket table: global leads are fine HERE.
+    # The two names following bucket b in global order are f1(b+1),
+    # then f2(b+1) — or f1(b+2) when bucket b+1 holds a single name.
+    wtb = W.orderBy("bkt")
+    carry = heads.select(
+        "bkt",
+        F.lead("f1", 1).over(wtb).alias("nf1"),
+        F.coalesce(
+            F.lead("f2", 1).over(wtb), F.lead("f1", 2).over(wtb)
+        ).alias("nf2"),
+    )
+    l1 = F.lead("p_name", 1).over(wb)
+    l2 = F.lead("p_name", 2).over(wb)
+    seq = names.join(F.broadcast(carry), "bkt", "left").select(
         "p_name",
-        F.lead("p_name", 1).over(w).alias("n1"),
-        F.lead("p_name", 2).over(w).alias("n2"),
+        F.coalesce(l1, F.col("nf1")).alias("n1"),
+        F.when(l2.isNotNull(), l2)
+        .when(l1.isNotNull(), F.col("nf1"))
+        .otherwise(F.col("nf2"))
+        .alias("n2"),
     )
     cand = (
         seq.filter(F.col("n1").isNotNull())
@@ -4871,9 +4900,14 @@ def pca_power_iteration_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— yet the inverted index shrinks to the rare-token prefixes, so "
     "hot stopwords never fan out candidate pairs (the principled "
     "version of the max-df cut used by ngram_jaccard_pairs).  The "
-    "global token order is a vocabulary-sized window (Heaps' law: "
-    "~corpus^0.5 rows), never a corpus sort; candidates and "
-    "verification cost follow true near-duplicate mass.",
+    "global token order is vocabulary-sized (Heaps' law: "
+    "~corpus^0.5 rows) and, like every exact global rank in this "
+    "repo, is computed WITHOUT a one-task sort: dfreq-range buckets "
+    "(bounds from a 1-row broadcast min/max), per-bucket "
+    "row_numbers plus the ≤129-row bucket-count table's cumulative "
+    "offsets — bit-identical to the oracle's literal row_number() "
+    "OVER (ORDER BY dfreq, w).  Candidates and verification cost "
+    "follow true near-duplicate mass.",
     tags=("llm", "dedup", "similarity"),
 )
 def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4884,9 +4918,31 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     ).localCheckpoint(eager=False)
     df_t = tok.groupBy("w").agg(F.count("*").cast("bigint").alias("dfreq"))
-    ranked_vocab = df_t.select(
+    # dfreq-range buckets (monotone in dfreq; Zipf makes dfreq=mn the
+    # hot bucket — a straggler on a linear window, never a blow-up)
+    vb = df_t.agg(F.min("dfreq").alias("_mn"), F.max("dfreq").alias("_mx"))
+    df_b = df_t.crossJoin(F.broadcast(vb)).select(
         "w",
-        F.row_number().over(Window.orderBy("dfreq", "w")).alias("rnk"),
+        "dfreq",
+        (
+            (F.col("dfreq") - F.col("_mn"))
+            * F.lit(128)
+            / (F.col("_mx") - F.col("_mn") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("vbkt"),
+    ).localCheckpoint(eager=False)
+    vcounts = df_b.groupBy("vbkt").agg(F.count("*").alias("cnt"))
+    # ≤129-row bucket table: the global window is fine HERE
+    voff_w = Window.orderBy("vbkt").rowsBetween(Window.unboundedPreceding, -1)
+    voffs = vcounts.select(
+        "vbkt",
+        F.coalesce(F.sum("cnt").over(voff_w), F.lit(0)).alias("voff"),
+    )
+    wvb = Window.partitionBy("vbkt").orderBy("dfreq", "w")
+    ranked_vocab = df_b.join(F.broadcast(voffs), "vbkt").select(
+        "w",
+        (F.row_number().over(wvb) + F.col("voff")).alias("rnk"),
     )
     dtok = (
         tok.alias("t")
@@ -5298,13 +5354,15 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "data-quality gate in front of ANN indexing and SemDeDup — "
     "corrupted or off-manifold vectors poison centroids and "
     "neighbour lists.  Per-dim stats are d rows broadcast back; the "
-    "distance is map-side; only the top-k ranking shuffles, and only "
-    "|corpus| scalar distances.",
+    "distance is map-side; the top-10 is a distributed "
+    "TakeOrderedAndProject (orderBy().limit() BEFORE ranking — "
+    "never a global row_number over all vectors, whose sort can't "
+    "push through the window), and the rank column is rebuilt on "
+    "the 10 survivors by a broadcast 10x10 self-join count — zero "
+    "Window nodes in the plan.",
     tags=("llm", "embedding", "quality"),
 )
 def embedding_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
@@ -5330,16 +5388,31 @@ def embedding_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rms = F.sqrt(F.col("d2") / F.col("d"))
-    w = Window.orderBy(F.desc(F.round(rms, 6)), "vec_id")
-    return (
+    top = (
         dists.select(
             "vec_id",
             "label",
+            F.round(rms, 6).alias("_key"),
             F.round(rms, 4).alias("rms_z"),
-            F.row_number().over(w).cast("int").alias("rnk"),
         )
-        .orderBy("rnk")
+        .orderBy(F.desc("_key"), "vec_id")
         .limit(10)
+        .localCheckpoint(eager=False)
+    )
+    # rank the 10 survivors: rnk = 1 + |rows sorting strictly before|
+    # (broadcast 10x10 self-join — no Window node anywhere)
+    b = top.select(
+        F.col("_key").alias("_bkey"), F.col("vec_id").alias("_bvid")
+    )
+    before = (F.col("_bkey") > F.col("_key")) | (
+        (F.col("_bkey") == F.col("_key"))
+        & (F.col("_bvid") < F.col("vec_id"))
+    )
+    return (
+        top.join(F.broadcast(b), before, "left")
+        .groupBy("vec_id", "label", "rms_z")
+        .agg((F.count("_bvid") + 1).cast("int").alias("rnk"))
+        .orderBy("rnk")
     )
 
 
@@ -5368,12 +5441,14 @@ def embedding_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exponent flags template/generated text, a steep one flags "
     "vocabulary collapse — the one-number lexical-health screen "
     "beside the per-doc quality scores.  One corpus pass for counts; "
-    "the rank window runs on the Heaps'-law vocabulary, never the "
-    "corpus.",
+    "the top-1000 is a distributed TakeOrderedAndProject over the "
+    "Heaps'-law vocabulary with ranks rebuilt on the 1000 survivors "
+    "(operators/ranks.topk_ranked) — no vocabulary-sized one-task "
+    "rank window.",
     tags=("llm", "text", "stats"),
 )
 def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.ranks import topk_ranked
 
     docs = load_table(spark, sf_dir, "documents")
     freqs = (
@@ -5381,9 +5456,9 @@ def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("f"))
     )
-    ranked = freqs.select(
-        "f", F.row_number().over(Window.orderBy(F.desc("f"), "w")).alias("r")
-    ).filter(F.col("r") <= 1000)
+    ranked = topk_ranked(
+        freqs, [("f", "desc"), ("w", "asc")], 1000, out="r"
+    )
     return ranked.agg(
         F.count("*").cast("bigint").alias("n_ranks"),
         F.round(-F.regr_slope(F.log("f"), F.log("r")), 4).alias("zipf_exponent"),
@@ -5967,8 +6042,14 @@ def containment_pairs_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocabulary growth that several operators' scale arguments cite "
     "(never broadcast the vocabulary; rank windows are vocab-sized): "
     "beta ~ 0.5 confirms them, beta near 1 (no type reuse) would "
-    "invalidate them.  Two hash-keyed aggregates + one cumulative "
-    "window over |docs| rows.",
+    "invalidate them.  Two hash-keyed aggregates; the cumulative "
+    "sums run WITHOUT a single-partition window over |docs| (the "
+    "WindowExec trap): doc_ids hash into ~128 id-range buckets "
+    "(bounds from a 1-row broadcast min/max — no eager action), "
+    "per-bucket cumulative sums are distributed windows, and the "
+    "≤129-row bucket-total table's cumulative prefix offsets are "
+    "broadcast back — integer sums, so bit-identical to the "
+    "oracle's literal global cumulative window.",
     tags=("llm", "text", "stats"),
 )
 def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5987,16 +6068,45 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_new"))
     )
-    w = Window.orderBy("doc_id").rowsBetween(
+    per_doc = doc_tokens.join(new_types, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+    )
+    # doc_id-range buckets ascending in doc_id order: a pure monotone
+    # function of doc_id, so (bkt, doc_id) order IS doc_id order.
+    bounds = per_doc.agg(
+        F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx")
+    )
+    bucketed = per_doc.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "n_tok",
+        "n_new",
+        (
+            (F.col("doc_id") - F.col("_mn"))
+            * F.lit(128)
+            / (F.col("_mx") - F.col("_mn") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("bkt"),
+    ).localCheckpoint(eager=False)
+    totals = bucketed.groupBy("bkt").agg(
+        F.sum("n_tok").alias("t_tok"), F.sum("n_new").alias("t_new")
+    )
+    # ≤129-row bucket table: global windows are fine HERE
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "bkt",
+        F.coalesce(F.sum("t_tok").over(woff), F.lit(0)).alias("off_tok"),
+        F.coalesce(F.sum("t_new").over(woff), F.lit(0)).alias("off_new"),
+    )
+    wb = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = (
-        doc_tokens.join(new_types, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("n_tok").over(w).alias("cum_tokens"),
-            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("cum_vocab"),
-        )
+    cum = bucketed.join(F.broadcast(offs), "bkt").select(
+        "doc_id",
+        (F.sum("n_tok").over(wb) + F.col("off_tok")).alias("cum_tokens"),
+        (F.sum("n_new").over(wb) + F.col("off_new")).alias("cum_vocab"),
     )
     return cum.agg(
         F.count("*").cast("bigint").alias("n_points"),

@@ -183,15 +183,17 @@ def two_way_fixed_effects_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "y",
             "o",
+            "user_id",
+            "day",
         )
     )
-    n_users = users.count()
-    n_days = days.count()
+    # dimension counts fold into the same aggregate (the grid is
+    # balanced users x days) — no extra eager fact-table scans
     y, o, yt, ot = F.col("y"), F.col("o"), F.col("yt"), F.col("ot")
     cnt = F.count(F.lit(1))
     return within.agg(
-        F.lit(n_users).cast("bigint").alias("n_users"),
-        F.lit(n_days).cast("bigint").alias("n_days"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.countDistinct("day").cast("bigint").alias("n_days"),
         F.round(
             F.sum(yt * ot) / F.nullif(F.sum(yt * yt), F.lit(0.0)), 4
         ).alias("twfe_effect"),
@@ -440,17 +442,23 @@ def cox_ph_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dx",
         F.sum("n").over(wdesc).alias("s0"),
         F.sum("sx").over(wdesc).alias("s1"),
-    ).where(F.col("d") > 0)
-    ratio = F.col("s1") / F.col("s0")
-    score = risk.agg(
-        F.sum(F.col("dx") - F.col("d") * ratio).alias("u"),
-        F.sum(F.col("d") * ratio * (1 - ratio)).alias("i"),
-        F.sum("d").cast("bigint").alias("n_events"),
     )
-    n_subjects = subj.count()
+    # n_subjects folds into the SAME aggregate: the descending
+    # cumulative s0 at the minimum time is the whole cohort, so
+    # max(s0) = |subjects| — no second eager action, no extra scan.
+    ratio = F.col("s1") / F.col("s0")
+    ev_row = F.col("d") > 0
+    score = risk.agg(
+        F.sum(F.when(ev_row, F.col("dx") - F.col("d") * ratio)).alias("u"),
+        F.sum(
+            F.when(ev_row, F.col("d") * ratio * (1 - ratio))
+        ).alias("i"),
+        F.sum(F.when(ev_row, F.col("d"))).cast("bigint").alias("n_events"),
+        F.max("s0").cast("bigint").alias("n_subjects"),
+    )
     u, i = F.col("u"), F.col("i")
     return score.select(
-        F.lit(n_subjects).cast("bigint").alias("n_subjects"),
+        "n_subjects",
         "n_events",
         F.round(u / i, 4).alias("beta"),
         F.round(F.exp(u / i), 4).alias("hazard_ratio"),
@@ -1264,9 +1272,15 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conventions differ; picking an actual order statistic is "
     "bit-identical on both engines by construction.  QTE curves "
     "reveal effects the mean hides (a treatment moving only the "
-    "upper tail).  Scale: one user-grain reduce, one per-arm "
-    "rank window over users, and a 3-row quantile probe joined "
-    "against it.",
+    "upper tail).  Scale: one user-grain reduce, then the EXACT "
+    "per-arm rank without a 2-partition window (the WindowExec "
+    "trap): outcomes hash into ~128 value-range buckets (bounds "
+    "from a 1-row broadcast min/max — no eager action), ranks are "
+    "per-(arm,bucket) row_numbers (distributed windows) plus the "
+    "≤258-row (arm,bucket)-count table's per-arm cumulative "
+    "offsets — bit-identical to the oracle's literal row_number() "
+    "OVER (PARTITION BY arm ORDER BY o, user_id).  A 3-row "
+    "quantile probe joins against the ranked rows.",
     tags=("causality", "stats", "window", "agg"),
 )
 def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1286,12 +1300,37 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (F.col("user_id") % 2).cast("int").alias("arm"), "o", "user_id"
     )
-    warm = Window.partitionBy("arm")
-    ranked = per_user.select(
+    # o-range buckets: bkt = floor((o - mn) * 128 / (mx - mn)) capped
+    # at 127 — a pure monotone function of o, so equal o share a
+    # bucket and (arm, bkt, o, user_id) order IS (arm, o, user_id).
+    bounds = per_user.agg(F.min("o").alias("_mn"), F.max("o").alias("_mx"))
+    span = F.col("_mx") - F.col("_mn")
+    bucketed = per_user.crossJoin(F.broadcast(bounds)).select(
         "arm",
         "o",
-        F.row_number().over(warm.orderBy("o", "user_id")).alias("rn"),
-        F.count(F.lit(1)).over(warm).alias("cnt"),
+        "user_id",
+        F.when(span > 0, F.least(
+            F.floor((F.col("o") - F.col("_mn")) * 128.0 / span),
+            F.lit(127),
+        )).otherwise(F.lit(0)).cast("int").alias("bkt"),
+    ).localCheckpoint(eager=False)
+    counts = bucketed.groupBy("arm", "bkt").agg(F.count("*").alias("c"))
+    # ≤258-row (arm,bucket) table: per-arm windows are fine HERE
+    woff = Window.partitionBy("arm").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "arm",
+        "bkt",
+        F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("off"),
+        F.sum("c").over(Window.partitionBy("arm")).alias("cnt"),
+    )
+    wb = Window.partitionBy("arm", "bkt").orderBy("o", "user_id")
+    ranked = bucketed.join(F.broadcast(offs), ["arm", "bkt"]).select(
+        "arm",
+        "o",
+        (F.row_number().over(wb) + F.col("off")).alias("rn"),
+        "cnt",
     )
     qs = spark.range(1, 4).select(
         (F.col("id") * 0.25).cast("double").alias("q")
@@ -1614,16 +1653,20 @@ def network_interference_exposure(
         (F.sum(e * y) - F.sum(e) * F.sum(y) / n).alias("sey"),
         F.avg(e).alias("ebar"),
     )
-    n_suppliers = treat.count()
+    # supplier count folds in as a 1-row broadcast (the oracle's
+    # scalar subquery) — no extra eager action at build time
+    n_sup = treat.agg(F.count(F.lit(1)).alias("n_suppliers"))
     stt, see, ste = F.col("stt"), F.col("see"), F.col("ste")
     sty, sey = F.col("sty"), F.col("sey")
     det = stt * see - ste * ste
     # dimensionless collinearity guard — see the oracle comment
     collinear = (F.abs(det) <= 1e-6 * stt * see).cast("int")
-    guarded = mom.select("*", collinear.alias("collinear"))
+    guarded = mom.select("*", collinear.alias("collinear")).crossJoin(
+        F.broadcast(n_sup)
+    )
     c0 = F.col("collinear") == 0
     return guarded.select(
-        F.lit(n_suppliers).cast("bigint").alias("n_suppliers"),
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
         F.col("n").cast("bigint").alias("n_connected"),
         F.round(F.col("ebar"), 4).alias("mean_exposure"),
         F.col("collinear").cast("int").alias("collinear"),
@@ -1803,7 +1846,7 @@ _STAG_SQL_ORDERED = _STAG_SQL + "\n    ORDER BY cohort_week, calendar_week"
     "t - g.  Scale: one user-week reduce; the means table is "
     "|cohorts| x |weeks| (~20 rows) and the grid assembly is "
     "broadcast joins on it.",
-    tags=("causality", "panel", "experiments", "agg", "join"),
+    tags=("causality", "panel", "experiments", "agg", "join", "bench"),
 )
 def staggered_adoption_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

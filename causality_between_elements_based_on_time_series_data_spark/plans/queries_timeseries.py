@@ -283,17 +283,26 @@ def task_norms_and_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked
     """,
     doc="AUC (model.py:157) via the rank-based Mann-Whitney identity — "
-    "one global sort instead of TF's accumulator; exact, not "
-    "trapezoid-approximated, and SQL-checkable.",
+    "exact, not trapezoid-approximated, and SQL-checkable.  The "
+    "global rank is computed with the bucket+offset device "
+    "(operators/ranks.py): score-range buckets + per-bucket "
+    "distributed windows + broadcast prefix offsets — bit-identical "
+    "to the oracle's literal row_number() and never a corpus-sized "
+    "single-partition sort.",
     tags=("timeseries", "metric"),
 )
 def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import with_global_rank, with_range_bucket
+
     emb = load_table(spark, sf_dir, "embeddings")
     score = dot_with_const(F.col("embedding"), PROJ_VEC)
-    ranked = emb.select(
-        "label",
-        F.row_number().over(W.orderBy(score.alias("score"), F.col("vec_id"))).cast("double").alias("r"),
-    )
+    scored = emb.select(
+        "label", "vec_id", score.alias("score")
+    ).localCheckpoint(eager=False)
+    bucketed = with_range_bucket(scored, "score")
+    ranked = with_global_rank(
+        bucketed, [F.col("score"), F.col("vec_id")], out="rn"
+    ).select("label", F.col("rn").cast("double").alias("r"))
     pos = F.sum(F.when(F.col("label") == 1, 1.0).otherwise(0.0))
     neg = F.sum(F.when(F.col("label") == 0, 1.0).otherwise(0.0))
     sum_r_pos = F.sum(F.when(F.col("label") == 1, F.col("r")).otherwise(0.0))

@@ -61,20 +61,46 @@ def window_lag_lead_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     """,
     doc="row_number/rank/dense_rank/ntile — SURVEY §2.5 [GAP] ranking "
-    "family; deterministic tie-breaks on the key column.",
+    "family; deterministic tie-breaks on the key column.  The "
+    "per-customer ranks are ordinary partitioned windows; the GLOBAL "
+    "quartile is reproduced from the bucket+offset exact rank "
+    "(operators/ranks.py) by SQL-standard ntile arithmetic (first "
+    "n%4 groups one row larger) — bit-identical to the oracle's "
+    "literal ntile(4) without a one-task sort of the orders table.",
     tags=("window",),
 )
 def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    wg = W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return orders.select(
+    from ..operators.ranks import with_global_rank, with_range_bucket
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    ).localCheckpoint(eager=False)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    ranked = with_global_rank(
+        with_range_bucket(orders, "o_totalprice", descending=True),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        out="grn",
+        total="ntot",
+    )
+    # SQL-standard ntile(4): q = n div 4, r = n mod 4; the first r
+    # groups get q+1 rows (same arithmetic as propensity_stratified_
+    # effect's exact ntile(5))
+    q = (F.col("ntot") / 4).cast("bigint")
+    r = F.col("ntot") % 4
+    thr = r * (q + 1)
+    grn = F.col("grn")
+    quartile = F.when(grn <= thr, F.ceil(grn / (q + 1))).otherwise(
+        r + F.ceil((grn - thr) / q)
+    )
+    return ranked.select(
         "o_custkey",
         "o_orderkey",
         F.row_number().over(w).cast("bigint").alias("rn"),
         F.rank().over(w).cast("bigint").alias("rnk"),
         F.dense_rank().over(w).cast("bigint").alias("drnk"),
-        F.ntile(4).over(wg).cast("int").alias("quartile"),
+        quartile.cast("int").alias("quartile"),
     )
 
 

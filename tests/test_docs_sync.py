@@ -43,6 +43,8 @@ NON_QUERY_ALLOWLIST = {
     # engine operator/helper function names documented in prose
     "embedding_near_dup_lsh", "lsh_candidate_pairs",
     "minhash_signatures", "simhash64", "dynamicpruningexpression",
+    "topk_ranked", "with_range_bucket", "with_global_rank",
+    "with_global_cumsum",
     # test names cited in prose
     "test_streaming_merge_upsert_multibatch_out_of_order",
     # generated-appendix structural tokens (module headers, column val)
@@ -111,4 +113,33 @@ def test_registry_appendix_is_fresh():
     assert committed == gen_registry_map.render(), (
         "ARCHITECTURE.md registry appendix is stale; run "
         "tools/gen_registry_map.py"
+    )
+
+
+def test_survey_ext_rows_name_live_registry_entries():
+    """SURVEY §2.11-2.13 row gate (round 9, VERDICT r8 next-round #8):
+    every [EXT] operator-table row must name at least one LIVE registry
+    entry in backticks, so renaming a registry entry cannot silently
+    orphan a SURVEY row (the 170-row [EXT] surface is the biggest
+    drift risk).  Combined with test_every_doc_query_name_resolves
+    (no stale names anywhere), each row stays pinned to running code."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+
+    text = open(f"{REPO}/SURVEY.md").read()
+    start = text.index("### 2.11")
+    end = text.index("## 3. Query lifecycle")
+    section = text[start:end]
+    orphan_rows = []
+    for line in section.splitlines():
+        if not line.startswith("|") or set(line) <= set("|-: "):
+            continue
+        if re.match(r"^\|\s*op\s*\|", line):  # header rows
+            continue
+        if not any(t in REGISTRY for t in TOKEN_RE.findall(line)):
+            orphan_rows.append(line[:80])
+    assert not orphan_rows, (
+        "SURVEY §2.11-2.13 rows naming no live registry entry "
+        f"(rename drift or missing impl reference): {orphan_rows}"
     )

@@ -579,3 +579,93 @@ def test_tsdiag_family_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "SortMergeJoin" not in plan, name
         assert "ShuffledHashJoin" not in plan, name
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide WindowExec-trap gate (round 9, VERDICT r8 next-round #2)
+# ---------------------------------------------------------------------------
+
+# Queries whose plans may contain an unpartitioned (or constant-key)
+# Window node, keyed by the windows' ORDER-column signature (base
+# names, expr IDs stripped — see plans.introspect.order_signature).
+# Every entry must be justified by a BOUNDED input relation: the
+# window's input must not grow with fact/user/doc/vector volume.
+# Anything not listed here (or listed with a different signature —
+# e.g. a rewrite that re-introduces a global rank over `score`) FAILS.
+UNPARTITIONED_WINDOW_WHITELIST: dict[str, set[tuple[str, ...]]] = {
+    # --- bucket+offset device tables (≤ n_buckets ≈ 128 rows): the
+    # distributed exact-rank/cumsum device of operators/ranks.py and
+    # its inline precursors. The flagged window IS the device's tiny
+    # offset table, never the data.
+    "auc_mann_whitney": {("bkt",)},
+    "ks_two_sample_test": {("bkt",)},
+    "key_skew_diagnostics": {("bkt",)},  # count histogram, not keys
+    "window_rank_family": {("bkt",), ()},  # () = ntot over the tiny table
+    "sorted_neighborhood_matches": {("bkt",)},  # 2-char-prefix buckets
+    "uplift_by_decile_qini": {("bkt",), (), ("decile",)},  # + 10-row deciles
+    "heaps_law_fit": {("bkt",)},
+    "prefix_filter_jaccard_pairs": {("vbkt",)},
+    "propensity_stratified_effect": {("bkt",), ()},  # () = 5-row strata
+    "propensity_matching_att": {("bkt",)},
+    "quantile_treatment_effect": {("arm", "bkt"), ("bkt",)},
+    # --- calendar-grid relations (≤ |days| / |hours| / |months| rows,
+    # volume-independent by construction: facts reduce to the grid
+    # BEFORE the window)
+    "arch_lm_test": {("day",)},
+    "binary_segmentation_changepoints": {("day",)},
+    "block_bootstrap_variance": {(), ("day",), ("rn",)},  # rn = block idx
+    "conformal_prediction_interval": {(), ("day",), ("day", "r")},
+    "cox_ph_one_step": {("t",)},  # distinct event days
+    "forecast_backtest_mape": {("day",), ("mape6", "method")},  # 3 methods
+    "hurst_exponent_rs": {("hour",)},
+    "kaplan_meier_survival": {("t",)},
+    "ljung_box_test": {("day",)},
+    "local_projection_irf": {("day",)},
+    "mom_revenue_growth": {("month",)},
+    "msprt_always_valid_test": {("day",)},
+    "newey_west_ols_inference": {("x",)},  # x = daynum grid
+    "page_hinkley_drift": {("day",)},
+    "rolling_corr_stability": {("day",)},
+    "spectral_coherence_pair": {(), ("hour",)},
+    "streaming_page_hinkley": {("day",)},
+    "var1_stability_check": {("day",)},
+    # --- statistic tables bounded by category/segment/series counts
+    "chisq_type_by_segment": {()},  # |types|x|segments| contingency
+    "cramers_v_association": {()},  # contingency table
+    "granger_fdr_screen": {(), ("cause", "effect", "p")},  # ≤|series|² pairs
+    "holm_fwer_adjust": {(), ("i",), ("p", "seg")},  # ≤|segments| p-values
+    "james_stein_segment_shrinkage": {()},  # 12 segments
+    "markov_entropy_rate": {()},  # |types|² transition matrix
+    "placebo_permutation_did": {()},  # fixed permutation replicates
+    # --- sketch-capacity-bounded
+    "approx_top_terms": {("cnt", "term")},  # ≤ k=50 sketch rows
+}
+
+
+def test_no_unpartitioned_windows_over_growing_relations(spark, sf_dir):
+    """THE WindowExec-trap gate: explain every registered query and
+    fail on any unpartitioned (or constant-key) Window node unless the
+    (query, order-column signature) pair is whitelisted above with a
+    bounded-relation justification.  Signatures pin the sort columns,
+    so a regression that re-introduces a global rank over a growing
+    column (score/o/doc_id/...) fails even for a whitelisted query."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.introspect import (
+        order_signature,
+        unpartitioned_windows,
+    )
+
+    offenders: dict[str, set[tuple[str, ...]]] = {}
+    for name, q in sorted(REGISTRY.items()):
+        try:
+            plan = plan_of(spark, sf_dir, name)
+        except Exception:  # noqa: BLE001 - runtime failures belong to
+            continue  # the correctness suite, not the plan gate
+        sigs = {order_signature(n) for n in unpartitioned_windows(plan)}
+        extra = sigs - UNPARTITIONED_WINDOW_WHITELIST.get(name, set())
+        if extra:
+            offenders[name] = extra
+    assert not offenders, (
+        "unpartitioned Window nodes over non-whitelisted relations "
+        "(one-task sorts at scale) — rewrite with the bucket+offset "
+        f"device (operators/ranks.py) or justify + whitelist: {offenders}"
+    )
