@@ -642,19 +642,36 @@ UNPARTITIONED_WINDOW_WHITELIST: dict[str, set[tuple[str, ...]]] = {
 }
 
 
-def test_no_unpartitioned_windows_over_growing_relations(spark, sf_dir):
-    """THE WindowExec-trap gate: explain every registered query and
-    fail on any unpartitioned (or constant-key) Window node unless the
-    (query, order-column signature) pair is whitelisted above with a
-    bounded-relation justification.  Signatures pin the sort columns,
-    so a regression that re-introduces a global rank over a growing
-    column (score/o/doc_id/...) fails even for a whitelisted query."""
+# Queries allowed to plan a row-at-a-time Python eval node: ONLY the
+# §2.10 Python-UDTF surface demo, whose whole point is the lateral
+# UDTF operator (Spark evaluates Python UDTFs via BatchEvalPythonUDTF
+# by design; everything else in the repo is Arrow-batched or JVM-side).
+BATCH_PYTHON_WHITELIST = {"udtf_sentence_split"}
+
+
+def test_registry_wide_plan_antipattern_sweep(spark, sf_dir):
+    """THE scale-killer gate, registry-wide: explain every registered
+    query once and fail on
+
+    1. any unpartitioned (or constant-key) Window node unless the
+       (query, order-column signature) pair is whitelisted above with
+       a bounded-relation justification — signatures pin the sort
+       columns, so a regression re-introducing a global rank over a
+       growing column (score/o/doc_id/...) fails even for a
+       whitelisted query;
+    2. any CartesianProduct anywhere (the bench-set audit showed 0;
+       this makes it 0 for all 367);
+    3. any row-at-a-time Python eval (BatchEvalPython*) outside the
+       declared UDTF demo — pandas/Arrow kernels plan as
+       *InPandas/ArrowEvalPython and stay allowed."""
     from causality_between_elements_based_on_time_series_data_spark.plans.introspect import (
         order_signature,
         unpartitioned_windows,
     )
 
-    offenders: dict[str, set[tuple[str, ...]]] = {}
+    window_offenders: dict[str, set[tuple[str, ...]]] = {}
+    cartesian_offenders: list[str] = []
+    python_offenders: list[str] = []
     for name, q in sorted(REGISTRY.items()):
         try:
             plan = plan_of(spark, sf_dir, name)
@@ -663,9 +680,16 @@ def test_no_unpartitioned_windows_over_growing_relations(spark, sf_dir):
         sigs = {order_signature(n) for n in unpartitioned_windows(plan)}
         extra = sigs - UNPARTITIONED_WINDOW_WHITELIST.get(name, set())
         if extra:
-            offenders[name] = extra
-    assert not offenders, (
+            window_offenders[name] = extra
+        if "CartesianProduct" in plan:
+            cartesian_offenders.append(name)
+        if "BatchEvalPython" in plan and name not in BATCH_PYTHON_WHITELIST:
+            python_offenders.append(name)
+    assert not window_offenders, (
         "unpartitioned Window nodes over non-whitelisted relations "
         "(one-task sorts at scale) — rewrite with the bucket+offset "
-        f"device (operators/ranks.py) or justify + whitelist: {offenders}"
+        f"device (operators/ranks.py) or justify + whitelist: "
+        f"{window_offenders}"
     )
+    assert not cartesian_offenders, cartesian_offenders
+    assert not python_offenders, python_offenders
