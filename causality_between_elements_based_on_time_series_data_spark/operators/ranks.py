@@ -46,6 +46,12 @@ def with_range_bucket(
     min/max aggregate — no eager action.  Double arithmetic is order-
     preserving (monotone ops compose), so one float path serves ints
     and doubles alike.
+
+    ``value_col`` must be NON-NULL: a null value yields a null bucket,
+    and the downstream equi-join on the bucket column would silently
+    drop the row (the literal global window would instead rank nulls
+    first).  Every in-repo caller coalesces or constructs the sort key
+    before bucketing; do the same.
     """
     bounds = df.agg(
         F.min(value_col).alias("_rb_mn"), F.max(value_col).alias("_rb_mx")

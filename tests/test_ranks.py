@@ -1,0 +1,159 @@
+"""Property tests for the bucket+offset exact-rank device
+(``operators/ranks.py``) — load-bearing under 15+ registry queries
+since round 9, so its equivalence to the literal global window is
+pinned directly here, not only through those queries' oracles.
+
+The literal global windows used as the EXPECTED side are fine in this
+file: the test relations are a few hundred rows (the gate in
+``test_plans.py`` forbids them in product plans, not in tests).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from causality_between_elements_based_on_time_series_data_spark.operators.ranks import (
+    topk_ranked,
+    with_global_cumsum,
+    with_global_rank,
+    with_range_bucket,
+)
+
+
+def _fixture(spark, n=500, all_equal=False):
+    """n rows with a skewed, tie-heavy numeric value and a unique id
+    tiebreak; deterministic (no rand())."""
+    df = spark.range(n).select(
+        F.col("id").alias("uid"),
+        (
+            F.lit(7.0)
+            if all_equal
+            # quadratic-ish growth + heavy ties from the modulus
+            else ((F.col("id") % 17) * (F.col("id") % 17)
+                  + (F.col("id") % 5)).cast("double")
+        ).alias("val"),
+    )
+    return df
+
+
+def _expected_rank(df, descending=False):
+    order = [F.desc("val"), F.asc("uid")] if descending else [
+        F.asc("val"), F.asc("uid")
+    ]
+    return df.withColumn(
+        "exp", F.row_number().over(Window.orderBy(*order))
+    )
+
+
+def _assert_same(got, exp, key="uid", col_got="rn", col_exp="exp"):
+    joined = got.select(key, col_got).join(
+        exp.select(key, col_exp), key
+    )
+    bad = joined.filter(F.col(col_got) != F.col(col_exp)).count()
+    assert bad == 0, f"{bad} mismatching rows"
+
+
+def test_global_rank_matches_literal_window_asc(spark):
+    df = _fixture(spark)
+    got = with_global_rank(
+        with_range_bucket(df, "val"), [F.asc("val"), F.asc("uid")]
+    )
+    _assert_same(got, _expected_rank(df))
+
+
+def test_global_rank_matches_literal_window_desc(spark):
+    df = _fixture(spark)
+    got = with_global_rank(
+        with_range_bucket(df, "val", descending=True),
+        [F.desc("val"), F.asc("uid")],
+    )
+    _assert_same(got, _expected_rank(df, descending=True))
+
+
+def test_global_rank_degenerate_all_equal_values(spark):
+    # span = 0 -> every row lands in bucket 0; ranks still exact
+    df = _fixture(spark, n=50, all_equal=True)
+    got = with_global_rank(
+        with_range_bucket(df, "val"), [F.asc("val"), F.asc("uid")]
+    )
+    _assert_same(got, _expected_rank(df))
+
+
+def test_global_rank_single_row_and_total(spark):
+    df = _fixture(spark, n=1)
+    got = with_global_rank(
+        with_range_bucket(df, "val"),
+        [F.asc("val"), F.asc("uid")],
+        total="ntot",
+    ).collect()
+    assert len(got) == 1 and got[0]["rn"] == 1 and got[0]["ntot"] == 1
+
+
+def test_global_rank_total_equals_count(spark):
+    df = _fixture(spark, n=137)
+    got = with_global_rank(
+        with_range_bucket(df, "val"),
+        [F.asc("val"), F.asc("uid")],
+        total="ntot",
+    )
+    rows = got.select("ntot").distinct().collect()
+    assert [r["ntot"] for r in rows] == [137]
+
+
+def test_global_cumsum_matches_literal_window(spark):
+    df = _fixture(spark).withColumn("w8", (F.col("uid") % 7).cast("bigint"))
+    # order strictly by val would be ambiguous under ties for a SUM of
+    # per-row weights; the device orders identically to the literal
+    # window when the order is total, so include the uid tiebreak
+    got = with_global_cumsum(
+        with_range_bucket(df, "val"),
+        [F.asc("val"), F.asc("uid")],
+        {"w8": "cum"},
+    )
+    w = Window.orderBy(F.asc("val"), F.asc("uid")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exp = df.withColumn("exp", F.sum("w8").over(w))
+    _assert_same(got, exp, col_got="cum")
+
+
+def test_topk_ranked_matches_sorted_head(spark):
+    df = _fixture(spark)
+    got = {
+        (r["uid"], r["rnk"])
+        for r in topk_ranked(
+            df, [("val", "desc"), ("uid", "asc")], 25
+        ).collect()
+    }
+    exp = {
+        (r["uid"], i + 1)
+        for i, r in enumerate(
+            df.orderBy(F.desc("val"), F.asc("uid")).limit(25).collect()
+        )
+    }
+    assert got == exp
+
+
+def test_topk_ranked_k_larger_than_relation(spark):
+    df = _fixture(spark, n=9)
+    rows = topk_ranked(df, [("val", "asc"), ("uid", "asc")], 25).collect()
+    assert sorted(r["rnk"] for r in rows) == list(range(1, 10))
+
+
+def test_range_bucket_is_monotone_and_non_null(spark):
+    df = with_range_bucket(_fixture(spark), "val")
+    # bucket must be a monotone function of the value: max bucket of
+    # any lower value <= min bucket of any higher value
+    per_val = df.groupBy("val").agg(
+        F.min("bkt").alias("lo"), F.max("bkt").alias("hi")
+    )
+    assert per_val.filter(F.col("lo") != F.col("hi")).count() == 0
+    w = Window.orderBy("val")
+    breaks = (
+        per_val.withColumn("prev_hi", F.lag("hi").over(w))
+        .filter(F.col("prev_hi").isNotNull() & (F.col("lo") < F.col("prev_hi")))
+        .count()
+    )
+    assert breaks == 0
+    assert df.filter(F.col("bkt").isNull()).count() == 0
