@@ -1868,13 +1868,18 @@ def staggered_adoption_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("y"),
     )
+    # wk feeds both the cohort derivation and the cell means, and the
+    # tiny sizes/means tables are each broadcast-joined several times
+    # into the ATT grid below: checkpoint them so the fact passes run
+    # once, not once per broadcast instance
+    wk = wk.localCheckpoint(eager=False)
     cohort = wk.groupBy("user_id").agg(
         F.min(F.when(F.col("clicks") >= 6, F.col("w"))).alias("g")
     )
     gl = F.coalesce(F.col("g"), F.lit(-1))
     sizes = cohort.groupBy(gl.alias("gl")).agg(
         F.count(F.lit(1)).cast("double").alias("n")
-    )
+    ).localCheckpoint(eager=False)
     means = (
         wk.where(F.col("w") <= 3)
         .join(cohort, "user_id")
@@ -1882,6 +1887,7 @@ def staggered_adoption_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sizes), "gl")
         .groupBy("gl", "w")
         .agg(F.round(F.sum("y") / F.max("n"), 6).alias("ybar"))
+        .localCheckpoint(eager=False)
     )
     grid = (
         spark.range(1, 4)
