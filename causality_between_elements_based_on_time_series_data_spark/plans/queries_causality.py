@@ -38,9 +38,12 @@ def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared hour × series grid: one map-side-combined aggregate
     over events; everything downstream joins this small grid."""
     ev = load_table(spark, sf_dir, "events")
+    # lazily checkpointed: consumers fan the grid into self-joins and
+    # multi-branch derivations — the lineage cut makes the events
+    # reduce run once per query instead of once per branch
     return ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(F.sum("value").alias("v"))
+    ).agg(F.sum("value").alias("v")).localCheckpoint(eager=False)
 
 
 @register(
@@ -376,7 +379,7 @@ def pairwise_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type").agg(
         F.round(F.sum("value"), 6).alias("v")
-    )
+    ).localCheckpoint(eager=False)
     edges = hourly.groupBy("event_type").agg(
         F.min("v").alias("mn"), F.max("v").alias("mx")
     )
@@ -393,7 +396,7 @@ def pairwise_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("bin"),
-    )
+    ).localCheckpoint(eager=False)
     a, b = binned.alias("a"), binned.alias("b")
     joint = (
         a.join(
@@ -480,6 +483,8 @@ def partial_correlation_controlled(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("b.event_type").alias("sb"),
         )
         .agg(F.corr("a.v", "b.v").alias("r"))
+        # |series|^2 rows consumed three times (xy/xz/yz)
+        .localCheckpoint(eager=False)
     )
     xy = pairs.alias("xy")
     xz = pairs.filter(F.col("sb") == "error").alias("xz")
@@ -631,9 +636,10 @@ def _hourly_series_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant used wherever downstream logic is order- or bin-sensitive
     (ranking, binning)."""
     ev = load_table(spark, sf_dir, "events")
+    # lazily checkpointed — same rationale as _hourly_series
     return ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    ).agg(F.round(F.sum("value"), 6).alias("v")).localCheckpoint(eager=False)
 
 
 @register(
@@ -819,9 +825,11 @@ def transfer_entropy_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # the grid feeds the moment scalars AND the cusum window: cut the
+    # lineage so the events reduce runs once
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.round(F.sum("value"), 6).alias("v")
-    )
+    ).localCheckpoint(eager=False)
     stats = daily.groupBy("event_type").agg(
         F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
     )
@@ -1358,7 +1366,7 @@ def mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.round(F.sum("value"), 6).alias("v")
-    )
+    ).localCheckpoint(eager=False)
     med = daily.groupBy("event_type").agg(F.round(F.median("v"), 6).alias("med"))
     dev = daily.join(F.broadcast(med), "event_type").select(
         "event_type",
@@ -1366,6 +1374,7 @@ def mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.round(F.abs(F.col("v") - F.col("med")), 6).alias("adev"),
     )
+    dev = dev.localCheckpoint(eager=False)  # feeds the MAD and the final scan
     mad = dev.groupBy("event_type").agg(F.round(F.median("adev"), 6).alias("mad"))
     rz = F.col("adev") / (1.4826 * F.col("mad"))
     return (
@@ -1711,10 +1720,14 @@ def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     trans = ev.select(
         F.col("event_type").alias("s1"), F.lead("event_type").over(w).alias("s2")
     ).filter(F.col("s2").isNotNull())
-    c = trans.groupBy("s1", "s2").agg(F.count("*").cast("double").alias("c"))
+    c = trans.groupBy("s1", "s2").agg(
+        F.count("*").cast("double").alias("c")
+    ).localCheckpoint(eager=False)
+    # the tiny |types|^2 matrix is re-joined by every power iteration:
+    # cut the lineage so the events scan runs once, not once per round
     p = c.select(
         "s1", "s2", (F.col("c") / F.sum("c").over(Window.partitionBy("s1"))).alias("p")
-    )
+    ).localCheckpoint(eager=False)
     states = c.select(F.col("s1").alias("s")).distinct()
     n_states = states.agg(F.count("*").alias("n"))
     x = states.crossJoin(F.broadcast(n_states)).select(

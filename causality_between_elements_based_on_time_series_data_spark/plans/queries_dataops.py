@@ -517,6 +517,8 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("p1"), F.lit(0)).cast("double").alias("c1"),
             F.coalesce(F.sum(1 - F.col("p1")), F.lit(0)).cast("double").alias("c2"),
         )
+        # 10 rows consumed twice (totals + PSI): don't rescan events
+        .localCheckpoint(eager=False)
     )
     tot = counts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     q1 = (F.col("c1") + 1) / (F.col("n1") + 10)

@@ -234,9 +234,12 @@ def ngram_jaccard_pairs(
     verifying only those.  For end-to-end dedup use
     ``llm_dedup_pipeline``."""
     docs = load_table(spark, sf_dir, "documents")
+    # the token posting list feeds the df cut, per-doc sizes, and both
+    # sides of the intersection join: cut the lineage so the explode
+    # runs once, not once per consumer
     tok0 = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w")
-    )
+    ).localCheckpoint(eager=False)
     # hot-token document-frequency cut: tok0 rows are distinct per doc,
     # so count(*) per token IS its document frequency
     dfreq = tok0.groupBy("w").agg(F.count("*").alias("df"))
@@ -246,7 +249,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("df") <= max_df_frac * F.col("n_docs"))
         .select("w")
     )
-    tok = tok0.join(keep, "w")
+    tok = tok0.join(keep, "w").localCheckpoint(eager=False)
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if anchors is None:
         # full-corpus mode: LSH candidates bound the pair space, then
@@ -2954,7 +2957,12 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
-    src_tok = toks.groupBy("source", "tok").agg(F.count("*").cast("double").alias("c"))
+    # (source, token) counts feed three derivations (per-source totals,
+    # corpus marginals, the KL join): cut the lineage so the token
+    # explode runs once
+    src_tok = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("double").alias("c")
+    ).localCheckpoint(eager=False)
     src_tot = src_tok.groupBy("source").agg(F.sum("c").alias("tot"))
     corpus_tok = src_tok.groupBy("tok").agg(F.sum("c").alias("cc"))
     corpus_tot = corpus_tok.agg(F.sum("cc").alias("ct"))

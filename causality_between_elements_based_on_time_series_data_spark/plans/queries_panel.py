@@ -153,6 +153,8 @@ def two_way_fixed_effects_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     users = ev.select("user_id").distinct()
     days = ev.select(_daynum().alias("day")).distinct()
+    # the grid feeds four derivations (ubar/dbar/gbar + the within
+    # projection): cut the lineage so the events reduce runs once
     grid = (
         users.crossJoin(F.broadcast(days))
         .join(cells, ["user_id", "day"], "left")
@@ -162,6 +164,7 @@ def two_way_fixed_effects_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("y_raw"), F.lit(0)).cast("double").alias("y"),
             F.coalesce(F.col("o_raw"), F.lit(0.0)).alias("o"),
         )
+        .localCheckpoint(eager=False)
     )
     ubar = grid.groupBy("user_id").agg(
         F.avg("y").alias("yu"), F.avg("o").alias("ou")
@@ -1621,7 +1624,10 @@ from .queries_causality import (  # noqa: E402  (shared graph base)
 def network_interference_exposure(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    edges = _cosupply_edges(spark, sf_dir)
+    # the edge list (a lineitem self-join) is read twice for the
+    # undirected view, and the supplier frame three times (exposure
+    # broadcast, regression frame, count): cut both lineages
+    edges = _cosupply_edges(spark, sf_dir).localCheckpoint(eager=False)
     und = edges.select(
         F.col("u").alias("s"), F.col("v").alias("nbr")
     ).unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("nbr")))
@@ -1630,7 +1636,7 @@ def network_interference_exposure(
         F.col("s_suppkey").alias("s"),
         (F.col("s_suppkey") % 2).cast("double").alias("t"),
         F.round(F.col("s_acctbal"), 4).alias("y"),
-    )
+    ).localCheckpoint(eager=False)
     expo = (
         und.join(
             F.broadcast(

@@ -2690,10 +2690,14 @@ def observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # baskets feed the order count, per-item supports, and BOTH sides
+    # of the pair self-join: cut the lineage so the lineitem⋈part
+    # distinct runs once, not once per consumer
     baskets = (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .select("l_orderkey", "p_brand")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = baskets.agg(
         F.countDistinct("l_orderkey").cast("double").alias("n_orders")

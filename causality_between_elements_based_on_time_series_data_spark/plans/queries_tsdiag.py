@@ -66,10 +66,14 @@ _DAILY_MEAN_SQL = f"""
 
 
 def _daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lazily checkpointed: every diagnostic in this file fans the tiny
+    # daily grid into several branches (moment scalars, lag windows,
+    # residual passes) — the lineage cut makes the events reduce run
+    # once per query instead of once per branch
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(_daynum().alias("day")).agg(
         F.round(F.avg("value"), 6).alias("x")
-    )
+    ).localCheckpoint(eager=False)
 
 
 _LB_LAGS = 7
@@ -787,7 +791,7 @@ def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").over(wcum).alias("cx"),
         F.sum(F.col("x") * F.col("x")).over(wcum).alias("cx2"),
         F.count(F.lit(1)).over(wb).alias("cnt"),
-    ).where(F.col("cnt") == F.col("m"))
+    ).where(F.col("cnt") == F.col("m")).localCheckpoint(eager=False)
     # NO intermediate rounding — see the oracle comment: the raw
     # doubles are bit-identical ordered cumsums; round() tie behavior
     # at the 7th digit is what diverges between engines
