@@ -5283,7 +5283,7 @@ def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("n"),
         F.avg("z").alias("m"),
         F.var_samp("z").alias("v"),
-    )
+    ).localCheckpoint(eager=False)  # |types| rows, consumed twice
     tot = g.agg(
         F.sum("n").alias("nt"),
         (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),

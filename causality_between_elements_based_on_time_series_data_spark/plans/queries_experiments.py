@@ -670,7 +670,7 @@ def newey_west_ols_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("x"),
         "y",
-    )
+    ).localCheckpoint(eager=False)  # feeds the OLS moments AND the residual pass
     m = daily.agg(
         F.count("*").cast("double").alias("n"),
         F.avg("x").alias("xbar"),
@@ -2080,8 +2080,10 @@ def offline_policy_doubly_robust(
         "pi",
         "r",
         F.col("pi").cast("int").alias("tier"),
-    )
-    model = logged.groupBy("tier", "a").agg(F.avg("r").alias("m"))
+    ).localCheckpoint(eager=False)  # feeds the outcome model AND the DR scan
+    model = logged.groupBy("tier", "a").agg(
+        F.avg("r").alias("m")
+    ).localCheckpoint(eager=False)  # 4 rows, broadcast twice
     ml = model.select(
         F.col("tier").alias("tier_l"),
         F.col("a").alias("a_l"),

@@ -921,7 +921,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    # the posting list feeds tf AND df: cut the lineage so the token
+    # explode runs once
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).localCheckpoint(eager=False)
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
@@ -2612,6 +2616,8 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.col("w").isin(*_BM25_TERMS))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+        # matches-only rows feed df AND the score join: derive once
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("w").agg(F.count("*").alias("df"))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -2800,8 +2806,12 @@ def trajectory_similarity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.concat_ws(">", "event_type", "nxt1", "nxt2").alias("bg")
         )
         .distinct()
+        # trigram sets feed sizes and both self-join sides: derive once
+        .localCheckpoint(eager=False)
     )
-    sizes = big.groupBy("user_id").agg(F.count("*").alias("sz"))
+    sizes = big.groupBy("user_id").agg(
+        F.count("*").alias("sz")
+    ).localCheckpoint(eager=False)
     a, b = big.alias("a"), big.alias("b")
     inter = (
         a.join(b, (F.col("a.bg") == F.col("b.bg")) & (F.col("a.user_id") < F.col("b.user_id")))
