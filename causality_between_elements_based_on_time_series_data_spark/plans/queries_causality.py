@@ -4910,6 +4910,7 @@ def anova_oneway_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_b
         FROM events
         WHERE event_type IN ('purchase', 'view')
+          AND value IS NOT NULL
     ),
     counts AS (
         SELECT CAST(sum(is_a) AS DOUBLE) AS na,
@@ -4953,8 +4954,13 @@ def anova_oneway_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranks import with_global_cumsum, with_range_bucket
 
+    # the null filter (mirrored in the oracle) is load-bearing for the
+    # device: a NULL sort key would get a NULL bucket and silently drop
+    # from the offset join, where the literal window would rank it —
+    # and the engines disagree on null placement anyway
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
     )
     vals = ev.select(
         F.round("value", 6).alias("x"),

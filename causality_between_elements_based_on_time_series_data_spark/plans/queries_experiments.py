@@ -1498,42 +1498,21 @@ def uplift_by_decile_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("score"),
     ).select((F.col("user_id") % 2).cast("double").alias("t"), "y", "score", "user_id")
-    # score-range buckets ascending in the DESC-score sort order:
-    # bkt = floor((mx - score) * 128 / (mx - mn + 1)) — monotone
-    # non-increasing in score, equal scores share a bucket, so
-    # (bkt, score DESC, user_id) is exactly (score DESC, user_id).
-    bounds = per_user.agg(
-        F.min("score").alias("_mn"), F.max("score").alias("_mx")
-    )
-    bucketed = per_user.crossJoin(F.broadcast(bounds)).select(
-        "t",
-        "y",
-        "score",
-        "user_id",
-        (
-            (F.col("_mx") - F.col("score"))
-            * F.lit(128)
-            / (F.col("_mx") - F.col("_mn") + F.lit(1))
-        )
-        .cast("bigint")
-        .alias("bkt"),
+    # the shared bucket+offset device (operators/ranks.py): score-range
+    # buckets ascend in the DESC-score sort order, per-bucket
+    # row_numbers + broadcast prefix offsets — bit-identical to the
+    # oracle's literal global rank
+    from ..operators.ranks import with_global_rank, with_range_bucket
+
+    bucketed = with_range_bucket(
+        per_user, "score", descending=True
     ).localCheckpoint(eager=False)
-    counts = bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))
-    # ≤129-row bucket table: global windows are fine HERE
-    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    wtot = Window.partitionBy(F.lit(1))
-    offs = counts.select(
-        "bkt",
-        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
-        F.sum("cnt").over(wtot).alias("n"),
-    )
-    wb = Window.partitionBy("bkt").orderBy(F.desc("score"), "user_id")
-    ranked = bucketed.join(F.broadcast(offs), "bkt").select(
-        "t",
-        "y",
-        (F.row_number().over(wb) + F.col("off")).alias("rn"),
-        "n",
-    )
+    ranked = with_global_rank(
+        bucketed,
+        [F.desc("score"), F.asc("user_id")],
+        out="rn",
+        total="n",
+    ).select("t", "y", "rn", "n")
     dec = ranked.select(
         F.ceil(F.col("rn") * 10.0 / F.col("n")).cast("int").alias("decile"),
         "t",

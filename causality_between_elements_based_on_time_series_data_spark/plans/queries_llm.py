@@ -4936,32 +4936,21 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     ).localCheckpoint(eager=False)
     df_t = tok.groupBy("w").agg(F.count("*").cast("bigint").alias("dfreq"))
-    # dfreq-range buckets (monotone in dfreq; Zipf makes dfreq=mn the
-    # hot bucket — a straggler on a linear window, never a blow-up)
-    vb = df_t.agg(F.min("dfreq").alias("_mn"), F.max("dfreq").alias("_mx"))
-    df_b = df_t.crossJoin(F.broadcast(vb)).select(
-        "w",
-        "dfreq",
-        (
-            (F.col("dfreq") - F.col("_mn"))
-            * F.lit(128)
-            / (F.col("_mx") - F.col("_mn") + F.lit(1))
-        )
-        .cast("bigint")
-        .alias("vbkt"),
+    # the shared bucket+offset device (operators/ranks.py): dfreq-range
+    # buckets (Zipf makes dfreq=mn the hot bucket — a straggler on a
+    # linear window, never a blow-up), per-bucket row_numbers +
+    # broadcast prefix offsets
+    from ..operators.ranks import with_global_rank, with_range_bucket
+
+    df_b = with_range_bucket(
+        df_t, "dfreq", out="vbkt"
     ).localCheckpoint(eager=False)
-    vcounts = df_b.groupBy("vbkt").agg(F.count("*").alias("cnt"))
-    # ≤129-row bucket table: the global window is fine HERE
-    voff_w = Window.orderBy("vbkt").rowsBetween(Window.unboundedPreceding, -1)
-    voffs = vcounts.select(
-        "vbkt",
-        F.coalesce(F.sum("cnt").over(voff_w), F.lit(0)).alias("voff"),
-    )
-    wvb = Window.partitionBy("vbkt").orderBy("dfreq", "w")
-    ranked_vocab = df_b.join(F.broadcast(voffs), "vbkt").select(
-        "w",
-        (F.row_number().over(wvb) + F.col("voff")).alias("rnk"),
-    )
+    ranked_vocab = with_global_rank(
+        df_b,
+        [F.asc("dfreq"), F.asc("w")],
+        bucket_col="vbkt",
+        out="rnk",
+    ).select("w", "rnk")
     dtok = (
         tok.alias("t")
         .join(ranked_vocab.alias("rv"), F.col("rv.w") == F.col("t.w"))
@@ -6091,41 +6080,20 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
     )
-    # doc_id-range buckets ascending in doc_id order: a pure monotone
-    # function of doc_id, so (bkt, doc_id) order IS doc_id order.
-    bounds = per_doc.agg(
-        F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx")
+    # the shared bucket+offset device (operators/ranks.py): doc_id-range
+    # buckets + per-bucket cumulative windows + broadcast prefix
+    # offsets — integer sums, bit-identical to the literal global
+    # cumulative window (and overflow-safe: bucketing is double-path)
+    from ..operators.ranks import with_global_cumsum, with_range_bucket
+
+    bucketed = with_range_bucket(per_doc, "doc_id").localCheckpoint(
+        eager=False
     )
-    bucketed = per_doc.crossJoin(F.broadcast(bounds)).select(
-        "doc_id",
-        "n_tok",
-        "n_new",
-        (
-            (F.col("doc_id") - F.col("_mn"))
-            * F.lit(128)
-            / (F.col("_mx") - F.col("_mn") + F.lit(1))
-        )
-        .cast("bigint")
-        .alias("bkt"),
-    ).localCheckpoint(eager=False)
-    totals = bucketed.groupBy("bkt").agg(
-        F.sum("n_tok").alias("t_tok"), F.sum("n_new").alias("t_new")
-    )
-    # ≤129-row bucket table: global windows are fine HERE
-    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offs = totals.select(
-        "bkt",
-        F.coalesce(F.sum("t_tok").over(woff), F.lit(0)).alias("off_tok"),
-        F.coalesce(F.sum("t_new").over(woff), F.lit(0)).alias("off_new"),
-    )
-    wb = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = bucketed.join(F.broadcast(offs), "bkt").select(
-        "doc_id",
-        (F.sum("n_tok").over(wb) + F.col("off_tok")).alias("cum_tokens"),
-        (F.sum("n_new").over(wb) + F.col("off_new")).alias("cum_vocab"),
-    )
+    cum = with_global_cumsum(
+        bucketed,
+        [F.col("doc_id")],
+        {"n_tok": "cum_tokens", "n_new": "cum_vocab"},
+    ).select("doc_id", "cum_tokens", "cum_vocab")
     return cum.agg(
         F.count("*").cast("bigint").alias("n_points"),
         F.round(F.regr_slope(F.log("cum_vocab"), F.log("cum_tokens")), 4).alias(

@@ -268,6 +268,7 @@ def task_norms_and_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (
         SELECT vec_id, label, {_PROJ_SQL} AS score FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     ranked AS (
         SELECT label,
@@ -294,7 +295,11 @@ def task_norms_and_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranks import with_global_rank, with_range_bucket
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        # mirrored in the oracle: a NULL score would get a NULL bucket
+        # and silently drop from the device's offset join
+        F.col("embedding").isNotNull()
+    )
     score = dot_with_const(F.col("embedding"), PROJ_VEC)
     scored = emb.select(
         "label", "vec_id", score.alias("score")

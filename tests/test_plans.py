@@ -16,10 +16,11 @@ from causality_between_elements_based_on_time_series_data_spark.plans import REG
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    df = REGISTRY[name].fn(spark, sf_dir)
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    from causality_between_elements_based_on_time_series_data_spark.plans.introspect import (
+        formatted_plan,
     )
+
+    return formatted_plan(REGISTRY[name].fn(spark, sf_dir))
 
 
 def count_exchanges(plan: str) -> int:
@@ -604,10 +605,14 @@ UNPARTITIONED_WINDOW_WHITELIST: dict[str, set[tuple[str, ...]]] = {
     "sorted_neighborhood_matches": {("bkt",)},  # 2-char-prefix buckets
     "uplift_by_decile_qini": {("bkt",), (), ("decile",)},  # + 10-row deciles
     "heaps_law_fit": {("bkt",)},
-    "prefix_filter_jaccard_pairs": {("vbkt",)},
     "propensity_stratified_effect": {("bkt",), ()},  # () = 5-row strata
     "propensity_matching_att": {("bkt",)},
-    "quantile_treatment_effect": {("arm", "bkt"), ("bkt",)},
+    # NOTE: entries must stay EXERCISED — device windows that sit below
+    # a localCheckpoint are invisible to the sweep and their entries
+    # were pruned (quantile_treatment_effect, prefix_filter_jaccard_
+    # pairs, hurst_exponent_rs); an unused entry would pre-authorize a
+    # future regression matching its signature.  Re-add with a comment
+    # if a lineage change re-exposes a device window.
     # --- calendar-grid relations (≤ |days| / |hours| / |months| rows,
     # volume-independent by construction: facts reduce to the grid
     # BEFORE the window)
@@ -617,7 +622,6 @@ UNPARTITIONED_WINDOW_WHITELIST: dict[str, set[tuple[str, ...]]] = {
     "conformal_prediction_interval": {(), ("day",), ("day", "r")},
     "cox_ph_one_step": {("t",)},  # distinct event days
     "forecast_backtest_mape": {("day",), ("mape6", "method")},  # 3 methods
-    "hurst_exponent_rs": {("hour",)},
     "kaplan_meier_survival": {("t",)},
     "ljung_box_test": {("day",)},
     "local_projection_irf": {("day",)},
@@ -672,11 +676,17 @@ def test_registry_wide_plan_antipattern_sweep(spark, sf_dir):
     window_offenders: dict[str, set[tuple[str, ...]]] = {}
     cartesian_offenders: list[str] = []
     python_offenders: list[str] = []
+    errors: dict[str, str] = {}
+    explained = 0
     for name, q in sorted(REGISTRY.items()):
+        if "eager" in q.tags:
+            continue  # building these executes actions by contract
         try:
             plan = plan_of(spark, sf_dir, name)
-        except Exception:  # noqa: BLE001 - runtime failures belong to
-            continue  # the correctness suite, not the plan gate
+        except Exception as exc:  # noqa: BLE001 - reported below
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        explained += 1
         sigs = {order_signature(n) for n in unpartitioned_windows(plan)}
         extra = sigs - UNPARTITIONED_WINDOW_WHITELIST.get(name, set())
         if extra:
@@ -685,6 +695,13 @@ def test_registry_wide_plan_antipattern_sweep(spark, sf_dir):
             cartesian_offenders.append(name)
         if "BatchEvalPython" in plan and name not in BATCH_PYTHON_WHITELIST:
             python_offenders.append(name)
+    # no vacuous pass: every non-eager query must actually explain —
+    # a fixture or import regression that breaks plan building is a
+    # gate failure, not silent zero coverage
+    assert not errors, errors
+    assert explained == sum(
+        1 for q in REGISTRY.values() if "eager" not in q.tags
+    ), explained
     assert not window_offenders, (
         "unpartitioned Window nodes over non-whitelisted relations "
         "(one-task sorts at scale) — rewrite with the bucket+offset "
