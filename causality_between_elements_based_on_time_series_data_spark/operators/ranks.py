@@ -81,35 +81,47 @@ def with_global_rank(
     bucket_col: str = "bkt",
     out: str = "rn",
     total: str | None = None,
+    partition_by: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Exact global ``row_number()`` over ``order_by`` given a bucket
-    column that ascends in that order (see ``with_range_bucket``):
-    per-bucket distributed windows + the ≤ n_buckets-row count table's
-    cumulative offsets, broadcast back.  ``total`` optionally adds the
-    overall row count (from the same tiny table — no extra pass over
-    ``df``).  The input should be cached/checkpointed by the caller if
+    """Exact ``row_number()`` over ``order_by`` given a bucket column
+    that ascends in that order (see ``with_range_bucket``): per-bucket
+    distributed windows + the ≤ n_buckets-row count table's cumulative
+    offsets, broadcast back.  ``total`` optionally adds the overall
+    row count (from the same tiny table — no extra pass over ``df``).
+    ``partition_by`` restarts the rank per group (``PARTITION BY grp
+    ORDER BY ...`` semantics — the offset/count table then has ≤
+    |groups|·n_buckets rows, and ``total`` becomes the per-group
+    count).  The input should be cached/checkpointed by the caller if
     recomputing it twice (counts + ranks) is expensive.
     """
-    counts = df.groupBy(bucket_col).agg(F.count("*").alias("_gr_cnt"))
-    # tiny (≤ n_buckets-row) table: the global window is fine HERE
-    woff = Window.orderBy(bucket_col).rowsBetween(
+    grp = list(partition_by)
+    counts = df.groupBy(*grp, bucket_col).agg(
+        F.count("*").alias("_gr_cnt")
+    )
+    # tiny (≤ |groups|·n_buckets-row) table: global windows are fine HERE
+    woff = Window.partitionBy(*grp).orderBy(bucket_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
     offs = counts.select(
+        *grp,
         bucket_col,
         F.coalesce(F.sum("_gr_cnt").over(woff), F.lit(0)).alias("_gr_off"),
         *(
             [
                 F.sum("_gr_cnt")
-                .over(Window.partitionBy(F.lit(1)))
+                .over(
+                    Window.partitionBy(*grp)
+                    if grp
+                    else Window.partitionBy(F.lit(1))
+                )
                 .alias(total)
             ]
             if total
             else []
         ),
     )
-    wb = Window.partitionBy(bucket_col).orderBy(*order_by)
-    ranked = df.join(F.broadcast(offs), bucket_col).withColumn(
+    wb = Window.partitionBy(*grp, bucket_col).orderBy(*order_by)
+    ranked = df.join(F.broadcast(offs), [*grp, bucket_col]).withColumn(
         out, F.row_number().over(wb) + F.col("_gr_off")
     )
     return ranked.drop("_gr_off")

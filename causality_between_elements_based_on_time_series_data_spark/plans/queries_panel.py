@@ -1303,38 +1303,23 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (F.col("user_id") % 2).cast("int").alias("arm"), "o", "user_id"
     )
-    # o-range buckets: bkt = floor((o - mn) * 128 / (mx - mn)) capped
-    # at 127 — a pure monotone function of o, so equal o share a
-    # bucket and (arm, bkt, o, user_id) order IS (arm, o, user_id).
-    bounds = per_user.agg(F.min("o").alias("_mn"), F.max("o").alias("_mx"))
-    span = F.col("_mx") - F.col("_mn")
-    bucketed = per_user.crossJoin(F.broadcast(bounds)).select(
-        "arm",
-        "o",
-        "user_id",
-        F.when(span > 0, F.least(
-            F.floor((F.col("o") - F.col("_mn")) * 128.0 / span),
-            F.lit(127),
-        )).otherwise(F.lit(0)).cast("int").alias("bkt"),
-    ).localCheckpoint(eager=False)
-    counts = bucketed.groupBy("arm", "bkt").agg(F.count("*").alias("c"))
-    # ≤258-row (arm,bucket) table: per-arm windows are fine HERE
-    woff = Window.partitionBy("arm").orderBy("bkt").rowsBetween(
-        Window.unboundedPreceding, -1
+    # the shared bucket+offset device (operators/ranks.py) with a
+    # per-arm partition: o-range buckets refine the (arm, o, user_id)
+    # order, per-(arm,bucket) row_numbers + the ≤258-row count table's
+    # per-arm cumulative offsets — bit-identical to the oracle's
+    # literal row_number() OVER (PARTITION BY arm ORDER BY o, user_id)
+    from ..operators.ranks import with_global_rank, with_range_bucket
+
+    bucketed = with_range_bucket(per_user, "o").localCheckpoint(
+        eager=False
     )
-    offs = counts.select(
-        "arm",
-        "bkt",
-        F.coalesce(F.sum("c").over(woff), F.lit(0)).alias("off"),
-        F.sum("c").over(Window.partitionBy("arm")).alias("cnt"),
-    )
-    wb = Window.partitionBy("arm", "bkt").orderBy("o", "user_id")
-    ranked = bucketed.join(F.broadcast(offs), ["arm", "bkt"]).select(
-        "arm",
-        "o",
-        (F.row_number().over(wb) + F.col("off")).alias("rn"),
-        "cnt",
-    )
+    ranked = with_global_rank(
+        bucketed,
+        [F.asc("o"), F.asc("user_id")],
+        out="rn",
+        total="cnt",
+        partition_by=("arm",),
+    ).select("arm", "o", "rn", "cnt")
     qs = spark.range(1, 4).select(
         (F.col("id") * 0.25).cast("double").alias("q")
     )

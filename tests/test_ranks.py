@@ -101,6 +101,28 @@ def test_global_rank_total_equals_count(spark):
     assert [r["ntot"] for r in rows] == [137]
 
 
+def test_partitioned_rank_matches_literal_window(spark):
+    df = _fixture(spark).withColumn("grp", (F.col("uid") % 3).cast("int"))
+    got = with_global_rank(
+        with_range_bucket(df, "val"),
+        [F.asc("val"), F.asc("uid")],
+        partition_by=("grp",),
+        total="cnt",
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("val"), F.asc("uid"))
+    exp = df.withColumn("exp", F.row_number().over(w))
+    _assert_same(got, exp)
+    # per-group total: cnt must equal the group size everywhere
+    bad = (
+        got.groupBy("grp")
+        .agg(F.count("*").alias("n"), F.max("cnt").alias("mx"),
+             F.min("cnt").alias("mn"))
+        .filter((F.col("n") != F.col("mx")) | (F.col("n") != F.col("mn")))
+        .count()
+    )
+    assert bad == 0
+
+
 def test_global_cumsum_matches_literal_window(spark):
     df = _fixture(spark).withColumn("w8", (F.col("uid") % 7).cast("bigint"))
     # order strictly by val would be ambiguous under ties for a SUM of
