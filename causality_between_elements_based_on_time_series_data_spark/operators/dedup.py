@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..lineage import ckpt
+
 # Affine permutation constants for MinHash: h_i(x) = (a_i * x + b_i) mod p.
 # Mersenne prime 2^31−1 keeps a*x + b inside a 64-bit long (a,x < 2^31 →
 # product < 2^62) — Spark runs ANSI mode and faults on overflow.
@@ -128,7 +130,7 @@ def lsh_candidate_pairs(
     # banded feeds three consumers (bucket sizing + both join sides);
     # localCheckpoint materializes the tiny (id, band, hash) relation
     # once instead of re-deriving signatures per consumer.
-    banded = banded.localCheckpoint(eager=False)
+    banded = banded.transform(ckpt)
     bucket_sizes = banded.groupBy("band_id", "band_hash").agg(F.count("*").alias("__bsz"))
     banded = banded.join(
         bucket_sizes.filter(F.col("__bsz") <= max_bucket), ["band_id", "band_hash"]

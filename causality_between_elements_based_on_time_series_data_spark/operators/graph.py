@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..lineage import ckpt
+
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
     return edges.union(
@@ -73,12 +75,10 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
 
 
 def _star_components(und: DataFrame, max_iter: int) -> DataFrame:
-    edges = und.filter(F.col("v") < F.col("u")).distinct().localCheckpoint(eager=False)
+    edges = und.filter(F.col("v") < F.col("u")).distinct().transform(ckpt)
     prev = None
     for _ in range(max_iter):
-        edges = _small_star(_symmetrize(_large_star(_symmetrize(edges)))).localCheckpoint(
-            eager=False
-        )
+        edges = _small_star(_symmetrize(_large_star(_symmetrize(edges)))).transform(ckpt)
         fp = _edge_fingerprint(edges)
         if fp == prev:
             break
@@ -120,7 +120,7 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     if algorithm == "star":
         return _star_components(und, max_iter)
@@ -130,7 +130,7 @@ def connected_components(
         und.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -145,7 +145,7 @@ def connected_components(
                 "label",
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("new_label"),
             )
-            .localCheckpoint(eager=False)
+            .transform(ckpt)
         )
         changed = stepped.filter(F.col("new_label") != F.col("label")).limit(1).count()
         labels = stepped.select("node", F.col("new_label").alias("label"))

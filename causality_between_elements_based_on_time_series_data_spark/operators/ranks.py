@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..lineage import ckpt
+
 N_BUCKETS = 128
 
 
@@ -47,11 +49,14 @@ def with_range_bucket(
     preserving (monotone ops compose), so one float path serves ints
     and doubles alike.
 
-    ``value_col`` must be NON-NULL: a null value yields a null bucket,
-    and the downstream equi-join on the bucket column would silently
-    drop the row (the literal global window would instead rank nulls
-    first).  Every in-repo caller coalesces or constructs the sort key
-    before bucketing; do the same.
+    Null ``value_col`` rows get their OWN bucket placed exactly where
+    Spark's window sort would place them — ``-1`` ascending (ASC =
+    NULLS FIRST) or ``n_buckets`` descending (DESC = NULLS LAST) — so
+    downstream ``with_global_rank``/``with_global_cumsum`` equi-joins
+    keep the rows and rank them bit-identically to the literal global
+    window.  (Before round 10, null keys produced a null bucket and
+    the offset join silently DROPPED the rows — the round-9 advice
+    defect; callers no longer need to pre-coalesce.)
     """
     bounds = df.agg(
         F.min(value_col).alias("_rb_mn"), F.max(value_col).alias("_rb_mx")
@@ -61,12 +66,15 @@ def with_range_bucket(
     mx = F.col("_rb_mx").cast("double")
     span = mx - mn
     pos = (mx - v) if descending else (v - mn)
-    bkt = F.when(
-        span > 0,
-        F.least(
-            F.floor(pos * float(n_buckets) / span), F.lit(n_buckets - 1)
-        ),
-    ).otherwise(F.lit(0))
+    null_bkt = F.lit(n_buckets if descending else -1)
+    bkt = F.when(v.isNull(), null_bkt).otherwise(
+        F.when(
+            span > 0,
+            F.least(
+                F.floor(pos * float(n_buckets) / span), F.lit(n_buckets - 1)
+            ),
+        ).otherwise(F.lit(0))
+    )
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(out, bkt.cast("int"))
@@ -185,25 +193,50 @@ def topk_ranked(
     survivors by a broadcast k×k self-join count.  ``keys`` is the
     total order as (column, "asc"|"desc") pairs — it must be a TOTAL
     order (include a unique tiebreak) or ranks would be ambiguous.
+
+    Ties (rows identical on every key — a violation of the total-order
+    contract) degrade safely to ``rank()`` semantics: all k rows are
+    kept (a per-row id keys the re-aggregation, so duplicates never
+    collapse) and tied rows share a rank.  The match count uses a
+    never-null join marker, not a key column, so a null key in a
+    matched row cannot undercount; the lexicographic comparison is
+    null-aware, placing null keys exactly where Spark's sort does
+    (ASC = NULLS FIRST, DESC = NULLS LAST).
     """
     sort_cols = [
         F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in keys
     ]
-    top = df.orderBy(*sort_cols).limit(k).localCheckpoint(eager=False)
-    other = top.select(
-        *[F.col(c).alias(f"_tk_{c}") for c, _ in keys]
+    top = (
+        df.orderBy(*sort_cols)
+        .limit(k)
+        .transform(ckpt)
+        # limit(k) yields one partition, so the id is a plain 0..k-1
+        # row sequence; it only disambiguates duplicate rows and is
+        # dropped before returning.
+        .withColumn("_tk_rid", F.monotonically_increasing_id())
     )
-    # "strictly before" under the lexicographic (keys) order
+    other = top.select(
+        *[F.col(c).alias(f"_tk_{c}") for c, _ in keys],
+        F.lit(1).alias("_tk_hit"),
+    )
+    # "strictly before" under the lexicographic (keys) order, null-
+    # aware to mirror Spark's sort placement (ASC = NULLS FIRST,
+    # DESC = NULLS LAST); three-valued-logic nulls in the raw
+    # comparison resolve to the correct branch via the isNull guards
     before = F.lit(False)
     eq = F.lit(True)
     for c, d in keys:
         o, s = F.col(f"_tk_{c}"), F.col(c)
-        lt = (o > s) if d == "desc" else (o < s)
+        if d == "desc":
+            lt = (s.isNull() & o.isNotNull()) | (o > s)
+        else:
+            lt = (o.isNull() & s.isNotNull()) | (o < s)
         before = before | (eq & lt)
-        eq = eq & (o == s)
+        eq = eq & o.eqNullSafe(s)
     group_cols = [c for c in top.columns]
     return (
         top.join(F.broadcast(other), before, "left")
         .groupBy(*group_cols)
-        .agg((F.count(f"_tk_{keys[0][0]}") + 1).cast("int").alias(out))
+        .agg((F.count("_tk_hit") + 1).cast("int").alias(out))
+        .drop("_tk_rid")
     )

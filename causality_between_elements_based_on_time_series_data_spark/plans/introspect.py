@@ -45,6 +45,7 @@ class WindowNode:
     functions: str
     partition: list[str]
     order: list[str]
+    input_cols: tuple[str, ...] = ()  # base names of the Input line
 
     @property
     def is_unpartitioned(self) -> bool:
@@ -55,11 +56,15 @@ class WindowNode:
 
 
 _NODE_RE = re.compile(
-    r"^\(\d+\) (Window(?:InPandas)?)(?:\s.*)?$\n"
+    r"^\(\d+\) (Window(?:InPandas)?)(?:[ \t].*)?$\n"
+    r"(?:^(?!\(\d|Arguments:|Input \[).*$\n)*?"
+    r"(?:^Input \[\d+\]: \[(.*)\]$\n)?"
     r"(?:^(?!\(\d|Arguments:).*$\n)*?"
     r"^Arguments: (.*)$",
     re.M,
 )
+
+_BASE_NAME = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
 
 
 def _top_groups(s: str) -> list[str]:
@@ -109,7 +114,10 @@ def window_nodes(plan: str) -> list[WindowNode]:
     with their partition and sort specs separated."""
     nodes: list[WindowNode] = []
     for m in _NODE_RE.finditer(plan):
-        name, args = m.group(1), m.group(2)
+        name, input_line, args = m.group(1), m.group(2), m.group(3)
+        input_cols = tuple(
+            dict.fromkeys(_BASE_NAME.findall(input_line or ""))
+        )
         groups = _top_groups(args)
         funcs = groups[0] if groups else ""
         partition: list[str] = []
@@ -122,7 +130,11 @@ def window_nodes(plan: str) -> list[WindowNode]:
                 partition.extend(exprs)
         nodes.append(
             WindowNode(
-                node=name, functions=funcs, partition=partition, order=order
+                node=name,
+                functions=funcs,
+                partition=partition,
+                order=order,
+                input_cols=input_cols,
             )
         )
     return nodes
@@ -142,3 +154,31 @@ def order_signature(node: WindowNode) -> tuple[str, ...]:
     for e in node.order:
         names.update(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", e))
     return tuple(sorted(names))
+
+
+def input_signature(node: WindowNode) -> tuple[str, ...]:
+    """The sorted base column names of the window's physical Input
+    line — identifies WHICH relation the window runs over, so a gate
+    whitelist entry can pin both the sort columns AND the input
+    relation (round-9 advice: an order-only signature lets a
+    regression re-sort a same-named column of a GROWING relation pass
+    under a whitelisted query)."""
+    return tuple(sorted(set(node.input_cols)))
+
+
+#: Column-name markers of the bucket+offset device's internal tiny
+#: tables (`operators/ranks.py`): `_gr_cnt` (rank counts), `_gc_*`
+#: (cumsum totals).  An unpartitioned window whose input carries one
+#: of these is the device's own <= n_buckets-row offset table — the
+#: documented safe shape — and is auto-allowed by the gate without a
+#: per-query whitelist entry (with lineage cuts disabled the device
+#: appears beneath dozens of queries).
+_DEVICE_MARKERS = ("_gr_cnt", "_gc_")
+
+
+def is_ranks_device_window(node: WindowNode) -> bool:
+    """True when the window runs over the ranks.py device's internal
+    counts/totals table (bounded at n_buckets rows by construction)."""
+    return any(
+        c == "_gr_cnt" or c.startswith("_gc_") for c in node.input_cols
+    )

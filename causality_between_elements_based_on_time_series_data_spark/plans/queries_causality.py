@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..lineage import ckpt, ckpt_eager
+
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -43,7 +45,7 @@ def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reduce run once per query instead of once per branch
     return ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(F.sum("value").alias("v")).localCheckpoint(eager=False)
+    ).agg(F.sum("value").alias("v")).transform(ckpt)
 
 
 @register(
@@ -379,7 +381,7 @@ def pairwise_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type").agg(
         F.round(F.sum("value"), 6).alias("v")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     edges = hourly.groupBy("event_type").agg(
         F.min("v").alias("mn"), F.max("v").alias("mx")
     )
@@ -396,7 +398,7 @@ def pairwise_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("bin"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     a, b = binned.alias("a"), binned.alias("b")
     joint = (
         a.join(
@@ -484,7 +486,7 @@ def partial_correlation_controlled(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .agg(F.corr("a.v", "b.v").alias("r"))
         # |series|^2 rows consumed three times (xy/xz/yz)
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     xy = pairs.alias("xy")
     xz = pairs.filter(F.col("sb") == "error").alias("xz")
@@ -639,7 +641,7 @@ def _hourly_series_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazily checkpointed — same rationale as _hourly_series
     return ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(F.round(F.sum("value"), 6).alias("v")).localCheckpoint(eager=False)
+    ).agg(F.round(F.sum("value"), 6).alias("v")).transform(ckpt)
 
 
 @register(
@@ -726,7 +728,7 @@ def transfer_entropy_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the triple self-join reads binned three times: checkpoint the
     # (tiny) binned grid so raw events are scanned + grid-aggregated
     # once, not once per join leg
-    binned = binned.localCheckpoint(eager=False)
+    binned = binned.transform(ckpt)
     x, y, yn = binned.alias("x"), binned.alias("y"), binned.alias("yn")
     triples = (
         x.join(
@@ -829,7 +831,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage so the events reduce runs once
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.round(F.sum("value"), 6).alias("v")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     stats = daily.groupBy("event_type").agg(
         F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
     )
@@ -1071,7 +1073,7 @@ def cosupply_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     # three join legs read the same edge list: build it once
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.transform(ckpt)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
@@ -1158,7 +1160,7 @@ def cosupply_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt_eager)
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
     n_nodes = sym.select("u").distinct().count()
     d = 0.85
@@ -1175,7 +1177,7 @@ def cosupply_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("v").alias("node"), "r")
         )
         if k % 4 == 3:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(ckpt_eager)
     return ranks.select(
         F.col("node").alias("supplier"), F.round("r", 8).alias("pagerank")
     ).orderBy(F.desc("pagerank"), "supplier")
@@ -1366,7 +1368,7 @@ def mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.round(F.sum("value"), 6).alias("v")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     med = daily.groupBy("event_type").agg(F.round(F.median("v"), 6).alias("med"))
     dev = daily.join(F.broadcast(med), "event_type").select(
         "event_type",
@@ -1374,7 +1376,7 @@ def mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.round(F.abs(F.col("v") - F.col("med")), 6).alias("adev"),
     )
-    dev = dev.localCheckpoint(eager=False)  # feeds the MAD and the final scan
+    dev = dev.transform(ckpt)  # feeds the MAD and the final scan
     mad = dev.groupBy("event_type").agg(F.round(F.median("adev"), 6).alias("mad"))
     rz = F.col("adev") / (1.4826 * F.col("mad"))
     return (
@@ -1624,13 +1626,13 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("causality", "graph"),
 )
 def cosupply_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _cosupply_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _cosupply_edges(spark, sf_dir).transform(ckpt)
     sym = (
         edges.select("u", "v")
         .unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         # read once per BFS round: compute the symmetrized list once
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     dist = edges.agg(F.min("u").alias("node")).select(
         "node", F.lit(0).alias("dist")
@@ -1722,12 +1724,12 @@ def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     ).filter(F.col("s2").isNotNull())
     c = trans.groupBy("s1", "s2").agg(
         F.count("*").cast("double").alias("c")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     # the tiny |types|^2 matrix is re-joined by every power iteration:
     # cut the lineage so the events scan runs once, not once per round
     p = c.select(
         "s1", "s2", (F.col("c") / F.sum("c").over(Window.partitionBy("s1"))).alias("p")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     states = c.select(F.col("s1").alias("s")).distinct()
     n_states = states.agg(F.count("*").alias("n"))
     x = states.crossJoin(F.broadcast(n_states)).select(
@@ -2073,7 +2075,7 @@ def cosupply_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 3^rounds copies of the edge-build subtree and plan
         # canonicalization OOMs the driver — same discipline as
         # cosupply_pagerank / operators/graph.py
-        sym = sym.localCheckpoint(eager=False)
+        sym = sym.transform(ckpt)
         keep = (
             sym.groupBy("u")
             .agg(F.count("*").alias("c"))
@@ -2296,7 +2298,7 @@ def conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("causality", "graph", "join"),
 )
 def cosupply_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _cosupply_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _cosupply_edges(spark, sf_dir).transform(ckpt)
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -2426,11 +2428,11 @@ def cross_correlation_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("causality", "timeseries", "dataops"),
 )
 def series_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grid = _hourly_series(spark, sf_dir).localCheckpoint(eager=False)
+    grid = _hourly_series(spark, sf_dir).transform(ckpt)
     bounds = grid.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
     spine = bounds.select(
         F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hour")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     series = grid.select("event_type").distinct()
     expected = series.crossJoin(F.broadcast(spine))
     missing = expected.join(grid, ["event_type", "hour"], "left_anti")
@@ -2533,7 +2535,7 @@ def session_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_session").over(run).alias("session_id"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     ns = st.select("user_id", "session_id").distinct().agg(
         F.count("*").cast("double").alias("n")
@@ -2682,7 +2684,7 @@ def interarrival_burst_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("causality", "timeseries", "stats"),
 )
 def granger_f_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = _hourly_series(spark, sf_dir).localCheckpoint(eager=False)
+    h = _hourly_series(spark, sf_dir).transform(ckpt)
     f_, fl, l_ = h.alias("f"), h.alias("fl"), h.alias("l")
     joined = (
         f_.join(
@@ -2827,7 +2829,7 @@ def _ccm_choose_bucket(n_rows: int, cap: int) -> int:
     tags=("causality", "timeseries", "stats", "bench"),
 )
 def ccm_cross_mapping_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = _hourly_series_rounded(spark, sf_dir).localCheckpoint(eager=False)
+    h = _hourly_series_rounded(spark, sf_dir).transform(ckpt)
     # ENFORCED broadcast guard (r7): the manifold is broadcast below, so
     # its size must be bounded in code, not by a docstring.  Count the
     # grid (grid-sized job; materializes the lazy checkpoint that every
@@ -2844,7 +2846,7 @@ def ccm_cross_mapping_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("hour"),
             )
             .agg(F.round(F.sum("v"), 6).alias("v"))
-            .localCheckpoint(eager=False)
+            .transform(ckpt)
         )
     lag = F.expr(f"INTERVAL {bucket_hours} HOUR")
     theiler_us = 2 * bucket_hours * 3_600_000_000
@@ -2861,7 +2863,7 @@ def ccm_cross_mapping_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.v").alias("v"),
             F.col("b.v").alias("vlag"),
         )
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     # The NN self-join's only equi-key is the series id — a handful of
     # distinct values, so a shuffle join caps parallelism at |series|
@@ -3010,12 +3012,12 @@ def pc_skeleton_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.corr("a.v", "b.v").alias("r"),
             F.count("*").cast("bigint").alias("n"),
         )
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     mirrored = (
         corrs.select("sa", "sb", "r")
         .unionAll(corrs.select(F.col("sb").alias("sa"), F.col("sa").alias("sb"), "r"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     ab, az, bz = corrs.alias("ab"), mirrored.alias("az"), mirrored.alias("bz")
     partials = (
@@ -3120,7 +3122,7 @@ def excitation_ratio_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         ev.groupBy("user_id", "event_type")
         .agg(F.count("*").cast("bigint").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     span = ev.agg(
         ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1e6).alias(
@@ -3216,7 +3218,7 @@ def excitation_ratio_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("causality", "timeseries", "stats"),
 )
 def ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = _hourly_series(spark, sf_dir).localCheckpoint(eager=False)
+    h = _hourly_series(spark, sf_dir).transform(ckpt)
 
     def lag_corr(k: int, out: str) -> DataFrame:
         a, b = h.alias("a"), h.alias("b")
@@ -3294,7 +3296,7 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.date_trunc("day", "ts").alias("day")
         )
         .agg(F.round(F.sum("value"), 6).alias("v"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(
@@ -3530,7 +3532,7 @@ def _phi_sql(z: str) -> str:
     tags=("causality", "timeseries", "stats"),
 )
 def granger_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = _hourly_series(spark, sf_dir).localCheckpoint(eager=False)
+    h = _hourly_series(spark, sf_dir).transform(ckpt)
     f_, l_ = h.alias("f"), h.alias("l")
     lagcorr = (
         f_.join(
@@ -3652,7 +3654,7 @@ def _rounded_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("causality", "timeseries", "stats", "robust"),
 )
 def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _rounded_daily_series(spark, sf_dir).localCheckpoint(eager=False)
+    daily = _rounded_daily_series(spark, sf_dir).transform(ckpt)
     a, b = daily.alias("a"), daily.alias("b")
     s_stat = (
         a.join(
@@ -3770,7 +3772,7 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("causality", "timeseries", "stats", "robust"),
 )
 def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _rounded_daily_series(spark, sf_dir).localCheckpoint(eager=False)
+    daily = _rounded_daily_series(spark, sf_dir).transform(ckpt)
     sv = daily.groupBy("event_type").agg(
         F.expr("transform(array_sort(collect_list(struct(day, v))), x -> x.v)").alias(
             "vals"
@@ -3863,10 +3865,10 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("s1"), F.lead("event_type").over(w).alias("s2")
     ).filter(F.col("s2").isNotNull())
     c = trans.groupBy("s1", "s2").agg(F.count("*").cast("double").alias("c"))
-    c = c.localCheckpoint(eager=False)
+    c = c.transform(ckpt)
     p = c.select(
         "s1", "s2", (F.col("c") / F.sum("c").over(Window.partitionBy("s1"))).alias("p")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     states = c.select(F.col("s1").alias("s")).distinct()
     n_states = states.agg(F.count("*").alias("n"))
     x = states.crossJoin(F.broadcast(n_states)).select(
@@ -3964,7 +3966,7 @@ def decomposition_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend",
         F.hour("hour").cast("int").alias("hod"),
         (F.col("v") - F.col("trend")).alias("detr"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     seas = detrended.groupBy("event_type", "hod").agg(
         F.avg("detr").alias("s_hod")
     )
@@ -4154,7 +4156,7 @@ def event_study_daily_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.round(F.sum("value"), 6).alias("v")).localCheckpoint(eager=False)
+    ).agg(F.round(F.sum("value"), 6).alias("v")).transform(ckpt)
     t, c = daily.alias("t"), daily.alias("c")
     diffs = (
         t.filter(F.col("t.event_type") == _DID_TREATED)
@@ -4168,7 +4170,7 @@ def event_study_daily_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rel_day"),
             (F.col("t.v") - F.col("c.v")).alias("d"),
         )
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     base = diffs.filter(F.col("rel_day") < 0).agg(F.avg("d").alias("pre_mean"))
     return (
@@ -4227,7 +4229,7 @@ def event_study_daily_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("causality", "timeseries", "stats"),
 )
 def lead_lag_best_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grid = _hourly_series(spark, sf_dir).localCheckpoint(eager=False)
+    grid = _hourly_series(spark, sf_dir).transform(ckpt)
     lags = grid.sparkSession.range(-6, 7).select(F.col("id").cast("int").alias("lag"))
     a, b = grid.alias("a"), grid.alias("b")
     ccf = (
@@ -4334,7 +4336,7 @@ def lead_lag_best_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("causality", "timeseries", "stats"),
 )
 def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grid = _hourly_series(spark, sf_dir).localCheckpoint(eager=False)
+    grid = _hourly_series(spark, sf_dir).transform(ckpt)
     a, b = grid.alias("a"), grid.alias("b")
     pairs = (
         a.join(
@@ -4349,7 +4351,7 @@ def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.v").alias("x"),
             F.col("b.v").alias("y"),
         )
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     fit = pairs.groupBy("sx", "sy").agg(
         F.regr_slope("y", "x").alias("beta"),
@@ -4619,11 +4621,11 @@ def position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("causality", "graph"),
 )
 def threshold_cascade_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _cosupply_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _cosupply_edges(spark, sf_dir).transform(ckpt)
     sym = (
         edges.select("u", "v")
         .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     active = sym.select(F.col("u").alias("node")).distinct().filter(
         F.col("node") % 50 == 0
@@ -4638,7 +4640,7 @@ def threshold_cascade_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("deg") >= 2)
             .select("node")
         )
-        active = active.unionAll(newly).distinct().localCheckpoint(eager=False)
+        active = active.unionAll(newly).distinct().transform(ckpt)
         counts.append(active.agg(F.count("*").alias("n_active")))
     out = None
     for i, c in enumerate(counts):
@@ -4801,7 +4803,7 @@ def deseasonalized_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFram
         "hour",
         F.hour("hour").cast("int").alias("hod"),
         (F.col("v") - F.col("trend")).alias("detr"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     seas = detrended.groupBy("event_type", "hod").agg(F.avg("detr").alias("s_hod"))
     d, s = detrended.alias("d"), seas.alias("s")
     resid = d.join(
@@ -4812,7 +4814,7 @@ def deseasonalized_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("d.event_type").alias("event_type"),
         F.col("d.hour").alias("hour"),
         (F.col("d.detr") - F.col("s.s_hod")).alias("r"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     f_, l_ = resid.alias("f"), resid.alias("l")
     return (
         f_.join(
@@ -4973,7 +4975,7 @@ def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid = vals.groupBy("x").agg(
         F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     ecdf = with_global_cumsum(
         with_range_bucket(grid, "x"),
         [F.col("x")],
@@ -5164,7 +5166,7 @@ _COND_GRANGER_MATH = f"""
     tags=("causality", "timeseries", "stats"),
 )
 def conditional_granger_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = _hourly_series(spark, sf_dir).localCheckpoint(eager=False)
+    h = _hourly_series(spark, sf_dir).transform(ckpt)
     f_, fl, l_, z_ = h.alias("f"), h.alias("fl"), h.alias("l"), h.alias("z")
     prev = F.col("f.hour") - F.expr("INTERVAL 1 HOUR")
     aligned = (
@@ -5289,7 +5291,7 @@ def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("n"),
         F.avg("z").alias("m"),
         F.var_samp("z").alias("v"),
-    ).localCheckpoint(eager=False)  # |types| rows, consumed twice
+    ).transform(ckpt)  # |types| rows, consumed twice
     tot = g.agg(
         F.sum("n").alias("nt"),
         (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
@@ -5454,11 +5456,11 @@ def huber_location_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
         "event_type", F.round("value", 6).alias("x")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     m0 = base.groupBy("event_type").agg(
         F.expr("percentile(x, 0.5)").alias("m"),
         F.count("*").cast("bigint").alias("n"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     b_, m0_ = base.alias("b"), m0.alias("m0")
     scale = (
         b_.join(F.broadcast(m0_), F.col("m0.event_type") == F.col("b.event_type"))
@@ -5469,7 +5471,7 @@ def huber_location_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.expr("percentile(abs(x - m), 0.5)")
             ).alias("s")
         )
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
 
     def irls_round(center: DataFrame) -> DataFrame:
@@ -5491,7 +5493,7 @@ def huber_location_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.sum(w * F.col("b.x")) / F.sum(w)).alias("m"))
         )
 
-    r1 = irls_round(m0.select("event_type", "m")).localCheckpoint(eager=False)
+    r1 = irls_round(m0.select("event_type", "m")).transform(ckpt)
     r2 = irls_round(r1)
     sc2, r2_ = scale.alias("sc2"), r2.alias("r2")
     return (
@@ -5582,7 +5584,7 @@ def conversion_rate_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p"),
         ((p + 1.9208 / F.col("n") - half) / denom).alias("lo"),
         ((p + 1.9208 / F.col("n") + half) / denom).alias("hi"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     a, b = wilson.alias("a"), wilson.alias("b")
     pooled = (F.col("a.k") + F.col("b.k")) / (F.col("a.n") + F.col("b.n"))
     z = (
@@ -5703,10 +5705,10 @@ def qq_plot_purchase_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("causality", "graph", "stats"),
 )
 def cosupply_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _cosupply_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _cosupply_edges(spark, sf_dir).transform(ckpt)
     sym = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("double").alias("d")
     )
@@ -5874,7 +5876,7 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("causality", "timeseries", "window", "stats"),
 )
 def cusum_changepoint_location(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _rounded_daily_series(spark, sf_dir).localCheckpoint(eager=False)
+    daily = _rounded_daily_series(spark, sf_dir).transform(ckpt)
     stats = daily.groupBy("event_type").agg(
         F.avg("v").alias("mu"),
         F.stddev_samp("v").alias("sd"),
@@ -5973,7 +5975,7 @@ def _user_day_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
             F.lit(0.0),
         ).alias("o"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
 
 
 _IPW_FEAT_SQL = """
@@ -6153,7 +6155,7 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.col("user_id") % 2).cast("int").alias("arm"), "pre", "post"
         )
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     theta = per_user.agg(
         (

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..lineage import ckpt
+
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -416,7 +418,7 @@ def key_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     kc = li.groupBy(F.col("l_partkey").alias("k")).agg(
         F.count("*").cast("double").alias("c")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     # count histogram: one row per distinct count value — the rank-sum
     # identity makes per-key ranks unnecessary
     hist = kc.groupBy("c").agg(F.count("*").cast("double").alias("m"))
@@ -518,7 +520,7 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(1 - F.col("p1")), F.lit(0)).cast("double").alias("c2"),
         )
         # 10 rows consumed twice (totals + PSI): don't rescan events
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     tot = counts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     q1 = (F.col("c1") + 1) / (F.col("n1") + 10)
@@ -642,7 +644,7 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.filter(F.col("c_mktsegment") == "BUILDING")
         .select(F.col("c_custkey").alias("k"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     positions = keys.select(
         F.explode(

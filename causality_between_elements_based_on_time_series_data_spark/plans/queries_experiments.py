@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..lineage import ckpt
+
 from ..sources.catalog import load_table
 from .registry import register
 from .queries_causality import (
@@ -670,7 +672,7 @@ def newey_west_ols_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("x"),
         "y",
-    ).localCheckpoint(eager=False)  # feeds the OLS moments AND the residual pass
+    ).transform(ckpt)  # feeds the OLS moments AND the residual pass
     m = daily.agg(
         F.count("*").cast("double").alias("n"),
         F.avg("x").alias("xbar"),
@@ -812,7 +814,7 @@ def propensity_stratified_effect(
         "user_id",
         "day",
         F.floor(F.col("p") * 100).cast("int").alias("bkt"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     counts = scored.groupBy("bkt").agg(F.count("*").alias("cnt"))
     # tiny (≤99-row) bucket table: global windows are fine HERE
     woff = Window.orderBy("bkt").rowsBetween(
@@ -946,7 +948,7 @@ def propensity_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "day",
         F.floor(F.col("p") * 100).cast("int").alias("bkt"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     wb = Window.partitionBy("bkt").orderBy("p", "user_id", "day")
     # per-bucket first/last control as struct min/max (the struct's
     # field order IS the sort order, so lexicographic min/max is the
@@ -1141,7 +1143,7 @@ def regression_discontinuity_effect(
             ),
             6,
         ).alias("o"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     cut = per_user.agg(
         F.round(F.avg("x"), 6).alias("c"),
         F.round(F.stddev_samp("x"), 6).alias("h"),
@@ -1506,7 +1508,7 @@ def uplift_by_decile_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bucketed = with_range_bucket(
         per_user, "score", descending=True
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     ranked = with_global_rank(
         bucketed,
         [F.desc("score"), F.asc("user_id")],
@@ -2059,10 +2061,10 @@ def offline_policy_doubly_robust(
         "pi",
         "r",
         F.col("pi").cast("int").alias("tier"),
-    ).localCheckpoint(eager=False)  # feeds the outcome model AND the DR scan
+    ).transform(ckpt)  # feeds the outcome model AND the DR scan
     model = logged.groupBy("tier", "a").agg(
         F.avg("r").alias("m")
-    ).localCheckpoint(eager=False)  # 4 rows, broadcast twice
+    ).transform(ckpt)  # 4 rows, broadcast twice
     ml = model.select(
         F.col("tier").alias("tier_l"),
         F.col("a").alias("a_l"),

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..lineage import ckpt, ckpt_eager
+
 from ..functions.text import stopword_hits, token_count
 from ..operators.dedup import (
     _shingles,
@@ -239,7 +241,7 @@ def ngram_jaccard_pairs(
     # runs once, not once per consumer
     tok0 = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     # hot-token document-frequency cut: tok0 rows are distinct per doc,
     # so count(*) per token IS its document frequency
     dfreq = tok0.groupBy("w").agg(F.count("*").alias("df"))
@@ -249,7 +251,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("df") <= max_df_frac * F.col("n_docs"))
         .select("w")
     )
-    tok = tok0.join(keep, "w").localCheckpoint(eager=False)
+    tok = tok0.join(keep, "w").transform(ckpt)
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if anchors is None:
         # full-corpus mode: LSH candidates bound the pair space, then
@@ -925,7 +927,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode runs once
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
@@ -1275,7 +1277,7 @@ def _irls_fit(
             # broadcast plan grows linearly deep and analysis cost
             # quadratically; an eager localCheckpoint of one row is
             # microseconds and numerically identical
-            beta = beta.localCheckpoint()
+            beta = beta.transform(ckpt_eager)
     return beta
 
 
@@ -1296,7 +1298,7 @@ def _irls_fit(
     tags=("ml", "llm", "stats"),
 )
 def logistic_irls_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feat = _irls_features(spark, sf_dir).localCheckpoint(eager=False)
+    feat = _irls_features(spark, sf_dir).transform(ckpt)
     beta = _irls_fit(spark, feat)
     scored = feat.crossJoin(F.broadcast(beta))
     p_raw = F.lit(1.0) / (
@@ -1387,7 +1389,7 @@ def poisson_irls_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
         .cast("double")
         .alias("y"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     beta = _irls_fit(spark, feat, family="poisson")
     eta = F.col("b0") + F.col("b1") * F.col("f1") + F.col("b2") * F.col("f2")
     mu = F.exp(F.least(F.greatest(eta, F.lit(-30.0)), F.lit(30.0)))
@@ -1485,7 +1487,7 @@ def quantile_regression_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f2"),
         F.round(F.sum("value"), 6).alias("y"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     tau = 0.75
     beta = _irls_fit(spark, feat, rounds=_QREG_ROUNDS, family="quantile75")
     eta = F.col("b0") + F.col("b1") * F.col("f1") + F.col("b2") * F.col("f2")
@@ -2331,7 +2333,7 @@ def portable_band_pairs(sig: DataFrame) -> DataFrame:
     ).select("doc_id", (F.col("band_id0") + 1).alias("band_id"), "band_val")
     # Hot-bucket guard: bands feeds three consumers (occupancy count +
     # both self-join sides) — materialize the tiny relation once.
-    bands = bands.localCheckpoint(eager=False)
+    bands = bands.transform(ckpt)
     bucket_sizes = bands.groupBy("band_id", "band_val").agg(
         F.count("*").alias("__bsz")
     )
@@ -2617,7 +2619,7 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
         # matches-only rows feed df AND the score join: derive once
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     df = tf.groupBy("w").agg(F.count("*").alias("df"))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -2807,11 +2809,11 @@ def trajectory_similarity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         # trigram sets feed sizes and both self-join sides: derive once
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     sizes = big.groupBy("user_id").agg(
         F.count("*").alias("sz")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     a, b = big.alias("a"), big.alias("b")
     inter = (
         a.join(b, (F.col("a.bg") == F.col("b.bg")) & (F.col("a.user_id") < F.col("b.user_id")))
@@ -2893,7 +2895,7 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.withColumn("w2", F.lead("tok").over(wdoc))
         .filter(F.col("w2").isNotNull())
         .select("doc_id", "lang", F.col("tok").alias("w1"), "w2")
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("double").alias("c1"))
@@ -2972,7 +2974,7 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode runs once
     src_tok = toks.groupBy("source", "tok").agg(
         F.count("*").cast("double").alias("c")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     src_tot = src_tok.groupBy("source").agg(F.sum("c").alias("tot"))
     corpus_tok = src_tok.groupBy("tok").agg(F.sum("c").alias("cc"))
     corpus_tot = corpus_tok.agg(F.sum("cc").alias("ct"))
@@ -3154,7 +3156,7 @@ def simhash_portable_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both self-join sides read the fingerprints: compute the (500-row
     # per 500-doc, always tiny-per-doc) fingerprint table once
-    fps = simhash_portable_fingerprints(spark, sf_dir).localCheckpoint(eager=False)
+    fps = simhash_portable_fingerprints(spark, sf_dir).transform(ckpt)
     a = fps.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash48").alias("fp_a"),
@@ -3293,7 +3295,7 @@ def rp_lsh_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "vec_id", F.posexplode(band_vals).alias("band_id", "band_val")
     )
-    bands = bands.localCheckpoint(eager=False)
+    bands = bands.transform(ckpt)
     ok = (
         bands.groupBy("band_id", "band_val")
         .agg(F.count("*").alias("n"))
@@ -3516,7 +3518,7 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nd))
         .filter(F.col("df") <= 0.8 * F.col("n"))
         .select("doc_id", "w", F.log(F.col("n") / F.col("df")).alias("idf"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     norms = wtok.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("nrm")
@@ -3663,7 +3665,7 @@ def ann_rp_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = _rp_adaptive_bits(emb.count())
     assigned = emb.select(
         "vec_id", "embedding", _rp_cluster_spark(bits).alias("cluster")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     q = assigned.filter(F.col("vec_id") % 100 == 0)
     probes = q.select(
         F.col("vec_id").alias("qid"),
@@ -3863,7 +3865,7 @@ def sorted_neighborhood_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_name")
         .distinct()
         .withColumn("bkt", F.substring("p_name", 1, 2))
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     wb = W.partitionBy("bkt").orderBy("p_name")
     # per-bucket first-two-names summary (the 2-row overlap)
@@ -4002,7 +4004,7 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.withColumn("rn", rn)
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid", "d2")
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     dims = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim0", "valf")
@@ -4083,7 +4085,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = emb.select(
         "vec_id", "embedding", _rp_cluster_spark().alias("cluster")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     a = assigned.select(
         F.col("cluster"),
         F.col("vec_id").alias("id_a"),
@@ -4197,7 +4199,7 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("sel_round"),
             F.lit(None).cast("double").alias("gap"),
         )
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     for r in range(1, 5):
         centers = chosen.select(F.col("embedding").alias("cvec"))
@@ -4221,7 +4223,7 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("mind", 6).alias("gap"),
             )
         )
-        chosen = chosen.unionByName(pick).localCheckpoint(eager=False)
+        chosen = chosen.unionByName(pick).transform(ckpt)
     return chosen.select("sel_round", "vec_id", "gap").orderBy("sel_round")
 
 
@@ -4286,7 +4288,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
         .select("doc_id", "lang", bucket.alias("b"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     tgt = toks.filter(F.col("lang") == "en").groupBy("b").agg(
         F.count("*").cast("double").alias("gc")
@@ -4390,7 +4392,7 @@ def substring_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_join(F.slice("toks", F.col("i"), _SUBSTR_W), " ")
             ).alias("wh"),
         )
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     counts = wins.groupBy("wh").agg(F.count("*").alias("c"))
     perdoc = (
@@ -4508,7 +4510,7 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(" "), F.regexp_replace(F.col("tok"), "(.)", "$1 ")
             ).alias("seq"),
         )
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     rounds = []
     for r in range(1, 4):
@@ -4537,7 +4539,7 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         words = (
             words.crossJoin(F.broadcast(top1))
             .select("word", "freq", merged.alias("seq"))
-            .localCheckpoint(eager=False)
+            .transform(ckpt)
         )
         rounds.append(
             top1.select(
@@ -4682,7 +4684,7 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("bigint") % _MH_P
         ).alias("code"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     cell_structs = F.array(
         *[
             F.struct(
@@ -4799,7 +4801,7 @@ def pca_power_iteration_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("embedding").alias("i", "xi_raw"),
     ).select(
         "vec_id", "embedding", "i", F.col("xi_raw").cast("double").alias("xi")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     e2 = e1.select(
         "i", "xi", F.posexplode("embedding").alias("j", "xj_raw")
     ).select("i", "xi", "j", F.col("xj_raw").cast("double").alias("xj"))
@@ -4820,7 +4822,7 @@ def pca_power_iteration_top(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s.s") / F.col("s.n") - F.col("ma.m") * F.col("mb.m"), 6
             ).alias("c"),
         )
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     dims = cov.select("i").distinct()
     n_dims = dims.agg(F.count("*").alias("nd"))
@@ -4839,7 +4841,7 @@ def pca_power_iteration_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec = (
             r.crossJoin(F.broadcast(norm))
             .select("i", (F.col("u") / F.col("nrm")).alias("v"))
-            .localCheckpoint(eager=False)
+            .transform(ckpt)
         )
     va, vb = vec.alias("va"), vec.alias("vb")
     eig = (
@@ -4934,7 +4936,7 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     df_t = tok.groupBy("w").agg(F.count("*").cast("bigint").alias("dfreq"))
     # the shared bucket+offset device (operators/ranks.py): dfreq-range
     # buckets (Zipf makes dfreq=mn the hot bucket — a straggler on a
@@ -4944,7 +4946,7 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df_b = with_range_bucket(
         df_t, "dfreq", out="vbkt"
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     ranked_vocab = with_global_rank(
         df_b,
         [F.asc("dfreq"), F.asc("w")],
@@ -4955,11 +4957,11 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.alias("t")
         .join(ranked_vocab.alias("rv"), F.col("rv.w") == F.col("t.w"))
         .select("t.doc_id", "t.w", "rv.rnk")
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     sized = dtok.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("sz")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     pos = dtok.select(
         "doc_id",
         "w",
@@ -5084,11 +5086,11 @@ def _minhash_calibration_oracle() -> str:
 )
 def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sig = portable_signatures(docs).localCheckpoint(eager=False)
+    sig = portable_signatures(docs).transform(ckpt)
     cand = (
         portable_band_pairs(sig)
         .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     sa, sb = sig.alias("sa"), sig.alias("sb")
     n_eq = None
@@ -5103,7 +5105,7 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = docs.select(
         "doc_id", F.explode(_shingles(F.col("text"), 3)).alias("tok")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(ckpt)
     sizes = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
     ta, tb = tok.alias("ta"), tok.alias("tb")
     inter = (
@@ -5208,7 +5210,7 @@ def boilerplate_sentence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(F.split("text", "\\.")).alias("s0"))
         .select("doc_id", F.trim("s0").alias("s"))
         .filter(F.col("s") != "")
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     n_docs = docs.agg(F.count("*").cast("bigint").alias("nd"))
     sdf = sent.groupBy("s").agg(
@@ -5300,7 +5302,7 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"i -> md5(array_join(slice(toks, i, {_SUBSTR_W}), ' ')))"
             )
         ).alias("wh"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     first_seen = wins.groupBy("wh").agg(F.min("doc_id").alias("introducer"))
     perdoc = (
         wins.join(first_seen, "wh")
@@ -5380,7 +5382,7 @@ def embedding_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         (F.col("i0") + 1).alias("i"),
         F.col("x0").cast("double").alias("x"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     stats = e.groupBy("i").agg(
         F.avg("x").alias("m"), F.var_samp("x").alias("s2")
     )
@@ -5404,7 +5406,7 @@ def embedding_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("_key"), "vec_id")
         .limit(10)
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     # rank the 10 survivors: rnk = 1 + |rows sorting strictly before|
     # (broadcast 10x10 self-join — no Window node anywhere)
@@ -5519,8 +5521,8 @@ def _ann_recall_oracle() -> str:
     tags=("llm", "similarity", "ivf", "dataops"),
 )
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    brute = cosine_topk_bruteforce(spark, sf_dir).localCheckpoint(eager=False)
-    ivf = ann_rp_ivf_portable_topk(spark, sf_dir).localCheckpoint(eager=False)
+    brute = cosine_topk_bruteforce(spark, sf_dir).transform(ckpt)
+    ivf = ann_rp_ivf_portable_topk(spark, sf_dir).transform(ckpt)
     b, i = brute.alias("b"), ivf.alias("i")
     per_q = (
         b.join(
@@ -5678,7 +5680,7 @@ def rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_id",
             F.slice("toks", F.col("chunk_id"), _RAG_CHUNK).alias("ctoks"),
         )
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     ctok = chunks.select(
         "doc_id",
@@ -5695,9 +5697,7 @@ def rag_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("qid"),
         F.array_distinct(F.slice("toks", 1, _RAG_QLEN)).alias("qterms"),
     )
-    qterm = queries.select("qid", F.explode("qterms").alias("w")).localCheckpoint(
-        eager=False
-    )
+    qterm = queries.select("qid", F.explode("qterms").alias("w")).transform(ckpt)
     qwords = qterm.select("w").distinct()
     tf = (
         ctok.join(F.broadcast(qwords), "w", "semi")
@@ -5807,20 +5807,20 @@ def _dedup_funnel_oracle() -> str:
 def dedup_funnel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
-    docs = load_table(spark, sf_dir, "documents").localCheckpoint(eager=False)
+    docs = load_table(spark, sf_dir, "documents").transform(ckpt)
     n_raw = docs.count()
     keep = dedup_exact(docs).select(F.col("keep_doc_id").alias("doc_id"))
-    sdocs = docs.join(keep, "doc_id", "semi").localCheckpoint(eager=False)
+    sdocs = docs.join(keep, "doc_id", "semi").transform(ckpt)
     n_exact = sdocs.count()
     cand = (
         portable_band_pairs(portable_signatures(sdocs))
         .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     n_cand = cand.count()
     tok = sdocs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
     ta, tb = tok.alias("ta"), tok.alias("tb")
     inter = (
@@ -5845,13 +5845,13 @@ def dedup_funnel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.8
         )
         .select(F.col("i.id_a").alias("src"), F.col("i.id_b").alias("dst"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     n_verified = prs.count()
     comp = connected_components(prs, src="src", dst="dst")
     dropped = comp.filter(F.col("cluster_id") != F.col("node")).select(
         F.col("node").alias("doc_id")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     n_dropped = dropped.count()
     n_final = n_exact - n_dropped
     rows = [
@@ -5964,11 +5964,11 @@ def containment_pairs_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         portable_band_pairs(portable_signatures(docs))
         .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     tok = docs.select(
         "doc_id", F.explode(_shingles(F.col("text"), 3)).alias("tok")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(ckpt)
     sizes = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
     ta, tb = tok.alias("ta"), tok.alias("tb")
     inter = (
@@ -6065,7 +6065,7 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     doc_tokens = tok.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_tok")
     )
@@ -6086,9 +6086,7 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cumulative window (and overflow-safe: bucketing is double-path)
     from ..operators.ranks import with_global_cumsum, with_range_bucket
 
-    bucketed = with_range_bucket(per_doc, "doc_id").localCheckpoint(
-        eager=False
-    )
+    bucketed = with_range_bucket(per_doc, "doc_id").transform(ckpt)
     cum = with_global_cumsum(
         bucketed,
         [F.col("doc_id")],

@@ -51,6 +51,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..lineage import ckpt
+
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -164,7 +166,7 @@ def two_way_fixed_effects_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("y_raw"), F.lit(0)).cast("double").alias("y"),
             F.coalesce(F.col("o_raw"), F.lit(0.0)).alias("o"),
         )
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     ubar = grid.groupBy("user_id").agg(
         F.avg("y").alias("yu"), F.avg("o").alias("ou")
@@ -1310,9 +1312,7 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literal row_number() OVER (PARTITION BY arm ORDER BY o, user_id)
     from ..operators.ranks import with_global_rank, with_range_bucket
 
-    bucketed = with_range_bucket(per_user, "o").localCheckpoint(
-        eager=False
-    )
+    bucketed = with_range_bucket(per_user, "o").transform(ckpt)
     ranked = with_global_rank(
         bucketed,
         [F.asc("o"), F.asc("user_id")],
@@ -1612,7 +1612,7 @@ def network_interference_exposure(
     # the edge list (a lineitem self-join) is read twice for the
     # undirected view, and the supplier frame three times (exposure
     # broadcast, regression frame, count): cut both lineages
-    edges = _cosupply_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _cosupply_edges(spark, sf_dir).transform(ckpt)
     und = edges.select(
         F.col("u").alias("s"), F.col("v").alias("nbr")
     ).unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("nbr")))
@@ -1621,7 +1621,7 @@ def network_interference_exposure(
         F.col("s_suppkey").alias("s"),
         (F.col("s_suppkey") % 2).cast("double").alias("t"),
         F.round(F.col("s_acctbal"), 4).alias("y"),
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     expo = (
         und.join(
             F.broadcast(
@@ -1863,14 +1863,14 @@ def staggered_adoption_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiny sizes/means tables are each broadcast-joined several times
     # into the ATT grid below: checkpoint them so the fact passes run
     # once, not once per broadcast instance
-    wk = wk.localCheckpoint(eager=False)
+    wk = wk.transform(ckpt)
     cohort = wk.groupBy("user_id").agg(
         F.min(F.when(F.col("clicks") >= 6, F.col("w"))).alias("g")
     )
     gl = F.coalesce(F.col("g"), F.lit(-1))
     sizes = cohort.groupBy(gl.alias("gl")).agg(
         F.count(F.lit(1)).cast("double").alias("n")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     means = (
         wk.where(F.col("w") <= 3)
         .join(cohort, "user_id")
@@ -1878,7 +1878,7 @@ def staggered_adoption_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sizes), "gl")
         .groupBy("gl", "w")
         .agg(F.round(F.sum("y") / F.max("n"), 6).alias("ybar"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     grid = (
         spark.range(1, 4)

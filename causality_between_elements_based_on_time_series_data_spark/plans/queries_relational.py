@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..lineage import ckpt
+
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -2697,7 +2699,7 @@ def frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .select("l_orderkey", "p_brand")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(ckpt)
     )
     n = baskets.agg(
         F.countDistinct("l_orderkey").cast("double").alias("n_orders")

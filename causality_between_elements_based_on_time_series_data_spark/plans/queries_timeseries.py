@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..lineage import ckpt
+
 from ..functions.arrays import det_vector, dot_with_const
 from ..functions.scalar import sigmoid, sigmoid_cross_entropy, softmax_over
 from ..sources.catalog import load_table
@@ -303,7 +305,7 @@ def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = dot_with_const(F.col("embedding"), PROJ_VEC)
     scored = emb.select(
         "label", "vec_id", score.alias("score")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
     bucketed = with_range_bucket(scored, "score")
     ranked = with_global_rank(
         bucketed, [F.col("score"), F.col("vec_id")], out="rn"

@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..lineage import ckpt
+
 from ..sources.catalog import load_table
 from .queries_causality import _phi_spark, _phi_sql
 from .registry import register
@@ -73,7 +75,7 @@ def _daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(_daynum().alias("day")).agg(
         F.round(F.avg("value"), 6).alias("x")
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt)
 
 
 _LB_LAGS = 7
@@ -791,7 +793,7 @@ def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").over(wcum).alias("cx"),
         F.sum(F.col("x") * F.col("x")).over(wcum).alias("cx2"),
         F.count(F.lit(1)).over(wb).alias("cnt"),
-    ).where(F.col("cnt") == F.col("m")).localCheckpoint(eager=False)
+    ).where(F.col("cnt") == F.col("m")).transform(ckpt)
     # NO intermediate rounding — see the oracle comment: the raw
     # doubles are bit-identical ordered cumsums; round() tie behavior
     # at the 7th digit is what diverges between engines

@@ -587,62 +587,129 @@ def test_tsdiag_family_plan_shapes(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # Queries whose plans may contain an unpartitioned (or constant-key)
-# Window node, keyed by the windows' ORDER-column signature (base
-# names, expr IDs stripped — see plans.introspect.order_signature).
-# Every entry must be justified by a BOUNDED input relation: the
-# window's input must not grow with fact/user/doc/vector volume.
-# Anything not listed here (or listed with a different signature —
-# e.g. a rewrite that re-introduces a global rank over `score`) FAILS.
-UNPARTITIONED_WINDOW_WHITELIST: dict[str, set[tuple[str, ...]]] = {
-    # --- bucket+offset device tables (≤ n_buckets ≈ 128 rows): the
-    # distributed exact-rank/cumsum device of operators/ranks.py and
-    # its inline precursors. The flagged window IS the device's tiny
-    # offset table, never the data.
-    "auc_mann_whitney": {("bkt",)},
-    "ks_two_sample_test": {("bkt",)},
-    "key_skew_diagnostics": {("bkt",)},  # count histogram, not keys
-    "window_rank_family": {("bkt",), ()},  # () = ntot over the tiny table
-    "sorted_neighborhood_matches": {("bkt",)},  # 2-char-prefix buckets
-    "uplift_by_decile_qini": {("bkt",), (), ("decile",)},  # + 10-row deciles
-    "heaps_law_fit": {("bkt",)},
-    "propensity_stratified_effect": {("bkt",), ()},  # () = 5-row strata
-    "propensity_matching_att": {("bkt",)},
-    # NOTE: entries must stay EXERCISED — device windows that sit below
-    # a localCheckpoint are invisible to the sweep and their entries
-    # were pruned (quantile_treatment_effect, prefix_filter_jaccard_
-    # pairs, hurst_exponent_rs); an unused entry would pre-authorize a
-    # future regression matching its signature.  Re-add with a comment
-    # if a lineage change re-exposes a device window.
+# Window node.  Round-10 tightening (ADVICE r9, low #2): each entry is
+# an (ORDER-column signature, INPUT-column signature) PAIR — base
+# names, expr IDs stripped (plans.introspect.order_signature /
+# input_signature) — so a whitelisted query cannot smuggle in a new
+# one-task window that happens to sort a same-named column of a
+# DIFFERENT (growing) relation, and the formerly-loose () order
+# entries now pin the exact tiny relation they aggregate.  Every entry
+# must be justified by a BOUNDED input relation: the window's input
+# must not grow with fact/user/doc/vector volume.  The sweep runs with
+# LINEAGE CUTS DISABLED (lineage.lineage_cuts_disabled — ADVICE r9,
+# medium), so windows beneath localCheckpoints are visible too; the
+# ranks.py device's internal ≤n_buckets-row offset tables are
+# recognized structurally (introspect.is_ranks_device_window) instead
+# of per-query entries.
+_SIG = tuple[tuple[str, ...], tuple[str, ...]]  # (order cols, input cols)
+UNPARTITIONED_WINDOW_WHITELIST: dict[str, set[_SIG]] = {
+    # --- inline bucket+offset carry tables (≤ n_buckets ≈ 100 rows):
+    # pre-ranks.py device instances whose offset/carry tables use
+    # bespoke column names, so the structural device detector does not
+    # cover them.  The flagged window IS the tiny per-bucket summary.
+    "propensity_matching_att": {(("bkt",), ("bkt", "firstc", "lastc"))},
+    "propensity_stratified_effect": {
+        (("bkt",), ("bkt", "cnt")),
+        ((), ("_we0", "bkt", "cnt")),
+        # 5-row strata rollup
+        ((), ("_w0", "_w1", "effect", "n", "n_treated", "p_hi", "p_lo",
+              "stratum")),
+    },
+    # 2-char-prefix bucket-heads table (≤ 26² rows)
+    "sorted_neighborhood_matches": {
+        (("bkt",), ("bkt", "f1")),
+        (("bkt",), ("bkt", "f1", "f2")),
+    },
+    # 10-row decile rollup (deciles themselves come from the device)
+    "uplift_by_decile_qini": {
+        (("decile",), ("decile", "nc", "nt", "rc", "rt"))
+    },
     # --- calendar-grid relations (≤ |days| / |hours| / |months| rows,
     # volume-independent by construction: facts reduce to the grid
     # BEFORE the window)
-    "arch_lm_test": {("day",)},
-    "binary_segmentation_changepoints": {("day",)},
-    "block_bootstrap_variance": {(), ("day",), ("rn",)},  # rn = block idx
-    "conformal_prediction_interval": {(), ("day",), ("day", "r")},
-    "cox_ph_one_step": {("t",)},  # distinct event days
-    "forecast_backtest_mape": {("day",), ("mape6", "method")},  # 3 methods
-    "kaplan_meier_survival": {("t",)},
-    "ljung_box_test": {("day",)},
-    "local_projection_irf": {("day",)},
-    "mom_revenue_growth": {("month",)},
-    "msprt_always_valid_test": {("day",)},
-    "newey_west_ols_inference": {("x",)},  # x = daynum grid
-    "page_hinkley_drift": {("day",)},
-    "rolling_corr_stability": {("day",)},
-    "spectral_coherence_pair": {(), ("hour",)},
-    "streaming_page_hinkley": {("day",)},
-    "var1_stability_check": {("day",)},
+    "arch_lm_test": {
+        (("day",), ("day", "x")),
+        (("day",), ("_w0", "day", "u")),
+    },
+    "binary_segmentation_changepoints": {
+        (("day",), ("_w0", "day")),
+        (("day",), ("_w0", "day", "n", "sd")),
+    },
+    "block_bootstrap_variance": {
+        (("day",), ("day",)),
+        (("day",), ("day", "x")),
+        ((), ("rn",)),  # rn = block index, |days|/block_len rows
+        (("rn",), ("rn",)),
+        (("rn",), ("n", "rn")),
+        (("rn",), ("rn", "x")),
+    },
+    "conformal_prediction_interval": {
+        (("day",), ("day", "x")),
+        (("day", "r"), ("day", "r")),
+        ((), ("r", "rk")),
+    },
+    "cox_ph_one_step": {  # distinct event days
+        (("t",), ("d", "dx", "n", "sx", "t"))
+    },
+    "forecast_backtest_mape": {
+        (("day",), ("day", "x")),
+        # 3-method leaderboard
+        (("mape6", "method"), ("mape", "mape6", "method", "n_evals",
+                               "rmse")),
+    },
+    "hurst_exponent_rs": {(("hour",), ("hour", "x"))},  # hourly grid
+    "kaplan_meier_survival": {
+        (("t",), ("_w0", "at_risk", "deaths", "t", "t_days"))
+    },
+    "ljung_box_test": {(("day",), ("day", "dev", "n"))},
+    "local_projection_irf": {(("day",), ("day", "x", "y"))},
+    "mom_revenue_growth": {(("month",), ("month", "n_orders", "revenue"))},
+    "msprt_always_valid_test": {
+        (("day",), ("day", "lambda", "log_lambda", "mean_diff", "n_obs"))
+    },
+    "newey_west_ols_inference": {  # x = daynum grid
+        (("x",), ("b1", "n", "sxx", "u", "v", "x"))
+    },
+    "page_hinkley_drift": {
+        (("day",), ("day", "x")),
+        (("day",), ("day", "dev")),
+        (("day",), ("day", "ph")),
+    },
+    "rolling_corr_stability": {(("day",), ("day", "u", "v"))},
+    "spectral_coherence_pair": {
+        (("hour",), ("hour", "u", "v")),
+        ((), ("_we0", "u", "v")),  # per-pair count over the hour grid
+    },
+    "streaming_page_hinkley": {
+        (("day",), ("day", "x")),
+        (("day",), ("day", "dev")),
+        (("day",), ("day", "ph")),
+    },
+    "var1_stability_check": {(("day",), ("day", "u", "v"))},
     # --- statistic tables bounded by category/segment/series counts
-    "chisq_type_by_segment": {()},  # |types|x|segments| contingency
-    "cramers_v_association": {()},  # contingency table
-    "granger_fdr_screen": {(), ("cause", "effect", "p")},  # ≤|series|² pairs
-    "holm_fwer_adjust": {(), ("i",), ("p", "seg")},  # ≤|segments| p-values
-    "james_stein_segment_shrinkage": {()},  # 12 segments
-    "markov_entropy_rate": {()},  # |types|² transition matrix
-    "placebo_permutation_did": {()},  # fixed permutation replicates
+    "chisq_type_by_segment": {  # |types|×|segments| contingency
+        ((), ("event_type", "o", "segment"))
+    },
+    "cramers_v_association": {((), ("event_type", "o", "segment"))},
+    "granger_fdr_screen": {  # ≤|series|² candidate pairs
+        (("cause", "effect", "p"), ("cause", "effect", "p", "r")),
+        ((), ("cause", "effect", "p", "r", "rnk")),
+        ((), ("cause", "effect", "ok_rnk", "p", "r", "rnk")),
+    },
+    "holm_fwer_adjust": {  # ≤|segments| p-values
+        (("p", "seg"), ("p", "seg")),
+        ((), ("i", "p", "seg")),
+        (("i",), ("_w0", "i", "p", "seg")),
+    },
+    "james_stein_segment_shrinkage": {((), ("v", "z"))},  # 12 segments
+    "markov_entropy_rate": {  # |types|² transition matrix
+        ((), ("_w0", "row_entropy_nats", "state", "stationary_p"))
+    },
+    "placebo_permutation_did": {((), ("_w0", "d", "k"))},  # 17 replicates
     # --- sketch-capacity-bounded
-    "approx_top_terms": {("cnt", "term")},  # ≤ k=50 sketch rows
+    "approx_top_terms": {  # ≤ k=50 sketch rows
+        (("cnt", "term"), ("cnt", "term"))
+    },
 }
 
 
@@ -654,26 +721,39 @@ BATCH_PYTHON_WHITELIST = {"udtf_sentence_split"}
 
 
 def test_registry_wide_plan_antipattern_sweep(spark, sf_dir):
-    """THE scale-killer gate, registry-wide: explain every registered
-    query once and fail on
+    """THE scale-killer gate, registry-wide — run with LINEAGE CUTS
+    DISABLED so that every plan node the production localCheckpoints
+    would hide from explain() is audited too (the round-9 advice blind
+    spot: a checkpointed DF explains as an opaque scan, so a one-task
+    window introduced beneath any of the ~140 cuts previously passed
+    silently).  Explain every registered query once and fail on
 
-    1. any unpartitioned (or constant-key) Window node unless the
-       (query, order-column signature) pair is whitelisted above with
-       a bounded-relation justification — signatures pin the sort
-       columns, so a regression re-introducing a global rank over a
-       growing column (score/o/doc_id/...) fails even for a
-       whitelisted query;
+    1. any unpartitioned (or constant-key) Window node unless it is
+       the ranks.py device's own ≤n_buckets-row offset table
+       (recognized structurally by its internal column markers) or the
+       (query, (order-signature, input-signature)) pair is whitelisted
+       above with a bounded-relation justification — the double
+       signature pins both the sort columns AND the input relation, so
+       a regression re-introducing a global rank over a growing
+       relation fails even for a whitelisted query sorting a
+       same-named column;
     2. any CartesianProduct anywhere (the bench-set audit showed 0;
-       this makes it 0 for all 367);
+       this makes it 0 for all 367 — now including sub-checkpoint
+       plan regions);
     3. any row-at-a-time Python eval (BatchEvalPython*) outside the
        declared UDTF demo — pandas/Arrow kernels plan as
        *InPandas/ArrowEvalPython and stay allowed."""
+    from causality_between_elements_based_on_time_series_data_spark.lineage import (
+        lineage_cuts_disabled,
+    )
     from causality_between_elements_based_on_time_series_data_spark.plans.introspect import (
+        input_signature,
+        is_ranks_device_window,
         order_signature,
         unpartitioned_windows,
     )
 
-    window_offenders: dict[str, set[tuple[str, ...]]] = {}
+    window_offenders: dict[str, set] = {}
     cartesian_offenders: list[str] = []
     python_offenders: list[str] = []
     errors: dict[str, str] = {}
@@ -682,12 +762,17 @@ def test_registry_wide_plan_antipattern_sweep(spark, sf_dir):
         if "eager" in q.tags:
             continue  # building these executes actions by contract
         try:
-            plan = plan_of(spark, sf_dir, name)
+            with lineage_cuts_disabled():
+                plan = plan_of(spark, sf_dir, name)
         except Exception as exc:  # noqa: BLE001 - reported below
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             continue
         explained += 1
-        sigs = {order_signature(n) for n in unpartitioned_windows(plan)}
+        sigs = {
+            (order_signature(n), input_signature(n))
+            for n in unpartitioned_windows(plan)
+            if not is_ranks_device_window(n)
+        }
         extra = sigs - UNPARTITIONED_WINDOW_WHITELIST.get(name, set())
         if extra:
             window_offenders[name] = extra

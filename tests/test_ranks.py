@@ -163,6 +163,75 @@ def test_topk_ranked_k_larger_than_relation(spark):
     assert sorted(r["rnk"] for r in rows) == list(range(1, 10))
 
 
+def test_global_rank_null_keys_match_literal_window_asc(spark):
+    # round-10 hardening: null sort keys must RANK (nulls-first under
+    # ASC, like the literal window), not silently drop at the offset
+    # join — the round-9 advice defect.
+    df = _fixture(spark, n=200).withColumn(
+        "val", F.when(F.col("uid") % 11 == 0, F.lit(None)).otherwise(F.col("val"))
+    )
+    got = with_global_rank(
+        with_range_bucket(df, "val"), [F.asc("val"), F.asc("uid")]
+    )
+    assert got.count() == 200  # nothing dropped
+    _assert_same(got, _expected_rank(df))
+
+
+def test_global_rank_null_keys_match_literal_window_desc(spark):
+    # DESC = NULLS LAST in Spark; the null bucket must sort last
+    df = _fixture(spark, n=200).withColumn(
+        "val", F.when(F.col("uid") % 13 == 0, F.lit(None)).otherwise(F.col("val"))
+    )
+    got = with_global_rank(
+        with_range_bucket(df, "val", descending=True),
+        [F.desc("val"), F.asc("uid")],
+    )
+    assert got.count() == 200
+    _assert_same(got, _expected_rank(df, descending=True))
+
+
+def test_global_cumsum_null_keys_match_literal_window(spark):
+    df = _fixture(spark, n=150).withColumn(
+        "val", F.when(F.col("uid") % 9 == 0, F.lit(None)).otherwise(F.col("val"))
+    ).withColumn("w8", (F.col("uid") % 7).cast("bigint"))
+    got = with_global_cumsum(
+        with_range_bucket(df, "val"),
+        [F.asc("val"), F.asc("uid")],
+        {"w8": "cum"},
+    )
+    w = Window.orderBy(F.asc("val"), F.asc("uid")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exp = df.withColumn("exp", F.sum("w8").over(w))
+    assert got.count() == 150
+    _assert_same(got, exp, col_got="cum")
+
+
+def test_topk_ranked_duplicate_rows_kept_with_tied_ranks(spark):
+    # round-10 hardening: fully-duplicate rows (total-order contract
+    # violated) must degrade to rank() semantics — all k rows kept,
+    # ties share a rank — instead of silently collapsing below k.
+    df = spark.range(6).select(
+        (F.col("id") % 3).cast("double").alias("val")
+    )  # values 0,1,2 each twice; no tiebreak column on purpose
+    rows = topk_ranked(df, [("val", "desc")], 4).collect()
+    assert len(rows) == 4
+    ranks = sorted((r["val"], r["rnk"]) for r in rows)
+    assert ranks == [(1.0, 3), (1.0, 3), (2.0, 1), (2.0, 1)]
+
+
+def test_topk_ranked_null_in_key_column_counts_correctly(spark):
+    # the match count uses a join marker, not the first key column, so
+    # a null key in a matched row cannot undercount the rank
+    df = spark.createDataFrame(
+        [(None, 1), (5.0, 2), (3.0, 3)], ["val", "uid"]
+    )
+    rows = topk_ranked(df, [("val", "desc"), ("uid", "asc")], 3).collect()
+    by_uid = {r["uid"]: r["rnk"] for r in rows}
+    # DESC sorts nulls last: 5.0, 3.0, then null
+    assert by_uid == {2: 1, 3: 2, 1: 3}
+
+
 def test_range_bucket_is_monotone_and_non_null(spark):
     df = with_range_bucket(_fixture(spark), "val")
     # bucket must be a monotone function of the value: max bucket of
