@@ -6104,3 +6104,143 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "loglog_r2"
         ),
     )
+
+
+@register(
+    "domain_cap_sample",
+    oracle="""
+    WITH t AS (
+        SELECT source, doc_id,
+               CAST((doc_id * 2654435761) % 1000000007 AS DOUBLE)
+                   / 1000000007 AS u
+        FROM documents
+    ),
+    r AS (
+        SELECT source, doc_id, u,
+               row_number() OVER (PARTITION BY source ORDER BY u, doc_id)
+                   AS rn
+        FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rn <= 10 THEN doc_id END) AS BIGINT)
+               AS kept_id_sum,
+           round(max(CASE WHEN rn <= 10 THEN u END), 9) AS kept_u_max
+    FROM r
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Per-domain document cap — the web-crawl balancing step every "
+    "corpus build runs so a handful of mega-domains cannot dominate "
+    "the training mix: keep at most K=10 documents per source, chosen "
+    "by each doc's OWN Knuth-multiplicative hash (deterministic on any "
+    "engine / partitioning / day — same reproducibility contract as "
+    "stratified_sample_deterministic, but a COUNT cap instead of a "
+    "fraction, which needs per-domain ranks).  Ranks come from the "
+    "bucket+offset device (operators/ranks.py) with partition_by="
+    "(source,): per-(domain, hash-range-bucket) distributed windows + "
+    "a broadcast |domains|*n_buckets-row offset table — never one task "
+    "per mega-domain, the trap a plain PARTITION BY source window "
+    "walks into when one domain holds 10^9 pages.  Output is the "
+    "per-domain funnel (total, kept, kept-set id checksum, realized "
+    "hash threshold) the pipeline audits; the oracle replays the cap "
+    "with a literal partitioned row_number, hash-checking WHICH "
+    "documents every domain kept.",
+    tags=("llm", "sampling"),
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import with_global_rank, with_range_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id").cast("bigint") * 2654435761) % 1000000007
+    ).cast("double") / 1000000007
+    t = docs.select("source", "doc_id", u.alias("u"))
+    bucketed = with_range_bucket(t, "u").transform(ckpt)
+    ranked = with_global_rank(
+        bucketed,
+        [F.col("u"), F.col("doc_id")],
+        partition_by=("source",),
+        out="rn",
+    )
+    kept = F.col("rn") <= 10
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("doc_id"))).cast("bigint").alias(
+                "kept_id_sum"
+            ),
+            F.round(F.max(F.when(kept, F.col("u"))), 9).alias("kept_u_max"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "training_shard_manifest",
+    oracle="""
+    WITH t AS (
+        SELECT CAST((doc_id * 2654435761) % 1000000007 AS BIGINT) % 16
+                   AS shard,
+               doc_id, n_chars,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tok
+        FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+           CAST(sum(n_tok) AS BIGINT) AS tot_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM t
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    doc="Deterministic training-shard manifest — the write-path planner "
+    "for materializing a 100 TB corpus as N fixed shards: every "
+    "document's shard is a pure function of its id (Knuth-"
+    "multiplicative hash mod 16 — no RNG state, so a re-run, an "
+    "incremental append, or a different cluster produces the SAME "
+    "assignment, which is what makes shard writes resumable and "
+    "training-data audits reproducible).  The manifest row per shard "
+    "carries doc count, char/whitespace-token budgets, the id range, "
+    "and an order-insensitive id checksum — the small control table a "
+    "sharded writer (df.repartition(N, shard).sortWithinPartitions) "
+    "verifies against after the fact.  Map-side projection + one "
+    "16-key rollup: no shuffle of document payloads at all; at scale "
+    "the only data movement is the write itself, and hash sharding "
+    "balances it to +/-O(sqrt) without a range-statistics pass.",
+    tags=("llm", "sampling"),
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", " ", ""))
+        + 1
+    )
+    t = docs.select(
+        (
+            ((F.col("doc_id").cast("bigint") * 2654435761) % 1000000007) % 16
+        ).alias("shard"),
+        "doc_id",
+        "n_chars",
+        n_tok.alias("n_tok"),
+    )
+    return (
+        t.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("tot_chars"),
+            F.sum("n_tok").cast("bigint").alias("tot_tokens"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("shard")
+    )

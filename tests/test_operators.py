@@ -1089,3 +1089,73 @@ def test_streaming_page_hinkley_multibatch_equals_batch(spark, sf_dir):
         spark, sf_dir, max_files_per_trigger=1
     ).collect()[0]
     assert stream.asDict() == batch.asDict()
+
+
+def test_domain_cap_respects_cap_and_is_partition_invariant(spark, sf_dir):
+    """The per-domain cap keeps min(K, n_total) docs per source, and the
+    kept SET (id checksum) is identical under a different input
+    partitioning — the determinism contract that makes incremental
+    corpus re-runs auditable."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+
+    rows = REGISTRY["domain_cap_sample"].fn(spark, sf_dir).collect()
+    assert rows, "no sources"
+    for r in rows:
+        assert r.n_kept == min(10, r.n_total)
+        assert r.kept_u_max is not None
+
+    # replay on a deliberately different partitioning of the same docs
+    from causality_between_elements_based_on_time_series_data_spark.operators.ranks import (
+        with_global_rank,
+        with_range_bucket,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").repartition(7, "lang")
+    u = (
+        (F.col("doc_id").cast("bigint") * 2654435761) % 1000000007
+    ).cast("double") / 1000000007
+    t = with_range_bucket(
+        docs.select("source", "doc_id", u.alias("u")), "u"
+    )
+    ranked = with_global_rank(
+        t, [F.col("u"), F.col("doc_id")], partition_by=("source",), out="rn"
+    )
+    redo = {
+        r["source"]: r["s"]
+        for r in ranked.filter(F.col("rn") <= 10)
+        .groupBy("source")
+        .agg(F.sum("doc_id").alias("s"))
+        .collect()
+    }
+    assert {r.source: r.kept_id_sum for r in rows} == redo
+
+
+def test_shard_manifest_partitions_the_corpus(spark, sf_dir):
+    """Shards tile the corpus exactly: doc counts, char totals and id
+    checksums summed over shards equal the whole-table aggregates, and
+    every shard id is in [0, 16)."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["training_shard_manifest"].fn(spark, sf_dir).collect()
+    assert all(0 <= r.shard < 16 for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("c"),
+        F.sum("doc_id").alias("s"),
+    ).collect()[0]
+    assert sum(r.n_docs for r in rows) == tot.n
+    assert sum(r.tot_chars for r in rows) == tot.c
+    assert sum(r.id_checksum for r in rows) == tot.s
