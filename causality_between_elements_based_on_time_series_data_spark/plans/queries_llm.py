@@ -2312,10 +2312,15 @@ def minhash_portable_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return portable_band_pairs(portable_signatures(docs)).orderBy("doc_a", "doc_b")
 
 
-def portable_band_pairs(sig: DataFrame) -> DataFrame:
-    """LSH band-collision pairs (doc_a < doc_b, n_shared_bands) from
-    portable signatures — the oracle-checkable candidate generator the
-    production dedup path routes through."""
+def pruned_band_buckets(sig: DataFrame) -> DataFrame:
+    """Hot-bucket-guarded LSH band buckets (doc_id, band_id, band_val)
+    from portable signatures — the shared candidate-generation stage
+    behind ``portable_band_pairs`` (full-corpus self-join) and
+    ``incremental_dedup_new_batch`` (index×batch cross join).  Bucket
+    occupancy is counted over the WHOLE relation before any split, so
+    the >{max} guard sees the same buckets the oracles do.""".format(
+        max=_MH_MAX_BUCKET
+    )
     # 4-row band fold kept inside BIGINT: two P²-scale halves, each
     # reduced mod 1e9+7 before pairing (≈2.0e18 max, inside 2^63).
     band_arr = F.array(
@@ -2332,15 +2337,22 @@ def portable_band_pairs(sig: DataFrame) -> DataFrame:
         "doc_id", F.posexplode(band_arr).alias("band_id0", "band_val")
     ).select("doc_id", (F.col("band_id0") + 1).alias("band_id"), "band_val")
     # Hot-bucket guard: bands feeds three consumers (occupancy count +
-    # both self-join sides) — materialize the tiny relation once.
+    # both join sides) — materialize the tiny relation once.
     bands = bands.transform(ckpt)
     bucket_sizes = bands.groupBy("band_id", "band_val").agg(
         F.count("*").alias("__bsz")
     )
-    bands = bands.join(
+    return bands.join(
         bucket_sizes.filter(F.col("__bsz") <= _MH_MAX_BUCKET),
         ["band_id", "band_val"],
     ).drop("__bsz")
+
+
+def portable_band_pairs(sig: DataFrame) -> DataFrame:
+    """LSH band-collision pairs (doc_a < doc_b, n_shared_bands) from
+    portable signatures — the oracle-checkable candidate generator the
+    production dedup path routes through."""
+    bands = pruned_band_buckets(sig)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -6243,4 +6255,182 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("id_checksum"),
         )
         .orderBy("shard")
+    )
+
+
+def _incremental_dedup_oracle() -> str:
+    # Same band CTEs as the full-corpus tier (occupancy guard over ALL
+    # docs), candidates restricted to index-side < T <= batch-side;
+    # verify = the pipeline's exact word-set Jaccard on candidates.
+    return f"""
+    WITH RECURSIVE thr AS (
+        SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS t
+        FROM documents
+    ),
+    {_band_core_sql()},
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pruned a
+        JOIN pruned b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+        JOIN thr ON a.doc_id < thr.t AND b.doc_id >= thr.t
+        GROUP BY 1, 2
+    ),
+    tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cand c
+        JOIN tok ta ON ta.doc_id = c.id_a
+        JOIN tok tb ON tb.doc_id = c.id_b AND ta.w = tb.w
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT DISTINCT b.doc_id
+        FROM documents b JOIN thr ON b.doc_id >= thr.t
+        WHERE EXISTS (
+            SELECT 1 FROM documents i, thr t2
+            WHERE i.doc_id < t2.t AND i.text = b.text
+        )
+    ),
+    near AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+          AND id_b NOT IN (SELECT doc_id FROM exact)
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_dup,
+           CAST(sum(CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_dup,
+           CAST(sum(CASE WHEN e.doc_id IS NULL AND nr.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d
+    JOIN thr ON d.doc_id >= thr.t
+    LEFT JOIN exact e ON e.doc_id = d.doc_id
+    LEFT JOIN near nr ON nr.doc_id = d.doc_id
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """
+
+
+@register(
+    "incremental_dedup_new_batch",
+    oracle=_incremental_dedup_oracle(),
+    doc="Incremental dedup — the shape a GROWING corpus actually runs "
+    "every ingest: dedup the NEW batch (docs past the 0.8-quantile id "
+    "threshold, standing in for today's crawl) against the existing "
+    "index WITHOUT re-deduping the index against itself.  Tier 1: "
+    "exact content match via 32-byte sha2 keys semi-joined against "
+    "the index's key set (text never shuffles).  Tier 2: portable "
+    "MinHash band buckets computed over the full corpus (occupancy "
+    "guard included), then an index-side x batch-side band equi-join "
+    "— candidates follow bucket collisions, and unlike the full "
+    "self-join the quadratic-ish index x index mass is never "
+    "generated, which is the entire point at 100 TB where |batch| << "
+    "|index| (in production the index side's buckets are a persisted "
+    "table; only the batch side is computed fresh).  Tier 3: exact "
+    "word-set Jaccard >= 0.8 on candidates only.  Output: the "
+    "per-lang ingest report (new / exact-dup / near-dup / kept) every "
+    "pipeline owner reads after a batch lands; fully hash-checked "
+    "against a DuckDB replay of all three tiers.",
+    tags=("llm", "dedup", "pipeline"),
+)
+def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    thr = docs.agg(
+        F.floor(0.8 * (F.max("doc_id") + 1)).cast("bigint").alias("_t")
+    )
+    # docs+threshold feeds 4 branches (exact keys both sides, batch
+    # rollup, signatures) — derive once
+    d = docs.crossJoin(F.broadcast(thr)).transform(ckpt)
+    is_new = F.col("doc_id") >= F.col("_t")
+
+    # tier 1: exact content dedup against the index's hash-key set
+    idx_keys = d.filter(~is_new).select(
+        F.sha2("text", 256).alias("h")
+    ).distinct()
+    exact = (
+        d.filter(is_new)
+        .select("doc_id", F.sha2("text", 256).alias("h"))
+        .join(idx_keys, "h", "semi")
+        .select("doc_id")
+        .transform(ckpt)  # read by the near-tier exclusion AND the rollup
+    )
+
+    # tier 2: band buckets over the whole corpus (guard sees the same
+    # occupancy as the oracle), split, cross-join index x batch only
+    bands = (
+        pruned_band_buckets(portable_signatures(d.select("doc_id", "text")))
+        .crossJoin(F.broadcast(thr))
+        .transform(ckpt)  # both join sides below read it
+    )
+    cand = (
+        bands.filter(F.col("doc_id") < F.col("_t"))
+        .select("band_id", "band_val", F.col("doc_id").alias("id_a"))
+        .join(
+            bands.filter(F.col("doc_id") >= F.col("_t")).select(
+                "band_id", "band_val", F.col("doc_id").alias("id_b")
+            ),
+            ["band_id", "band_val"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # tier 3: exact word-set Jaccard on candidates only (the pipeline's
+    # verify stage, word tokens to match the oracle)
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(tok.alias("ta"), F.col("ta.doc_id") == F.col("id_a"))
+        .join(
+            tok.alias("tb"),
+            (F.col("tb.doc_id") == F.col("id_b"))
+            & (F.col("ta.w") == F.col("tb.w")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    near = (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
+        .filter(jac >= 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .join(exact, "doc_id", "anti")
+    )
+
+    batch = d.filter(is_new).select("doc_id", "lang")
+    flagged_e = exact.withColumn("_e", F.lit(1))
+    flagged_n = near.withColumn("_n", F.lit(1))
+    return (
+        batch.join(flagged_e, "doc_id", "left")
+        .join(flagged_n, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_new"),
+            F.sum(F.coalesce("_e", F.lit(0))).cast("bigint").alias(
+                "n_exact_dup"
+            ),
+            F.sum(F.coalesce("_n", F.lit(0))).cast("bigint").alias(
+                "n_near_dup"
+            ),
+            F.sum(
+                (F.col("_e").isNull() & F.col("_n").isNull()).cast("int")
+            ).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("lang")
     )

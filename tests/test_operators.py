@@ -1159,3 +1159,37 @@ def test_shard_manifest_partitions_the_corpus(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == tot.n
     assert sum(r.tot_chars for r in rows) == tot.c
     assert sum(r.id_checksum for r in rows) == tot.s
+
+
+def test_incremental_dedup_flags_are_true_near_dups(spark, sf_dir):
+    """Precision of the incremental tier: every doc the ingest report
+    counts as a near-dup really has word-set Jaccard >= 0.8 with some
+    INDEX doc (brute-force replay on the small fixture), and the
+    per-lang columns tile the batch (new = exact + near + kept)."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    report = REGISTRY["incremental_dedup_new_batch"].fn(spark, sf_dir).collect()
+    assert report
+    for r in report:
+        assert r.n_new == r.n_exact_dup + r.n_near_dup + r.n_kept
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    thr = int(0.8 * (max(d.doc_id for d in docs) + 1))
+    index = [(d.doc_id, set(d.text.split(" "))) for d in docs if d.doc_id < thr]
+    batch = [(d.doc_id, set(d.text.split(" "))) for d in docs if d.doc_id >= thr]
+
+    def near_partner(ws):
+        return any(
+            len(ws & iw) / len(ws | iw) >= 0.8 for _, iw in index
+        )
+
+    n_true_near = sum(1 for _, ws in batch if near_partner(ws))
+    n_flagged = sum(r.n_near_dup + r.n_exact_dup for r in report)
+    # LSH recall <= 1: flagged is a subset of the true dup mass
+    assert n_flagged <= n_true_near
+    assert sum(r.n_new for r in report) == len(batch)

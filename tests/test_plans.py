@@ -795,3 +795,74 @@ def test_registry_wide_plan_antipattern_sweep(spark, sf_dir):
     )
     assert not cartesian_offenders, cartesian_offenders
     assert not python_offenders, python_offenders
+
+
+# ---------------------------------------------------------------------------
+# Derive-once regression gate (round 10).  Spark re-derives a
+# DataFrame's full lineage once per consumer, so a shared subtree
+# (grid, posting list, pair table) feeding N branches re-scans the
+# fact parquet N times unless its lineage is cut (`lineage.ckpt` — the
+# round-9 derive-once sweep).  This gate pins the VISIBLE `Scan
+# parquet` node count of every bench query's production plan (lineage
+# cuts ACTIVE — the shape that executes): a removed cut, or a new
+# multi-consumer branch added without one, duplicates a scan subtree
+# and fails here.  Budgets are exact current counts; a query that
+# newly hides scans beneath an added cut LOWERS its count, which is
+# fine (<=).  Re-derivation below a cut is impossible by construction
+# (the checkpoint materializes once), so visible scans are precisely
+# the per-materialization fact passes.
+BENCH_SCAN_BUDGETS: dict[str, int] = {
+    "asof_last_click_before_purchase": 1,
+    "attention_context_vector": 1,
+    "bigram_lm_perplexity": 1,
+    "broadcast_dim_brand_volume": 2,
+    "ccm_cross_mapping_skill": 0,  # fully below the manifold/grid cuts
+    "cosine_topk_bruteforce": 2,
+    "dedup_exact_docs": 1,
+    "placebo_permutation_did": 1,
+    "price_elasticity_within_part": 1,
+    "promo_did_lineitem": 3,
+    "propensity_matching_att": 0,  # scored/matched tables are cut
+    "q1_pricing_summary": 1,
+    "q21_waiting_suppliers": 3,  # lineitem once + orders + nation
+    "q3_shipping_priority": 3,
+    "q5_region_revenue": 6,  # the 6-table TPC-H join, each read once
+    "q6_forecast_revenue": 1,
+    "q7_nation_volume": 6,
+    "q9_product_type_profit": 5,
+    "retain_entity_features": 1,
+    "sessionize_events": 1,
+    "staggered_adoption_att": 0,  # cohort/cell tables are cut (r9 fix)
+    "tfidf_top_terms": 1,
+    "transfer_entropy_lag1": 0,
+    "tumbling_hourly_rollup": 1,
+    "window_running_sum_frame": 1,
+}
+
+
+def test_bench_queries_scan_budgets(spark, sf_dir):
+    from causality_between_elements_based_on_time_series_data_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    bench = sorted(
+        n
+        for n, q in REGISTRY.items()
+        if "bench" in q.tags and "eager" not in q.tags
+    )
+    assert set(bench) == set(BENCH_SCAN_BUDGETS), (
+        "bench set changed — record a scan budget for every non-eager "
+        f"bench query: {sorted(set(bench) ^ set(BENCH_SCAN_BUDGETS))}"
+    )
+    over: dict[str, tuple[int, int]] = {}
+    for name in bench:
+        plan = formatted_plan(REGISTRY[name].fn(spark, sf_dir))
+        scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        if scans > BENCH_SCAN_BUDGETS[name]:
+            over[name] = (scans, BENCH_SCAN_BUDGETS[name])
+    assert not over, (
+        "bench plans re-scan fact parquet beyond their derive-once "
+        "budget (a shared subtree lost its lineage cut, or a new "
+        "consumer needs one — see lineage.ckpt): "
+        f"{{name: (scans, budget)}} = {over}"
+    )
