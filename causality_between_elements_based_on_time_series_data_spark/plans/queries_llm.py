@@ -6434,3 +6434,332 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(greatest(n_chars, 1) AS DOUBLE) AS w,
+               (CAST((doc_id * 2654435761) % 1000000007 AS DOUBLE) + 1)
+                   / 1000000008 AS u
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, source, w, ln(u) / w AS skey FROM t
+    ),
+    r AS (
+        SELECT doc_id, source, w, skey,
+               row_number() OVER (ORDER BY skey DESC, doc_id) AS rnk
+        FROM k
+    )
+    SELECT CAST(rnk AS INT) AS rnk, doc_id, source,
+           CAST(w AS BIGINT) AS weight, round(skey, 7) AS sel_key
+    FROM r
+    WHERE rnk <= 64
+    ORDER BY rnk
+    """,
+    doc="Weighted sampling WITHOUT replacement at corpus scale — the "
+    "Efraimidis-Spirakis A-ES scheme every quality-weighted data-mix "
+    "selection needs: each document draws key ln(u)/w (u a "
+    "deterministic Knuth-hash uniform of its OWN id, w = char-length "
+    "proxy weight), and the global top-K by key IS an exact weighted "
+    "sample without replacement.  Two scale properties make this the "
+    "100 TB shape: (1) the sample is a pure per-row function + top-K — "
+    "no sequential reservoir state, no RNG stream to coordinate across "
+    "executors, and a re-run / different partitioning / incremental "
+    "append selects the SAME documents; (2) the top-K runs through "
+    "operators/ranks.topk_ranked — orderBy().limit(k) plans as a "
+    "distributed TakeOrderedAndProject (per-partition heaps, never a "
+    "global sort) and the rank column is rebuilt on the <=K survivors "
+    "by a broadcast self-join, zero Window nodes.  The oracle replays "
+    "the identical key arithmetic with a literal row_number, "
+    "hash-checking WHICH documents were selected, their order, and "
+    "their keys.",
+    tags=("llm", "sampling"),
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import topk_ranked
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        ((F.col("doc_id").cast("bigint") * 2654435761) % 1000000007).cast(
+            "double"
+        )
+        + 1
+    ) / 1000000008
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.greatest("n_chars", F.lit(1)).cast("double").alias("w"),
+        u.alias("u"),
+    )
+    k = t.select(
+        "doc_id", "source", "w", (F.log("u") / F.col("w")).alias("skey")
+    )
+    top = topk_ranked(k, [("skey", "desc"), ("doc_id", "asc")], 64, out="rnk")
+    return top.select(
+        "rnk",
+        "doc_id",
+        "source",
+        F.col("w").cast("bigint").alias("weight"),
+        F.round("skey", 7).alias("sel_key"),
+    ).orderBy("rnk")
+
+
+@register(
+    "epoch_shuffle_audit",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               (doc_id * 2654435761 + 97) % 1000000007 AS h1,
+               (doc_id * 1597334677 + 31) % 1000000007 AS h2
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source,
+               row_number() OVER (ORDER BY h1, doc_id) AS r1,
+               row_number() OVER (ORDER BY h2, doc_id) AS r2,
+               count(*) OVER () AS n
+        FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round((CAST(sum(r1) AS DOUBLE) - 0.5 * count(*))
+                 / (max(n) * count(*)), 6) AS mean_pos_e1,
+           round((CAST(sum(r2) AS DOUBLE) - 0.5 * count(*))
+                 / (max(n) * count(*)), 6) AS mean_pos_e2,
+           round(CAST(sum(abs(r1 - r2)) AS DOUBLE)
+                 / (max(n) * count(*)), 6) AS mean_abs_disp
+    FROM r
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Deterministic epoch-shuffle audit — the control query behind "
+    "seeded global training-data shuffles: epoch e orders the corpus "
+    "by hash_e(doc_id) (distinct multiplier/offset per epoch), so the "
+    "permutation is a pure function of (epoch, id) — reproducible on "
+    "any cluster, resumable mid-epoch, no RNG state.  Each epoch's "
+    "EXACT global position comes from the bucket+offset rank device "
+    "(operators/ranks.py): per-hash-range-bucket distributed windows "
+    "+ a broadcast <=128-row prefix-offset table — never the one-task "
+    "global sort a literal ORDER BY hash would plan.  The audit "
+    "reports, per source: normalized mean position under each epoch "
+    "(must be ~0.5 — no source clusters at the front of an epoch) and "
+    "the mean absolute displacement between the two epochs' positions "
+    "(~1/3 for independent permutations — catches a broken seed that "
+    "replays the same order).  All three metrics are derived from "
+    "EXACT integer rank sums (single float division at the end), so "
+    "the DuckDB oracle, which replays both permutations with literal "
+    "row_number windows, hash-matches bit-for-bit.  Positions for the "
+    "two epochs join back on doc_id, and the shared hashed projection "
+    "is lineage-cut once for both rank branches.",
+    tags=("llm", "sampling"),
+)
+def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import with_global_rank, with_range_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("bigint")
+    t = docs.select(
+        "doc_id",
+        "source",
+        ((did * 2654435761 + 97) % 1000000007).alias("h1"),
+        ((did * 1597334677 + 31) % 1000000007).alias("h2"),
+    ).transform(ckpt)  # one hashed projection feeds both rank branches
+
+    b1 = with_range_bucket(t.select("doc_id", "h1"), "h1").transform(ckpt)
+    r1 = with_global_rank(
+        b1, [F.col("h1"), F.col("doc_id")], out="r1", total="n"
+    ).select("doc_id", "r1", "n")
+    b2 = with_range_bucket(t.select("doc_id", "h2"), "h2").transform(ckpt)
+    r2 = with_global_rank(b2, [F.col("h2"), F.col("doc_id")], out="r2").select(
+        "doc_id", "r2"
+    )
+
+    j = t.select("doc_id", "source").join(r1, "doc_id").join(r2, "doc_id")
+    n = F.max("n").cast("double")
+    cnt = F.count("*").cast("double")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                (F.sum("r1").cast("double") - 0.5 * cnt) / (n * cnt), 6
+            ).alias("mean_pos_e1"),
+            F.round(
+                (F.sum("r2").cast("double") - 0.5 * cnt) / (n * cnt), 6
+            ).alias("mean_pos_e2"),
+            F.round(
+                F.sum(F.abs(F.col("r1") - F.col("r2"))).cast("double")
+                / (n * cnt),
+                6,
+            ).alias("mean_abs_disp"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "perplexity_quality_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, lang, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+    ),
+    bg AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+    tr AS (SELECT * FROM bg WHERE doc_id % 10 < 5),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM tr GROUP BY 1, 2),
+    c1  AS (SELECT w1, CAST(sum(c12) AS DOUBLE) AS c1 FROM c12 GROUP BY 1),
+    v AS (
+        SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
+        FROM toks WHERE doc_id % 10 < 5
+    ),
+    terms AS (
+        SELECT bg.doc_id, bg.lang,
+               CAST(round(-ln((COALESCE(c12.c12, 0) + 1.0)
+                              / (COALESCE(c1.c1, 0) + v.vocab)) * 1000000)
+                    AS BIGINT) AS mnat
+        FROM bg
+        LEFT JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+        LEFT JOIN c1 ON bg.w1 = c1.w1
+        CROSS JOIN v
+    ),
+    perdoc AS (
+        SELECT doc_id, lang,
+               CAST(sum(mnat) AS BIGINT) AS score_u,
+               count(*) AS n_terms
+        FROM terms GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT lang, doc_id, score_u, n_terms,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(score_u AS DOUBLE) / n_terms, doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n_lang
+        FROM perdoc
+    )
+    SELECT lang,
+           CAST(floor((rn - 1) * 3.0 / n_lang) AS INT) AS tercile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(exp(CAST(score_u AS DOUBLE) / 1000000 / n_terms)), 4)
+               AS avg_ppl,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM ranked
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Reference-LM perplexity quality filter (the CCNet recipe, "
+    "public: Wenzek et al. 2019): train an add-1-smoothed bigram LM on "
+    "a fixed REFERENCE split (deterministic doc_id%%10<5 — standing in "
+    "for the curated wiki-like corpus), score EVERY document's "
+    "perplexity under it (unseen bigrams back off to 1/(c1+V), unseen "
+    "heads to 1/V via the two-sided left join), and gate each language "
+    "into head/middle/tail perplexity terciles — the keep/maybe/drop "
+    "decision CCNet materializes per shard.  Cross-engine exactness "
+    "device: each bigram's negative log-likelihood is quantized "
+    "per-TERM to integer micro-nats (round(nll*1e6) — a per-row pure "
+    "function), so per-doc scores are INTEGER sums — aggregation-order "
+    "free, hence bit-stable across partitionings, reruns, and engines "
+    "— and the tercile ranking (bucket+offset device, partition_by="
+    "(lang,), never one task per language) sorts an exact rational "
+    "score_u/n_terms.  A float score would make the cut order depend "
+    "on Spark's partial-agg summation order at 100 TB.  Output: "
+    "per-(lang, tercile) doc counts, mean realized perplexity, and the "
+    "kept-set id checksum the oracle hash-verifies (WHICH docs landed "
+    "in which gate, not just how many).",
+    tags=("llm", "text-quality", "bench"),
+)
+def perplexity_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.ranks import with_global_rank, with_range_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    # bg feeds both the train-side model counts and the score-side
+    # joins — checkpoint so the fact-sized lead() shuffle runs once
+    bg = (
+        toks.withColumn("w2", F.lead("tok").over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "lang", F.col("tok").alias("w1"), "w2")
+        .transform(ckpt)
+    )
+    is_train = F.col("doc_id") % 10 < 5
+    tr = bg.filter(is_train)
+    c12 = tr.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("double").alias("c1"))
+    vocab = (
+        toks.filter(is_train)
+        .agg(F.countDistinct("tok").cast("double").alias("vocab"))
+    )
+    # two LEFT joins, not a pre-joined model: an unseen (w1,w2) whose
+    # HEAD is in the train vocabulary must still back off to c1(w1).
+    # Both joins are TERM-keyed shuffles — the bigram/unigram count
+    # tables grow with the vocabulary and are never broadcast (same
+    # rule as bigram_lm_perplexity); only the 1-row V scalar is.
+    terms = (
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                -F.log(
+                    (F.coalesce("c12", F.lit(0)) + 1.0)
+                    / (F.coalesce("c1", F.lit(0.0)) + F.col("vocab"))
+                )
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("mnat"),
+        )
+    )
+    perdoc = (
+        terms.groupBy("doc_id", "lang")
+        .agg(
+            F.sum("mnat").cast("bigint").alias("score_u"),
+            F.count("*").alias("n_terms"),
+        )
+        .withColumn(
+            "mean_mnat", F.col("score_u").cast("double") / F.col("n_terms")
+        )
+    )
+    bucketed = with_range_bucket(perdoc, "mean_mnat").transform(ckpt)
+    ranked = with_global_rank(
+        bucketed,
+        [F.col("mean_mnat"), F.col("doc_id")],
+        partition_by=("lang",),
+        out="rn",
+        total="n_lang",
+    )
+    tercile = F.floor(
+        ((F.col("rn") - 1) * 3).cast("double") / F.col("n_lang")
+    ).cast("int")
+    ppl = F.exp(
+        F.col("score_u").cast("double") / 1000000 / F.col("n_terms")
+    )
+    return (
+        ranked.select("lang", tercile.alias("tercile"), ppl.alias("ppl"), "doc_id")
+        .groupBy("lang", "tercile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("lang", "tercile")
+    )

@@ -1193,3 +1193,119 @@ def test_incremental_dedup_flags_are_true_near_dups(spark, sf_dir):
     # LSH recall <= 1: flagged is a subset of the true dup mass
     assert n_flagged <= n_true_near
     assert sum(r.n_new for r in report) == len(batch)
+
+
+def test_weighted_reservoir_sample_is_exact_aes_topk(spark, sf_dir):
+    """The A-ES sample equals the brute-force top-64 of ln(u)/w computed
+    driver-side, ranks are 1..64 with no gaps, and the selection is
+    invariant under a different input partitioning (determinism
+    contract — no RNG stream, no partition dependence)."""
+    import math
+
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = REGISTRY["weighted_reservoir_sample"].fn(spark, sf_dir).collect()
+    assert [r.rnk for r in rows] == list(range(1, 65))
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keyed = sorted(
+        (
+            (
+                -(
+                    math.log(
+                        ((d.doc_id * 2654435761) % 1000000007 + 1)
+                        / 1000000008
+                    )
+                    / max(d.n_chars, 1)
+                ),
+                d.doc_id,
+            )
+            for d in docs
+        ),
+    )[:64]
+    assert [r.doc_id for r in rows] == [i for _, i in keyed]
+
+    # different partitioning, same selected ids
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.operators.ranks import (
+        topk_ranked,
+    )
+
+    d2 = load_table(spark, sf_dir, "documents").repartition(5, "source")
+    u = (
+        ((F.col("doc_id").cast("bigint") * 2654435761) % 1000000007).cast(
+            "double"
+        )
+        + 1
+    ) / 1000000008
+    k = d2.select(
+        "doc_id",
+        (F.log(u) / F.greatest("n_chars", F.lit(1)).cast("double")).alias(
+            "skey"
+        ),
+    )
+    redo = topk_ranked(k, [("skey", "desc"), ("doc_id", "asc")], 64)
+    assert sorted(r.doc_id for r in redo.collect()) == sorted(
+        r.doc_id for r in rows
+    )
+
+
+def test_epoch_shuffle_audit_positions_balanced_and_decorrelated(
+    spark, sf_dir
+):
+    """Every source's normalized mean position sits near 0.5 under both
+    epoch permutations (no source clusters at an epoch's front), the
+    cross-epoch displacement is near the independent-permutation
+    expectation 1/3, and source doc counts tile the corpus."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = REGISTRY["epoch_shuffle_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    n_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_total
+    for r in rows:
+        assert 0.40 <= r.mean_pos_e1 <= 0.60, r
+        assert 0.40 <= r.mean_pos_e2 <= 0.60, r
+        assert 0.22 <= r.mean_abs_disp <= 0.45, r
+
+
+def test_perplexity_filter_terciles_tile_and_order(spark, sf_dir):
+    """Per-lang terciles tile the language (sizes differ by <=1), and
+    mean perplexity is strictly increasing across terciles — ppl is a
+    monotone function of the integer micro-nat rank key, so the gate
+    ordering cannot invert."""
+    from collections import defaultdict
+
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = REGISTRY["perplexity_quality_filter"].fn(spark, sf_dir).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    n_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_total
+    for lang, grp in by_lang.items():
+        grp.sort(key=lambda r: r.tercile)
+        assert [r.tercile for r in grp] == list(range(len(grp)))
+        sizes = [r.n_docs for r in grp]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        ppls = [r.avg_ppl for r in grp]
+        assert ppls == sorted(ppls), (lang, ppls)
