@@ -17,10 +17,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..lineage import ckpt
+
 
 def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """MERGE semantics: rows from ``updates`` win on key collision,
-    unmatched target rows pass through."""
+    unmatched target rows pass through.
+
+    ``updates`` feeds BOTH union legs (payload + anti-join key set), so
+    its lineage is cut — a CDC batch is bounded by contract, and
+    without the cut Spark re-derives the update subtree twice (the
+    registry scan survey showed the demo query re-scanning the source
+    table for each leg; a real merge would re-run the CDC extraction)."""
+    updates = ckpt(updates)
     return updates.unionByName(target.join(updates.select(key), key, "left_anti"))
 
 

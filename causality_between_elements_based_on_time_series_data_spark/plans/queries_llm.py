@@ -6763,3 +6763,344 @@ def perplexity_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "tercile")
     )
+
+
+def _corpus_funnel_oracle() -> str:
+    # Stage CTEs chain the already-proven oracle fragments: quality
+    # thresholds (per-row arithmetic), the micro-nat perplexity gate
+    # (perplexity_quality_filter's CTEs over s1), exact dedup
+    # (min-id per text), the shared band core over s3 + pairwise
+    # smaller-partner drop, the Knuth-hash domain cap, and the A-ES
+    # top-N selection.
+    return f"""
+    WITH s1 AS (
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents
+        WHERE length(string_split(text, ' ')) BETWEEN 20 AND 90
+          AND length(list_distinct(string_split(text, ' '))) * 1.0
+              / length(string_split(text, ' ')) >= 0.35
+    ),
+    ptoks AS (
+        SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM s1
+    ),
+    pbig AS (
+        SELECT doc_id, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM ptoks
+    ),
+    pbg AS (SELECT * FROM pbig WHERE w2 IS NOT NULL),
+    ptr AS (SELECT * FROM pbg WHERE doc_id % 10 < 5),
+    pc12 AS (SELECT w1, w2, count(*) AS c12 FROM ptr GROUP BY 1, 2),
+    pc1  AS (SELECT w1, CAST(sum(c12) AS DOUBLE) AS c1 FROM pc12 GROUP BY 1),
+    pv AS (
+        SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
+        FROM ptoks WHERE doc_id % 10 < 5
+    ),
+    pterms AS (
+        SELECT pbg.doc_id,
+               CAST(round(-ln((COALESCE(pc12.c12, 0) + 1.0)
+                              / (COALESCE(pc1.c1, 0) + pv.vocab)) * 1000000)
+                    AS BIGINT) AS mnat
+        FROM pbg
+        LEFT JOIN pc12 ON pbg.w1 = pc12.w1 AND pbg.w2 = pc12.w2
+        LEFT JOIN pc1 ON pbg.w1 = pc1.w1
+        CROSS JOIN pv
+    ),
+    pperdoc AS (
+        SELECT t.doc_id, s1.lang,
+               CAST(sum(t.mnat) AS BIGINT) AS score_u,
+               count(*) AS n_terms
+        FROM pterms t JOIN s1 ON s1.doc_id = t.doc_id
+        GROUP BY 1, 2
+    ),
+    pranked AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(score_u AS DOUBLE) / n_terms, doc_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n_lang
+        FROM pperdoc
+    ),
+    s2 AS (
+        SELECT s1.* FROM s1 JOIN pranked USING (doc_id)
+        WHERE floor((rn - 1) * 3.0 / n_lang) <= 1
+    ),
+    s3 AS (
+        SELECT s2.* FROM s2
+        JOIN (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY text) k
+            USING (doc_id)
+    ),
+    {_band_core_sql("s3")},
+    fcand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pruned a JOIN pruned b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    ftok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM s3
+    ),
+    fsizes AS (SELECT doc_id, count(*) AS sz FROM ftok GROUP BY doc_id),
+    finter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM fcand c
+        JOIN ftok ta ON ta.doc_id = c.id_a
+        JOIN ftok tb ON tb.doc_id = c.id_b AND ta.w = tb.w
+        GROUP BY 1, 2
+    ),
+    fdropped AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM finter
+        JOIN fsizes sa ON sa.doc_id = id_a
+        JOIN fsizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+    ),
+    s4 AS (
+        SELECT * FROM s3
+        WHERE doc_id NOT IN (SELECT doc_id FROM fdropped)
+    ),
+    capr AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+               ) AS crn
+        FROM s4
+    ),
+    s5 AS (
+        SELECT s4.* FROM s4 JOIN capr USING (doc_id) WHERE crn <= 18
+    ),
+    s6 AS (
+        SELECT doc_id
+        FROM (
+            SELECT doc_id,
+                   ln((CAST((doc_id * 1597334677) % 1000000007 AS DOUBLE) + 1)
+                      / 1000000008) / greatest(n_chars, 1) AS skey
+            FROM s5
+        )
+        ORDER BY skey DESC, doc_id
+        LIMIT 192
+    )
+    SELECT * FROM (
+        SELECT 0 AS stage_ord, 'ingest' AS stage,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM documents
+        UNION ALL SELECT 1, 'quality_gate', CAST(count(*) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT) FROM s1
+        UNION ALL SELECT 2, 'perplexity_gate', CAST(count(*) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT) FROM s2
+        UNION ALL SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT) FROM s3
+        UNION ALL SELECT 4, 'near_dedup', CAST(count(*) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT) FROM s4
+        UNION ALL SELECT 5, 'domain_cap', CAST(count(*) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT) FROM s5
+        UNION ALL SELECT 6, 'weighted_select', CAST(count(*) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT) FROM s6
+    ) ORDER BY stage_ord
+    """
+
+
+@register(
+    "corpus_build_funnel",
+    oracle=_corpus_funnel_oracle(),
+    doc="The END-TO-END corpus build a pretraining run executes, as "
+    "ONE hash-checked funnel: ingest → heuristic quality gate "
+    "(token-count window + distinct-token ratio, per-row arithmetic) "
+    "→ reference-LM perplexity gate (micro-nat scheme of "
+    "perplexity_quality_filter retrained on the quality survivors; "
+    "worst per-lang tercile dropped) → exact dedup (min-id per "
+    "content) → near-dup drop (portable band candidates + exact "
+    "Jaccard >= 0.8, pairwise smaller-partner rule — the cheap "
+    "non-transitive variant; the connected-components canonical form "
+    "is llm_dedup_pipeline) → per-domain cap (Knuth-hash rank <= 18 "
+    "per source via the bucket+offset device) → A-ES weighted "
+    "selection (top-192 by ln(u)/n_chars, distributed TakeOrdered).  "
+    "Output is the per-stage funnel (count + id checksum), so the "
+    "oracle verifies WHICH documents every stage kept, end to end.  "
+    "Scale shape: each stage consumes only the previous stage's "
+    "doc_id-sized survivor table (lineage-cut once per stage — each "
+    "feeds its funnel row AND the next stage); the heavy stages reuse "
+    "the registry's bounded forms (term-keyed model joins, "
+    "hot-bucket-guarded band self-join, candidate-only verification, "
+    "device ranks) — nothing in the chain sorts, broadcasts, or "
+    "pins a corpus-sized relation.",
+    tags=("llm", "pipeline", "sampling", "dedup"),
+)
+def corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.ranks import with_global_rank, with_range_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # stage 1: heuristic quality gate (pure per-row arithmetic)
+    n_tok = F.size(F.split("text", " "))
+    n_uniq = F.size(F.array_distinct(F.split("text", " ")))
+    s1 = (
+        docs.filter(
+            n_tok.between(20, 90)
+            & (n_uniq.cast("double") / n_tok >= 0.35)
+        )
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .transform(ckpt)
+    )
+
+    # stage 2: perplexity gate (micro-nat bigram LM over s1, worst
+    # per-lang tercile dropped) — same arithmetic as
+    # perplexity_quality_filter, retrained on the s1 survivors
+    toks = s1.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("tok").over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+        .transform(ckpt)
+    )
+    is_train = F.col("doc_id") % 10 < 5
+    c12 = bg.filter(is_train).groupBy("w1", "w2").agg(
+        F.count("*").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("double").alias("c1"))
+    vocab = toks.filter(is_train).agg(
+        F.countDistinct("tok").cast("double").alias("vocab")
+    )
+    terms = (
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    (F.coalesce("c12", F.lit(0)) + 1.0)
+                    / (F.coalesce("c1", F.lit(0.0)) + F.col("vocab"))
+                )
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("mnat"),
+        )
+    )
+    perdoc = (
+        terms.groupBy("doc_id")
+        .agg(
+            F.sum("mnat").cast("bigint").alias("score_u"),
+            F.count("*").alias("n_terms"),
+        )
+        .join(s1.select("doc_id", "lang"), "doc_id")
+        .withColumn(
+            "mean_mnat", F.col("score_u").cast("double") / F.col("n_terms")
+        )
+    )
+    pbucketed = with_range_bucket(perdoc, "mean_mnat").transform(ckpt)
+    pranked = with_global_rank(
+        pbucketed,
+        [F.col("mean_mnat"), F.col("doc_id")],
+        partition_by=("lang",),
+        out="rn",
+        total="n_lang",
+    )
+    keep_ppl = pranked.filter(
+        F.floor(((F.col("rn") - 1) * 3).cast("double") / F.col("n_lang")) <= 1
+    ).select("doc_id")
+    s2 = s1.join(keep_ppl, "doc_id", "semi").transform(ckpt)
+
+    # stage 3: exact dedup — min-id survivor per content
+    keep3 = s2.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    s3 = s2.join(keep3, "doc_id", "semi").transform(ckpt)
+
+    # stage 4: near-dup drop — portable band candidates on s3, exact
+    # Jaccard verify on candidates only, pairwise smaller-partner rule
+    cands = portable_band_pairs(portable_signatures(s3)).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    tokd = s3.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sizes = tokd.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cands.join(tokd.alias("ta"), F.col("ta.doc_id") == F.col("id_a"))
+        .join(
+            tokd.alias("tb"),
+            (F.col("tb.doc_id") == F.col("id_b"))
+            & (F.col("ta.w") == F.col("tb.w")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    dropped4 = (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
+        .filter(jac >= 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s4 = s3.join(dropped4, "doc_id", "anti").transform(ckpt)
+
+    # stage 5: per-domain cap via the device (never one task per domain)
+    h = (F.col("doc_id").cast("bigint") * 2654435761) % 1000000007
+    capd = with_range_bucket(
+        s4.select("doc_id", "source", h.alias("h")), "h"
+    ).transform(ckpt)
+    capr = with_global_rank(
+        capd,
+        [F.col("h"), F.col("doc_id")],
+        partition_by=("source",),
+        out="crn",
+    )
+    s5 = (
+        s4.join(capr.filter(F.col("crn") <= 18).select("doc_id"), "doc_id", "semi")
+        .transform(ckpt)
+    )
+
+    # stage 6: A-ES weighted selection, distributed TakeOrdered
+    u = (
+        (
+            (F.col("doc_id").cast("bigint") * 1597334677) % 1000000007
+        ).cast("double")
+        + 1
+    ) / 1000000008
+    skey = F.log(u) / F.greatest("n_chars", F.lit(1)).cast("double")
+    s6 = (
+        s5.select("doc_id", skey.alias("skey"))
+        .orderBy(F.col("skey").desc(), "doc_id")
+        .limit(192)
+        .select("doc_id")
+    )
+
+    def funnel_row(df: DataFrame, ord_: int, stage: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        ).select(
+            F.lit(ord_).alias("stage_ord"),
+            F.lit(stage).alias("stage"),
+            "n_docs",
+            "id_checksum",
+        )
+
+    rows = funnel_row(docs, 0, "ingest")
+    for ord_, stage, df in [
+        (1, "quality_gate", s1),
+        (2, "perplexity_gate", s2),
+        (3, "exact_dedup", s3),
+        (4, "near_dedup", s4),
+        (5, "domain_cap", s5),
+        (6, "weighted_select", s6),
+    ]:
+        rows = rows.unionByName(funnel_row(df, ord_, stage))
+    return rows.orderBy("stage_ord")

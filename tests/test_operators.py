@@ -1309,3 +1309,24 @@ def test_perplexity_filter_terciles_tile_and_order(spark, sf_dir):
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
         ppls = [r.avg_ppl for r in grp]
         assert ppls == sorted(ppls), (lang, ppls)
+
+
+def test_corpus_build_funnel_is_monotone_and_budgeted(spark, sf_dir):
+    """The funnel only ever narrows: stage counts are non-increasing
+    (every stage keeps a subset, so id checksums shrink too), stage 0
+    equals the corpus, and the final A-ES selection respects its
+    budget of 192."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = REGISTRY["corpus_build_funnel"].fn(spark, sf_dir).collect()
+    assert [r.stage_ord for r in rows] == list(range(7))
+    assert rows[0].n_docs == load_table(spark, sf_dir, "documents").count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_docs <= prev.n_docs, (prev, cur)
+        assert cur.id_checksum <= prev.id_checksum, (prev, cur)
+    assert rows[6].n_docs == min(192, rows[5].n_docs)
