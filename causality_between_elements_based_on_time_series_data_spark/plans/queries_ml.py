@@ -655,3 +655,35 @@ def _register_streaming_page_hinkley() -> None:
 
 
 _register_streaming_page_hinkley()
+
+
+@register(
+    "streaming_corpus_quality_gate",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN ok THEN doc_id END) AS BIGINT)
+               AS kept_id_checksum
+    FROM (
+        SELECT lang, doc_id,
+               length(string_split(text, ' ')) BETWEEN 20 AND 90
+               AND length(list_distinct(string_split(text, ' '))) * 1.0
+                   / length(string_split(text, ' ')) >= 0.35 AS ok
+        FROM documents
+    )
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Ingest-time quality gating as a stream (documents as arriving "
+    "files): stateless per-row gate — the corpus_build_funnel stage-1 "
+    "heuristics — plus a |langs|-bounded running acceptance rollup in "
+    "complete mode; the fixture-driven run equals the batch GROUP BY "
+    "bit-for-bit (per-lang counts AND the kept-set id checksum), which "
+    "is what the oracle hash-checks.",
+    tags=("streaming", "llm", "text-quality"),
+)
+def streaming_corpus_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events_stream import streaming_corpus_quality_gate
+
+    return streaming_corpus_quality_gate(spark, sf_dir)

@@ -811,3 +811,48 @@ def streaming_page_hinkley(
             q.stop()
 
     return _page_hinkley_chain(spark.table(name))
+
+
+def streaming_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time corpus quality gate as a stream: documents arrive as
+    files (the crawl-delivery shape), every micro-batch applies the
+    SAME stateless per-row heuristic gate as `corpus_build_funnel`
+    stage 1 (token-count window + distinct-token ratio), and a running
+    per-language acceptance rollup (complete mode) reports docs seen /
+    kept / kept-set checksum.  Stateless gating + an aggregate whose
+    state is |langs|-bounded: the streaming form is exactly the batch
+    plan fed incrementally, so the fixture-driven run must equal the
+    batch GROUP BY bit-for-bit — the oracle checks that.  At scale the
+    memory sink becomes a foreachBatch parquet/CDC append and the gate
+    rides inside the ingest job, upstream of dedup."""
+    from ..sources.catalog import TABLES
+
+    docs = spark.readStream.schema(TABLES["documents"]).parquet(
+        f"{sf_dir}/documents.parque*"
+    )
+    n_tok = F.size(F.split("text", " "))
+    n_uniq = F.size(F.array_distinct(F.split("text", " ")))
+    keep = n_tok.between(20, 90) & (n_uniq.cast("double") / n_tok >= 0.35)
+    agg = (
+        docs.select("lang", "doc_id", keep.alias("k"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("k").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("k"), F.col("doc_id")))
+            .cast("bigint")
+            .alias("kept_id_checksum"),
+        )
+    )
+    name = f"stream_quality_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("lang")

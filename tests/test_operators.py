@@ -1330,3 +1330,38 @@ def test_corpus_build_funnel_is_monotone_and_budgeted(spark, sf_dir):
         assert cur.n_docs <= prev.n_docs, (prev, cur)
         assert cur.id_checksum <= prev.id_checksum, (prev, cur)
     assert rows[6].n_docs == min(192, rows[5].n_docs)
+
+
+def test_streaming_quality_gate_equals_batch(spark, sf_dir):
+    """The streamed per-lang acceptance rollup equals the same gate
+    computed as a plain batch aggregate — stream/batch parity for the
+    stateless ingest gate."""
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    stream = REGISTRY["streaming_corpus_quality_gate"].fn(spark, sf_dir).collect()
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    n_uniq = F.size(F.array_distinct(F.split("text", " ")))
+    keep = n_tok.between(20, 90) & (n_uniq.cast("double") / n_tok >= 0.35)
+    batch = (
+        docs.select("lang", "doc_id", keep.alias("k"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("k").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("k"), F.col("doc_id")))
+            .cast("bigint")
+            .alias("kept_id_checksum"),
+        )
+        .orderBy("lang")
+        .collect()
+    )
+    assert [r.asDict() for r in stream] == [r.asDict() for r in batch]
