@@ -6923,13 +6923,19 @@ def _corpus_funnel_oracle() -> str:
     "selection (top-192 by ln(u)/n_chars, distributed TakeOrdered).  "
     "Output is the per-stage funnel (count + id checksum), so the "
     "oracle verifies WHICH documents every stage kept, end to end.  "
-    "Scale shape: each stage consumes only the previous stage's "
-    "doc_id-sized survivor table (lineage-cut once per stage — each "
-    "feeds its funnel row AND the next stage); the heavy stages reuse "
-    "the registry's bounded forms (term-keyed model joins, "
-    "hot-bucket-guarded band self-join, candidate-only verification, "
-    "device ranks) — nothing in the chain sorts, broadcasts, or "
-    "pins a corpus-sized relation.",
+    "Scale shape: the lineage cuts pin METADATA-ONLY survivor tables "
+    "(doc_id/lang/source/n_chars — each feeds its funnel row AND the "
+    "next stage); text is never checkpointed — stages that need it "
+    "re-derive it per consumer by semi-joining the column-pruned "
+    "documents scan against the cut id set (re-reading source parquet "
+    "beats parking the corpus on executor storage).  The one "
+    "corpus-sized intermediate kept is the stage-2 bigram fact, the "
+    "same documented trade as bigram_lm_perplexity (two consumers; "
+    "recomputing it costs a second fact-sized window shuffle).  Heavy "
+    "stages reuse the registry's bounded forms (term-keyed model "
+    "joins, hot-bucket-guarded band self-join, candidate-only "
+    "verification, device ranks) — nothing sorts globally or "
+    "broadcasts a corpus-sized relation.",
     tags=("llm", "pipeline", "sampling", "dedup"),
 )
 def corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6939,6 +6945,18 @@ def corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
 
+    # Survivor tables carry METADATA ONLY (doc_id, lang, source,
+    # n_chars) — those are what the lineage cuts pin, never text: at
+    # 100 TB a text-bearing checkpoint would park the corpus on
+    # executor storage, where re-reading the source parquet with
+    # column pruning is the cheaper, spill-free shape.  Stages that
+    # need text re-derive it per consumer by semi-joining the pruned
+    # documents scan against the (cut) survivor id set.
+    def texts_of(ids: DataFrame) -> DataFrame:
+        return docs.join(ids.select("doc_id"), "doc_id", "semi").select(
+            "doc_id", "text"
+        )
+
     # stage 1: heuristic quality gate (pure per-row arithmetic)
     n_tok = F.size(F.split("text", " "))
     n_uniq = F.size(F.array_distinct(F.split("text", " ")))
@@ -6947,14 +6965,14 @@ def corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_tok.between(20, 90)
             & (n_uniq.cast("double") / n_tok >= 0.35)
         )
-        .select("doc_id", "text", "lang", "source", "n_chars")
+        .select("doc_id", "lang", "source", "n_chars")
         .transform(ckpt)
     )
 
     # stage 2: perplexity gate (micro-nat bigram LM over s1, worst
     # per-lang tercile dropped) — same arithmetic as
     # perplexity_quality_filter, retrained on the s1 survivors
-    toks = s1.select(
+    toks = texts_of(s1).select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
     wdoc = W.partitionBy("doc_id").orderBy("pos")
@@ -7015,17 +7033,23 @@ def corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = s1.join(keep_ppl, "doc_id", "semi").transform(ckpt)
 
     # stage 3: exact dedup — min-id survivor per content
-    keep3 = s2.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
-        "doc_id"
+    keep3 = (
+        texts_of(s2)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
     s3 = s2.join(keep3, "doc_id", "semi").transform(ckpt)
 
     # stage 4: near-dup drop — portable band candidates on s3, exact
     # Jaccard verify on candidates only, pairwise smaller-partner rule
-    cands = portable_band_pairs(portable_signatures(s3)).select(
+    # (each text consumer re-derives from the pruned scan — map-side
+    # explodes, no text ever checkpointed)
+    s3_text = texts_of(s3)
+    cands = portable_band_pairs(portable_signatures(s3_text)).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
-    tokd = s3.select(
+    tokd = s3_text.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
     sizes = tokd.groupBy("doc_id").agg(F.count("*").alias("sz"))
