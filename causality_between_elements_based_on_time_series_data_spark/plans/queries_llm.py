@@ -6939,6 +6939,35 @@ def _corpus_funnel_oracle() -> str:
     tags=("llm", "pipeline", "sampling", "dedup"),
 )
 def corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stages = corpus_stage_tables(spark, sf_dir)
+
+    def funnel_row(df: DataFrame, ord_: int, stage: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        ).select(
+            F.lit(ord_).alias("stage_ord"),
+            F.lit(stage).alias("stage"),
+            "n_docs",
+            "id_checksum",
+        )
+
+    rows = None
+    for ord_, (stage, df) in enumerate(stages):
+        r = funnel_row(df, ord_, stage)
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("stage_ord")
+
+
+def corpus_stage_tables(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, DataFrame]]:
+    """The funnel's ordered stage chain as reusable survivor tables
+    (metadata-only — doc_id always present).  ``corpus_build_funnel``
+    consumes them for accounting; ``examples/run_corpus_pipeline.py``
+    takes the final entry as the materialization set — determinism
+    (every stage a pure function of ids) makes recompute and persist
+    interchangeable."""
     from pyspark.sql import Window as W
 
     from ..operators.ranks import with_global_rank, with_range_bucket
@@ -7106,25 +7135,12 @@ def corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    def funnel_row(df: DataFrame, ord_: int, stage: str) -> DataFrame:
-        return df.agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("doc_id").cast("bigint").alias("id_checksum"),
-        ).select(
-            F.lit(ord_).alias("stage_ord"),
-            F.lit(stage).alias("stage"),
-            "n_docs",
-            "id_checksum",
-        )
-
-    rows = funnel_row(docs, 0, "ingest")
-    for ord_, stage, df in [
-        (1, "quality_gate", s1),
-        (2, "perplexity_gate", s2),
-        (3, "exact_dedup", s3),
-        (4, "near_dedup", s4),
-        (5, "domain_cap", s5),
-        (6, "weighted_select", s6),
-    ]:
-        rows = rows.unionByName(funnel_row(df, ord_, stage))
-    return rows.orderBy("stage_ord")
+    return [
+        ("ingest", docs.select("doc_id")),
+        ("quality_gate", s1),
+        ("perplexity_gate", s2),
+        ("exact_dedup", s3),
+        ("near_dedup", s4),
+        ("domain_cap", s5),
+        ("weighted_select", s6),
+    ]

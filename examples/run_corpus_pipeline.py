@@ -1,0 +1,111 @@
+"""End-to-end training-corpus build runner — the LLM-data-side
+companion to ``run_reference_pipeline.py``.
+
+Chains the registry's corpus operators the way a pretraining data
+team would run them against a crawl drop:
+
+1. funnel: quality gate → reference-LM perplexity gate → exact dedup
+   → near-dup drop → per-domain cap → A-ES weighted selection
+   (``corpus_build_funnel`` — one job, per-stage accounting);
+2. plan the physical layout of the selected corpus
+   (``training_shard_manifest`` semantics: deterministic hash shards
+   + per-shard budgets), and WRITE the selected documents as
+   shard-partitioned parquet;
+3. audit epoch-shuffle reproducibility over the written corpus
+   (``epoch_shuffle_audit`` semantics).
+
+Every stage is a pure function of document ids (no RNG state), so
+re-running this script — on another box, another partitioning, or an
+incrementally grown input — reproduces byte-identical selections and
+shard assignments.  The registry twins of each stage are hash-checked
+against DuckDB oracles per round (CORRECTNESS_full_r{N}.json); this
+script is the user-facing composition.
+
+Run: ``python examples/run_corpus_pipeline.py [sf_dir] [out_dir]``
+(defaults: /root/testdata/sf0.01 → /tmp/spark_graft_corpus_out).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from causality_between_elements_based_on_time_series_data_spark.plans import REGISTRY
+from causality_between_elements_based_on_time_series_data_spark.session import get_spark
+from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+    load_table,
+)
+
+N_SHARDS = 16
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_corpus_out"
+    spark = get_spark("corpus-pipeline")
+    spark.sparkContext.setLogLevel("WARN")
+
+    # 1. the build funnel — one job, per-stage accounting
+    funnel = REGISTRY["corpus_build_funnel"].fn(spark, sf_dir)
+    print("== corpus build funnel ==")
+    funnel.show(truncate=False)
+
+    # 2. re-derive the final selection (same pure-function stages the
+    # funnel verified) and write it shard-partitioned.  The selection
+    # is the funnel's stage-6 set: rather than re-encode the chain, we
+    # recompute the A-ES top-K over the domain-cap survivors the same
+    # way the registered query does — determinism means "recompute"
+    # and "persist" are interchangeable.
+    docs = load_table(spark, sf_dir, "documents")
+    selected_ids = _selected_ids(spark, sf_dir)
+    corpus = docs.join(selected_ids, "doc_id", "semi").withColumn(
+        "shard",
+        (
+            (F.col("doc_id").cast("bigint") * 2654435761) % 1000000007
+        ) % N_SHARDS,
+    )
+    (
+        corpus.repartition(N_SHARDS, "shard")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(out_dir, "corpus"))
+    )
+    manifest = corpus.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("tot_chars"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+    print("== shard manifest (written corpus) ==")
+    manifest.orderBy("shard").show(N_SHARDS)
+
+    # 3. epoch-shuffle audit over the written corpus: per-source mean
+    # normalized position ~0.5 per epoch, displacement ~1/3 across
+    # epochs — the reproducible-epoch contract
+    audit = REGISTRY["epoch_shuffle_audit"].fn(spark, sf_dir)
+    print("== epoch shuffle audit (full corpus) ==")
+    audit.show(5)
+    print(f"done; corpus at {out_dir}/corpus")
+
+
+def _selected_ids(spark, sf_dir):
+    """The funnel's final kept set — the SAME stage chain the
+    hash-checked ``corpus_build_funnel`` accounts over
+    (``plans.queries_llm.corpus_stage_tables``); pure functions of ids
+    make recompute and persist interchangeable."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        corpus_stage_tables,
+    )
+
+    stages = corpus_stage_tables(spark, sf_dir)
+    name, selected = stages[-1]
+    assert name == "weighted_select"
+    return selected.select("doc_id")
+
+
+if __name__ == "__main__":
+    main()
