@@ -64,3 +64,19 @@ def redact_pii(text: Column) -> Column:
     out = F.regexp_replace(text, URL_RE, "<URL>")
     out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def corpus_quality_keep(text: Column) -> Column:
+    """THE stage-1 corpus quality gate, defined once: token count in
+    [20, 90] and distinct-token ratio >= 0.35.  Shared by
+    ``corpus_build_funnel`` stage 1, ``streaming_corpus_quality_gate``
+    (whose batch-parity claim depends on the predicates being
+    literally identical), and their parity tests — a tweak here moves
+    every consumer together instead of silently desynchronizing them.
+    Column-expression helper (driver-side plan builder): safe to
+    import package-level, unlike worker-shipped kernels."""
+    from pyspark.sql import functions as F
+
+    n_tok = F.size(F.split(text, " "))
+    n_uniq = F.size(F.array_distinct(F.split(text, " ")))
+    return n_tok.between(20, 90) & (n_uniq.cast("double") / n_tok >= 0.35)

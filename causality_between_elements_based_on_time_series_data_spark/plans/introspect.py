@@ -166,6 +166,29 @@ def input_signature(node: WindowNode) -> tuple[str, ...]:
     return tuple(sorted(set(node.input_cols)))
 
 
+#: Queries whose BUILD executes an iterative driver loop with
+#: per-round actions (connected-components label propagation runs a
+#: convergence `.count()` per round at plan-build time).  Audit
+#: tooling must explain these with lineage cuts ACTIVE:
+#: `lineage.lineage_cuts_disabled()`'s own contract forbids wrapping
+#: code that EXECUTES iterative algorithms — with the cuts turned into
+#: no-ops, round r's convergence count re-executes rounds 1..r plus
+#: the whole upstream LSH/Jaccard pipeline, a quadratic re-derivation
+#: blow-up (round-10 self-review).  The cost of auditing them cut:
+#: plan regions below their checkpoints stay invisible to the window
+#: sweep — accepted and bounded, since the below-cut subtrees are the
+#: very pipelines audited uncut via their non-iterative siblings
+#: (llm_dedup_pipeline's stages are portable_band_pairs /
+#: minhash_portable_band_pairs / dedup_exact_docs, all swept fully).
+ITERATIVE_BUILD_QUERIES = frozenset(
+    {
+        "dedup_jaccard_clusters",
+        "llm_dedup_pipeline",
+        "fuzzy_entity_clusters",
+    }
+)
+
+
 #: Column-name markers of the bucket+offset device's internal tiny
 #: tables (`operators/ranks.py`): `_gr_cnt` (rank counts), `_gc_*`
 #: (cumsum totals).  An unpartitioned window whose input carries one
@@ -178,7 +201,21 @@ _DEVICE_MARKERS = ("_gr_cnt", "_gc_")
 
 def is_ranks_device_window(node: WindowNode) -> bool:
     """True when the window runs over the ranks.py device's internal
-    counts/totals table (bounded at n_buckets rows by construction)."""
-    return any(
-        c == "_gr_cnt" or c.startswith("_gc_") for c in node.input_cols
-    )
+    counts/totals table (bounded at n_buckets rows by construction).
+
+    The check pins the whole expected table shape, not just a marker
+    column: at least one device marker AND at most three non-marker
+    columns (with_global_rank's counts table is [*partition_by ≤ 2,
+    bucket, _gr_cnt]; with_global_cumsum's totals table is [bucket,
+    _gc_* ...]).  A marker-only test would let any query exempt an
+    unpartitioned window over a GROWING relation simply by aliasing
+    an aggregate to ``_gc_tmp`` (round-10 self-review); a wide input
+    now fails the shape test and must go through the whitelist with a
+    bounded-relation justification instead."""
+    markers = [
+        c
+        for c in node.input_cols
+        if c == "_gr_cnt" or c.startswith("_gc_")
+    ]
+    non_markers = [c for c in node.input_cols if c not in markers]
+    return bool(markers) and len(non_markers) <= 3

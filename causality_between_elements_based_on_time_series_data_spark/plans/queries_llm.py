@@ -2318,9 +2318,10 @@ def pruned_band_buckets(sig: DataFrame) -> DataFrame:
     behind ``portable_band_pairs`` (full-corpus self-join) and
     ``incremental_dedup_new_batch`` (index×batch cross join).  Bucket
     occupancy is counted over the WHOLE relation before any split, so
-    the >{max} guard sees the same buckets the oracles do.""".format(
-        max=_MH_MAX_BUCKET
-    )
+    the > ``_MH_MAX_BUCKET`` guard sees the same buckets the oracles
+    do.  (An earlier draft chained ``.format(...)`` onto this literal,
+    which silently discards it — a formatted string is an expression,
+    not a docstring.)"""
     # 4-row band fold kept inside BIGINT: two P²-scale halves, each
     # reduced mod 1e9+7 before pairing (≈2.0e18 max, inside 2^63).
     band_arr = F.array(
@@ -6345,20 +6346,23 @@ def _incremental_dedup_oracle() -> str:
 )
 def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # The 1-row threshold feeds every branch — cut IT, not the corpus:
+    # an earlier draft checkpointed docs+threshold whole (text
+    # included), the text-pinning anti-pattern the corpus funnel's
+    # metadata-only rule exists to prevent.  Each consumer below
+    # re-reads the column-pruned documents scan instead.
     thr = docs.agg(
         F.floor(0.8 * (F.max("doc_id") + 1)).cast("bigint").alias("_t")
-    )
-    # docs+threshold feeds 4 branches (exact keys both sides, batch
-    # rollup, signatures) — derive once
-    d = docs.crossJoin(F.broadcast(thr)).transform(ckpt)
+    ).transform(ckpt)
+    witht = docs.crossJoin(F.broadcast(thr))
     is_new = F.col("doc_id") >= F.col("_t")
 
     # tier 1: exact content dedup against the index's hash-key set
-    idx_keys = d.filter(~is_new).select(
+    idx_keys = witht.filter(~is_new).select(
         F.sha2("text", 256).alias("h")
     ).distinct()
     exact = (
-        d.filter(is_new)
+        witht.filter(is_new)
         .select("doc_id", F.sha2("text", 256).alias("h"))
         .join(idx_keys, "h", "semi")
         .select("doc_id")
@@ -6366,9 +6370,10 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # tier 2: band buckets over the whole corpus (guard sees the same
-    # occupancy as the oracle), split, cross-join index x batch only
+    # occupancy as the oracle), split, cross-join index x batch only;
+    # the already-cut thr rides along instead of re-aggregating
     bands = (
-        pruned_band_buckets(portable_signatures(d.select("doc_id", "text")))
+        pruned_band_buckets(portable_signatures(docs.select("doc_id", "text")))
         .crossJoin(F.broadcast(thr))
         .transform(ckpt)  # both join sides below read it
     )
@@ -6387,7 +6392,7 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # tier 3: exact word-set Jaccard on candidates only (the pipeline's
     # verify stage, word tokens to match the oracle)
-    tok = d.select(
+    tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -6413,7 +6418,7 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, "doc_id", "anti")
     )
 
-    batch = d.filter(is_new).select("doc_id", "lang")
+    batch = witht.filter(is_new).select("doc_id", "lang")
     flagged_e = exact.withColumn("_e", F.lit(1))
     flagged_n = near.withColumn("_n", F.lit(1))
     return (
@@ -6601,6 +6606,71 @@ def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def micronat_perplexity_scores(texts: DataFrame) -> DataFrame:
+    """Per-document integer micro-nat bigram-LM scores — THE scoring
+    core shared by ``perplexity_quality_filter`` and the corpus
+    funnel's stage 2 (whose docstrings claim the same scheme; sharing
+    the implementation makes that claim structural).  ``texts`` is a
+    (doc_id, text) relation; the add-1-smoothed model is retrained on
+    its deterministic ``doc_id % 10 < 5`` split, every document is
+    scored under it (two-sided backoff via left joins), and each
+    bigram's nll is quantized per-TERM to integer micro-nats so the
+    returned (doc_id, score_u, n_terms) sums are
+    aggregation-order-free.  The model joins are TERM-keyed shuffles —
+    the bigram/unigram count tables grow with the vocabulary and are
+    never broadcast (same rule as bigram_lm_perplexity); only the
+    1-row V scalar is.  ``bg`` (the windowed bigram fact) is
+    checkpointed: two consumers, and recomputing it costs a second
+    fact-sized window shuffle (bigram_lm_perplexity's documented
+    trade)."""
+    from pyspark.sql import Window as W
+
+    toks = texts.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("tok").over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+        .transform(ckpt)
+    )
+    is_train = F.col("doc_id") % 10 < 5
+    c12 = bg.filter(is_train).groupBy("w1", "w2").agg(
+        F.count("*").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("double").alias("c1"))
+    vocab = toks.filter(is_train).agg(
+        F.countDistinct("tok").cast("double").alias("vocab")
+    )
+    # two LEFT joins, not a pre-joined model: an unseen (w1,w2) whose
+    # HEAD is in the train vocabulary must still back off to c1(w1)
+    terms = (
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    (F.coalesce("c12", F.lit(0)) + 1.0)
+                    / (F.coalesce("c1", F.lit(0.0)) + F.col("vocab"))
+                )
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("mnat"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("mnat").cast("bigint").alias("score_u"),
+        F.count("*").alias("n_terms"),
+    )
+
+
+
+
 @register(
     "perplexity_quality_filter",
     oracle="""
@@ -6680,61 +6750,12 @@ def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text-quality", "bench"),
 )
 def perplexity_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     from ..operators.ranks import with_global_rank, with_range_bucket
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    wdoc = W.partitionBy("doc_id").orderBy("pos")
-    # bg feeds both the train-side model counts and the score-side
-    # joins — checkpoint so the fact-sized lead() shuffle runs once
-    bg = (
-        toks.withColumn("w2", F.lead("tok").over(wdoc))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "lang", F.col("tok").alias("w1"), "w2")
-        .transform(ckpt)
-    )
-    is_train = F.col("doc_id") % 10 < 5
-    tr = bg.filter(is_train)
-    c12 = tr.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("double").alias("c1"))
-    vocab = (
-        toks.filter(is_train)
-        .agg(F.countDistinct("tok").cast("double").alias("vocab"))
-    )
-    # two LEFT joins, not a pre-joined model: an unseen (w1,w2) whose
-    # HEAD is in the train vocabulary must still back off to c1(w1).
-    # Both joins are TERM-keyed shuffles — the bigram/unigram count
-    # tables grow with the vocabulary and are never broadcast (same
-    # rule as bigram_lm_perplexity); only the 1-row V scalar is.
-    terms = (
-        bg.join(c12, ["w1", "w2"], "left")
-        .join(c1, "w1", "left")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            "lang",
-            F.round(
-                -F.log(
-                    (F.coalesce("c12", F.lit(0)) + 1.0)
-                    / (F.coalesce("c1", F.lit(0.0)) + F.col("vocab"))
-                )
-                * 1000000,
-                0,
-            )
-            .cast("bigint")
-            .alias("mnat"),
-        )
-    )
     perdoc = (
-        terms.groupBy("doc_id", "lang")
-        .agg(
-            F.sum("mnat").cast("bigint").alias("score_u"),
-            F.count("*").alias("n_terms"),
-        )
+        micronat_perplexity_scores(docs.select("doc_id", "text"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
         .withColumn(
             "mean_mnat", F.col("score_u").cast("double") / F.col("n_terms")
         )
@@ -6968,8 +6989,6 @@ def corpus_stage_tables(
     takes the final entry as the materialization set — determinism
     (every stage a pure function of ids) makes recompute and persist
     interchangeable."""
-    from pyspark.sql import Window as W
-
     from ..operators.ranks import with_global_rank, with_range_bucket
 
     docs = load_table(spark, sf_dir, "documents")
@@ -6986,63 +7005,23 @@ def corpus_stage_tables(
             "doc_id", "text"
         )
 
-    # stage 1: heuristic quality gate (pure per-row arithmetic)
-    n_tok = F.size(F.split("text", " "))
-    n_uniq = F.size(F.array_distinct(F.split("text", " ")))
+    # stage 1: heuristic quality gate (pure per-row arithmetic; the
+    # predicate is defined ONCE in functions.text.corpus_quality_keep,
+    # shared with the streaming ingest gate)
+    from ..functions.text import corpus_quality_keep
+
     s1 = (
-        docs.filter(
-            n_tok.between(20, 90)
-            & (n_uniq.cast("double") / n_tok >= 0.35)
-        )
+        docs.filter(corpus_quality_keep(F.col("text")))
         .select("doc_id", "lang", "source", "n_chars")
         .transform(ckpt)
     )
 
-    # stage 2: perplexity gate (micro-nat bigram LM over s1, worst
-    # per-lang tercile dropped) — same arithmetic as
-    # perplexity_quality_filter, retrained on the s1 survivors
-    toks = texts_of(s1).select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    wdoc = W.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        toks.withColumn("w2", F.lead("tok").over(wdoc))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.col("tok").alias("w1"), "w2")
-        .transform(ckpt)
-    )
-    is_train = F.col("doc_id") % 10 < 5
-    c12 = bg.filter(is_train).groupBy("w1", "w2").agg(
-        F.count("*").alias("c12")
-    )
-    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("double").alias("c1"))
-    vocab = toks.filter(is_train).agg(
-        F.countDistinct("tok").cast("double").alias("vocab")
-    )
-    terms = (
-        bg.join(c12, ["w1", "w2"], "left")
-        .join(c1, "w1", "left")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            F.round(
-                -F.log(
-                    (F.coalesce("c12", F.lit(0)) + 1.0)
-                    / (F.coalesce("c1", F.lit(0.0)) + F.col("vocab"))
-                )
-                * 1000000,
-                0,
-            )
-            .cast("bigint")
-            .alias("mnat"),
-        )
-    )
+    # stage 2: perplexity gate (micro-nat bigram LM retrained on the
+    # s1 survivors, worst per-lang tercile dropped) — the SAME scoring
+    # core as perplexity_quality_filter, shared via
+    # micronat_perplexity_scores rather than claimed-in-prose
     perdoc = (
-        terms.groupBy("doc_id")
-        .agg(
-            F.sum("mnat").cast("bigint").alias("score_u"),
-            F.count("*").alias("n_terms"),
-        )
+        micronat_perplexity_scores(texts_of(s1))
         .join(s1.select("doc_id", "lang"), "doc_id")
         .withColumn(
             "mean_mnat", F.col("score_u").cast("double") / F.col("n_terms")

@@ -825,14 +825,13 @@ def streaming_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     batch GROUP BY bit-for-bit — the oracle checks that.  At scale the
     memory sink becomes a foreachBatch parquet/CDC append and the gate
     rides inside the ingest job, upstream of dedup."""
+    from ..functions.text import corpus_quality_keep
     from ..sources.catalog import TABLES
 
     docs = spark.readStream.schema(TABLES["documents"]).parquet(
         f"{sf_dir}/documents.parque*"
     )
-    n_tok = F.size(F.split("text", " "))
-    n_uniq = F.size(F.array_distinct(F.split("text", " ")))
-    keep = n_tok.between(20, 90) & (n_uniq.cast("double") / n_tok >= 0.35)
+    keep = corpus_quality_keep(F.col("text"))
     agg = (
         docs.select("lang", "doc_id", keep.alias("k"))
         .groupBy("lang")

@@ -11,8 +11,9 @@ team would run them against a crawl drop:
    (``training_shard_manifest`` semantics: deterministic hash shards
    + per-shard budgets), and WRITE the selected documents as
    shard-partitioned parquet;
-3. audit epoch-shuffle reproducibility over the written corpus
-   (``epoch_shuffle_audit`` semantics).
+3. audit epoch-shuffle reproducibility over the INPUT corpus
+   (``epoch_shuffle_audit`` — the registered, hash-checked form; run
+   it over a written shard set by pointing it at that directory).
 
 Every stage is a pure function of document ids (no RNG state), so
 re-running this script — on another box, another partitioning, or an
@@ -83,11 +84,13 @@ def main() -> None:
     print("== shard manifest (written corpus) ==")
     manifest.orderBy("shard").show(N_SHARDS)
 
-    # 3. epoch-shuffle audit over the written corpus: per-source mean
-    # normalized position ~0.5 per epoch, displacement ~1/3 across
-    # epochs — the reproducible-epoch contract
+    # 3. epoch-shuffle audit over the INPUT corpus (the registered
+    # query audits sf_dir; point it at a written shard directory to
+    # audit a materialized subset): per-source mean normalized
+    # position ~0.5 per epoch, displacement ~1/3 across epochs — the
+    # reproducible-epoch contract
     audit = REGISTRY["epoch_shuffle_audit"].fn(spark, sf_dir)
-    print("== epoch shuffle audit (full corpus) ==")
+    print("== epoch shuffle audit (input corpus) ==")
     audit.show(5)
     print(f"done; corpus at {out_dir}/corpus")
 

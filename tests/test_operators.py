@@ -1345,12 +1345,14 @@ def test_streaming_quality_gate_equals_batch(spark, sf_dir):
         load_table,
     )
 
+    from causality_between_elements_based_on_time_series_data_spark.functions.text import (
+        corpus_quality_keep,
+    )
+
     stream = REGISTRY["streaming_corpus_quality_gate"].fn(spark, sf_dir).collect()
 
     docs = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(F.split("text", " "))
-    n_uniq = F.size(F.array_distinct(F.split("text", " ")))
-    keep = n_tok.between(20, 90) & (n_uniq.cast("double") / n_tok >= 0.35)
+    keep = corpus_quality_keep(F.col("text"))
     batch = (
         docs.select("lang", "doc_id", keep.alias("k"))
         .groupBy("lang")

@@ -33,6 +33,7 @@ def main() -> None:
         REGISTRY,
     )
     from causality_between_elements_based_on_time_series_data_spark.plans.introspect import (
+        ITERATIVE_BUILD_QUERIES,
         formatted_plan,
         input_signature,
         is_ranks_device_window,
@@ -49,10 +50,18 @@ def main() -> None:
     errors: dict[str, str] = {}
     entries: dict[str, set] = {}
     for name in names:
+        if "eager" in REGISTRY[name].tags:
+            continue  # building these executes whole pipelines by contract
         try:
-            with lineage_cuts_disabled():
+            if name in ITERATIVE_BUILD_QUERIES:
+                # iterative builds run per-round actions: cuts stay
+                # ACTIVE (see introspect.ITERATIVE_BUILD_QUERIES)
                 df = REGISTRY[name].fn(spark, sf_dir)
                 nodes = unpartitioned_windows(formatted_plan(df))
+            else:
+                with lineage_cuts_disabled():
+                    df = REGISTRY[name].fn(spark, sf_dir)
+                    nodes = unpartitioned_windows(formatted_plan(df))
         except Exception as exc:  # noqa: BLE001 - audit must not stop
             errors[name] = f"{type(exc).__name__}: {exc}"
             continue
