@@ -38,24 +38,34 @@ from __future__ import annotations
 
 import os
 from contextlib import contextmanager
+from contextvars import ContextVar
 from typing import Iterator
 
 from pyspark.sql import DataFrame
 
-#: Environment switch for out-of-process tooling: set to "1" before
-#: importing/launching to make every cut a no-op for that process.
+#: Environment switch for out-of-process tooling: set to "1"/"true"
+#: (any case) before importing/launching to make every cut a no-op
+#: for that process.
 ENV_FLAG = "SPARK_GRAFT_NO_LINEAGE_CUTS"
 
-_disabled_depth = 0
+# Per-context depth counter (ADVICE r10, low #3): a plain module
+# global would let one thread's lineage_cuts_disabled() exit re-enable
+# cuts while another thread is still mid-audit, silently hiding plan
+# regions from the sweep.  ContextVar gives each thread / async task
+# its own counter.
+_disabled_depth: ContextVar[int] = ContextVar(
+    "spark_graft_lineage_cuts_disabled_depth", default=0
+)
 
 
 def lineage_cuts_active() -> bool:
     """True when ``ckpt``/``ckpt_eager`` actually cut lineage (the
     production default); False inside ``lineage_cuts_disabled()`` or
-    when ``SPARK_GRAFT_NO_LINEAGE_CUTS=1`` is exported."""
-    if _disabled_depth > 0:
+    when ``SPARK_GRAFT_NO_LINEAGE_CUTS`` is exported as ``1``/``true``
+    (case-insensitive)."""
+    if _disabled_depth.get() > 0:
         return False
-    return os.environ.get(ENV_FLAG, "") not in ("1", "true")
+    return os.environ.get(ENV_FLAG, "").strip().lower() not in ("1", "true")
 
 
 def ckpt(df: DataFrame) -> DataFrame:
@@ -78,9 +88,8 @@ def lineage_cuts_disabled() -> Iterator[None]:
     production lineage cuts would hide.  Nests safely; never use
     around code that EXECUTES iterative algorithms (recompute blowup —
     audits build and explain plans only)."""
-    global _disabled_depth
-    _disabled_depth += 1
+    token = _disabled_depth.set(_disabled_depth.get() + 1)
     try:
         yield
     finally:
-        _disabled_depth -= 1
+        _disabled_depth.reset(token)

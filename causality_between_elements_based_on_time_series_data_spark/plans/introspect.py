@@ -190,32 +190,73 @@ ITERATIVE_BUILD_QUERIES = frozenset(
 
 
 #: Column-name markers of the bucket+offset device's internal tiny
-#: tables (`operators/ranks.py`): `_gr_cnt` (rank counts), `_gc_*`
-#: (cumsum totals).  An unpartitioned window whose input carries one
-#: of these is the device's own <= n_buckets-row offset table — the
-#: documented safe shape — and is auto-allowed by the gate without a
-#: per-query whitelist entry (with lineage cuts disabled the device
-#: appears beneath dozens of queries).
-_DEVICE_MARKERS = ("_gr_cnt", "_gc_")
+#: tables (`operators/ranks.py`), encoded as (name, kind) where kind
+#: is "exact" or "prefix": `_gr_cnt` (rank counts), `_gc_*` (cumsum
+#: totals).  An unpartitioned window whose input carries one of these
+#: is the device's own <= n_buckets-row offset table — the documented
+#: safe shape — and is auto-allowed by the gate without a per-query
+#: whitelist entry (with lineage cuts disabled the device appears
+#: beneath dozens of queries).  ``is_ranks_device_window`` iterates
+#: over THIS tuple (ADVICE r10, low #2 — the check previously
+#: hardcoded its own copy of the strings, so constant and check could
+#: silently drift apart).
+_DEVICE_MARKERS = (("_gr_cnt", "exact"), ("_gc_", "prefix"))
+
+#: The only non-marker column names the device's internal tables can
+#: legitimately carry when the window is UNPARTITIONED (grouped-mode
+#: device windows are partitioned by the group keys, so they never
+#: reach the unpartitioned-window gate at all): the bucket column
+#: (``bkt`` default; ``vbkt`` is the one renamed call site,
+#: queries_llm.py tfidf vocabulary ranks) and the device's own
+#: ``_gr_off`` prefix-offset intermediate (visible as input to the
+#: stacked ``total`` window node).
+_DEVICE_BUCKET_COLS = frozenset({"bkt", "vbkt"})
+_DEVICE_NONMARKER_COLS = _DEVICE_BUCKET_COLS | {"_gr_off"}
+
+#: Spark's own window-expression temp projections (`_we0`, `_we1`, …)
+#: appear on the Input line of stacked Window nodes — planner-
+#: generated, not user columns.
+_SPARK_WINDOW_TEMP = re.compile(r"_we\d+$")
+
+
+def _is_device_marker(col: str) -> bool:
+    return any(
+        col == m if kind == "exact" else col.startswith(m)
+        for m, kind in _DEVICE_MARKERS
+    )
 
 
 def is_ranks_device_window(node: WindowNode) -> bool:
     """True when the window runs over the ranks.py device's internal
     counts/totals table (bounded at n_buckets rows by construction).
 
-    The check pins the whole expected table shape, not just a marker
-    column: at least one device marker AND at most three non-marker
-    columns (with_global_rank's counts table is [*partition_by ≤ 2,
-    bucket, _gr_cnt]; with_global_cumsum's totals table is [bucket,
-    _gc_* ...]).  A marker-only test would let any query exempt an
-    unpartitioned window over a GROWING relation simply by aliasing
-    an aggregate to ``_gc_tmp`` (round-10 self-review); a wide input
-    now fails the shape test and must go through the whitelist with a
-    bounded-relation justification instead."""
-    markers = [
+    The check pins the exact expected table shape (ADVICE r10, medium
+    — the previous version bounded column WIDTH, not cardinality, so
+    ``groupBy(user).agg(sum(x).alias("_gc_total"))`` followed by
+    ``Window.orderBy(user)`` — a one-task window over a narrow GROWING
+    relation — silently bypassed the gate):
+
+    1. at least one device marker column (``_gr_cnt`` / ``_gc_*``);
+    2. every non-marker input column is one of the device's own names
+       (the bucket column or ``_gr_off``) — a ``user``-keyed aggregate
+       fails here however narrow;
+    3. the sort spec is empty (the stacked per-group ``total`` node)
+       or exactly the bucket column — the device never orders its
+       tiny tables by anything else.
+
+    A query wanting an exemption for a bespoke bounded table goes
+    through the explicit whitelist with a justification instead."""
+    markers = [c for c in node.input_cols if _is_device_marker(c)]
+    non_markers = [
         c
         for c in node.input_cols
-        if c == "_gr_cnt" or c.startswith("_gc_")
+        if not _is_device_marker(c) and not _SPARK_WINDOW_TEMP.fullmatch(c)
     ]
-    non_markers = [c for c in node.input_cols if c not in markers]
-    return bool(markers) and len(non_markers) <= 3
+    if not markers:
+        return False
+    if any(c not in _DEVICE_NONMARKER_COLS for c in non_markers):
+        return False
+    order_sig = order_signature(node)
+    return order_sig == () or (
+        len(order_sig) == 1 and order_sig[0] in _DEVICE_BUCKET_COLS
+    )

@@ -6767,6 +6767,10 @@ def perplexity_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=("lang",),
         out="rn",
         total="n_lang",
+        # bounded group domain (ISO language enum) — broadcast is safe
+        # at any corpus scale; see the funnel's domain-cap stage for
+        # the unbounded-domain contrast (shuffled-join default).
+        broadcast_offsets=True,
     )
     tercile = F.floor(
         ((F.col("rn") - 1) * 3).cast("double") / F.col("n_lang")
@@ -7034,6 +7038,12 @@ def corpus_stage_tables(
         partition_by=("lang",),
         out="rn",
         total="n_lang",
+        # language IDs are a bounded enum (ISO codes — a few hundred
+        # at most, at any corpus scale), so the ≤ |langs|·128-row
+        # offset broadcast is safe; contrast the domain-cap stages,
+        # which group by the UNBOUNDED `source` domain and use the
+        # round-11 shuffled-join default.
+        broadcast_offsets=True,
     )
     keep_ppl = pranked.filter(
         F.floor(((F.col("rn") - 1) * 3).cast("double") / F.col("n_lang")) <= 1

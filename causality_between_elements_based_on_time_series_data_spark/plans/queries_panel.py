@@ -1319,6 +1319,12 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="rn",
         total="cnt",
         partition_by=("arm",),
+        # |arms| = 2 by construction — the offset table is ≤ 2·128
+        # rows at ANY data scale, so the broadcast is safe and keeps
+        # the plan shuffle-free (grouped mode defaults to a shuffled
+        # join since round 11 because group domains like web domains
+        # are unbounded; an experiment's arm enum is not).
+        broadcast_offsets=True,
     ).select("arm", "o", "rn", "cnt")
     qs = spark.range(1, 4).select(
         (F.col("id") * 0.25).cast("double").alias("q")

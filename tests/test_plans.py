@@ -881,3 +881,141 @@ def test_bench_queries_scan_budgets(spark, sf_dir):
         "consumer needs one — see lineage.ckpt): "
         f"{{name: (scans, budget)}} = {over}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-device offset-join strategy gate (round 11, VERDICT r10 #1).
+# The grouped offset table is bounded only by the GROUP DOMAIN — for
+# keys like web domains that is 10^7-10^8 groups at crawl scale, so a
+# force-broadcast of the "tiny" table is a multi-GB OOM hiding behind
+# sf-sized fixtures.  Grouped mode must plan a plain shuffled
+# equi-join (AQE upgrades it to a runtime broadcast when the table is
+# actually tiny); ungrouped mode keeps the <= n_buckets-row broadcast.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    """Planner scope where a BroadcastHashJoin can ONLY come from an
+    explicit `F.broadcast` hint (size-estimate auto-broadcasts off):
+    at test SFs Spark's size estimates make EVERY tiny table broadcast-
+    able, which is exactly the fixture-size illusion these gates exist
+    to pierce — a 100 TB `source` domain is not broadcast-able."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_device_grouped_offsets_join_not_broadcast(spark, no_auto_broadcast):
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.lineage import (
+        lineage_cuts_disabled,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.operators.ranks import (
+        with_global_rank,
+        with_range_bucket,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.plans.introspect import (
+        formatted_plan,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 97).alias("grp"), F.col("id").alias("v")
+    )
+    with lineage_cuts_disabled():
+        grouped = with_global_rank(
+            with_range_bucket(df, "v"),
+            [F.col("v")],
+            partition_by=("grp",),
+        )
+        plan = formatted_plan(grouped)
+        # the only broadcast allowed in the grouped device is the
+        # 1-row min/max bounds fold (BroadcastNestedLoopJoin); the
+        # offset equi-join must not be a forced BroadcastHashJoin
+        assert "BroadcastHashJoin" not in plan, plan
+        # the override knob restores the bounded-domain broadcast
+        forced = with_global_rank(
+            with_range_bucket(df, "v"),
+            [F.col("v")],
+            partition_by=("grp",),
+            broadcast_offsets=True,
+        )
+        assert "BroadcastHashJoin" in formatted_plan(forced)
+        # ungrouped offsets stay broadcast (<= n_buckets rows by
+        # construction)
+        ungrouped = with_global_rank(
+            with_range_bucket(df, "v"), [F.col("v")]
+        )
+        assert "BroadcastHashJoin" in formatted_plan(ungrouped)
+
+
+def test_domain_cap_queries_do_not_broadcast_offsets(
+    spark, sf_dir, no_auto_broadcast
+):
+    """The two `source`-grouped device consumers (unbounded group
+    domain at crawl scale) must not force-broadcast their offset
+    tables; the bounded-domain consumers (lang enum, 2-arm
+    experiment) keep theirs explicitly."""
+    from causality_between_elements_based_on_time_series_data_spark.lineage import (
+        lineage_cuts_disabled,
+    )
+
+    with lineage_cuts_disabled():
+        plan = plan_of(spark, sf_dir, "domain_cap_sample")
+    # bounds fold is a BNLJ; no hash-join broadcast anywhere in this
+    # plan means the source-grouped offsets are shuffled-joined
+    assert "BroadcastHashJoin" not in plan, plan
+    with lineage_cuts_disabled():
+        plan = plan_of(spark, sf_dir, "perplexity_quality_filter")
+    assert "BroadcastHashJoin" in plan  # lang enum is bounded — kept
+
+
+def test_device_detector_rejects_spoofed_growing_relations(spark):
+    """ADVICE r10 (medium): a user-keyed aggregate aliased to a
+    device marker name must NOT be auto-exempted by the registry-wide
+    window gate — the detector pins the device's exact table shape."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.introspect import (
+        formatted_plan,
+        is_ranks_device_window,
+        unpartitioned_windows,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 997).alias("user"), F.col("id").alias("x")
+    )
+    spoof = (
+        df.groupBy("user")
+        .agg(F.sum("x").alias("_gc_total"))
+        .withColumn(
+            "r", F.row_number().over(Window.orderBy("user"))
+        )
+    )
+    nodes = unpartitioned_windows(formatted_plan(spoof))
+    assert nodes and all(
+        not is_ranks_device_window(n) for n in nodes
+    ), "spoofed growing relation was auto-exempted"
+
+    # and the real device window IS still recognized
+    from causality_between_elements_based_on_time_series_data_spark.operators.ranks import (
+        with_global_rank,
+        with_range_bucket,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.lineage import (
+        lineage_cuts_disabled,
+    )
+
+    with lineage_cuts_disabled():
+        real = with_global_rank(
+            with_range_bucket(df, "x"), [F.col("x")], total="n"
+        )
+        real_nodes = unpartitioned_windows(formatted_plan(real))
+    assert real_nodes and all(
+        is_ranks_device_window(n) for n in real_nodes
+    ), [(n.input_cols, n.order) for n in real_nodes]
