@@ -45,6 +45,18 @@ def main() -> None:
 
     spark = get_spark("bench")
 
+    # The whitelisted bounded relations (rank-device offset tables,
+    # calendar grids — all ≤ ~128 rows by construction, gate-checked in
+    # tests/test_plans.py) each emit a "WindowExec: No Partition
+    # Defined" WARN; dozens of them bury real regressions in the
+    # driver's 2000-char stdout/stderr parse window (VERDICT r10 nit
+    # #3).  Silence exactly that logger — other warnings stay.
+    log4j = spark._jvm.org.apache.logging.log4j
+    log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        log4j.Level.ERROR,
+    )
+
     bench_queries = {name: q for name, q in REGISTRY.items() if "bench" in q.tags}
 
     # Warmup: JVM JIT + parquet footer caches, one light pass.

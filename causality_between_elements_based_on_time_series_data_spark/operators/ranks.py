@@ -265,3 +265,96 @@ def topk_ranked(
         .agg((F.count("_tk_hit") + 1).cast("int").alias(out))
         .drop("_tk_rid")
     )
+
+
+def with_hot_cell_subsplit(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    *,
+    group_by: tuple[str, ...] = (),
+    bucket_col: str = "bkt",
+    out: str = "bkt2",
+    n_subbuckets: int = 16,
+    tiebreak_descending: bool = False,
+    broadcast_stats: bool | None = None,
+) -> DataFrame:
+    """Second-level split for HOT (group, bucket) cells with a
+    CONSTANT sort key (round 11, VERDICT r10 #6): when a single
+    group's values all collapse into one bucket because they are
+    IDENTICAL (one mega-domain with a constant hash prefix, a
+    corpus where 90% of scores are exactly 0.0), the per-(grp, bkt)
+    window is that whole group in one task — a straggler the primary
+    range bucket cannot split, since equal keys MUST share a bucket
+    for rank exactness.
+
+    The way out is that inside a constant-value cell the sort order
+    is decided entirely by the TIEBREAK, so sub-bucketing by a
+    monotone range function of the tiebreak preserves exactness
+    there — and everywhere else the sub-bucket is a constant, a pure
+    refinement no-op.  ``out`` is a composite bucket, monotone within
+    each group in the (value, tiebreak) sort order:
+
+    * different primary buckets → composite preserves their order;
+    * same cell, constant value (``min(value) <=> max(value)`` per
+      cell — all-null cells from ``with_range_bucket``'s null bucket
+      included) → sub-bucket is range-monotone in the tiebreak, with
+      null tiebreaks in their own slot exactly where the window sort
+      puts them (ASC = NULLS FIRST slot 0, DESC = NULLS LAST slot
+      n_subbuckets+1);
+    * same cell, varying value → one shared sub-bucket (rows stay
+      together; the within-cell window orders them exactly as
+      before).
+
+    Feed ``out`` to ``with_global_rank(..., bucket_col=out)`` with an
+    ``order_by`` whose first two columns are (value, tiebreak) in the
+    matching directions — the result stays bit-identical to the
+    literal global window (pinned in tests/test_ranks.py against a
+    pathological single-bucket constant-key group).
+
+    The per-cell stats table is ≤ |groups|·(n_buckets+1) rows — same
+    size class as the rank device's offset table, so the same join
+    policy (round-11 rule): broadcast only when ``group_by`` is empty,
+    shuffled equi-join otherwise, ``broadcast_stats`` to override.
+
+    Precondition: ``bucket_col`` came from ``with_range_bucket`` over
+    ``value_col`` (equal values share a bucket; null values sit alone
+    in the dedicated null bucket), so a cell never mixes null and
+    non-null values.
+    """
+    grp = list(group_by)
+    stats = df.groupBy(*grp, bucket_col).agg(
+        F.min(value_col).alias("_sc_vmn"),
+        F.max(value_col).alias("_sc_vmx"),
+        F.min(tiebreak_col).alias("_sc_tmn"),
+        F.max(tiebreak_col).alias("_sc_tmx"),
+    )
+    if broadcast_stats is None:
+        broadcast_stats = not grp
+    joined = df.join(
+        F.broadcast(stats) if broadcast_stats else stats,
+        [*grp, bucket_col],
+    )
+    k = n_subbuckets
+    t = F.col(tiebreak_col).cast("double")
+    tmn = F.col("_sc_tmn").cast("double")
+    tmx = F.col("_sc_tmx").cast("double")
+    span = (tmn - tmx) if tiebreak_descending else (tmx - tmn)
+    pos = (tmx - t) if tiebreak_descending else (t - tmn)
+    sub_real = (
+        F.when(
+            span > 0,
+            F.least(F.floor(pos * float(k) / span), F.lit(k - 1)),
+        ).otherwise(F.lit(0))
+        + 1
+    )
+    null_slot = F.lit(k + 1) if tiebreak_descending else F.lit(0)
+    constant_v = F.col("_sc_vmn").eqNullSafe(F.col("_sc_vmx"))
+    sub = F.when(~constant_v, F.lit(0)).otherwise(
+        F.when(t.isNull(), null_slot).otherwise(sub_real)
+    )
+    width = k + 2
+    composite = (F.col(bucket_col).cast("bigint") * width + sub).cast("int")
+    return joined.withColumn(out, composite).drop(
+        "_sc_vmn", "_sc_vmx", "_sc_tmn", "_sc_tmx"
+    )

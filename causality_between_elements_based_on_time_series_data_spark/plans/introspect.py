@@ -207,10 +207,11 @@ _DEVICE_MARKERS = (("_gr_cnt", "exact"), ("_gc_", "prefix"))
 #: device windows are partitioned by the group keys, so they never
 #: reach the unpartitioned-window gate at all): the bucket column
 #: (``bkt`` default; ``vbkt`` is the one renamed call site,
-#: queries_llm.py tfidf vocabulary ranks) and the device's own
-#: ``_gr_off`` prefix-offset intermediate (visible as input to the
-#: stacked ``total`` window node).
-_DEVICE_BUCKET_COLS = frozenset({"bkt", "vbkt"})
+#: queries_llm.py tfidf vocabulary ranks; ``bkt2`` is the hot-cell
+#: subsplit composite from ``with_hot_cell_subsplit``) and the
+#: device's own ``_gr_off`` prefix-offset intermediate (visible as
+#: input to the stacked ``total`` window node).
+_DEVICE_BUCKET_COLS = frozenset({"bkt", "bkt2", "vbkt"})
 _DEVICE_NONMARKER_COLS = _DEVICE_BUCKET_COLS | {"_gr_off"}
 
 #: Spark's own window-expression temp projections (`_we0`, `_we1`, …)

@@ -2312,16 +2312,14 @@ def minhash_portable_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return portable_band_pairs(portable_signatures(docs)).orderBy("doc_a", "doc_b")
 
 
-def pruned_band_buckets(sig: DataFrame) -> DataFrame:
-    """Hot-bucket-guarded LSH band buckets (doc_id, band_id, band_val)
-    from portable signatures — the shared candidate-generation stage
-    behind ``portable_band_pairs`` (full-corpus self-join) and
-    ``incremental_dedup_new_batch`` (index×batch cross join).  Bucket
-    occupancy is counted over the WHOLE relation before any split, so
-    the > ``_MH_MAX_BUCKET`` guard sees the same buckets the oracles
-    do.  (An earlier draft chained ``.format(...)`` onto this literal,
-    which silently discards it — a formatted string is an expression,
-    not a docstring.)"""
+def band_rows(sig: DataFrame) -> DataFrame:
+    """UNguarded LSH band rows (doc_id, band_id, band_val) from
+    portable signatures — the raw posting relation; callers apply the
+    hot-bucket guard over whatever occupancy scope their semantics
+    demand (`pruned_band_buckets` counts the whole relation;
+    `incremental_dedup_persisted_index` sums persisted index-side
+    counts with fresh batch-side counts).  Checkpointed: every caller
+    fans it into ≥ 2 consumers (occupancy count + join side(s))."""
     # 4-row band fold kept inside BIGINT: two P²-scale halves, each
     # reduced mod 1e9+7 before pairing (≈2.0e18 max, inside 2^63).
     band_arr = F.array(
@@ -2337,9 +2335,20 @@ def pruned_band_buckets(sig: DataFrame) -> DataFrame:
     bands = sig.select(
         "doc_id", F.posexplode(band_arr).alias("band_id0", "band_val")
     ).select("doc_id", (F.col("band_id0") + 1).alias("band_id"), "band_val")
-    # Hot-bucket guard: bands feeds three consumers (occupancy count +
-    # both join sides) — materialize the tiny relation once.
-    bands = bands.transform(ckpt)
+    return bands.transform(ckpt)
+
+
+def pruned_band_buckets(sig: DataFrame) -> DataFrame:
+    """Hot-bucket-guarded LSH band buckets (doc_id, band_id, band_val)
+    from portable signatures — the shared candidate-generation stage
+    behind ``portable_band_pairs`` (full-corpus self-join) and
+    ``incremental_dedup_new_batch`` (index×batch cross join).  Bucket
+    occupancy is counted over the WHOLE relation before any split, so
+    the > ``_MH_MAX_BUCKET`` guard sees the same buckets the oracles
+    do.  (An earlier draft chained ``.format(...)`` onto this literal,
+    which silently discards it — a formatted string is an expression,
+    not a docstring.)"""
+    bands = band_rows(sig)
     bucket_sizes = bands.groupBy("band_id", "band_val").agg(
         F.count("*").alias("__bsz")
     )
@@ -7133,3 +7142,297 @@ def corpus_stage_tables(
         ("domain_cap", s5),
         ("weighted_select", s6),
     ]
+
+
+_DECON_W = 13  # the GPT-3/PaLM 13-gram decontamination window
+
+
+@register(
+    "eval_decontamination",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks,
+               doc_id % 20 = 3 AS is_eval
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, is_eval,
+               md5(array_to_string(
+                   list_slice(toks, i, i + {_DECON_W} - 1), ' ')) AS wh
+        FROM arrs, unnest(range(1, len(toks) - {_DECON_W} + 2)) AS t(i)
+        WHERE len(toks) >= {_DECON_W}
+    ),
+    ev AS (SELECT DISTINCT wh FROM wins WHERE is_eval),
+    contam AS (
+        SELECT DISTINCT w.doc_id
+        FROM wins w JOIN ev USING (wh)
+        WHERE NOT w.is_eval
+    )
+    SELECT a.lang,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           round(avg(CASE WHEN c.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END),
+                 6) AS contam_rate,
+           CAST(sum(CASE WHEN c.doc_id IS NULL THEN a.doc_id END)
+                AS BIGINT) AS clean_id_checksum
+    FROM arrs a LEFT JOIN contam c USING (doc_id)
+    WHERE NOT a.is_eval
+    GROUP BY a.lang ORDER BY a.lang
+    """,
+    doc="Benchmark decontamination (the GPT-3 appendix-C / PaLM "
+    "recipe): flag every TRAINING document that shares any "
+    f"{_DECON_W}-token window with the held-out EVAL slice (here the "
+    "deterministic doc_id % 20 == 3 sample standing in for an eval "
+    "benchmark), and report the per-language contaminated counts plus "
+    "the kept-set id checksum a pipeline owner would gate a training "
+    "run on.  Scale shape: each side tokenizes only ITS OWN docs from "
+    "the column-pruned scan (no shared exploded subtree to cut — the "
+    "sides are disjoint doc subsets), windows are md5-keyed 32-byte "
+    "shuffle keys (window text never shuffles — the "
+    "substring_duplication_rate discipline at the train x eval "
+    "grain), and the contamination test is a hash-keyed semi-join of "
+    "train windows against the DISTINCT eval window set, the "
+    "batch-vs-index shape of incremental_dedup_new_batch: the "
+    "train x train mass is never generated, and the eval side is "
+    "|benchmark|-sized, not corpus-sized.  No forced broadcast — a "
+    "real eval suite's distinct 13-gram set can reach 10^7 keys, so "
+    "AQE decides at runtime.  md5 is bit-identical across engines, "
+    "so the whole report hash-checks.  Funnel integration decision "
+    "(round 11): STANDALONE, not a corpus_build_funnel stage — "
+    "decontamination gates against an EXTERNAL eval suite that ships "
+    "separately from the corpus, so it composes as a final semi-join "
+    "on the funnel's kept set (exactly this query's clean-side anti "
+    "pattern) rather than as one of the funnel's corpus-intrinsic "
+    "stages; wiring the fixture's id-slice stand-in INTO the funnel "
+    "would bake a test convention into the product pipeline.",
+    tags=("llm", "dedup", "quality", "pipeline"),
+)
+def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % 20) == 3
+
+    def windows(side: DataFrame) -> DataFrame:
+        arrs = side.select(
+            "doc_id", F.split("text", " ").alias("toks")
+        ).filter(F.size("toks") >= _DECON_W)
+        return arrs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - _DECON_W + 1)
+            ).alias("i"),
+            "toks",
+        ).select(
+            "doc_id",
+            F.md5(
+                F.array_join(F.slice("toks", F.col("i"), _DECON_W), " ")
+            ).alias("wh"),
+        )
+
+    ev = windows(docs.filter(is_eval)).select("wh").distinct()
+    contaminated = (
+        windows(docs.filter(~is_eval))
+        .join(ev, "wh", "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    train = docs.filter(~is_eval).select("doc_id", "lang")
+    hit = F.col("_c").isNotNull()
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_train"),
+            F.sum(hit.cast("int")).cast("bigint").alias("n_contaminated"),
+            F.round(F.avg(hit.cast("double")), 6).alias("contam_rate"),
+            F.sum(F.when(~hit, F.col("doc_id"))).cast("bigint").alias(
+                "clean_id_checksum"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "incremental_dedup_persisted_index",
+    oracle=_incremental_dedup_oracle(),
+    doc="Incremental dedup against a PERSISTED index — makes real the "
+    "layout incremental_dedup_new_batch's docstring promises ('in "
+    "production the index side's buckets are a persisted table'): the "
+    "index's band postings, per-bucket occupancy counts, and exact "
+    "sha2 key set are materialized ONCE per corpus version as "
+    "bucketBy-sorted tables (the ann_ivf_bucketed_topk layout "
+    "pattern), and the per-ingest PROBE computes signatures for the "
+    "new batch only.  Probe shape: tier-1 is a batch-hash semi-join "
+    "against the bucketed key table; tier-2 counts batch-side bucket "
+    "occupancy, adds the PERSISTED index-side counts (so the "
+    ">300 hot-bucket guard sees exactly the combined occupancy the "
+    "full-relation guard sees — bit-identical candidates, same "
+    "oracle), then equi-joins guarded batch postings against the "
+    "bucketed index postings: the index side is pre-bucketed on "
+    "(band_id, band_val), so the join plans with NO Exchange on the "
+    "index side (plan-gated in tests/test_bucketing.py) — per "
+    "ingest, the index is never re-signatured and never re-shuffled; "
+    "it is streamed through a bucket-local merge against the batch's "
+    "postings (the within-bucket Sort stays local: Spark trusts "
+    "sortBy metadata only at one file per bucket, which a 100 TB "
+    "index won't have).  Tier-3 exact Jaccard verifies "
+    "candidates only.  Same report and DuckDB oracle as "
+    "incremental_dedup_new_batch; only the physical layout differs.",
+    tags=("llm", "dedup", "pipeline", "layout"),
+)
+def incremental_dedup_persisted_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.catalog import reset_bucket_table, session_bucket_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    thr = docs.agg(
+        F.floor(0.8 * (F.max("doc_id") + 1)).cast("bigint").alias("_t")
+    ).transform(ckpt)
+    witht = docs.crossJoin(F.broadcast(thr))
+    is_new = F.col("doc_id") >= F.col("_t")
+
+    # ---- index BUILD: once per corpus version, not per ingest.
+    # Session-scoped names (concurrent suites never collide); 16
+    # buckets stands in for the production bucket count.
+    # bucket count must sit at/above the session's shuffle parallelism
+    # INCLUDING AQE's initialPartitionNum: EnsureRequirements keeps the
+    # bucketed side exchange-free only when the bucket count is the
+    # join's chosen partitioning, and it prefers the LARGER of the two
+    # children's partitionings (measured: 64 buckets vs a 256-initial-
+    # partition probe side re-shuffled the index and disabled the
+    # bucketed scan).  At 100 TB you size this to the cluster
+    # (thousands of buckets is normal for a persisted index).
+    try:
+        # conf.get VALIDATES the supplied default (a "0" default on
+        # this positive-int conf raises INVALID_CONF_VALUE), so the
+        # unset case must be caught, not defaulted
+        initial_parts = int(
+            spark.conf.get(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+            )
+        )
+    except Exception:
+        initial_parts = 0
+    n_bkts = max(
+        64,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        initial_parts,
+    )
+    t_bands = session_bucket_table(spark, "dedup_idx_bands")
+    t_counts = session_bucket_table(spark, "dedup_idx_bcounts")
+    t_keys = session_bucket_table(spark, "dedup_idx_keys")
+    idx_docs = witht.filter(~is_new).select("doc_id", "text")
+    idx_bands = band_rows(portable_signatures(idx_docs))
+    for t in (t_bands, t_counts, t_keys):
+        reset_bucket_table(spark, t)
+    (
+        idx_bands.write.bucketBy(n_bkts, "band_id", "band_val")
+        .sortBy("band_id", "band_val")
+        .saveAsTable(t_bands)
+    )
+    (
+        idx_bands.groupBy("band_id", "band_val")
+        .agg(F.count("*").cast("bigint").alias("n_idx"))
+        .write.bucketBy(n_bkts, "band_id", "band_val")
+        .sortBy("band_id", "band_val")
+        .saveAsTable(t_counts)
+    )
+    (
+        idx_docs.select(F.sha2("text", 256).alias("h"))
+        .distinct()
+        .write.bucketBy(n_bkts, "h")
+        .sortBy("h")
+        .saveAsTable(t_keys)
+    )
+
+    # ---- PROBE: the recurring per-ingest cost — batch-side only.
+    batch = witht.filter(is_new)
+    exact = (
+        batch.select("doc_id", F.sha2("text", 256).alias("h"))
+        .join(spark.table(t_keys), "h", "semi")
+        .select("doc_id")
+        .transform(ckpt)  # read by the near-tier exclusion AND the rollup
+    )
+
+    b_bands = band_rows(
+        portable_signatures(batch.select("doc_id", "text"))
+    )
+    b_counts = b_bands.groupBy("band_id", "band_val").agg(
+        F.count("*").alias("__bn")
+    )
+    # combined-occupancy guard == the full-relation guard: buckets the
+    # batch never touches yield no candidates, so only batch-touched
+    # buckets need the (index + batch) total checked
+    ok = (
+        b_counts.join(spark.table(t_counts), ["band_id", "band_val"], "left")
+        .filter(
+            F.coalesce(F.col("n_idx"), F.lit(0)) + F.col("__bn")
+            <= _MH_MAX_BUCKET
+        )
+        .select("band_id", "band_val")
+    )
+    probe = b_bands.join(ok, ["band_id", "band_val"], "semi")
+    cand = (
+        spark.table(t_bands)
+        .select("band_id", "band_val", F.col("doc_id").alias("id_a"))
+        .join(
+            probe.select(
+                "band_id", "band_val", F.col("doc_id").alias("id_b")
+            ),
+            ["band_id", "band_val"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # tier 3: exact word-set Jaccard on candidates only
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(tok.alias("ta"), F.col("ta.doc_id") == F.col("id_a"))
+        .join(
+            tok.alias("tb"),
+            (F.col("tb.doc_id") == F.col("id_b"))
+            & (F.col("ta.w") == F.col("tb.w")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    near = (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
+        .filter(jac >= 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .join(exact, "doc_id", "anti")
+    )
+
+    flagged_e = exact.withColumn("_e", F.lit(1))
+    flagged_n = near.withColumn("_n", F.lit(1))
+    return (
+        batch.select("doc_id", "lang")
+        .join(flagged_e, "doc_id", "left")
+        .join(flagged_n, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_new"),
+            F.sum(F.coalesce("_e", F.lit(0))).cast("bigint").alias(
+                "n_exact_dup"
+            ),
+            F.sum(F.coalesce("_n", F.lit(0))).cast("bigint").alias(
+                "n_near_dup"
+            ),
+            F.sum(
+                (F.col("_e").isNull() & F.col("_n").isNull()).cast("int")
+            ).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

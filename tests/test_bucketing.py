@@ -145,3 +145,69 @@ def test_ivf_bucketed_corpus_plan_shapes(spark, sf_dir):
             )
     finally:
         reset_bucket_table(spark, table)
+
+
+def _tree_lines(plan: str) -> list[tuple[int, str]]:
+    """(marker_column, node_text) for each physical-tree line of a
+    formatted plan — marker column = indent depth, so a node's
+    ancestors are the nearest lines above with a smaller marker
+    column."""
+    out = []
+    for line in plan.splitlines():
+        m = re.search(r"[+:][-]\s+(\S.*)$", line)
+        if m:
+            out.append((m.start(), m.group(1)))
+        elif re.match(r"^\w.*\(\d+\)$", line.strip()) and not out:
+            out.append((-1, line.strip()))  # root node has no marker
+    return out
+
+
+def ancestors_until(plan: str, needle: str, stop: str) -> list[str]:
+    """Node texts strictly between the (unique) tree node containing
+    ``needle`` and its nearest ancestor containing ``stop``."""
+    lines = _tree_lines(plan)
+    idxs = [i for i, (_, t) in enumerate(lines) if needle in t]
+    assert len(idxs) == 1, (needle, [t for _, t in lines if needle in t])
+    i = idxs[0]
+    col = lines[i][0]
+    chain: list[str] = []
+    for j in range(i - 1, -1, -1):
+        c, t = lines[j]
+        if c < col:
+            if stop in t:
+                return chain
+            chain.append(t)
+            col = c
+    raise AssertionError(f"no {stop!r} ancestor above {needle!r}")
+
+
+def test_persisted_dedup_index_join_no_index_side_exchange(spark, sf_dir):
+    """incremental_dedup_persisted_index: the per-ingest probe must
+    never re-shuffle the persisted index — the band-posting join reads
+    the bucketed table straight into the SortMergeJoin (Filter /
+    Project / local Sort allowed; Exchange is the regression), and the
+    index tables actually scan bucketed."""
+    from causality_between_elements_based_on_time_series_data_spark.lineage import (
+        lineage_cuts_disabled,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # cuts disabled so the tier-1 keys-table scan (beneath the
+        # `exact` checkpoint) is visible to the bucketed-scan count
+        with lineage_cuts_disabled():
+            plan = _formatted_plan(
+                REGISTRY["incremental_dedup_persisted_index"].fn(
+                    spark, sf_dir
+                )
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    chain = ancestors_until(plan, "dedup_idx_bands", "SortMergeJoin")
+    assert not any("Exchange" in t for t in chain), chain
+    # all three index tables read through the bucketed-scan path
+    assert plan.count("Bucketed: true") >= 3, plan

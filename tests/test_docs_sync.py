@@ -44,7 +44,8 @@ NON_QUERY_ALLOWLIST = {
     "embedding_near_dup_lsh", "lsh_candidate_pairs",
     "minhash_signatures", "simhash64", "dynamicpruningexpression",
     "topk_ranked", "with_range_bucket", "with_global_rank",
-    "with_global_cumsum", "ckpt", "ckpt_eager", "lineage_cuts_disabled",
+    "with_global_cumsum", "with_hot_cell_subsplit", "broadcast_offsets",
+    "ckpt", "ckpt_eager", "lineage_cuts_disabled",
     # test names cited in prose
     "test_streaming_merge_upsert_multibatch_out_of_order",
     # generated-appendix structural tokens (module headers, column val)

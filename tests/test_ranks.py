@@ -248,3 +248,117 @@ def test_range_bucket_is_monotone_and_non_null(spark):
     )
     assert breaks == 0
     assert df.filter(F.col("bkt").isNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Hot-cell subsplit (round 11, VERDICT r10 #6): constant-key cells —
+# which the primary range bucket CANNOT split without breaking rank
+# exactness — are split by a tiebreak-range sub-bucket, bit-identical
+# to the literal window.
+# ---------------------------------------------------------------------------
+
+from causality_between_elements_based_on_time_series_data_spark.operators.ranks import (  # noqa: E402
+    with_hot_cell_subsplit,
+)
+
+
+def _grouped_pathological(spark):
+    """Three groups: `mega` has one CONSTANT value for 400 rows (the
+    single-bucket mega-domain pathology), `vary` has ordinary spread,
+    `nulls` has null values and null tiebreaks mixed in."""
+    base = spark.range(600).select(
+        F.col("id").alias("uid"),
+        F.when(F.col("id") < 400, F.lit("mega"))
+        .when(F.col("id") < 550, F.lit("vary"))
+        .otherwise(F.lit("nulls"))
+        .alias("grp"),
+        F.when(F.col("id") < 400, F.lit(42.0))
+        .when(F.col("id") < 550, (F.col("id") % 23).cast("double"))
+        .when(F.col("id") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.lit(7.0))
+        .alias("val"),
+        F.when(
+            (F.col("id") >= 550) & (F.col("id") % 4 == 0),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise((F.col("id") * 37) % 601)
+        .alias("tb"),
+    )
+    return base
+
+
+def test_subsplit_constant_group_bit_identical_and_split(spark):
+    df = _grouped_pathological(spark)
+    b = with_range_bucket(df, "val")
+    b2 = with_hot_cell_subsplit(
+        b, "val", "tb", group_by=("grp",), broadcast_stats=True
+    )
+    got = with_global_rank(
+        b2,
+        [F.asc("val"), F.asc("tb"), F.asc("uid")],
+        bucket_col="bkt2",
+        partition_by=("grp",),
+        broadcast_offsets=True,
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.asc("val"), F.asc("tb"), F.asc("uid")
+    )
+    exp = df.withColumn("exp", F.row_number().over(w))
+    _assert_same(got, exp)
+    # the pathology is actually split: the mega group's 400
+    # constant-value rows occupy >1 composite bucket
+    n_cells = (
+        b2.filter(F.col("grp") == "mega").select("bkt2").distinct().count()
+    )
+    assert n_cells > 1, "constant-key cell was not subsplit"
+
+
+def test_subsplit_descending_tiebreak_bit_identical(spark):
+    df = _grouped_pathological(spark)
+    b = with_range_bucket(df, "val", descending=True)
+    b2 = with_hot_cell_subsplit(
+        b,
+        "val",
+        "tb",
+        group_by=("grp",),
+        tiebreak_descending=True,
+        broadcast_stats=True,
+    )
+    got = with_global_rank(
+        b2,
+        [F.desc("val"), F.desc("tb"), F.asc("uid")],
+        bucket_col="bkt2",
+        partition_by=("grp",),
+        broadcast_offsets=True,
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.desc("val"), F.desc("tb"), F.asc("uid")
+    )
+    exp = df.withColumn("exp", F.row_number().over(w))
+    _assert_same(got, exp)
+
+
+def test_subsplit_ungrouped_all_equal_values(spark):
+    # global rank where EVERY value is identical: without the
+    # subsplit this is one window task; with it, ranks still match
+    # the literal window exactly
+    df = _fixture(spark, all_equal=True)
+    b = with_range_bucket(df, "val")
+    b2 = with_hot_cell_subsplit(b, "val", "uid")
+    got = with_global_rank(
+        b2, [F.asc("val"), F.asc("uid")], bucket_col="bkt2"
+    )
+    exp = _expected_rank(df)
+    _assert_same(got, exp)
+    assert b2.select("bkt2").distinct().count() > 1
+
+
+def test_subsplit_is_noop_refinement_on_varying_cells(spark):
+    # ordinary spread data: subsplit must not perturb ranks either
+    df = _fixture(spark)
+    b = with_range_bucket(df, "val")
+    b2 = with_hot_cell_subsplit(b, "val", "uid")
+    got = with_global_rank(
+        b2, [F.asc("val"), F.asc("uid")], bucket_col="bkt2"
+    )
+    _assert_same(got, _expected_rank(df))
