@@ -52,6 +52,7 @@ def main() -> None:
     )
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_before = tuple(round(x, 2) for x in os.getloadavg())
     spark = get_spark("scale_incdedup")
     log4j = spark._jvm.org.apache.logging.log4j
     log4j.core.config.Configurator.setLevel(
@@ -196,7 +197,10 @@ def main() -> None:
         "measurement": "incremental_dedup_persisted_index probe vs index size",
         "sf_dir": sf_dir,
         "n_buckets": n_bkts,
-        "load_avg": tuple(round(x, 2) for x in os.getloadavg()),
+        # end-of-run load is dominated by this run itself; the
+        # quiet-box check is load_before (CLAUDE.md bench rule)
+        "load_before": load_before,
+        "load_after": tuple(round(x, 2) for x in os.getloadavg()),
         "rows": rows,
     }
     path = os.path.join(
