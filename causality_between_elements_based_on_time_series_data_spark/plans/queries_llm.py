@@ -7436,3 +7436,274 @@ def incremental_dedup_persisted_index(
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "exact_median_mad_by_lang",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    r AS (
+        SELECT lang, tok,
+               row_number() OVER (PARTITION BY lang ORDER BY tok, doc_id)
+                   AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM t
+    ),
+    med AS (SELECT lang, tok AS med FROM r WHERE rn = (n + 1) // 2),
+    d AS (
+        SELECT t.lang, t.doc_id, abs(t.tok - m.med) AS dev
+        FROM t JOIN med m USING (lang)
+    ),
+    r2 AS (
+        SELECT lang, dev,
+               row_number() OVER (PARTITION BY lang ORDER BY dev, doc_id)
+                   AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM d
+    ),
+    mad AS (SELECT lang, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+    SELECT m.lang,
+           CAST((SELECT count(*) FROM t WHERE t.lang = m.lang) AS BIGINT)
+               AS n_docs,
+           CAST(m.med AS BIGINT) AS median_toks,
+           CAST(a.mad AS BIGINT) AS mad_toks
+    FROM med m JOIN mad a USING (lang)
+    ORDER BY m.lang
+    """,
+    doc="EXACT per-language median and MAD (median absolute "
+    "deviation) of document token counts — the robust location/scale "
+    "pair a corpus owner sets length-filter thresholds from "
+    "(means/stddevs are wrecked by the long tail; approx_percentile "
+    "is engine-specific and non-reproducible across runs at scale).  "
+    "Lower-median convention (rank (n+1)//2 under a total order with "
+    "doc_id tiebreak) so the statistic is a DETERMINISTIC function of "
+    "the corpus.  Scale shape: two passes of the grouped bucket+offset "
+    "rank device (operators/ranks.py) — per-(lang, bucket) windows, "
+    "never one task per language — with the round-11 shuffled offset "
+    "join (lang is a bounded enum, but this query deliberately "
+    "exercises the scale-safe default path).",
+    tags=("llm", "text-quality", "stats"),
+)
+def exact_median_mad_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import with_global_rank, with_range_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("tok")
+    ).transform(ckpt)
+    r = with_global_rank(
+        with_range_bucket(t, "tok"),
+        [F.asc("tok"), F.asc("doc_id")],
+        partition_by=("lang",),
+        total="n",
+    )
+    med = r.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select("lang", F.col("tok").alias("med"), F.col("n").alias("n_docs"))
+    d = (
+        t.join(med, "lang")
+        .select(
+            "lang",
+            "doc_id",
+            "n_docs",
+            F.abs(F.col("tok") - F.col("med")).alias("dev"),
+            "med",
+        )
+        .transform(ckpt)
+    )
+    r2 = with_global_rank(
+        with_range_bucket(d, "dev"),
+        [F.asc("dev"), F.asc("doc_id")],
+        partition_by=("lang",),
+        total="n2",
+    )
+    return (
+        r2.filter(F.col("rn") == F.floor((F.col("n2") + 1) / 2))
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("med").cast("bigint").alias("median_toks"),
+            F.col("dev").cast("bigint").alias("mad_toks"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "domain_interleaved_order",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST((doc_id * 2654435761) % 1000000007 AS BIGINT) AS u
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source, u,
+               row_number() OVER (PARTITION BY source ORDER BY u, doc_id)
+                   AS rn
+        FROM t
+    ),
+    p AS (
+        SELECT source,
+               row_number() OVER (ORDER BY rn, u, doc_id) AS pos,
+               count(*) OVER () AS n
+        FROM r
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg((pos - 1.0) / (n - 1)), 6) AS mean_norm_pos,
+           CAST(min(pos) AS BIGINT) AS first_pos,
+           CAST(sum(pos) AS BIGINT) AS pos_checksum
+    FROM p GROUP BY source ORDER BY source
+    """,
+    doc="Domain-interleaved training order: every source's documents "
+    "are ranked by a per-doc Knuth hash WITHIN the source, then the "
+    "global training position orders by (within-source rank, hash) — "
+    "round-robin across domains, so every source appears early and "
+    "evenly in the stream instead of arriving in ingest clumps "
+    "(per-source mean normalized position ≈ 0.5 and first_pos ≤ "
+    "|sources| are the audit signals).  Scale shape: the within-source "
+    "rank is the grouped device (shuffled offsets — source domain is "
+    "unbounded); the GLOBAL rank's sort key is the within-source rank "
+    "itself, which is EXTREMELY tie-dense (every domain contributes a "
+    "rank 1, rank 2, …), i.e. the constant-key hot-cell pathology — "
+    "the low buckets would be single tasks holding |domains| rows.  "
+    "with_hot_cell_subsplit splits those cells by the hash tiebreak "
+    "(bit-identical to the literal window), making this the "
+    "registered, fully hash-checked consumer of the round-11 subsplit "
+    "device.",
+    tags=("llm", "sampling", "layout", "bench"),
+)
+def domain_interleaved_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import (
+        with_global_rank,
+        with_hot_cell_subsplit,
+        with_range_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = ((F.col("doc_id").cast("bigint") * 2654435761) % 1000000007).cast(
+        "bigint"
+    )
+    t = docs.select("doc_id", "source", u.alias("u")).transform(ckpt)
+    r = with_global_rank(
+        with_range_bucket(t, "u"),
+        [F.asc("u"), F.asc("doc_id")],
+        partition_by=("source",),
+    ).select("doc_id", "source", "u", "rn").transform(ckpt)
+    b2 = with_hot_cell_subsplit(
+        with_range_bucket(r, "rn", out="bkt"), "rn", "u"
+    )
+    p = with_global_rank(
+        b2,
+        [F.asc("rn"), F.asc("u"), F.asc("doc_id")],
+        bucket_col="bkt2",
+        out="pos",
+        total="n",
+    )
+    return (
+        p.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.avg(
+                    (F.col("pos") - 1).cast("double") / (F.col("n") - 1)
+                ),
+                6,
+            ).alias("mean_norm_pos"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+            F.sum("pos").cast("bigint").alias("pos_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+_PACK_CAP = 2048  # tokens per packed training sequence
+
+
+@register(
+    "sequence_packing_manifest",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST((doc_id * 2654435761) % 1000000007 AS BIGINT) % 16
+                   AS shard,
+               CAST((doc_id * 2654435761) % 1000000007 AS BIGINT) AS u,
+               len(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT shard, doc_id, tok,
+               sum(tok) OVER (PARTITION BY shard ORDER BY u, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_toks,
+           CAST((max(cum) + {_PACK_CAP} - 1) // {_PACK_CAP} AS BIGINT)
+               AS n_chunks,
+           CAST(sum(CASE WHEN (cum - tok) // {_PACK_CAP}
+                          <> (cum - 1) // {_PACK_CAP}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+           round(max(cum) / (CAST((max(cum) + {_PACK_CAP} - 1)
+                // {_PACK_CAP} AS DOUBLE) * {_PACK_CAP}), 6) AS fill_ratio
+    FROM c GROUP BY shard ORDER BY shard
+    """,
+    doc="Concat-and-chunk sequence packing manifest — THE standard "
+    "pretraining batch-assembly step: per shard, documents are "
+    "concatenated in deterministic hash order and cut into fixed "
+    f"{_PACK_CAP}-token training sequences; the manifest reports per "
+    "shard how many chunks result, how many documents straddle a "
+    "chunk boundary (the cross-document-attention contamination "
+    "number), and the fill ratio (always ≥ (cap-1)/cap for "
+    "concat-and-chunk — the report exists to audit determinism and "
+    "boundary counts, and the same cumulative machinery yields "
+    "greedy no-split packing by resetting at boundaries).  Scale "
+    "shape: ONE running-sum window per shard (shards are the "
+    "parallelism unit, sized to the cluster in production), pure "
+    "integer arithmetic end-to-end so the manifest is bit-stable "
+    "across engines and partitionings.",
+    tags=("llm", "sampling", "layout"),
+)
+def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id").cast("bigint") * 2654435761) % 1000000007
+    t = docs.select(
+        "doc_id",
+        (h % 16).cast("bigint").alias("shard"),
+        h.cast("bigint").alias("u"),
+        F.size(F.split("text", " ")).alias("tok"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy(F.asc("u"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cap = F.lit(_PACK_CAP)
+    c = t.withColumn("cum", F.sum("tok").over(w))
+    splits = (
+        F.floor((F.col("cum") - F.col("tok")) / cap)
+        != F.floor((F.col("cum") - 1) / cap)
+    ).cast("int")
+    n_chunks = F.floor((F.max("cum") + _PACK_CAP - 1) / cap)
+    return (
+        c.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("total_toks"),
+            n_chunks.cast("bigint").alias("n_chunks"),
+            F.sum(splits).cast("bigint").alias("n_split_docs"),
+            F.round(
+                F.max("cum")
+                / (n_chunks.cast("double") * _PACK_CAP),
+                6,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("shard")
+    )

@@ -687,3 +687,55 @@ def streaming_corpus_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFra
     from ..streaming.events_stream import streaming_corpus_quality_gate
 
     return streaming_corpus_quality_gate(spark, sf_dir)
+
+
+@register(
+    "streaming_eval_decontamination",
+    oracle="""
+    WITH arrs AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks,
+               doc_id % 20 = 3 AS is_eval
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, is_eval,
+               md5(array_to_string(list_slice(toks, i, i + 12), ' ')) AS wh
+        FROM arrs, unnest(range(1, len(toks) - 13 + 2)) AS t(i)
+        WHERE len(toks) >= 13
+    ),
+    ev AS (SELECT DISTINCT wh FROM wins WHERE is_eval),
+    hits AS (
+        SELECT w.doc_id, count(*) AS nh
+        FROM wins w JOIN ev USING (wh)
+        WHERE NOT w.is_eval
+        GROUP BY 1
+    )
+    SELECT a.lang,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(coalesce(sum(h.nh), 0) AS BIGINT) AS hit_windows,
+           CAST(sum(CASE WHEN h.doc_id IS NULL THEN a.doc_id END)
+                AS BIGINT) AS clean_id_checksum
+    FROM arrs a LEFT JOIN hits h USING (doc_id)
+    WHERE NOT a.is_eval
+    GROUP BY a.lang ORDER BY a.lang
+    """,
+    doc="Ingest-time benchmark decontamination as a stream: arriving "
+    "training docs' 13-token md5 windows LEFT-SEMI join the STATIC "
+    "eval-suite window set per micro-batch (the benchmark ships "
+    "separately and changes rarely — the canonical stream-static "
+    "join), with stream state bounded by MATCHED docs only (the semi "
+    "join filters before the stateful agg); the per-lang rollup "
+    "finalizes at read time against batch-side totals.  The "
+    "fixture-driven run equals the batch eval_decontamination "
+    "semantics bit-for-bit (plus the per-doc hit-window counts only "
+    "the streaming form maintains), which the oracle hash-checks.",
+    tags=("streaming", "llm", "dedup"),
+)
+def streaming_eval_decontamination_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.events_stream import streaming_eval_decontamination
+
+    return streaming_eval_decontamination(spark, sf_dir)

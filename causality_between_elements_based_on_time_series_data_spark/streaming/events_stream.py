@@ -855,3 +855,92 @@ def streaming_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         q.stop()
     return spark.table(name).orderBy("lang")
+
+
+def streaming_eval_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ingest-time benchmark decontamination as a stream: training
+    documents arrive as files, every micro-batch explodes their
+    13-token md5 windows and LEFT-SEMI joins them against the STATIC
+    eval-suite window set (stream-static semi joins are exactly the
+    supported shape for this — the eval benchmark ships separately
+    from the crawl and changes rarely, so it is a static relation the
+    stream probes).  Stateful footprint: one groupBy(lang, doc_id)
+    aggregate over MATCHED windows only — the semi join filters
+    first, so state is bounded by contaminated docs, not the stream.
+    The per-language rollup (train totals + clean-set checksum)
+    happens at read time over the emitted per-doc state joined with
+    the batch-side totals, the same "aggregate in the stream,
+    finalize at read time" pattern as streaming_page_hinkley — and
+    the result must equal the batch `eval_decontamination` semantics
+    bit-for-bit, which the oracle hash-checks.  At scale the memory
+    sink becomes a foreachBatch append to the quarantine table and
+    the gate rides inside the ingest job.
+    """
+    w = 13
+    from ..sources.catalog import load_table
+
+    def windows(df: DataFrame) -> DataFrame:
+        arrs = df.select(
+            "doc_id", "lang", F.split("text", " ").alias("toks")
+        ).filter(F.size("toks") >= w)
+        return arrs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - w + 1)
+            ).alias("i"),
+            "toks",
+        ).select(
+            "doc_id",
+            "lang",
+            F.md5(
+                F.array_join(F.slice("toks", F.col("i"), w), " ")
+            ).alias("wh"),
+        )
+
+    is_eval = (F.col("doc_id") % 20) == 3
+    docs_static = load_table(spark, sf_dir, "documents")
+    ev = windows(docs_static.filter(is_eval)).select("wh").distinct()
+
+    stream = spark.readStream.schema(TABLES["documents"]).parquet(
+        f"{sf_dir}/documents.parque*"
+    )
+    matched = windows(stream.filter(~is_eval)).join(ev, "wh", "left_semi")
+    per_doc = matched.groupBy("lang", "doc_id").agg(
+        F.count("*").cast("bigint").alias("n_hit_windows")
+    )
+
+    name = f"stream_decon_{uuid.uuid4().hex[:8]}"
+    q = (
+        per_doc.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    hits = spark.table(name)
+    train = docs_static.filter(~is_eval).select("doc_id", "lang")
+    flagged = F.col("n_hit_windows").isNotNull()
+    return (
+        train.join(hits.select("doc_id", "n_hit_windows"), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_train"),
+            F.sum(flagged.cast("int")).cast("bigint").alias(
+                "n_contaminated"
+            ),
+            F.sum(F.coalesce("n_hit_windows", F.lit(0)))
+            .cast("bigint")
+            .alias("hit_windows"),
+            F.sum(F.when(~flagged, F.col("doc_id"))).cast("bigint").alias(
+                "clean_id_checksum"
+            ),
+        )
+        .orderBy("lang")
+    )

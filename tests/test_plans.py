@@ -833,6 +833,7 @@ BENCH_SCAN_BUDGETS: dict[str, int] = {
     "ccm_cross_mapping_skill": 0,  # fully below the manifold/grid cuts
     "cosine_topk_bruteforce": 2,
     "dedup_exact_docs": 1,
+    "domain_interleaved_order": 0,  # hash projection below the device cuts
     "perplexity_quality_filter": 0,  # model+scoring below the rank-device cut
     "placebo_permutation_did": 1,
     "price_elasticity_within_part": 1,
