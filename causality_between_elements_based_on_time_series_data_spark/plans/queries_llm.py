@@ -7588,15 +7588,19 @@ def domain_interleaved_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = ((F.col("doc_id").cast("bigint") * 2654435761) % 1000000007).cast(
         "bigint"
     )
+    # metadata-only relations, each consumed by >= 2 branches (bounds
+    # fold + crossJoin, stats + join, counts + join) — derive-once
+    # cuts per the CLAUDE.md rule; without them the rn bounds fold
+    # re-derived FOUR times (one per downstream consumer)
     t = docs.select("doc_id", "source", u.alias("u")).transform(ckpt)
+    bu = with_range_bucket(t, "u").transform(ckpt)
     r = with_global_rank(
-        with_range_bucket(t, "u"),
+        bu,
         [F.asc("u"), F.asc("doc_id")],
         partition_by=("source",),
     ).select("doc_id", "source", "u", "rn").transform(ckpt)
-    b2 = with_hot_cell_subsplit(
-        with_range_bucket(r, "rn", out="bkt"), "rn", "u"
-    )
+    b = with_range_bucket(r, "rn", out="bkt").transform(ckpt)
+    b2 = with_hot_cell_subsplit(b, "rn", "u").transform(ckpt)
     p = with_global_rank(
         b2,
         [F.asc("rn"), F.asc("u"), F.asc("doc_id")],
