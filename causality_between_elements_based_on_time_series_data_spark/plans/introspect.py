@@ -182,6 +182,7 @@ def input_signature(node: WindowNode) -> tuple[str, ...]:
 #: minhash_portable_band_pairs / dedup_exact_docs, all swept fully).
 ITERATIVE_BUILD_QUERIES = frozenset(
     {
+        "cluster_representative_pick",
         "dedup_jaccard_clusters",
         "llm_dedup_pipeline",
         "fuzzy_entity_clusters",

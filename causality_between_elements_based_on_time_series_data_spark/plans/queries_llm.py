@@ -433,11 +433,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(minhash_signatures(docs))
 
 
-def _dedup_pipeline_oracle() -> str:
-    # Tier 1 (exact dedup, min-id survivor per text) feeds the band
-    # CTEs via the ``sdocs`` relation; tier 3 verifies token-set
-    # Jaccard ≥ 0.8 on candidates; tier 4 closes components with a
-    # recursive CTE (same pattern as dedup_jaccard_clusters).
+def _dedup_pipeline_ctes() -> str:
+    """The shared CTE chain exact-dedup → band candidates → Jaccard
+    verify → transitive closure (through ``reach``), used by the
+    ``llm_dedup_pipeline`` oracle and the cluster-representative
+    oracle — candidate generation and clustering must be bit-identical
+    in both."""
     return f"""
     WITH RECURSIVE surv AS (
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
@@ -481,7 +482,17 @@ def _dedup_pipeline_oracle() -> str:
         SELECT u, v FROM edges
         UNION
         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-    ),
+    )"""
+
+
+def _dedup_pipeline_oracle() -> str:
+    # Tier 1 (exact dedup, min-id survivor per text) feeds the band
+    # CTEs via the ``sdocs`` relation; tier 3 verifies token-set
+    # Jaccard ≥ 0.8 on candidates; tier 4 closes components with a
+    # recursive CTE (same pattern as dedup_jaccard_clusters).
+    return (
+        _dedup_pipeline_ctes()
+        + """,
     dropped AS (
         SELECT u AS doc_id FROM reach GROUP BY u
         HAVING least(u, min(v)) <> u
@@ -490,6 +501,7 @@ def _dedup_pipeline_oracle() -> str:
     FROM sdocs s
     WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
     """
+    )
 
 
 @register(
@@ -7147,6 +7159,45 @@ def corpus_stage_tables(
 _DECON_W = 13  # the GPT-3/PaLM 13-gram decontamination window
 
 
+def decon_windows(side: DataFrame) -> DataFrame:
+    """(doc_id, wh) — the md5-keyed sliding ``_DECON_W``-token windows
+    of a (doc_id, text, …) relation; the shared decontamination
+    primitive behind ``eval_decontamination``, its streaming twin's
+    oracle, and the user-facing pipeline composition in
+    ``examples/run_corpus_pipeline.py``."""
+    arrs = side.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).filter(F.size("toks") >= _DECON_W)
+    return arrs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - _DECON_W + 1)
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice("toks", F.col("i"), _DECON_W), " ")
+        ).alias("wh"),
+    )
+
+
+def decon_contaminated_ids(
+    train_docs: DataFrame, eval_docs: DataFrame
+) -> DataFrame:
+    """doc_ids of training documents sharing any ``_DECON_W``-token
+    window with the eval suite — the composable decontamination core:
+    hash-keyed train-vs-eval semi-join, train×train mass never
+    generated, eval side |benchmark|-sized."""
+    ev = decon_windows(eval_docs).select("wh").distinct()
+    return (
+        decon_windows(train_docs)
+        .join(ev, "wh", "semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 @register(
     "eval_decontamination",
     oracle=f"""
@@ -7211,32 +7262,9 @@ _DECON_W = 13  # the GPT-3/PaLM 13-gram decontamination window
 def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     is_eval = (F.col("doc_id") % 20) == 3
-
-    def windows(side: DataFrame) -> DataFrame:
-        arrs = side.select(
-            "doc_id", F.split("text", " ").alias("toks")
-        ).filter(F.size("toks") >= _DECON_W)
-        return arrs.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.size("toks") - _DECON_W + 1)
-            ).alias("i"),
-            "toks",
-        ).select(
-            "doc_id",
-            F.md5(
-                F.array_join(F.slice("toks", F.col("i"), _DECON_W), " ")
-            ).alias("wh"),
-        )
-
-    ev = windows(docs.filter(is_eval)).select("wh").distinct()
-    contaminated = (
-        windows(docs.filter(~is_eval))
-        .join(ev, "wh", "semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("_c", F.lit(1))
-    )
+    contaminated = decon_contaminated_ids(
+        docs.filter(~is_eval), docs.filter(is_eval)
+    ).withColumn("_c", F.lit(1))
     train = docs.filter(~is_eval).select("doc_id", "lang")
     hit = F.col("_c").isNotNull()
     return (
@@ -7710,4 +7738,115 @@ def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_ratio"),
         )
         .orderBy("shard")
+    )
+
+
+@register(
+    "cluster_representative_pick",
+    oracle=_dedup_pipeline_ctes()
+    + """,
+    comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u
+    ),
+    memb AS (
+        SELECT c.cluster_id, c.doc_id,
+               len(list_distinct(string_split(s.text, ' '))) AS qscore
+        FROM comp c JOIN sdocs s USING (doc_id)
+    ),
+    rk AS (
+        SELECT cluster_id, doc_id, qscore,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY qscore DESC, doc_id) AS r
+        FROM memb
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN r = 1 THEN doc_id END) AS BIGINT)
+               AS rep_doc_id,
+           CAST(sum(CASE WHEN r = 1 THEN qscore END) AS BIGINT)
+               AS rep_score,
+           CAST(sum(CASE WHEN r > 1 THEN doc_id END) AS BIGINT)
+               AS dropped_id_checksum
+    FROM rk GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    doc="Quality-aware survivor selection over the production "
+    "pipeline's near-dup clusters: real dedup keeps the BEST document "
+    "per cluster (here distinct-token richness with a doc_id tiebreak "
+    "— a deterministic arg-max; swap in any quality score), not the "
+    "arbitrary min-id that min-label propagation hands back.  One row "
+    "per MULTI-member cluster with the chosen representative and the "
+    "dropped-set checksum the pipeline quarantines by.  Cluster base "
+    "is bit-identical to llm_dedup_pipeline (shared oracle CTE chain: "
+    "exact-dedup survivors, portable band candidates, Jaccard >= 0.8 "
+    "verify, transitive closure).  Scale shape: candidates from "
+    "bucket collisions (never all-pairs), min-label connected "
+    "components (iterative build — listed in "
+    "introspect.ITERATIVE_BUILD_QUERIES, audited with cuts active), "
+    "and the arg-max is a single cluster-keyed cumulative struct max "
+    "(max(struct(qscore, -doc_id))) — no per-cluster window, no rank "
+    "shuffle beyond the one aggregate.",
+    tags=("llm", "dedup", "graph", "quality"),
+)
+def cluster_representative_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = dedup_exact(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    s1 = docs.join(keep, "doc_id", "semi")
+
+    cands = portable_band_pairs(portable_signatures(s1)).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    tok = s1.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    ).transform(ckpt)  # read by the verify join AND the quality score
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cands.join(tok.alias("ta"), F.col("ta.doc_id") == F.col("id_a"))
+        .join(
+            tok.alias("tb"),
+            (F.col("tb.doc_id") == F.col("id_b"))
+            & (F.col("ta.w") == F.col("tb.w")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    verified = (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b")
+    )
+
+    cc = connected_components(verified)
+    # qscore = distinct-token count: the sz aggregate already IS it
+    memb = cc.select(F.col("node").alias("doc_id"), "cluster_id").join(
+        sizes.select("doc_id", F.col("sz").alias("qscore")), "doc_id"
+    )
+    # arg-max via struct max: (qscore, -doc_id) orders by quality then
+    # SMALLEST id — one cluster-keyed aggregate, no window
+    rep = F.max(
+        F.struct(F.col("qscore").alias("q"), (-F.col("doc_id")).alias("nid"))
+    )
+    return (
+        memb.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            rep.alias("_rep"),
+            F.sum("doc_id").cast("bigint").alias("_idsum"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col("_rep.nid")).cast("bigint").alias("rep_doc_id"),
+            F.col("_rep.q").cast("bigint").alias("rep_score"),
+            (F.col("_idsum") + F.col("_rep.nid")).cast("bigint").alias(
+                "dropped_id_checksum"
+            ),
+        )
+        .orderBy("cluster_id")
     )

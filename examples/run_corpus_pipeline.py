@@ -63,6 +63,24 @@ def main() -> None:
     # and "persist" are interchangeable.
     docs = load_table(spark, sf_dir, "documents")
     selected_ids = _selected_ids(spark, sf_dir)
+
+    # 1b. benchmark decontamination — composes as a FINAL anti-join on
+    # the funnel's kept set (the eval suite ships separately from the
+    # crawl; here the registered query's deterministic id-slice
+    # stand-in).  Quarantined docs never reach the written corpus.
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        decon_contaminated_ids,
+    )
+
+    is_eval = (F.col("doc_id") % 20) == 3
+    contaminated = decon_contaminated_ids(
+        docs.filter(~is_eval).join(selected_ids, "doc_id", "semi"),
+        docs.filter(is_eval),
+    )
+    n_quarantined = contaminated.count()
+    selected_ids = selected_ids.join(contaminated, "doc_id", "anti")
+    print(f"== decontamination: quarantined {n_quarantined} selected docs ==")
+
     corpus = docs.join(selected_ids, "doc_id", "semi").withColumn(
         "shard",
         (
