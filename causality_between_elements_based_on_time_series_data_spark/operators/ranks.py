@@ -339,7 +339,13 @@ def with_hot_cell_subsplit(
     t = F.col(tiebreak_col).cast("double")
     tmn = F.col("_sc_tmn").cast("double")
     tmx = F.col("_sc_tmx").cast("double")
-    span = (tmn - tmx) if tiebreak_descending else (tmx - tmn)
+    # span is direction-independent (tmx >= tmn always); direction
+    # lives in pos.  (A round-11 draft negated span for descending,
+    # which made `span > 0` always false — descending cells silently
+    # fell back to the no-split sub-bucket: still bit-identical, but
+    # the straggler split never happened.  tests/test_ranks.py now
+    # asserts the split actually occurs in both directions.)
+    span = tmx - tmn
     pos = (tmx - t) if tiebreak_descending else (t - tmn)
     sub_real = (
         F.when(

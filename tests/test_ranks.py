@@ -336,6 +336,13 @@ def test_subsplit_descending_tiebreak_bit_identical(spark):
     )
     exp = df.withColumn("exp", F.row_number().over(w))
     _assert_same(got, exp)
+    # the descending split must ACTUALLY split (a draft negated the
+    # tiebreak span for desc, making every desc cell fall back to the
+    # no-split sub-bucket — bit-identical but a straggler no-op)
+    n_cells = (
+        b2.filter(F.col("grp") == "mega").select("bkt2").distinct().count()
+    )
+    assert n_cells > 1, "descending constant-key cell was not subsplit"
 
 
 def test_subsplit_ungrouped_all_equal_values(spark):
