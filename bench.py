@@ -59,9 +59,17 @@ def main() -> None:
 
     bench_queries = {name: q for name, q in REGISTRY.items() if "bench" in q.tags}
 
-    # Warmup: JVM JIT + parquet footer caches, one light pass.
-    warm = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
-    warm.write.format("noop").mode("overwrite").save()
+    # Warmup: one FULL untimed suite pass (JVM JIT, parquet footers,
+    # whole-stage codegen caches).  A light single-query warmup left
+    # pass 1 cold for everything else, so every per-query spread
+    # exceeded the 1.2 contention threshold and the spread diagnostic
+    # carried no signal (round-11 finding: min-of-N hid it, but the
+    # sidecar's contention flag was crying wolf on every query).
+    import gc as _gc
+
+    for _name, _q in sorted(bench_queries.items()):
+        _q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _gc.collect()
 
     load_before = tuple(round(x, 2) for x in os.getloadavg())
 
