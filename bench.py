@@ -59,6 +59,11 @@ def main() -> None:
 
     bench_queries = {name: q for name, q in REGISTRY.items() if "bench" in q.tags}
 
+    # The quiet-box check must sample load BEFORE any Spark work —
+    # since the warmup became a full suite pass, sampling after it
+    # reads this process's own load (~4), not external contention.
+    load_before = tuple(round(x, 2) for x in os.getloadavg())
+
     # Warmup: one FULL untimed suite pass (JVM JIT, parquet footers,
     # whole-stage codegen caches).  A light single-query warmup left
     # pass 1 cold for everything else, so every per-query spread
@@ -70,8 +75,6 @@ def main() -> None:
     for _name, _q in sorted(bench_queries.items()):
         _q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         _gc.collect()
-
-    load_before = tuple(round(x, 2) for x in os.getloadavg())
 
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     passes: dict[str, list[float]] = {name: [] for name in sorted(bench_queries)}

@@ -288,20 +288,33 @@ _CHOW_SLOPE_SQL = (
     WITH daily AS (
         SELECT CAST(date_diff('day', DATE '2024-01-01',
                               CAST(date_trunc('day', ts) AS DATE))
-                    AS DOUBLE) AS x,
-               round(sum(CASE WHEN event_type = 'purchase'
-                              THEN value ELSE 0 END), 6) AS y
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS yc
         FROM events GROUP BY 1
     ),
     mid AS (
         SELECT CAST((min(x) + max(x)) AS BIGINT) // 2 AS m FROM daily
     ),
+    -- exact integer moments (value is 2-decimal, so the per-row
+    -- centi-quantization is lossless); cast to doubles with the
+    -- centi-unit corrections AFTER the sums, mirroring the Spark side
     seg AS (
-        SELECT CAST(x <= m AS INTEGER) AS pre,
-               CAST(count(*) AS DOUBLE) AS n,
-               sum(x) AS sx, sum(y) AS sy,
-               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
-        FROM daily CROSS JOIN mid GROUP BY 1
+        SELECT pre, n,
+               CAST(sxi AS DOUBLE) AS sx,
+               CAST(syi AS DOUBLE) / 100.0 AS sy,
+               CAST(sxxi AS DOUBLE) AS sxx,
+               CAST(syyi AS DOUBLE) / 10000.0 AS syy,
+               CAST(sxyi AS DOUBLE) / 100.0 AS sxy
+        FROM (
+            SELECT CAST(x <= m AS INTEGER) AS pre,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   sum(x) AS sxi, sum(yc) AS syi,
+                   sum(x * x) AS sxxi, sum(yc * yc) AS syyi,
+                   sum(x * yc) AS sxyi
+            FROM daily CROSS JOIN mid GROUP BY 1
+        )
     ),
     folded AS (
         SELECT sum(n) AS n,
@@ -350,20 +363,25 @@ _CHOW_SLOPE_SQL = (
 )
 def chow_structural_break(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # Exact-integer moment discipline (round 11): `value` is a
+    # 2-decimal quantity, so per-ROW centi-quantization is lossless
+    # and unambiguous in both engines, and every moment below is then
+    # an INTEGER sum — aggregation-order-free, so the slope can never
+    # sit on a rounding boundary that Spark's partial-agg order
+    # decides (observed: slope_post flipped its 4th decimal vs the
+    # oracle in 1 of 6 driver runs with the old float moments).
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.round(
-            F.sum(
-                F.when(
-                    F.col("event_type") == "purchase", F.col("value")
-                ).otherwise(0.0)
-            ),
-            6,
-        ).alias("y")
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("yc")
     ).select(
         F.datediff(F.col("day").cast("date"), F.lit("2024-01-01"))
-        .cast("double")
+        .cast("bigint")
         .alias("x"),
-        "y",
+        "yc",
     )
     # F.floor (not a bigint cast, which truncates toward zero) so the
     # midpoint floors like DuckDB's `//` even if daynums were negative.
@@ -377,12 +395,24 @@ def chow_structural_break(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("x") <= F.col("m")).cast("int").alias("pre"))
         .agg(
             F.count("*").cast("double").alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum("x").alias("_sxi"),
+            F.sum("yc").alias("_syi"),
+            F.sum(F.col("x") * F.col("x")).alias("_sxxi"),
+            F.sum(F.col("yc") * F.col("yc")).alias("_syyi"),
+            F.sum(F.col("x") * F.col("yc")).alias("_sxyi"),
             F.max("m").alias("m"),
+        )
+        # integer moments -> doubles with the centi-unit corrections;
+        # deterministic (same integers -> same doubles) in both engines
+        .select(
+            "pre",
+            "n",
+            "m",
+            F.col("_sxi").cast("double").alias("sx"),
+            (F.col("_syi").cast("double") / 100.0).alias("sy"),
+            F.col("_sxxi").cast("double").alias("sxx"),
+            (F.col("_syyi").cast("double") / 10000.0).alias("syy"),
+            (F.col("_sxyi").cast("double") / 100.0).alias("sxy"),
         )
     )
 
