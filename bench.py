@@ -76,7 +76,12 @@ def main() -> None:
         _q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         _gc.collect()
 
-    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    # >= 4 passes by default (round-12 VERDICT item 2): the box showed
+    # 24.9-37 s total variance across identical idle runs in round 11,
+    # so min-of-2 cannot separate a 10-20% plan regression from noise.
+    # The stdout total stays MIN (contention-robust); the sidecar adds
+    # a MEDIAN total + per-query medians for cross-run comparisons.
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "4")))
     passes: dict[str, list[float]] = {name: [] for name in sorted(bench_queries)}
     # Whole-suite passes (not per-query back-to-back repeats) so pass 2's
     # caches reflect steady state, and a burst of external load poisons
@@ -94,13 +99,27 @@ def main() -> None:
             # of the memory-heavy queries (amtl) read 2x slower.
             gc.collect()
 
+    import statistics
+
     timings = {name: min(ts) for name, ts in passes.items()}
+    medians = {
+        name: round(statistics.median(ts), 3) for name, ts in passes.items()
+    }
     total = round(sum(timings.values()), 3)
+    median_total = round(sum(medians.values()), 3)
     spread = {name: round(max(ts) / max(min(ts), 1e-9), 3) for name, ts in passes.items()}
+    # one number the next judge can gate on: median/min per query, worst
+    # case — >~1.25 on a pre-warmed suite means the run was contended
+    # and per-query regressions should not be adjudicated from it
+    contention = round(
+        max(medians[n] / max(timings[n], 1e-9) for n in timings), 3
+    )
     line = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
+        "median_total": median_total,
+        "passes": n_passes,
         "queries": timings,
         "sf": sf,
     }
@@ -110,6 +129,9 @@ def main() -> None:
     # goes to a sidecar file instead of the line itself.
     detail = dict(
         line,
+        median_total=median_total,
+        query_medians=medians,
+        contention_ratio=contention,
         passes=passes,
         spread=spread,
         load_avg={

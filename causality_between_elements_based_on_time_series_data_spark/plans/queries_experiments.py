@@ -398,6 +398,15 @@ def chow_structural_break(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("x").alias("_sxi"),
             F.sum("yc").alias("_syi"),
             F.sum(F.col("x") * F.col("x")).alias("_sxxi"),
+            # 2^63 headroom (ANSI mode hard-errors on overflow, per
+            # the CLAUDE.md unit-sizing rule): yc is a per-day
+            # purchase total in CENTI-units, so sum(yc²) needs
+            # |yc| < √(2^63 / n_days) — at a year of days that is
+            # ~1.6e8 centi ≈ $1.6M of purchases per day; the x100
+            # fixture sweep sits ~2 orders below it.  A deployment
+            # past that bound must DEMEAN x/y before forming second
+            # moments (shrinks magnitudes to deviations) rather than
+            # widen units, which would reintroduce the float flake.
             F.sum(F.col("yc") * F.col("yc")).alias("_syyi"),
             F.sum(F.col("x") * F.col("yc")).alias("_sxyi"),
             F.max("m").alias("m"),

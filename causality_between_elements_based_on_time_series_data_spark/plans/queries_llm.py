@@ -2480,10 +2480,12 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "quality_filter_verdicts",
-    oracle="""
-    WITH tok AS (
+# The heuristic verdict cascade, factored so the oracle CTE chain and
+# the Spark expressions are each written ONCE — quality_filter_verdicts
+# reports it, and doc_quality_logistic_gate uses verdict = 'keep' as
+# its deterministic "curated" label stand-in; a threshold edit cannot
+# desynchronize the two.
+_QF_VERDICT_CTES = """tok AS (
         SELECT doc_id, lang, string_split(text, ' ') AS ts, text
         FROM documents
     ),
@@ -2513,27 +2515,13 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE 'keep'
                END AS verdict
         FROM sig
-    )
-    SELECT lang, verdict, count(*) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-    FROM verdicts
-    GROUP BY 1, 2
-    ORDER BY 1, 2
-    """,
-    doc="Composed training-data quality filter (the decision layer "
-    "over text_quality_scores / repetition_signals, in the style of "
-    "Gopher/C4 filtering): each document gets ONE verdict from an "
-    "ordered rule cascade (too_short -> token-length outlier -> "
-    "repetitive -> keep; thresholds tuned to split the synthetic "
-    "fixture so every rule fires) reported as per-(lang, verdict) doc and "
-    "token counts — the dataset-curation dashboard.  All signals "
-    "are row-local array/string arithmetic; the only shuffle is the "
-    "final tiny rollup.  At 100 TB this is one map pass over "
-    "documents plus a |langs| x |verdicts| aggregate.",
-    tags=("llm", "text", "quality"),
-)
-def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    )"""
+
+
+def _quality_verdict_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_tokens, verdict) — the Spark half of
+    ``_QF_VERDICT_CTES`` (Gopher/C4-style ordered rule cascade), all
+    row-local array/string arithmetic."""
     ts = F.split(F.col("text"), " ")
     tri = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size("ts") - 2, F.lit(1))),
@@ -2573,16 +2561,246 @@ def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("dup_tri") > 0.02, F.lit("repetitive"))
         .otherwise(F.lit("keep"))
     )
+    return sig.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        verdict.alias("verdict"),
+    )
+
+
+@register(
+    "quality_filter_verdicts",
+    oracle=f"""
+    WITH {_QF_VERDICT_CTES}
+    SELECT lang, verdict, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM verdicts
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Composed training-data quality filter (the decision layer "
+    "over text_quality_scores / repetition_signals, in the style of "
+    "Gopher/C4 filtering): each document gets ONE verdict from an "
+    "ordered rule cascade (too_short -> token-length outlier -> "
+    "repetitive -> keep; thresholds tuned to split the synthetic "
+    "fixture so every rule fires) reported as per-(lang, verdict) doc and "
+    "token counts — the dataset-curation dashboard.  All signals "
+    "are row-local array/string arithmetic; the only shuffle is the "
+    "final tiny rollup.  At 100 TB this is one map pass over "
+    "documents plus a |langs| x |verdicts| aggregate.",
+    tags=("llm", "text", "quality"),
+)
+def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        sig.select(
-            "lang", F.col("n_tokens").cast("bigint").alias("n_tokens"), verdict.alias("verdict")
-        )
+        _quality_verdict_df(docs)
+        .select("lang", "n_tokens", "verdict")
         .groupBy("lang", "verdict")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
         .orderBy("lang", "verdict")
+    )
+
+
+_DSIR_BUCKETS = 1024  # DSIR's fixed hashed-feature space (also the classifier gate's)
+
+# feat relation for the GPT-3/CCNet-style doc-quality classifier:
+# nested-WITH body handed to _irls_oracle_ctes (it wraps this as the
+# `feat` CTE).  f1 is the hashed-unigram naive-Bayes log-ratio score
+# quantized per BUCKET to integer micro-nats (sum of BIGINTs →
+# aggregation-order-free, the perplexity discipline), normalized per
+# token; f2 = ln(1 + doc tokens); y = the heuristic verdict cascade's
+# 'keep' (the deterministic curated-vs-crawl label stand-in).
+_DQ_FEAT_SQL = f"""
+        WITH {_QF_VERDICT_CTES},
+        toksq AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(unnest(string_split(text, ' '))),
+                                       1, 12)
+                        AS BIGINT) % {{nb}} AS b
+            FROM documents
+        ),
+        bc AS (SELECT doc_id, b, count(*) AS cnt FROM toksq GROUP BY 1, 2),
+        tgt AS (
+            SELECT b, CAST(count(*) AS DOUBLE) AS c
+            FROM toksq
+            JOIN (SELECT doc_id FROM verdicts WHERE verdict = 'keep')
+                 USING (doc_id)
+            GROUP BY 1
+        ),
+        rawc AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM toksq GROUP BY 1),
+        tgt_tot AS (SELECT sum(c) AS tot FROM tgt),
+        raw_tot AS (SELECT sum(c) AS tot FROM rawc),
+        lmicro AS (
+            SELECT r.b,
+                   CAST(round(ln(((coalesce(g.c, 0) + 1.0) / (gt.tot + {{nb}}))
+                                 / ((r.c + 1.0) / (rt.tot + {{nb}})))
+                              * 1000000, 0) AS BIGINT) AS lm
+            FROM rawc r LEFT JOIN tgt g USING (b)
+            CROSS JOIN tgt_tot gt CROSS JOIN raw_tot rt
+        ),
+        fr AS (
+            SELECT bc.doc_id,
+                   CAST(sum(bc.cnt * lm) AS BIGINT) AS f1i,
+                   CAST(sum(bc.cnt) AS BIGINT) AS ntok
+            FROM bc JOIN lmicro USING (b) GROUP BY 1
+        )
+        SELECT v.lang, v.doc_id,
+               round(f1i / (1000000.0 * ntok), 6) AS f1,
+               round(ln(1.0 + ntok), 6) AS f2,
+               CAST(v.verdict = 'keep' AS INTEGER) AS y
+        FROM fr JOIN verdicts v USING (doc_id)""".replace(
+    "{nb}", str(_DSIR_BUCKETS)
+)
+
+
+def _dq_gate_oracle(rounds: int = _IRLS_ROUNDS) -> str:
+    keep = "b0 + b1*f1 + b2*f2 >= 0"  # p >= 0.5 ⟺ eta >= 0, no exp needed
+    return (
+        _irls_oracle_ctes(_DQ_FEAT_SQL, rounds)
+        + f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN {keep} THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS keep_rate,
+           CAST(sum(CASE WHEN {keep} THEN doc_id END) AS BIGINT)
+               AS kept_id_checksum,
+           round(any_value(b0), 4) AS beta0,
+           round(any_value(b1), 4) AS beta1,
+           round(any_value(b2), 4) AS beta2
+    FROM feat CROSS JOIN beta{rounds}
+    GROUP BY lang ORDER BY lang"""
+    )
+
+
+@register(
+    "doc_quality_logistic_gate",
+    oracle=_dq_gate_oracle(),
+    doc="Doc-quality classifier gate (the GPT-3 Appendix A / CCNet "
+    "curated-vs-crawl logistic filter, round-12 VERDICT item 3): "
+    "score every document by a logistic model over (f1 = hashed-"
+    f"unigram naive-Bayes log-ratio on DSIR's fixed {_DSIR_BUCKETS}-"
+    "bucket feature space, f2 = log doc length), trained by the "
+    "shared unrolled-IRLS primitive (logistic_irls_portable's exact "
+    "machinery) against the heuristic verdict cascade's 'keep' as the "
+    "deterministic curated-label stand-in — in production the "
+    "positive class is the curated corpus (WebText/Wikipedia) and "
+    "the cascade is replaced by that source bit.  Per-bucket log "
+    "ratios are quantized to integer micro-nats so every per-doc "
+    "feature is a BIGINT sum (aggregation-order-free, the perplexity "
+    "discipline).  Scale shape: the bucket tables are FIXED "
+    f"{_DSIR_BUCKETS} rows at any corpus size (broadcast by "
+    "construction), training is 4 × one map-side-combined 9-moment "
+    "pass, scoring is the 1-row beta broadcast — no token-keyed "
+    "shuffle anywhere except the per-doc bucket-count rollup.  "
+    "Funnel integration decision: registered STANDALONE, like "
+    "eval_decontamination — the corpus funnel's stage-2 gate is the "
+    "perplexity filter (CCNet's LM stage); this classifier composes "
+    "as an alternative stage-2 predicate via its kept-id set "
+    "(semi-join), and keeping it standalone keeps the funnel's "
+    "oracle CTE chain independent of the IRLS unroll.  Output: "
+    "per-lang keep rates + kept-set id checksum + the fitted betas.",
+    tags=("llm", "text", "quality", "ml", "bench"),
+)
+def doc_quality_logistic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # metadata-only (doc_id, lang, verdict); consumed by the curated
+    # filter AND the feat join — derive-once cut
+    verd = (
+        _quality_verdict_df(docs)
+        .select("doc_id", "lang", "verdict")
+        .transform(ckpt)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("bigint")
+        % _DSIR_BUCKETS
+    )
+    # (doc_id, bucket) int pairs — three consumers (bc, tgt, rawc);
+    # same cut dsir_importance_weights applies to the identical shape
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .select("doc_id", bucket.alias("b"))
+        .transform(ckpt)
+    )
+    bc = toks.groupBy("doc_id", "b").agg(F.count("*").alias("cnt"))
+    curated = verd.filter(F.col("verdict") == "keep").select("doc_id")
+    tgt = (
+        toks.join(curated, "doc_id", "semi")
+        .groupBy("b")
+        .agg(F.count("*").cast("double").alias("gc"))
+    )
+    rawc = toks.groupBy("b").agg(F.count("*").cast("double").alias("rc"))
+    tgt_tot = tgt.agg(F.sum("gc").alias("gtot"))
+    raw_tot = rawc.agg(F.sum("rc").alias("rtot"))
+    nb = F.lit(float(_DSIR_BUCKETS))
+    lm = (
+        F.round(
+            F.log(
+                (
+                    (F.coalesce(F.col("gc"), F.lit(0.0)) + 1.0)
+                    / (F.col("gtot") + nb)
+                )
+                / ((F.col("rc") + 1.0) / (F.col("rtot") + nb))
+            )
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("lm")
+    )
+    # <= _DSIR_BUCKETS rows by construction — the provably bounded
+    # broadcast case (the hashed-feature design exists to pin this)
+    lmicro = (
+        rawc.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .select("b", lm)
+    )
+    fr = (
+        bc.join(F.broadcast(lmicro), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("lm")).cast("bigint").alias("f1i"),
+            F.sum("cnt").cast("bigint").alias("ntok"),
+        )
+    )
+    # read by 4 IRLS rounds + the final scoring pass — cut or the
+    # token pipeline re-derives per round
+    feat = (
+        fr.join(verd, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("f1i") / (1000000.0 * F.col("ntok")), 6).alias("f1"),
+            F.round(F.log(F.lit(1.0) + F.col("ntok")), 6).alias("f2"),
+            (F.col("verdict") == "keep").cast("int").alias("y"),
+        )
+        .transform(ckpt)
+    )
+    beta = _irls_fit(spark, feat)
+    scored = feat.crossJoin(F.broadcast(beta))
+    eta = F.col("b0") + F.col("b1") * F.col("f1") + F.col("b2") * F.col("f2")
+    kept = (eta >= 0).cast("int")
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum(kept).cast("double") / F.count("*"), 6
+            ).alias("keep_rate"),
+            F.sum(F.when(eta >= 0, F.col("doc_id")))
+            .cast("bigint")
+            .alias("kept_id_checksum"),
+            F.round(F.any_value("b0"), 4).alias("beta0"),
+            F.round(F.any_value("b1"), 4).alias("beta1"),
+            F.round(F.any_value("b2"), 4).alias("beta2"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -4261,8 +4479,6 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chosen.select("sel_round", "vec_id", "gap").orderBy("sel_round")
 
 
-_DSIR_BUCKETS = 1024
-
 
 @register(
     "dsir_importance_weights",
@@ -4446,6 +4662,157 @@ def substring_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.avg(F.col("n_dup") / F.col("n_windows").cast("double")), 6
             ).alias("avg_dup_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "exact_substring_span_removal",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, i,
+               md5(array_to_string(
+                   list_slice(toks, i, i + {_SUBSTR_W} - 1), ' ')) AS wh
+        FROM arrs, unnest(range(1, len(toks) - {_SUBSTR_W} + 2)) AS t(i)
+        WHERE len(toks) >= {_SUBSTR_W}
+    ),
+    dupwh AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+    dup AS (
+        SELECT doc_id, list(i) AS dis
+        FROM wins JOIN dupwh USING (wh)
+        GROUP BY doc_id
+    ),
+    rec AS (
+        SELECT a.doc_id, a.lang, len(toks) AS n_toks,
+               coalesce(list_distinct(flatten(list_transform(
+                   d.dis, i -> range(i, i + {_SUBSTR_W})))),
+                   CAST([] AS BIGINT[])) AS cov,
+               toks
+        FROM arrs a LEFT JOIN dup d USING (doc_id)
+    ),
+    cleaned AS (
+        SELECT doc_id, lang, n_toks, len(cov) AS n_removed,
+               -- DuckDB's array_to_string yields NULL (not '') for a
+               -- fully-removed doc's empty kept list; Spark's
+               -- array_join yields '' — coalesce to match
+               coalesce(array_to_string(list_transform(
+                   list_filter(range(1, n_toks + 1),
+                               p -> NOT list_contains(cov, p)),
+                   p -> toks[p]), ' '), '') AS ctext
+        FROM rec
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(sum(n_removed) AS BIGINT) AS removed_tokens,
+           round(sum(n_removed) / CAST(sum(n_toks) AS DOUBLE), 6)
+               AS removed_frac,
+           CAST(sum(CAST('0x' || substr(md5(ctext), 1, 12) AS BIGINT))
+                AS BIGINT) AS cleaned_checksum
+    FROM cleaned GROUP BY lang ORDER BY lang
+    """,
+    doc="Exact-substring span REMOVAL (Lee et al. 2021 ExactSubstr as "
+    "a transformation, not an audit — round-12 VERDICT item 4): drop "
+    f"every token covered by any {_SUBSTR_W}-token window whose md5 "
+    "occurs more than once ANYWHERE in the corpus, and emit per-lang "
+    "removal accounting plus an order-free checksum of the cleaned "
+    "texts.  Span-merge convention: coverage is the UNION of "
+    "duplicated windows' position ranges (overlapping windows merge "
+    "into maximal spans implicitly; each token is removed once), and "
+    "survivors keep their original order — the cleaned text is the "
+    "in-order join of uncovered tokens.  Scale shape: windows shuffle "
+    "by md5 only (the dedup_exact_docs discipline at substring "
+    "grain), the duplicated-window set semi-joins back hash-keyed, "
+    "per-doc span lists are doc-keyed and bounded by the doc's own "
+    "window count, and the reconstruction (range-union, filter, "
+    "re-join) is entirely row-local array arithmetic — no token-level "
+    "shuffle; the corpus text is read from the column-pruned scan "
+    "per consumer instead of being checkpointed (the round-10 "
+    "payload rule).",
+    tags=("llm", "text", "dedup", "quality", "bench"),
+)
+def exact_substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = _SUBSTR_W
+    arrs = docs.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    wins = (
+        arrs.filter(F.size("toks") >= w)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - w + 1)).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.array_join(F.slice("toks", F.col("i"), w), " ")).alias(
+                "wh"
+            ),
+        )
+        .transform(ckpt)  # hash windows, no text payload; 2 consumers
+    )
+    dupwh = wins.groupBy("wh").agg(F.count("*").alias("c")).filter(
+        F.col("c") >= 2
+    ).select("wh")
+    dup = (
+        wins.join(dupwh, "wh", "semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("i").alias("dis"))
+    )
+    cov = F.coalesce(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.col("dis"), lambda i: F.sequence(i, i + F.lit(w - 1))
+                )
+            )
+        ),
+        F.array().cast("array<int>"),
+    )
+    rec = arrs.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_toks"),
+        cov.alias("cov"),
+        "toks",
+    )
+    kept_pos = F.filter(
+        F.sequence(F.lit(1), F.col("n_toks")),
+        lambda p: ~F.array_contains(F.col("cov"), p),
+    )
+    cleaned = rec.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        F.size("cov").alias("n_removed"),
+        F.array_join(
+            F.transform(kept_pos, lambda p: F.element_at(F.col("toks"), p)),
+            " ",
+        ).alias("ctext"),
+    )
+    return (
+        cleaned.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.sum("n_removed").cast("bigint").alias("removed_tokens"),
+            F.round(
+                F.sum("n_removed").cast("double")
+                / F.sum("n_toks").cast("double"),
+                6,
+            ).alias("removed_frac"),
+            F.sum(
+                F.conv(F.substring(F.md5("ctext"), 1, 12), 16, 10).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cleaned_checksum"),
         )
         .orderBy("lang")
     )
@@ -6409,12 +6776,32 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
         .distinct()
+        .transform(ckpt)  # read by the cand_ids projection AND inter
     )
 
-    # tier 3: exact word-set Jaccard on candidates only (the pipeline's
-    # verify stage, word tokens to match the oracle)
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    # tier 3: exact word-set Jaccard on CANDIDATE DOCUMENTS only — the
+    # verify stage must be candidate-proportional, not corpus
+    # proportional: tokenizing all of `docs` here would re-read and
+    # re-shuffle 100 TB of text per ingest even though rows for
+    # non-candidate docs can never match `inter` or be read from
+    # `sizes` (round-11 verdict #1).  The candidate endpoint set is
+    # bounded by the hot-bucket occupancy guard, so the semi-join is a
+    # runtime broadcast and the documents text column is decoded only
+    # for docs that survive it.  Oracle-neutral by construction.
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    tok = (
+        docs.select("doc_id", "text")
+        .join(cand_ids, "doc_id", "semi")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+        )
+        # candidate-bounded words, NOT corpus text (the metadata-only
+        # cut rule's payload exception doesn't apply): one tokenize
+        # pass feeds all three readers (sizes, ta, tb)
+        .transform(ckpt)
     )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
@@ -7414,11 +7801,29 @@ def incremental_dedup_persisted_index(
         )
         .select("id_a", "id_b")
         .distinct()
+        .transform(ckpt)  # read by the cand_ids projection AND inter
     )
 
-    # tier 3: exact word-set Jaccard on candidates only
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    # tier 3: exact word-set Jaccard on CANDIDATE DOCUMENTS only —
+    # same candidate-proportional discipline as
+    # incremental_dedup_new_batch (round-11 verdict #1): the persisted
+    # index's whole story is that a recurring ingest never re-derives
+    # the index, so the verify tier must not re-tokenize the corpus.
+    # The endpoint set is occupancy-guard-bounded; the semi-join
+    # broadcasts and text decodes only for surviving docs.
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    tok = (
+        docs.select("doc_id", "text")
+        .join(cand_ids, "doc_id", "semi")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+        )
+        # candidate-bounded words, NOT corpus text: one tokenize pass
+        # feeds all three readers (sizes, ta, tb)
+        .transform(ckpt)
     )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
@@ -7582,7 +7987,8 @@ def exact_median_mad_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg((pos - 1.0) / (n - 1)), 6) AS mean_norm_pos,
+           round((CAST(sum(pos) AS DOUBLE) - count(*))
+                 / (count(*) * (max(n) - 1.0)), 6) AS mean_norm_pos,
            CAST(min(pos) AS BIGINT) AS first_pos,
            CAST(sum(pos) AS BIGINT) AS pos_checksum
     FROM p GROUP BY source ORDER BY source
@@ -7640,9 +8046,17 @@ def domain_interleaved_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
+            # avg of per-row double divisions is partial-agg-order
+            # dependent — ~1e-13 from a 0.5e-6 rounding boundary it
+            # flips the 6th decimal run-to-run (the chow flake family,
+            # CLAUDE.md round-11 rule).  sum(pos) is an exact BIGINT,
+            # so derive the mean from integer sums: one double
+            # division per group, order-free on both engines.
             F.round(
-                F.avg(
-                    (F.col("pos") - 1).cast("double") / (F.col("n") - 1)
+                (F.sum("pos").cast("double") - F.count("*"))
+                / (
+                    F.count("*").cast("double")
+                    * (F.max("n") - F.lit(1)).cast("double")
                 ),
                 6,
             ).alias("mean_norm_pos"),

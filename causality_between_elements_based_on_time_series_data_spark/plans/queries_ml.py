@@ -689,9 +689,16 @@ def streaming_corpus_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFra
     return streaming_corpus_quality_gate(spark, sf_dir)
 
 
+from .queries_llm import _DECON_W as _DW  # single source for the 13-gram width
+
+
 @register(
     "streaming_eval_decontamination",
-    oracle="""
+    # window width comes from queries_llm._DECON_W on BOTH sides
+    # (this oracle and the streaming query) so changing the constant
+    # cannot desynchronize the stream from its oracle or from the
+    # batch eval_decontamination semantics it mirrors
+    oracle=f"""
     WITH arrs AS (
         SELECT doc_id, lang, string_split(text, ' ') AS toks,
                doc_id % 20 = 3 AS is_eval
@@ -699,9 +706,10 @@ def streaming_corpus_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFra
     ),
     wins AS (
         SELECT doc_id, is_eval,
-               md5(array_to_string(list_slice(toks, i, i + 12), ' ')) AS wh
-        FROM arrs, unnest(range(1, len(toks) - 13 + 2)) AS t(i)
-        WHERE len(toks) >= 13
+               md5(array_to_string(
+                   list_slice(toks, i, i + {_DW} - 1), ' ')) AS wh
+        FROM arrs, unnest(range(1, len(toks) - {_DW} + 2)) AS t(i)
+        WHERE len(toks) >= {_DW}
     ),
     ev AS (SELECT DISTINCT wh FROM wins WHERE is_eval),
     hits AS (

@@ -878,7 +878,10 @@ def streaming_eval_decontamination(
     sink becomes a foreachBatch append to the quarantine table and
     the gate rides inside the ingest job.
     """
-    w = 13
+    # single source of truth for the n-gram width — the registration's
+    # oracle (plans/queries_ml.py) and the batch eval_decontamination
+    # derive from the same constant, so the three can't desynchronize
+    from ..plans.queries_llm import _DECON_W as w
     from ..sources.catalog import load_table
 
     def windows(df: DataFrame) -> DataFrame:

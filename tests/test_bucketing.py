@@ -162,23 +162,30 @@ def _tree_lines(plan: str) -> list[tuple[int, str]]:
     return out
 
 
-def ancestors_until(plan: str, needle: str, stop: str) -> list[str]:
-    """Node texts strictly between the (unique) tree node containing
-    ``needle`` and its nearest ancestor containing ``stop``."""
+def ancestors_until_each(plan: str, needle: str, stop: str) -> list[list[str]]:
+    """For EVERY tree node containing ``needle``: the node texts
+    strictly between it and its nearest ancestor containing ``stop``.
+    A needle may occur several times (cuts-disabled audit plans
+    re-derive shared subtrees per consumer) — each occurrence gets its
+    own chain, and each must have a ``stop`` ancestor."""
     lines = _tree_lines(plan)
     idxs = [i for i, (_, t) in enumerate(lines) if needle in t]
-    assert len(idxs) == 1, (needle, [t for _, t in lines if needle in t])
-    i = idxs[0]
-    col = lines[i][0]
-    chain: list[str] = []
-    for j in range(i - 1, -1, -1):
-        c, t = lines[j]
-        if c < col:
-            if stop in t:
-                return chain
-            chain.append(t)
-            col = c
-    raise AssertionError(f"no {stop!r} ancestor above {needle!r}")
+    assert idxs, (needle, plan)
+    chains: list[list[str]] = []
+    for i in idxs:
+        col = lines[i][0]
+        chain: list[str] = []
+        for j in range(i - 1, -1, -1):
+            c, t = lines[j]
+            if c < col:
+                if stop in t:
+                    break
+                chain.append(t)
+                col = c
+        else:
+            raise AssertionError(f"no {stop!r} ancestor above {needle!r}")
+        chains.append(chain)
+    return chains
 
 
 def test_persisted_dedup_index_join_no_index_side_exchange(spark, sf_dir):
@@ -207,7 +214,83 @@ def test_persisted_dedup_index_join_no_index_side_exchange(spark, sf_dir):
             )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
-    chain = ancestors_until(plan, "dedup_idx_bands", "SortMergeJoin")
-    assert not any("Exchange" in t for t in chain), chain
+    # every read of the postings table (the cuts-disabled audit plan
+    # re-derives cand per consumer) must reach its band join with no
+    # index-side re-shuffle
+    for chain in ancestors_until_each(plan, "dedup_idx_bands", "SortMergeJoin"):
+        assert not any("Exchange" in t for t in chain), chain
     # all three index tables read through the bucketed-scan path
     assert plan.count("Bucketed: true") >= 3, plan
+
+
+def _detail_blocks(plan: str) -> dict[int, str]:
+    """node id -> full detail-section text of a formatted plan."""
+    blocks: dict[int, str] = {}
+    cur: int | None = None
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\)\s+\S", line)
+        if m:
+            cur = int(m.group(1))
+            blocks[cur] = line
+        elif cur is not None:
+            blocks[cur] = blocks[cur] + "\n" + line
+    return blocks
+
+
+def _subtree_ids(plan: str, node_id: int) -> list[int]:
+    """Node ids strictly inside the subtree of tree node ``node_id``."""
+    lines = _tree_lines(plan)
+    idxs = [
+        i for i, (_, t) in enumerate(lines) if re.search(rf"\({node_id}\)$", t)
+    ]
+    assert len(idxs) == 1, (node_id, idxs)
+    i = idxs[0]
+    col = lines[i][0]
+    out: list[int] = []
+    for j in range(i + 1, len(lines)):
+        c, t = lines[j]
+        if c <= col:
+            break
+        m = re.search(r"\((\d+)\)$", t)
+        if m:
+            out.append(int(m.group(1)))
+    return out
+
+
+@pytest.mark.parametrize(
+    "query",
+    ["incremental_dedup_new_batch", "incremental_dedup_persisted_index"],
+)
+def test_incremental_dedup_tier3_tokenize_behind_candidate_semijoin(
+    spark, sf_dir, query
+):
+    """Round-11 verdict #1: the tier-3 Jaccard verify must be
+    candidate-proportional — every word-tokenize Generate
+    (array_distinct(split(text)) is tier-3's signature expression;
+    the band signatures use shingles) must sit ABOVE a LeftSemi join
+    against the candidate-id set, so the corpus text is never
+    re-tokenized (and never re-shuffled) per ingest."""
+    from causality_between_elements_based_on_time_series_data_spark.lineage import (
+        lineage_cuts_disabled,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+
+    with lineage_cuts_disabled():
+        plan = _formatted_plan(REGISTRY[query].fn(spark, sf_dir))
+    details = _detail_blocks(plan)
+    tier3_gens = [
+        nid
+        for nid, txt in details.items()
+        if txt.splitlines()[0].split()[1] == "Generate"
+        and "array_distinct(split(text" in txt
+    ]
+    assert tier3_gens, "tier-3 tokenize Generate not found in plan"
+    for nid in tier3_gens:
+        sub = _subtree_ids(plan, nid)
+        assert any("LeftSemi" in details[s] for s in sub), (
+            query,
+            nid,
+            [details[s].splitlines()[0] for s in sub],
+        )

@@ -833,7 +833,9 @@ BENCH_SCAN_BUDGETS: dict[str, int] = {
     "ccm_cross_mapping_skill": 0,  # fully below the manifold/grid cuts
     "cosine_topk_bruteforce": 2,
     "dedup_exact_docs": 1,
+    "doc_quality_logistic_gate": 0,  # verdicts/buckets/feat below cuts
     "domain_interleaved_order": 0,  # hash projection below the device cuts
+    "exact_substring_span_removal": 1,  # rec re-reads the pruned docs scan
     "perplexity_quality_filter": 0,  # model+scoring below the rank-device cut
     "placebo_permutation_did": 1,
     "price_elasticity_within_part": 1,
