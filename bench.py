@@ -108,12 +108,13 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     median_total = round(sum(medians.values()), 3)
     spread = {name: round(max(ts) / max(min(ts), 1e-9), 3) for name, ts in passes.items()}
-    # one number the next judge can gate on: median/min per query, worst
-    # case — >~1.25 on a pre-warmed suite means the run was contended
-    # and per-query regressions should not be adjudicated from it
-    contention = round(
-        max(medians[n] / max(timings[n], 1e-9) for n in timings), 3
-    )
+    # one number the next judge can gate on: SUITE-level median/min —
+    # sub-second queries carry ~0.1-0.2 s absolute jitter that makes a
+    # per-query worst-case cry wolf on an idle box (measured 1.35 at
+    # load 1.0); the suite ratio sits ~1.10-1.12 idle, so >~1.3 means
+    # the run was contended and per-query deltas should not be
+    # adjudicated from it
+    contention = round(median_total / max(total, 1e-9), 3)
     line = {
         "metric": "headline_queries_total_runtime",
         "value": total,

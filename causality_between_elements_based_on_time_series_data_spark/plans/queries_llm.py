@@ -4712,8 +4712,8 @@ def substring_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_removed) AS BIGINT) AS removed_tokens,
            round(sum(n_removed) / CAST(sum(n_toks) AS DOUBLE), 6)
                AS removed_frac,
-           CAST(sum(CAST('0x' || substr(md5(ctext), 1, 12) AS BIGINT))
-                AS BIGINT) AS cleaned_checksum
+           CAST(sum(CAST('0x' || substr(md5(ctext), 1, 12) AS BIGINT)
+                    % 1000000007) AS BIGINT) AS cleaned_checksum
     FROM cleaned GROUP BY lang ORDER BY lang
     """,
     doc="Exact-substring span REMOVAL (Lee et al. 2021 ExactSubstr as "
@@ -4806,10 +4806,15 @@ def exact_substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("n_toks").cast("double"),
                 6,
             ).alias("removed_frac"),
+            # per-row hash reduced mod 1e9+7 BEFORE the sum (ANSI 2^63
+            # rule: a 48-bit hash summed over ~10^5 docs/lang already
+            # overflowed the x30 scale sweep; the modded sum stays
+            # < n_docs·1e9, safe past 10^9 docs per language)
             F.sum(
                 F.conv(F.substring(F.md5("ctext"), 1, 12), 16, 10).cast(
                     "bigint"
                 )
+                % F.lit(1000000007)
             )
             .cast("bigint")
             .alias("cleaned_checksum"),
@@ -7853,6 +7858,164 @@ def incremental_dedup_persisted_index(
     return (
         batch.select("doc_id", "lang")
         .join(flagged_e, "doc_id", "left")
+        .join(flagged_n, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_new"),
+            F.sum(F.coalesce("_e", F.lit(0))).cast("bigint").alias(
+                "n_exact_dup"
+            ),
+            F.sum(F.coalesce("_n", F.lit(0))).cast("bigint").alias(
+                "n_near_dup"
+            ),
+            F.sum(
+                (F.col("_e").isNull() & F.col("_n").isNull()).cast("int")
+            ).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "incremental_dedup_partitioned_text",
+    oracle=_incremental_dedup_oracle(),
+    doc="Incremental dedup with a PARTITIONED corpus-text layout — "
+    "closes the residual scale term the round-12 tier-3 fix left "
+    "open: semi-joining candidates before tokenizing makes the verify "
+    "SHUFFLE candidate-bounded, but fetching candidate text from an "
+    "unpartitioned corpus still SCANS the whole text column per "
+    "ingest.  Here the index text is laid out partitionBy(pbkt = "
+    "doc_id % 64) once per corpus version, and the tier-3 fetch joins "
+    "candidate ids (carrying their derived pbkt) against it on "
+    "(pbkt, doc_id) — dynamic partition pruning pushes the runtime "
+    "candidate-bucket set into the scan (plan-gated: dynamicpruning "
+    "on the text scan, the dpp_partitioned_probe mechanism), so a "
+    "100 TB ingest reads only the text partitions that actually "
+    "contain candidates.  Tiers 1-2 and the report are "
+    "incremental_dedup_new_batch's exact shapes; same DuckDB oracle — "
+    "only the tier-3 physical fetch differs.  At production scale "
+    "pbkt count is sized so a partition ≈ a few GB; candidate "
+    "locality then bounds per-ingest IO by |candidate buckets|, not "
+    "|corpus|.",
+    tags=("llm", "dedup", "pipeline", "layout"),
+)
+def incremental_dedup_partitioned_text(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .queries_sources import _io_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    thr = docs.agg(
+        F.floor(0.8 * (F.max("doc_id") + 1)).cast("bigint").alias("_t")
+    ).transform(ckpt)
+    witht = docs.crossJoin(F.broadcast(thr))
+    is_new = F.col("doc_id") >= F.col("_t")
+
+    # ---- layout build: once per corpus version — the index text
+    # partitioned by a derived bucket so candidate fetches can prune
+    n_pbkt = 64
+    path = _io_dir(sf_dir, "dedup_text_pbkt")
+    (
+        witht.filter(~is_new)
+        .select("doc_id", "text")
+        .withColumn("pbkt", F.pmod(F.col("doc_id"), F.lit(n_pbkt)))
+        .write.mode("overwrite")
+        .partitionBy("pbkt")
+        .parquet(path)
+    )
+    itext = spark.read.parquet(path)
+
+    # tier 1: exact content dedup (new_batch's shape)
+    idx_keys = witht.filter(~is_new).select(
+        F.sha2("text", 256).alias("h")
+    ).distinct()
+    exact = (
+        witht.filter(is_new)
+        .select("doc_id", F.sha2("text", 256).alias("h"))
+        .join(idx_keys, "h", "semi")
+        .select("doc_id")
+        .transform(ckpt)
+    )
+
+    # tier 2: band buckets + index x batch candidates (new_batch's shape)
+    bands = (
+        pruned_band_buckets(portable_signatures(docs.select("doc_id", "text")))
+        .crossJoin(F.broadcast(thr))
+        .transform(ckpt)
+    )
+    cand = (
+        bands.filter(F.col("doc_id") < F.col("_t"))
+        .select("band_id", "band_val", F.col("doc_id").alias("id_a"))
+        .join(
+            bands.filter(F.col("doc_id") >= F.col("_t")).select(
+                "band_id", "band_val", F.col("doc_id").alias("id_b")
+            ),
+            ["band_id", "band_val"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .transform(ckpt)  # endpoints projections + inter all read it
+    )
+
+    # tier 3: candidate-proportional on BOTH axes — shuffle (semi-join
+    # before tokenize) AND IO (DPP-pruned partitioned text fetch)
+    def tokenize(rel: DataFrame) -> DataFrame:
+        return rel.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+        )
+
+    cand_a = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        # the always-true literal comparison is a DPP enabler, not a
+        # filter: PartitionPruning only inserts the runtime pruning
+        # subquery when the filtering side has a "likely selective"
+        # predicate, and the lineage cut on `cand` (a LogicalRDD)
+        # hides the band filters that would otherwise qualify
+        .filter(F.col("doc_id") >= 0)
+        .withColumn("pbkt", F.pmod(F.col("doc_id"), F.lit(n_pbkt)))
+    )
+    # the DPP join: pbkt is a partition column on the scan side and a
+    # join key, so the runtime subquery prunes unqualified partitions
+    tok_a = tokenize(
+        itext.join(F.broadcast(cand_a), ["pbkt", "doc_id"], "semi")
+    ).transform(ckpt)  # candidate-bounded words; sizes + inter read it
+    cand_b = cand.select(F.col("id_b").alias("doc_id")).distinct()
+    tok_b = tokenize(
+        witht.filter(is_new)
+        .select("doc_id", "text")
+        .join(cand_b, "doc_id", "semi")
+    ).transform(ckpt)
+    sz_a = tok_a.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sz_b = tok_b.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(tok_a.alias("ta"), F.col("ta.doc_id") == F.col("id_a"))
+        .join(
+            tok_b.alias("tb"),
+            (F.col("tb.doc_id") == F.col("id_b"))
+            & (F.col("ta.w") == F.col("tb.w")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    near = (
+        inter.join(sz_a.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+        .join(sz_b.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
+        .filter(jac >= 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .join(exact, "doc_id", "anti")
+    )
+
+    batch = witht.filter(is_new).select("doc_id", "lang")
+    flagged_e = exact.withColumn("_e", F.lit(1))
+    flagged_n = near.withColumn("_n", F.lit(1))
+    return (
+        batch.join(flagged_e, "doc_id", "left")
         .join(flagged_n, "doc_id", "left")
         .groupBy("lang")
         .agg(

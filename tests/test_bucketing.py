@@ -259,7 +259,11 @@ def _subtree_ids(plan: str, node_id: int) -> list[int]:
 
 @pytest.mark.parametrize(
     "query",
-    ["incremental_dedup_new_batch", "incremental_dedup_persisted_index"],
+    [
+        "incremental_dedup_new_batch",
+        "incremental_dedup_persisted_index",
+        "incremental_dedup_partitioned_text",
+    ],
 )
 def test_incremental_dedup_tier3_tokenize_behind_candidate_semijoin(
     spark, sf_dir, query
@@ -294,3 +298,24 @@ def test_incremental_dedup_tier3_tokenize_behind_candidate_semijoin(
             nid,
             [details[s].splitlines()[0] for s in sub],
         )
+
+
+def test_partitioned_text_tier3_fetch_is_dpp_pruned(spark, sf_dir):
+    """incremental_dedup_partitioned_text: the tier-3 candidate text
+    fetch must carry a dynamicpruningexpression on the partitioned
+    text scan — the runtime subquery that keeps text partitions
+    without candidates unread (candidate-proportional IO, not just
+    candidate-proportional shuffle).  Cuts disabled: the fetch sits
+    beneath the tok_a checkpoint in the production plan."""
+    from causality_between_elements_based_on_time_series_data_spark.lineage import (
+        lineage_cuts_disabled,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+
+    with lineage_cuts_disabled():
+        plan = _formatted_plan(
+            REGISTRY["incremental_dedup_partitioned_text"].fn(spark, sf_dir)
+        )
+    assert "dynamicpruning" in plan.lower(), plan

@@ -43,6 +43,7 @@ NON_QUERY_ALLOWLIST = {
     # engine operator/helper function names documented in prose
     "embedding_near_dup_lsh", "lsh_candidate_pairs",
     "minhash_signatures", "simhash64", "dynamicpruningexpression",
+    "dynamicpruning",
     "topk_ranked", "with_range_bucket", "with_global_rank",
     "with_global_cumsum", "with_hot_cell_subsplit", "broadcast_offsets",
     "ckpt", "ckpt_eager", "lineage_cuts_disabled",
