@@ -2707,6 +2707,33 @@ def _dq_gate_oracle(rounds: int = _IRLS_ROUNDS) -> str:
     tags=("llm", "text", "quality", "ml", "bench"),
 )
 def doc_quality_logistic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _dq_gate_scored(spark, sf_dir)
+    eta = F.col("b0") + F.col("b1") * F.col("f1") + F.col("b2") * F.col("f2")
+    kept = (eta >= 0).cast("int")
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum(kept).cast("double") / F.count("*"), 6
+            ).alias("keep_rate"),
+            F.sum(F.when(eta >= 0, F.col("doc_id")))
+            .cast("bigint")
+            .alias("kept_id_checksum"),
+            F.round(F.any_value("b0"), 4).alias("beta0"),
+            F.round(F.any_value("b1"), 4).alias("beta1"),
+            F.round(F.any_value("b2"), 4).alias("beta2"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _dq_gate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, f1, f2, y, b0, b1, b2) — the classifier gate's
+    scored relation, shared by doc_quality_logistic_gate and
+    gate_calibration_report (same fit, same features, same betas;
+    the two reports cannot desynchronize)."""
     docs = load_table(spark, sf_dir, "documents")
     # metadata-only (doc_id, lang, verdict); consumed by the curated
     # filter AND the feat join — derive-once cut
@@ -2782,25 +2809,74 @@ def doc_quality_logistic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(ckpt)
     )
     beta = _irls_fit(spark, feat)
-    scored = feat.crossJoin(F.broadcast(beta))
-    eta = F.col("b0") + F.col("b1") * F.col("f1") + F.col("b2") * F.col("f2")
-    kept = (eta >= 0).cast("int")
+    return feat.crossJoin(F.broadcast(beta))
+
+
+def _gate_calibration_oracle(rounds: int = _IRLS_ROUNDS) -> str:
+    p = "1/(1+exp(-(b0 + b1*f1 + b2*f2)))"
     return (
-        scored.groupBy("lang")
+        _irls_oracle_ctes(_DQ_FEAT_SQL, rounds)
+        + f""",
+    scoredq AS (
+        SELECT y,
+               least(CAST(floor({p} * 10) AS BIGINT), 9) AS decile,
+               CAST(round({p} * 1000000, 0) AS BIGINT) AS p_u
+        FROM feat CROSS JOIN beta{rounds}
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(p_u) / (1000000.0 * count(*)), 6) AS avg_p,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_label_keep
+    FROM scoredq GROUP BY decile ORDER BY decile"""
+    )
+
+
+@register(
+    "gate_calibration_report",
+    oracle=_gate_calibration_oracle(),
+    doc="Reliability diagram for the doc-quality classifier gate — "
+    "the ML-ops check a pipeline owner runs before trusting "
+    "doc_quality_logistic_gate's threshold: scored probabilities "
+    "binned into deciles, each bin reporting its mean predicted p "
+    "against the empirical label rate (well-calibrated ⇒ the two "
+    "track; a bin where they diverge is where the 0.5 cutoff "
+    "misbehaves).  Shares the gate's EXACT fit and scored relation "
+    "(_dq_gate_scored), so report and gate cannot desynchronize.  "
+    "Determinism: per-row p is quantized to integer micro-units "
+    "before the bin mean (order-free integer sums, the audit-sweep "
+    "discipline).  Scale shape: one pass over the scored relation "
+    "into a ≤10-row rollup.",
+    tags=("llm", "quality", "ml", "dataops"),
+)
+def gate_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _dq_gate_scored(spark, sf_dir)
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(
+            -(
+                F.col("b0")
+                + F.col("b1") * F.col("f1")
+                + F.col("b2") * F.col("f2")
+            )
+        )
+    )
+    binned = scored.select(
+        "y",
+        F.least(F.floor(p * 10).cast("bigint"), F.lit(9)).alias("decile"),
+        F.round(p * 1000000, 0).cast("bigint").alias("p_u"),
+    )
+    return (
+        binned.groupBy("decile")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.sum(kept).cast("bigint").alias("n_kept"),
             F.round(
-                F.sum(kept).cast("double") / F.count("*"), 6
-            ).alias("keep_rate"),
-            F.sum(F.when(eta >= 0, F.col("doc_id")))
-            .cast("bigint")
-            .alias("kept_id_checksum"),
-            F.round(F.any_value("b0"), 4).alias("beta0"),
-            F.round(F.any_value("b1"), 4).alias("beta1"),
-            F.round(F.any_value("b2"), 4).alias("beta2"),
+                F.sum("p_u") / (1000000.0 * F.count("*")), 6
+            ).alias("avg_p"),
+            F.round(
+                F.sum("y").cast("double") / F.count("*"), 6
+            ).alias("frac_label_keep"),
         )
-        .orderBy("lang")
+        .orderBy("decile")
     )
 
 
@@ -8315,6 +8391,182 @@ def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_ratio"),
         )
         .orderBy("shard")
+    )
+
+
+_MIX_BUDGET_PCT = 50  # token budget = 50% of the corpus
+_MIX_MAX_EPOCHS = 4.0  # repetition cap (Muennighoff et al. 2023)
+
+
+@register(
+    "mixture_weight_token_budget",
+    oracle=f"""
+    WITH pers AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+        FROM documents GROUP BY source
+    ),
+    -- temperature-sampling mass in integer micro-units so the
+    -- denominator is an exact BIGINT sum (aggregation-order-free)
+    mass AS (
+        SELECT source, n_toks,
+               CAST(round(sqrt(CAST(n_toks AS DOUBLE)) * 1000000, 0)
+                    AS BIGINT) AS m_u
+        FROM pers
+    ),
+    tot AS (
+        SELECT CAST(sum(m_u) AS BIGINT) AS m_tot,
+               CAST(sum(n_toks) AS BIGINT) AS n_tot
+        FROM mass
+    ),
+    alloc AS (
+        SELECT source, n_toks,
+               round(m_u / CAST(m_tot AS DOUBLE), 6) AS weight,
+               CAST(floor((n_tot * {_MIX_BUDGET_PCT} / 100.0)
+                          * (m_u / CAST(m_tot AS DOUBLE))) AS BIGINT)
+                   AS alloc_toks
+        FROM mass CROSS JOIN tot
+    )
+    SELECT source, n_toks, weight, alloc_toks,
+           round(alloc_toks / CAST(n_toks AS DOUBLE), 4) AS epochs,
+           CAST(alloc_toks / CAST(n_toks AS DOUBLE) > {_MIX_MAX_EPOCHS}
+                AS INTEGER) AS over_cap
+    FROM alloc ORDER BY source
+    """,
+    doc="Data-mixture token-budget allocator — the planning step in "
+    "front of every multi-source pretraining run: per-source token "
+    "counts feed temperature sampling (p_s ∝ n_s^{0.5}, the XLM-R/"
+    "mT5 τ=2 upweighting of small sources), the token budget "
+    f"({_MIX_BUDGET_PCT}% of the corpus here) is allocated by those "
+    "weights, and the implied per-source EPOCH count is reported with "
+    "an over-repetition flag (>4 epochs degrades, Muennighoff et al. "
+    "2023 'Scaling Data-Constrained Language Models').  Determinism: "
+    "the sampling mass is quantized per source to integer micro-units "
+    "before the denominator sum, so the weights are exact-integer "
+    "ratios (the chow/perplexity discipline) — no order-dependent "
+    "float fold across the source domain.  Scale shape: one map-side "
+    "token-count aggregate over the corpus; everything after lives on "
+    "the |sources| relation (shuffled, never broadcast — source "
+    "domains are crawl-unbounded, the round-11 offsets rule).",
+    tags=("llm", "sampling", "mixture"),
+)
+def mixture_weight_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pers = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_toks")
+    )
+    mass = pers.select(
+        "source",
+        "n_toks",
+        F.round(F.sqrt(F.col("n_toks").cast("double")) * 1000000, 0)
+        .cast("bigint")
+        .alias("m_u"),
+    )
+    tot = mass.agg(
+        F.sum("m_u").cast("bigint").alias("m_tot"),
+        F.sum("n_toks").cast("bigint").alias("n_tot"),
+    )
+    w = F.col("m_u") / F.col("m_tot").cast("double")
+    alloc_toks = F.floor(
+        (F.col("n_tot") * _MIX_BUDGET_PCT / 100.0) * w
+    ).cast("bigint")
+    alloc = mass.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_toks",
+        F.round(w, 6).alias("weight"),
+        alloc_toks.alias("alloc_toks"),
+    )
+    epochs = F.col("alloc_toks") / F.col("n_toks").cast("double")
+    return alloc.select(
+        "source",
+        "n_toks",
+        "weight",
+        "alloc_toks",
+        F.round(epochs, 4).alias("epochs"),
+        (epochs > _MIX_MAX_EPOCHS).cast("int").alias("over_cap"),
+    ).orderBy("source")
+
+
+_CHUNK_W = 32  # tokens per chunk
+_CHUNK_OV = 8  # overlap; stride = _CHUNK_W - _CHUNK_OV
+
+
+@register(
+    "doc_chunking_manifest",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, lang,
+               len(list_slice(toks, s, s + {_CHUNK_W} - 1)) AS clen,
+               md5(array_to_string(
+                   list_slice(toks, s, s + {_CHUNK_W} - 1), ' ')) AS ch
+        FROM arrs,
+             unnest(range(1, len(toks) + 1, {_CHUNK_W - _CHUNK_OV}))
+                 AS t(s)
+    )
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(clen) AS BIGINT) AS chunk_tokens,
+           round(sum(clen) / (count(*) * {float(_CHUNK_W)}), 6)
+               AS fill_ratio,
+           CAST(sum(CAST('0x' || substr(ch, 1, 12) AS BIGINT)
+                    % 1000000007) AS BIGINT) AS chunk_checksum
+    FROM chunks GROUP BY lang ORDER BY lang
+    """,
+    doc="Document chunking manifest — the RAG-ingest / context-window "
+    f"splitter: fixed {_CHUNK_W}-token chunks with {_CHUNK_OV}-token "
+    "overlap (stride = width − overlap), chunk starts at 1, 1+stride, "
+    "… while ≤ |tokens| (trailing chunks may run short — the "
+    "convention is documented rather than hidden; fill_ratio reports "
+    "exactly how much).  Output: per-lang chunk counts, token mass, "
+    "mean fill, and an order-free content checksum (per-chunk md5 "
+    "reduced mod 1e9+7 before the sum — the 2^63 rule).  Scale "
+    "shape: entirely row-local array arithmetic (sequence → slice → "
+    "md5) followed by one per-lang rollup; no join, no window, one "
+    "map pass over the corpus at any size.",
+    tags=("llm", "text", "layout"),
+)
+def doc_chunking_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stride = _CHUNK_W - _CHUNK_OV
+    arrs = docs.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    chunk = F.slice(F.col("toks"), F.col("s"), _CHUNK_W)
+    chunks = arrs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
+        ).alias("s"),
+        "toks",
+    ).select(
+        "doc_id",
+        "lang",
+        F.size(chunk).alias("clen"),
+        F.md5(F.array_join(chunk, " ")).alias("ch"),
+    )
+    return (
+        chunks.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("clen").cast("bigint").alias("chunk_tokens"),
+            F.round(
+                F.sum("clen").cast("double")
+                / (F.count("*") * float(_CHUNK_W)),
+                6,
+            ).alias("fill_ratio"),
+            F.sum(
+                F.conv(F.substring("ch", 1, 12), 16, 10).cast("bigint")
+                % F.lit(1000000007)
+            )
+            .cast("bigint")
+            .alias("chunk_checksum"),
+        )
+        .orderBy("lang")
     )
 
 
