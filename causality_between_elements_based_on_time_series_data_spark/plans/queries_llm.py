@@ -4899,12 +4899,31 @@ def exact_substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(rounds: int, top_words: int) -> str:
-    """Unrolled BPE merge rounds as a CTE chain: per round, the
-    weighted adjacent-pair count, the argmax pair, and a 4-pass
-    replace that applies the merge to every word sequence (4 passes
-    make left-to-right non-overlapping replace equivalent to BPE's
-    greedy merge on runs up to realistic word lengths)."""
+def _bpe_merge_sql(seq_expr: str) -> str:
+    """The 4-pass non-overlapping replace applying merge ``t`` (a
+    1-row ``(l, rr)`` relation aliased ``t``) to a space-delimited
+    symbol sequence — 4 passes make left-to-right replace equivalent
+    to BPE's greedy merge on runs up to realistic word lengths.
+    Shared by the training CTE chain and the coverage oracle so the
+    two can never desynchronize."""
+    out = seq_expr
+    for _ in range(4):
+        out = (
+            f"replace({out},\n"
+            "                   ' ' || t.l || ' ' || t.rr || ' ', "
+            "' ' || t.l || t.rr || ' ')"
+        )
+    return out
+
+
+def _bpe_train_sql(rounds: int, top_words: int) -> str:
+    """Unrolled BPE merge-round TRAINING as a CTE-chain body (no
+    ``WITH``): ``words`` (top-N alphabetic word frequencies), ``w0``
+    (character splits), then per round the weighted adjacent-pair
+    count ``pairs{r}``, the argmax merge ``top{r}``, and the merged
+    sequences ``w{r}`` — shared by the ``bpe_merge_rounds`` oracle and
+    the ``bpe_vocab_coverage`` oracle (same trained merges applied to
+    a different relation)."""
     parts = [
         f"""
     words AS (
@@ -4938,21 +4957,26 @@ def _bpe_oracle(rounds: int, top_words: int) -> str:
     ),
     w{r} AS (
         SELECT word, freq,
-               replace(replace(replace(replace(seq,
-                   ' ' || t.l || ' ' || t.rr || ' ', ' ' || t.l || t.rr || ' '),
-                   ' ' || t.l || ' ' || t.rr || ' ', ' ' || t.l || t.rr || ' '),
-                   ' ' || t.l || ' ' || t.rr || ' ', ' ' || t.l || t.rr || ' '),
-                   ' ' || t.l || ' ' || t.rr || ' ', ' ' || t.l || t.rr || ' ') AS seq
+               {_bpe_merge_sql("seq")} AS seq
         FROM {prev} CROSS JOIN top{r} t
     )"""
         )
         prev = f"w{r}"
+    return ",".join(parts)
+
+
+def _bpe_oracle(rounds: int, top_words: int) -> str:
+    """The trained merges themselves, one row per round."""
     sel = " UNION ALL ".join(
         f"SELECT {r} AS merge_round, l AS left_sym, rr AS right_sym, "
         f"CAST(w AS BIGINT) AS pair_weight FROM top{r}"
         for r in range(1, rounds + 1)
     )
-    return "WITH " + ",".join(parts) + f"\n    {sel} ORDER BY merge_round"
+    return (
+        "WITH "
+        + _bpe_train_sql(rounds, top_words)
+        + f"\n    {sel} ORDER BY merge_round"
+    )
 
 
 @register(
@@ -4977,6 +5001,44 @@ def _bpe_oracle(rounds: int, top_words: int) -> str:
 )
 def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    rounds = [
+        top1.select(
+            F.lit(r).alias("merge_round"),
+            F.col("l").alias("left_sym"),
+            F.col("rr").alias("right_sym"),
+            F.col("w").cast("bigint").alias("pair_weight"),
+        )
+        for r, top1 in enumerate(_bpe_train_tops(docs), start=1)
+    ]
+    out = rounds[0]
+    for r_df in rounds[1:]:
+        out = out.unionByName(r_df)
+    return out.orderBy("merge_round")
+
+
+def _bpe_merged_seq(seq: Column) -> Column:
+    """Apply the 1-row merge ``(l, rr)`` in scope to a space-delimited
+    symbol sequence — the Spark twin of :func:`_bpe_merge_sql`."""
+    pat = F.concat(F.lit(" "), F.col("l"), F.lit(" "), F.col("rr"), F.lit(" "))
+    rep = F.concat(F.lit(" "), F.col("l"), F.col("rr"), F.lit(" "))
+    for _ in range(4):
+        seq = F.replace(seq, pat, rep)
+    return seq
+
+
+def _bpe_train_tops(
+    docs: DataFrame, rounds: int = 3, top_words: int = 200
+) -> list[DataFrame]:
+    """Train the unrolled BPE merges on the global top-N alphabetic
+    word list and return ``[top1 … topR]``, each a 1-row ``(l, rr,
+    w)`` DataFrame — the shared trainer behind ``bpe_merge_rounds``
+    (which reports the merges) and ``bpe_vocab_coverage`` (which
+    APPLIES them to the per-language vocabulary).  Scale shape: the
+    word-frequency table is the only corpus pass; every round is one
+    tiny aggregate over the constant-size word list plus a 1-row
+    broadcast argmax.  Each ``top{r}`` is cut: every caller fans it
+    into ≥2 consumers (the next round's merge apply + the caller's
+    own read)."""
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
         .select(F.lower("tok").alias("tok"))
@@ -4984,7 +5046,7 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("freq"))
         .orderBy(F.desc("freq"), "tok")
-        .limit(200)
+        .limit(top_words)
         .select(
             F.col("tok").alias("word"),
             "freq",
@@ -4994,8 +5056,8 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(ckpt)
     )
-    rounds = []
-    for r in range(1, 4):
+    tops = []
+    for _ in range(rounds):
         pairs = (
             words.select(
                 "freq", F.split(F.trim("seq"), " ").alias("s")
@@ -5012,29 +5074,14 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("rr"))
             .agg(F.sum("freq").alias("w"))
         )
-        top1 = pairs.orderBy(F.desc("w"), "l", "rr").limit(1)
-        merged = F.col("seq")
-        pat = F.concat(F.lit(" "), F.col("l"), F.lit(" "), F.col("rr"), F.lit(" "))
-        rep = F.concat(F.lit(" "), F.col("l"), F.col("rr"), F.lit(" "))
-        for _ in range(4):
-            merged = F.replace(merged, pat, rep)
+        top1 = pairs.orderBy(F.desc("w"), "l", "rr").limit(1).transform(ckpt)
         words = (
             words.crossJoin(F.broadcast(top1))
-            .select("word", "freq", merged.alias("seq"))
+            .select("word", "freq", _bpe_merged_seq(F.col("seq")).alias("seq"))
             .transform(ckpt)
         )
-        rounds.append(
-            top1.select(
-                F.lit(r).alias("merge_round"),
-                F.col("l").alias("left_sym"),
-                F.col("rr").alias("right_sym"),
-                F.col("w").cast("bigint").alias("pair_weight"),
-            )
-        )
-    out = rounds[0]
-    for r_df in rounds[1:]:
-        out = out.unionByName(r_df)
-    return out.orderBy("merge_round")
+        tops.append(top1)
+    return tops
 
 
 @register(
@@ -7750,6 +7797,71 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_persisted_dedup_index(
+    spark: SparkSession, idx_docs: DataFrame, base: str
+) -> tuple[str, str, str, int]:
+    """Materialize the persisted dedup index for ``idx_docs`` — band
+    postings, per-bucket occupancy counts, and the exact sha2 key set,
+    each a bucketBy-sorted table — and return ``(t_bands, t_counts,
+    t_keys, n_bkts)``.  Runs ONCE per corpus version; shared by the
+    per-ingest probe (``incremental_dedup_persisted_index``) and the
+    post-ingest compaction (``dedup_index_compaction``).
+
+    Session-scoped names (concurrent suites never collide).  The
+    bucket count must sit at/above the session's shuffle parallelism
+    INCLUDING AQE's initialPartitionNum: EnsureRequirements keeps the
+    bucketed side exchange-free only when the bucket count is the
+    join's chosen partitioning, and it prefers the LARGER of the two
+    children's partitionings (measured: 64 buckets vs a 256-initial-
+    partition probe side re-shuffled the index and disabled the
+    bucketed scan).  At 100 TB you size this to the cluster
+    (thousands of buckets is normal for a persisted index)."""
+    from ..sources.catalog import reset_bucket_table, session_bucket_table
+
+    try:
+        # conf.get VALIDATES the supplied default (a "0" default on
+        # this positive-int conf raises INVALID_CONF_VALUE), so the
+        # unset case must be caught, not defaulted
+        initial_parts = int(
+            spark.conf.get(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+            )
+        )
+    except Exception:
+        initial_parts = 0
+    n_bkts = max(
+        64,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        initial_parts,
+    )
+    t_bands = session_bucket_table(spark, f"{base}_bands")
+    t_counts = session_bucket_table(spark, f"{base}_bcounts")
+    t_keys = session_bucket_table(spark, f"{base}_keys")
+    idx_bands = band_rows(portable_signatures(idx_docs))
+    for t in (t_bands, t_counts, t_keys):
+        reset_bucket_table(spark, t)
+    (
+        idx_bands.write.bucketBy(n_bkts, "band_id", "band_val")
+        .sortBy("band_id", "band_val")
+        .saveAsTable(t_bands)
+    )
+    (
+        idx_bands.groupBy("band_id", "band_val")
+        .agg(F.count("*").cast("bigint").alias("n_idx"))
+        .write.bucketBy(n_bkts, "band_id", "band_val")
+        .sortBy("band_id", "band_val")
+        .saveAsTable(t_counts)
+    )
+    (
+        idx_docs.select(F.sha2("text", 256).alias("h"))
+        .distinct()
+        .write.bucketBy(n_bkts, "h")
+        .sortBy("h")
+        .saveAsTable(t_keys)
+    )
+    return t_bands, t_counts, t_keys, n_bkts
+
+
 @register(
     "incremental_dedup_persisted_index",
     oracle=_incremental_dedup_oracle(),
@@ -7781,8 +7893,6 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incremental_dedup_persisted_index(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..sources.catalog import reset_bucket_table, session_bucket_table
-
     docs = load_table(spark, sf_dir, "documents")
     thr = docs.agg(
         F.floor(0.8 * (F.max("doc_id") + 1)).cast("bigint").alias("_t")
@@ -7791,57 +7901,8 @@ def incremental_dedup_persisted_index(
     is_new = F.col("doc_id") >= F.col("_t")
 
     # ---- index BUILD: once per corpus version, not per ingest.
-    # Session-scoped names (concurrent suites never collide); 16
-    # buckets stands in for the production bucket count.
-    # bucket count must sit at/above the session's shuffle parallelism
-    # INCLUDING AQE's initialPartitionNum: EnsureRequirements keeps the
-    # bucketed side exchange-free only when the bucket count is the
-    # join's chosen partitioning, and it prefers the LARGER of the two
-    # children's partitionings (measured: 64 buckets vs a 256-initial-
-    # partition probe side re-shuffled the index and disabled the
-    # bucketed scan).  At 100 TB you size this to the cluster
-    # (thousands of buckets is normal for a persisted index).
-    try:
-        # conf.get VALIDATES the supplied default (a "0" default on
-        # this positive-int conf raises INVALID_CONF_VALUE), so the
-        # unset case must be caught, not defaulted
-        initial_parts = int(
-            spark.conf.get(
-                "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-            )
-        )
-    except Exception:
-        initial_parts = 0
-    n_bkts = max(
-        64,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        initial_parts,
-    )
-    t_bands = session_bucket_table(spark, "dedup_idx_bands")
-    t_counts = session_bucket_table(spark, "dedup_idx_bcounts")
-    t_keys = session_bucket_table(spark, "dedup_idx_keys")
-    idx_docs = witht.filter(~is_new).select("doc_id", "text")
-    idx_bands = band_rows(portable_signatures(idx_docs))
-    for t in (t_bands, t_counts, t_keys):
-        reset_bucket_table(spark, t)
-    (
-        idx_bands.write.bucketBy(n_bkts, "band_id", "band_val")
-        .sortBy("band_id", "band_val")
-        .saveAsTable(t_bands)
-    )
-    (
-        idx_bands.groupBy("band_id", "band_val")
-        .agg(F.count("*").cast("bigint").alias("n_idx"))
-        .write.bucketBy(n_bkts, "band_id", "band_val")
-        .sortBy("band_id", "band_val")
-        .saveAsTable(t_counts)
-    )
-    (
-        idx_docs.select(F.sha2("text", 256).alias("h"))
-        .distinct()
-        .write.bucketBy(n_bkts, "h")
-        .sortBy("h")
-        .saveAsTable(t_keys)
+    t_bands, t_counts, t_keys, _n_bkts = _build_persisted_dedup_index(
+        spark, witht.filter(~is_new).select("doc_id", "text"), "dedup_idx"
     )
 
     # ---- PROBE: the recurring per-ingest cost — batch-side only.
@@ -8678,4 +8739,456 @@ def cluster_representative_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("cluster_id")
+    )
+
+
+def _bpe_coverage_oracle(rounds: int = 3, top_words: int = 200) -> str:
+    """The trained merges (shared CTE chain with ``bpe_merge_rounds``'
+    oracle) applied to the per-language word-frequency table."""
+    apply_ctes = []
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        apply_ctes.append(
+            f"""
+    c{r} AS (
+        SELECT lang, tok, cnt,
+               {_bpe_merge_sql("seq")} AS seq
+        FROM {prev} CROSS JOIN top{r} t
+    )"""
+        )
+        prev = f"c{r}"
+    return f"""
+    WITH {_bpe_train_sql(rounds, top_words)},
+    lw AS (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT lang, lower(unnest(string_split(text, ' '))) AS tok
+              FROM documents)
+        WHERE regexp_matches(tok, '^[a-z]+$')
+        GROUP BY 1, 2
+    ),
+    c0 AS (
+        SELECT lang, tok, cnt,
+               ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g') AS seq
+        FROM lw
+    ),{",".join(apply_ctes)},
+    m AS (
+        SELECT lang, cnt, len(tok) AS nch,
+               len(string_split(trim(seq), ' ')) AS nsub
+        FROM {prev}
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_word_types,
+           CAST(sum(cnt) AS BIGINT) AS n_word_occ,
+           round(CAST(sum(cnt * nsub) AS DOUBLE) / sum(cnt), 6)
+               AS fertility,
+           round(CAST(sum(cnt * nch) AS DOUBLE) / sum(cnt * nsub), 6)
+               AS chars_per_token,
+           round(CAST(sum(CASE WHEN nsub < nch THEN cnt ELSE 0 END)
+                      AS DOUBLE) / sum(cnt), 6) AS merge_hit_rate
+    FROM m GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "bpe_vocab_coverage",
+    oracle=_bpe_coverage_oracle(),
+    doc="Tokenizer COVERAGE/FERTILITY audit — the health metric a "
+    "tokenizer team reads after training (Rust et al. 2021 'How good "
+    "is your tokenizer?'): apply the merges ``bpe_merge_rounds`` "
+    "trains (same shared trainer, same argmax tie rules) to every "
+    "language's word vocabulary and report per language the "
+    "frequency-weighted subwords-per-word (fertility), chars-per-"
+    "subword, and the fraction of word occurrences that benefit from "
+    "at least one merge — the numbers that expose a tokenizer trained "
+    "on English-heavy data penalizing other languages.  Scale shape: "
+    "merges are applied to the DISTINCT (lang, word) vocabulary "
+    "(Heaps'-law-sized, never the corpus), weighted by exact BIGINT "
+    "occurrence counts from the single corpus pass; each merge round "
+    "is a 1-row broadcast crossJoin + map-side string algebra; every "
+    "reported ratio is a quotient of two integer sums rounded once — "
+    "aggregation-order-free on both engines (the chow/perplexity "
+    "discipline).",
+    tags=("llm", "text", "quality"),
+)
+def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tops = _bpe_train_tops(docs)
+    lw = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .select("lang", F.lower("tok").alias("tok"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn(
+            "seq",
+            F.concat(
+                F.lit(" "), F.regexp_replace(F.col("tok"), "(.)", "$1 ")
+            ),
+        )
+    )
+    for top1 in tops:
+        lw = (
+            lw.crossJoin(F.broadcast(top1))
+            .select(
+                "lang", "tok", "cnt",
+                _bpe_merged_seq(F.col("seq")).alias("seq"),
+            )
+        )
+    m = lw.select(
+        "lang",
+        "cnt",
+        F.length("tok").alias("nch"),
+        F.size(F.split(F.trim("seq"), " ")).alias("nsub"),
+    )
+    csum = lambda e: F.sum(e).cast("bigint")  # noqa: E731
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_word_types"),
+            csum("cnt").alias("n_word_occ"),
+            F.round(
+                csum(F.col("cnt") * F.col("nsub")).cast("double")
+                / csum("cnt"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                csum(F.col("cnt") * F.col("nch")).cast("double")
+                / csum(F.col("cnt") * F.col("nsub")),
+                6,
+            ).alias("chars_per_token"),
+            F.round(
+                csum(
+                    F.when(F.col("nsub") < F.col("nch"), F.col("cnt"))
+                    .otherwise(F.lit(0))
+                ).cast("double")
+                / csum("cnt"),
+                6,
+            ).alias("merge_hit_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _merge_occupancy_counts(
+    idx_counts: DataFrame, seg_counts_src: DataFrame
+) -> DataFrame:
+    """The compaction's occupancy merge: aggregate the segment's
+    postings on its own bucket keys and full-outer-join them against
+    the persisted v1 counts.  Both children carry the same
+    n_bkts-bucket hash partitioning (the v1 counts table is bucketed;
+    the segment aggregate groups on the segment table's own bucket
+    keys), so the whole merge plans with ZERO Exchange nodes —
+    plan-gated in tests/test_bucketing.py."""
+    seg_counts = seg_counts_src.groupBy("band_id", "band_val").agg(
+        F.count("*").cast("bigint").alias("n_seg")
+    )
+    return (
+        idx_counts.join(seg_counts, ["band_id", "band_val"], "full_outer")
+        .select(
+            "band_id",
+            "band_val",
+            F.coalesce("n_idx", F.lit(0)).cast("bigint").alias("n_idx"),
+            F.coalesce("n_seg", F.lit(0)).cast("bigint").alias("n_seg"),
+            (F.coalesce("n_idx", F.lit(0)) + F.coalesce("n_seg", F.lit(0)))
+            .cast("bigint")
+            .alias("n_total"),
+        )
+    )
+
+
+def _dedup_compaction_oracle() -> str:
+    return f"""
+    WITH thr AS (
+        SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS t
+        FROM documents
+    ),
+    {_band_core_sql()},
+    kept AS (
+        SELECT b.doc_id
+        FROM documents b JOIN thr ON b.doc_id >= thr.t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM documents i, thr t2
+            WHERE i.doc_id < t2.t AND i.text = b.text
+        )
+    ),
+    cells AS (
+        SELECT band_id, band_val,
+               sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_idx,
+               sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_seg
+        FROM (
+            SELECT b.band_id, b.band_val, 0 AS side
+            FROM bands b JOIN thr ON b.doc_id < thr.t
+            UNION ALL
+            SELECT b.band_id, b.band_val, 1 AS side
+            FROM bands b JOIN kept k ON k.doc_id = b.doc_id
+        )
+        GROUP BY 1, 2
+    )
+    SELECT band_id,
+           CAST(sum(n_idx) AS BIGINT) AS n_post_index,
+           CAST(sum(n_seg) AS BIGINT) AS n_post_segment,
+           CAST(sum(n_idx + n_seg) AS BIGINT) AS n_post_total,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN n_idx + n_seg > {_MH_MAX_BUCKET}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets
+    FROM cells GROUP BY band_id ORDER BY band_id
+    """
+
+
+@register(
+    "dedup_index_compaction",
+    oracle=_dedup_compaction_oracle(),
+    doc="Persisted-dedup-index COMPACTION — the lifecycle stage after "
+    "the probe: once an ingest's report accepts a batch, its kept "
+    "documents (tier-1 exact dups never enter the index) must become "
+    "part of the index the NEXT ingest probes against.  The LSM "
+    "lesson applies at 100 TB: rewriting the posting table per ingest "
+    "would shuffle the whole index (a bucketed write of `old UNION "
+    "new` re-buckets everything), so compaction instead writes the "
+    "kept batch's postings as a DELTA SEGMENT table bucketed "
+    "identically to the index (batch-proportional write), and merges "
+    "only the bucket-OCCUPANCY counts table (occupancy-sized, orders "
+    "of magnitude smaller than postings) so the next probe's "
+    "hot-bucket guard sees combined totals.  The merge itself is "
+    "exchange-free end to end (plan-gated in tests/test_bucketing."
+    "py): segment counts aggregate on the segment table's own bucket "
+    "keys, and the full-outer count merge joins two relations already "
+    "bucketed on (band_id, band_val) — zero Exchange nodes.  Output: "
+    "the per-band compaction report (index/segment/total postings, "
+    "occupied buckets, hot buckets past the "
+    f"{_MH_MAX_BUCKET}-occupancy guard) read back from the "
+    "MATERIALIZED v2 counts table, so the hash-check proves the "
+    "persisted artifact, not a bypass plan.  Near-dup batch docs stay "
+    "in the index as cluster members (the representative pick is a "
+    "downstream read-side choice — cluster_representative_pick); "
+    "full posting-table rewrites are the amortized background job, "
+    "exactly as in LSM compaction.",
+    tags=("llm", "dedup", "pipeline", "layout"),
+)
+def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import reset_bucket_table, session_bucket_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    thr = docs.agg(
+        F.floor(0.8 * (F.max("doc_id") + 1)).cast("bigint").alias("_t")
+    ).transform(ckpt)
+    witht = docs.crossJoin(F.broadcast(thr))
+    is_new = F.col("doc_id") >= F.col("_t")
+
+    # index v1: once per corpus version (same builder as the probe)
+    _t_bands, t_counts, t_keys, n_bkts = _build_persisted_dedup_index(
+        spark, witht.filter(~is_new).select("doc_id", "text"), "cmp_idx"
+    )
+
+    # the accepted batch: exact-content dups never enter the index
+    kept = (
+        witht.filter(is_new)
+        .select("doc_id", "text", F.sha2("text", 256).alias("h"))
+        .join(spark.table(t_keys), "h", "anti")
+        .select("doc_id", "text")
+    )
+
+    # delta segment: batch-proportional write, bucketed like the index
+    t_seg = session_bucket_table(spark, "cmp_seg_bands")
+    t_v2 = session_bucket_table(spark, "cmp_idx_bcounts_v2")
+    for t in (t_seg, t_v2):
+        reset_bucket_table(spark, t)
+    (
+        band_rows(portable_signatures(kept))
+        .write.bucketBy(n_bkts, "band_id", "band_val")
+        .sortBy("band_id", "band_val")
+        .saveAsTable(t_seg)
+    )
+
+    merged = _merge_occupancy_counts(
+        spark.table(t_counts), spark.table(t_seg)
+    )
+    (
+        merged.write.bucketBy(n_bkts, "band_id", "band_val")
+        .sortBy("band_id", "band_val")
+        .saveAsTable(t_v2)
+    )
+
+    # the report reads the MATERIALIZED v2 table — proving the artifact
+    return (
+        spark.table(t_v2)
+        .groupBy("band_id")
+        .agg(
+            F.sum("n_idx").cast("bigint").alias("n_post_index"),
+            F.sum("n_seg").cast("bigint").alias("n_post_segment"),
+            F.sum("n_total").cast("bigint").alias("n_post_total"),
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum((F.col("n_total") > _MH_MAX_BUCKET).cast("int"))
+            .cast("bigint")
+            .alias("n_hot_buckets"),
+        )
+        .orderBy("band_id")
+    )
+
+
+@register(
+    "langid_trigram_confusion",
+    oracle="""
+    WITH lt AS (
+        SELECT doc_id, lang, lower(text) AS lt FROM documents
+        WHERE len(text) >= 3
+    ),
+    tri AS (
+        SELECT doc_id, lang, substr(lt, CAST(i AS INT), 3) AS tri
+        FROM lt, unnest(range(1, len(lt) - 1)) AS t(i)
+    ),
+    prof AS (
+        SELECT lang, tri, CAST(count(*) AS BIGINT) AS c
+        FROM tri WHERE doc_id % 5 <> 0 GROUP BY 1, 2
+    ),
+    vs AS (SELECT count(DISTINCT tri) AS v FROM prof),
+    ltot AS (SELECT lang, sum(c) AS tot FROM prof GROUP BY 1),
+    lfloor AS (
+        SELECT lang AS cand_lang,
+               CAST(round(ln(1.0 / (tot + v)) * 1000000, 0) AS BIGINT)
+                   AS floor_mn
+        FROM ltot CROSS JOIN vs
+    ),
+    cell AS (
+        SELECT p.lang AS cand_lang, p.tri,
+               CAST(round(ln((p.c + 1.0) / (l.tot + l.v)) * 1000000, 0)
+                    AS BIGINT) AS mn
+        FROM prof p
+        JOIN (SELECT lang, tot, v FROM ltot CROSS JOIN vs) l
+          ON l.lang = p.lang
+    ),
+    dt AS (
+        SELECT doc_id, lang AS true_lang, tri,
+               CAST(count(*) AS BIGINT) AS k
+        FROM tri WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT d.doc_id, d.true_lang, f.cand_lang,
+               sum(d.k * coalesce(c.mn, f.floor_mn)) AS score
+        FROM dt d
+        CROSS JOIN lfloor f
+        LEFT JOIN cell c
+          ON c.tri = d.tri AND c.cand_lang = f.cand_lang
+        GROUP BY 1, 2, 3
+    ),
+    best AS (SELECT doc_id, max(score) AS smax FROM scored GROUP BY 1),
+    pred AS (
+        SELECT s.doc_id, s.true_lang, min(s.cand_lang) AS pred_lang
+        FROM scored s
+        JOIN best b ON b.doc_id = s.doc_id AND s.score = b.smax
+        GROUP BY 1, 2
+    )
+    SELECT true_lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="TRAINED language identification with a confusion-matrix "
+    "audit — upgrades lang_stats_heuristic's fixed rule to the "
+    "classical character-trigram Naive-Bayes classifier (Cavnar & "
+    "Trenkle 1994, the fastText-style baseline): per-language trigram "
+    "profiles are trained on the deterministic doc_id % 5 != 0 split, "
+    "held-out docs are scored by add-one-smoothed log-likelihood, and "
+    "the output is the (true_lang, pred_lang) confusion matrix the "
+    "owner of a lang-routed pipeline actually reviews.  Determinism: "
+    "each (lang, trigram) cell's log-probability is quantized ONCE to "
+    "integer micro-nats (round(ln(p)*1e6) — a per-cell pure function "
+    "of exact BIGINT counts, the perplexity discipline), so per-doc "
+    "scores are BIGINT sums — aggregation-order-free on both engines "
+    "— and the argmax is max-score-then-min-lang, a pure integer "
+    "tie rule.  Scale shape: the profile is a (lang × trigram)-keyed "
+    "relation (vocabulary-sized, Heaps' law) and joins TRIGRAM-keyed "
+    "— never broadcast; only the per-language floor/total table is "
+    "broadcast, justified because the language DOMAIN is a bounded "
+    "enum (ISO codes — the CLAUDE.md provably-bounded case, unlike "
+    "web domains); held-out docs pre-aggregate trigram multiplicity "
+    "per doc before the profile join, so the scoring join carries "
+    "distinct-trigram rows, not every character position.",
+    tags=("llm", "text", "quality"),
+)
+def langid_trigram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 3)
+        .select("doc_id", "lang", F.lower("text").alias("lt"))
+    )
+    tri = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.length("lt") - 2)).alias("i"),
+        "lt",
+    ).select("doc_id", "lang", F.expr("substring(lt, i, 3)").alias("tri"))
+    is_test = F.col("doc_id") % 5 == 0
+
+    # profile: (lang, trigram) cell counts — vocabulary-sized; read by
+    # the cell quantization AND the per-lang totals (2 consumers)
+    prof = (
+        tri.filter(~is_test)
+        .groupBy("lang", "tri")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .transform(ckpt)
+    )
+    vsize = prof.select("tri").distinct().agg(
+        F.count("*").cast("bigint").alias("v")
+    )
+    # per-language floor/total: bounded enum (ISO language codes), the
+    # provably bounded broadcast case — and read by 2 consumers
+    micronats = lambda p: F.round(F.log(p) * 1e6, 0).cast("bigint")  # noqa: E731
+    lfloor = (
+        prof.groupBy("lang")
+        .agg(F.sum("c").alias("tot"))
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            F.col("lang").alias("cand_lang"),
+            "tot",
+            "v",
+            micronats(1.0 / (F.col("tot") + F.col("v"))).alias("floor_mn"),
+        )
+        .transform(ckpt)
+    )
+    cell = prof.join(
+        F.broadcast(
+            lfloor.select(F.col("cand_lang").alias("lang"), "tot", "v")
+        ),
+        "lang",
+    ).select(
+        F.col("lang").alias("cand_lang"),
+        "tri",
+        micronats((F.col("c") + 1.0) / (F.col("tot") + F.col("v"))).alias(
+            "mn"
+        ),
+    )
+
+    # held-out docs: distinct-trigram multiplicities, then one
+    # trigram-keyed scoring join per candidate language
+    dt = (
+        tri.filter(is_test)
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "tri")
+        .agg(F.count("*").cast("bigint").alias("k"))
+    )
+    scored = (
+        dt.crossJoin(F.broadcast(lfloor.select("cand_lang", "floor_mn")))
+        .join(cell, ["tri", "cand_lang"], "left")
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(
+            F.sum(
+                F.col("k") * F.coalesce(F.col("mn"), F.col("floor_mn"))
+            ).alias("score")
+        )
+        .transform(ckpt)  # read by the max aggregate AND the tie join
+    )
+    best = scored.groupBy("doc_id").agg(F.max("score").alias("smax"))
+    pred = (
+        scored.join(best, "doc_id")
+        .filter(F.col("score") == F.col("smax"))
+        .groupBy("doc_id", "true_lang")
+        .agg(F.min("cand_lang").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("true_lang", "pred_lang")
     )

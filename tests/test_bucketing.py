@@ -319,3 +319,62 @@ def test_partitioned_text_tier3_fetch_is_dpp_pruned(spark, sf_dir):
             REGISTRY["incremental_dedup_partitioned_text"].fn(spark, sf_dir)
         )
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_compaction_occupancy_merge_has_zero_exchange(spark, sf_dir):
+    """dedup_index_compaction: the occupancy merge (segment count
+    aggregate + full-outer join against the persisted v1 counts) must
+    plan with ZERO Exchange nodes — both children already carry the
+    same bucket partitioning, which is the whole reason compaction
+    merges counts instead of rewriting postings."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        _build_persisted_dedup_index,
+        _merge_occupancy_counts,
+        band_rows,
+        portable_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx_docs = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    _tb, t_counts, _tk, n_bkts = _build_persisted_dedup_index(
+        spark, idx_docs, "test_cmp_idx"
+    )
+    t_seg = session_bucket_table(spark, "test_cmp_seg")
+    reset_bucket_table(spark, t_seg)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        (
+            band_rows(
+                portable_signatures(
+                    docs.filter(F.col("doc_id") % 5 == 0).select(
+                        "doc_id", "text"
+                    )
+                )
+            )
+            .write.bucketBy(n_bkts, "band_id", "band_val")
+            .sortBy("band_id", "band_val")
+            .saveAsTable(t_seg)
+        )
+        # broadcast would bypass the claim — force the SMJ shape a
+        # 100 TB counts table would get
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        merged = _merge_occupancy_counts(
+            spark.table(t_counts), spark.table(t_seg)
+        )
+        plan = _formatted_plan(merged)
+        assert "SortMergeJoin FullOuter" in plan, plan
+        assert not re.search(r"\(\d+\)\s+Exchange", plan), plan
+        assert plan.count("Bucketed: true") >= 2, plan
+        # and the merge preserves posting mass
+        tot = merged.agg(F.sum("n_total")).collect()[0][0]
+        exp = (
+            spark.table(t_counts).agg(F.sum("n_idx")).collect()[0][0]
+            + spark.table(t_seg).count()
+        )
+        assert tot == exp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        for t in ("test_cmp_idx_bands", "test_cmp_idx_bcounts",
+                  "test_cmp_idx_keys"):
+            reset_bucket_table(spark, session_bucket_table(spark, t))
+        reset_bucket_table(spark, t_seg)
