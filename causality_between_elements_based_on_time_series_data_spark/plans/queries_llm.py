@@ -9192,3 +9192,588 @@ def langid_trigram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang", "pred_lang")
     )
+
+
+def candidate_jaccard_scores(docs: DataFrame) -> DataFrame:
+    """``(id_a, id_b, n_common, sz_a, sz_b)`` for every LSH
+    band-collision candidate pair over ``docs`` — the shared verify
+    core behind ``cross_source_contamination_matrix`` and
+    ``contrastive_pair_mining``.  Candidate-proportional on the
+    dedup-tier discipline: documents are semi-joined against the
+    candidate-endpoint id set BEFORE tokenizing, so the exact
+    word-set intersection touches candidate text only (never the
+    corpus).  Zero-overlap candidates (pure hash collisions) survive
+    with ``n_common = 0`` via the left join — label policy is the
+    caller's."""
+    cand = (
+        portable_band_pairs(portable_signatures(docs))
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        .transform(ckpt)  # endpoints projection + inter + scored read it
+    )
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    tok = (
+        docs.select("doc_id", "text")
+        .join(cand_ids, "doc_id", "semi")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+        )
+        .transform(ckpt)  # sizes + both intersection sides read it
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(tok.alias("ta"), F.col("ta.doc_id") == F.col("id_a"))
+        .join(
+            tok.alias("tb"),
+            (F.col("tb.doc_id") == F.col("id_b"))
+            & (F.col("ta.w") == F.col("tb.w")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias(
+                "n_common"
+            ),
+            F.col("sa.sz").cast("bigint").alias("sz_a"),
+            F.col("sb.sz").cast("bigint").alias("sz_b"),
+        )
+    )
+
+
+def _cand_jaccard_sql() -> str:
+    """CTE bodies ``cand``/``cids``/``ctok``/``csizes``/``cinter``/
+    ``cscored`` — the DuckDB twin of :func:`candidate_jaccard_scores`,
+    appended after :func:`_band_core_sql`."""
+    return """
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pruned a JOIN pruned b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    cids AS (SELECT DISTINCT unnest([id_a, id_b]) AS doc_id FROM cand),
+    ctok AS (
+        SELECT d.doc_id,
+               unnest(list_distinct(string_split(d.text, ' '))) AS w
+        FROM documents d JOIN cids USING (doc_id)
+    ),
+    csizes AS (SELECT doc_id, count(*) AS sz FROM ctok GROUP BY doc_id),
+    cinter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cand c
+        JOIN ctok ta ON ta.doc_id = c.id_a
+        JOIN ctok tb ON tb.doc_id = c.id_b AND ta.w = tb.w
+        GROUP BY 1, 2
+    ),
+    cscored AS (
+        SELECT c.id_a, c.id_b,
+               CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+               CAST(sa.sz AS BIGINT) AS sz_a,
+               CAST(sb.sz AS BIGINT) AS sz_b
+        FROM cand c
+        LEFT JOIN cinter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN csizes sa ON sa.doc_id = c.id_a
+        JOIN csizes sb ON sb.doc_id = c.id_b
+    )"""
+
+
+@register(
+    "cross_source_contamination_matrix",
+    oracle=f"""
+    WITH {_band_core_sql()},{_cand_jaccard_sql()},
+    verified AS (
+        SELECT id_a, id_b FROM cscored
+        WHERE CAST(n_common AS DOUBLE)
+              / (sz_a + sz_b - n_common) >= 0.8
+    ),
+    srcd AS (
+        SELECT v.id_a, v.id_b,
+               least(da.source, db.source) AS src_lo,
+               greatest(da.source, db.source) AS src_hi
+        FROM verified v
+        JOIN documents da ON da.doc_id = v.id_a
+        JOIN documents db ON db.doc_id = v.id_b
+    )
+    SELECT src_lo, src_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum((id_a * 31 + id_b) % 1000000007) AS BIGINT)
+               AS pair_checksum
+    FROM srcd GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Cross-SOURCE contamination matrix — 'which domains copy from "
+    "which': every VERIFIED near-dup pair (band candidates, exact "
+    "word-set Jaccard >= 0.8 on candidate docs only) rolled up to the "
+    "unordered (source, source) pair of its endpoints.  Off-diagonal "
+    "cells are syndication/mirroring between domains (the signal "
+    "behind per-source dedup budgets and crawl blocklists); diagonal "
+    "cells are in-domain duplication.  Scale shape: candidates come "
+    "from band-bucket collisions (never corpus²), verification "
+    "tokenizes only candidate-endpoint docs (semi-join before "
+    "tokenize — the round-12 tier-3 discipline), and the source "
+    "lookup joins the id→source projection of the column-pruned "
+    "scan; the output matrix is |sources|²-bounded but in practice "
+    "sparse (only colliding source pairs appear).  Pair checksums "
+    "are modded per row before summing (ANSI 2^63 rule).",
+    tags=("llm", "dedup", "quality"),
+)
+def cross_source_contamination_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = candidate_jaccard_scores(docs)
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    meta = docs.select("doc_id", "source")
+    srcd = (
+        scored.filter(jac >= 0.8)
+        .join(
+            meta.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            meta.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+        )
+    )
+    return (
+        srcd.groupBy("src_lo", "src_hi")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(
+                (F.col("id_a") * 31 + F.col("id_b")) % F.lit(1000000007)
+            )
+            .cast("bigint")
+            .alias("pair_checksum"),
+        )
+        .orderBy("src_lo", "src_hi")
+    )
+
+
+@register(
+    "contrastive_pair_mining",
+    oracle=f"""
+    WITH {_band_core_sql()},{_cand_jaccard_sql()},
+    labeled AS (
+        SELECT s.*,
+               CASE WHEN CAST(n_common AS DOUBLE)
+                         / (sz_a + sz_b - n_common) >= 0.8
+                    THEN 'positive'
+                    WHEN CAST(n_common AS DOUBLE)
+                         / (sz_a + sz_b - n_common) < 0.5
+                    THEN 'hard_negative' END AS label
+        FROM cscored s
+    ),
+    withlang AS (
+        SELECT l.label, d.lang AS anchor_lang,
+               l.id_a, l.id_b, l.n_common,
+               l.sz_a + l.sz_b - l.n_common AS n_union
+        FROM labeled l JOIN documents d ON d.doc_id = l.id_a
+        WHERE l.label IS NOT NULL
+    )
+    SELECT label, anchor_lang,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(n_common) AS DOUBLE) / sum(n_union), 6)
+               AS pooled_jaccard,
+           CAST(sum((id_a * 31 + id_b) % 1000000007) AS BIGINT)
+               AS pair_checksum
+    FROM withlang GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Contrastive-pair MINING for embedding-model training (the "
+    "E5/GTE recipe: weakly-supervised positives + hard negatives): "
+    "every band-collision candidate is exact-verified and labeled — "
+    "Jaccard >= 0.8 becomes a POSITIVE pair, < 0.5 a HARD NEGATIVE "
+    "(textually collided yet dissimilar — exactly the near-miss "
+    "a contrastive loss needs; the ambiguous 0.5-0.8 band is "
+    "discarded), rolled up per (label, anchor language) with pair "
+    "counts, POOLED Jaccard (a quotient of two integer sums — "
+    "per-pair float ratios averaged would be the order-dependent "
+    "moment flake), and a per-row-modded pair checksum.  Scale "
+    "shape: shares candidate_jaccard_scores with the contamination "
+    "matrix — candidate-bounded verify, semi-join before tokenize; "
+    "the label split is a map-side CASE; the rollup is "
+    "(2 × |langs|)-row.  Mining emits O(candidate-mass) pairs at any "
+    "corpus size — the LSH bound IS the mining budget.",
+    tags=("llm", "dedup", "similarity", "sampling"),
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = candidate_jaccard_scores(docs)
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    labeled = scored.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).alias(
+            "n_union"
+        ),
+        F.when(jac >= 0.8, F.lit("positive"))
+        .when(jac < 0.5, F.lit("hard_negative"))
+        .alias("label"),
+    ).filter(F.col("label").isNotNull())
+    withlang = labeled.join(
+        docs.select(
+            F.col("doc_id").alias("id_a"), F.col("lang").alias("anchor_lang")
+        ),
+        "id_a",
+    )
+    return (
+        withlang.groupBy("label", "anchor_lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum("n_common").cast("double") / F.sum("n_union"), 6
+            ).alias("pooled_jaccard"),
+            F.sum(
+                (F.col("id_a") * 31 + F.col("id_b")) % F.lit(1000000007)
+            )
+            .cast("bigint")
+            .alias("pair_checksum"),
+        )
+        .orderBy("label", "anchor_lang")
+    )
+
+
+@register(
+    "dsir_effective_sample_size",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(unnest(string_split(text, ' '))),
+                                   1, 12)
+                    AS BIGINT) % {_DSIR_BUCKETS} AS b
+        FROM documents
+    ),
+    bc AS (SELECT doc_id, lang, b, count(*) AS cnt FROM toks GROUP BY 1, 2, 3),
+    tgt AS (
+        SELECT b, CAST(count(*) AS DOUBLE) AS c
+        FROM toks WHERE lang = 'en' GROUP BY 1
+    ),
+    tgt_tot AS (SELECT sum(c) AS tot FROM tgt),
+    rawc AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY 1),
+    raw_tot AS (SELECT sum(c) AS tot FROM rawc),
+    lmicro AS (
+        SELECT r.b,
+               CAST(round(ln(((coalesce(g.c, 0) + 1.0)
+                              / (gt.tot + {_DSIR_BUCKETS}))
+                             / ((r.c + 1.0) / (rt.tot + {_DSIR_BUCKETS})))
+                          * 1000000, 0) AS BIGINT) AS lm
+        FROM rawc r LEFT JOIN tgt g USING (b)
+        CROSS JOIN tgt_tot gt CROSS JOIN raw_tot rt
+    ),
+    li AS (
+        SELECT bc.doc_id, bc.lang,
+               CAST(sum(bc.cnt * lm) AS BIGINT) AS lw
+        FROM bc JOIN lmicro USING (b) GROUP BY 1, 2
+    ),
+    lmax AS (SELECT lang, max(lw) AS m FROM li GROUP BY 1),
+    wq AS (
+        SELECT li.lang,
+               CAST(round(exp(CAST(li.lw - x.m AS DOUBLE) / 1000000.0)
+                          * 1000, 0) AS BIGINT) AS w
+        FROM li JOIN lmax x ON x.lang = li.lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(w) AS DOUBLE) * CAST(sum(w) AS DOUBLE)
+                 / sum(w * w), 4) AS ess_docs,
+           round(CAST(sum(w) AS DOUBLE) * CAST(sum(w) AS DOUBLE)
+                 / sum(w * w) / count(*), 6) AS ess_frac,
+           CAST(sum(w) AS BIGINT) AS weight_mass_milli
+    FROM wq GROUP BY lang ORDER BY lang
+    """,
+    doc="Effective sample size of the DSIR importance weights — the "
+    "degenerate-reweighting audit (Kong 1992 ESS = (Σw)²/Σw²) a "
+    "pipeline owner checks BEFORE resampling with "
+    "dsir_importance_weights: ess_frac near 1 means the target "
+    "distribution barely reweights; near 1/n means a handful of docs "
+    "dominate and the resampled corpus would collapse.  Determinism "
+    "discipline (the chow/perplexity family, applied END-TO-END): "
+    "per-bucket log-ratios are quantized ONCE to integer micro-nats, "
+    "per-doc log-weights are exact BIGINT sums, weights are "
+    "max-normalized per language (exp of a pure integer difference — "
+    "no overflow at any corpus size) and quantized to integer "
+    "milli-units, and ESS is a pure function of the exact BIGINT "
+    "Σw / Σw² — every aggregation on both engines sums integers.  "
+    "Scale shape: the 1024-bucket distribution tables broadcast by "
+    "construction; per-lang max is a bounded-enum aggregate; "
+    "Σ(w²) stays under 2^63 past 10^12 docs per language (w ≤ 10³ "
+    "→ w² ≤ 10⁶ per row).",
+    tags=("llm", "sampling", "mixture", "quality"),
+)
+def dsir_effective_sample_size(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("bigint")
+        % _DSIR_BUCKETS
+    )
+    toks = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .select("doc_id", "lang", bucket.alias("b"))
+        .transform(ckpt)  # read by bc, tgt, rawc
+    )
+    bc = toks.groupBy("doc_id", "lang", "b").agg(
+        F.count("*").alias("cnt")
+    )
+    tgt = toks.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").cast("double").alias("gc")
+    )
+    rawc = toks.groupBy("b").agg(F.count("*").cast("double").alias("rc"))
+    tgt_tot = tgt.agg(F.sum("gc").alias("gtot"))
+    raw_tot = rawc.agg(F.sum("rc").alias("rtot"))
+    nb = F.lit(float(_DSIR_BUCKETS))
+    lm = (
+        F.round(
+            F.log(
+                ((F.coalesce(F.col("gc"), F.lit(0.0)) + 1.0)
+                 / (F.col("gtot") + nb))
+                / ((F.col("rc") + 1.0) / (F.col("rtot") + nb))
+            )
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("lm")
+    )
+    # <= _DSIR_BUCKETS rows by construction — the provably bounded
+    # broadcast case (the hashed-feature design exists to pin this)
+    lmicro = (
+        rawc.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .select("b", lm)
+    )
+    li = (
+        bc.join(F.broadcast(lmicro), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("cnt") * F.col("lm")).cast("bigint").alias("lw"))
+        .transform(ckpt)  # read by the per-lang max AND the weight pass
+    )
+    # per-language max log-weight: bounded enum (ISO langs) — broadcast
+    lmax = li.groupBy("lang").agg(F.max("lw").alias("m"))
+    wq = li.join(F.broadcast(lmax), "lang").select(
+        "lang",
+        F.round(
+            F.exp((F.col("lw") - F.col("m")).cast("double") / 1000000.0)
+            * 1000,
+            0,
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    sw = F.sum("w").cast("double")
+    return (
+        wq.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(sw * sw / F.sum(F.col("w") * F.col("w")), 4).alias(
+                "ess_docs"
+            ),
+            F.round(
+                sw * sw / F.sum(F.col("w") * F.col("w")) / F.count("*"), 6
+            ).alias("ess_frac"),
+            F.sum("w").cast("bigint").alias("weight_mass_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "quality_gate_disagreement_audit",
+    oracle=_irls_oracle_ctes(_DQ_FEAT_SQL, _IRLS_ROUNDS)
+    + f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN b0 + b1*f1 + b2*f2 >= 0 AND y = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
+           CAST(sum(CASE WHEN b0 + b1*f1 + b2*f2 >= 0 AND y = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_only,
+           CAST(sum(CASE WHEN b0 + b1*f1 + b2*f2 < 0 AND y = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cascade_only,
+           CAST(sum(CASE WHEN b0 + b1*f1 + b2*f2 < 0 AND y = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop,
+           round(sum(CASE WHEN (b0 + b1*f1 + b2*f2 >= 0) = (y = 1)
+                          THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS agree_rate,
+           CAST(sum(CASE WHEN (b0 + b1*f1 + b2*f2 >= 0) <> (y = 1)
+                         THEN doc_id END) AS BIGINT)
+               AS disagree_id_checksum
+    FROM feat CROSS JOIN beta{_IRLS_ROUNDS}
+    GROUP BY lang ORDER BY lang""",
+    doc="Gate-migration disagreement audit — the A/B table a pipeline "
+    "owner reads before swapping the heuristic verdict cascade "
+    "(quality_filter_verdicts) for the trained logistic gate "
+    "(doc_quality_logistic_gate): the per-language confusion between "
+    "the two keep decisions (both-keep / gate-only / cascade-only / "
+    "both-drop), the agreement rate, and a checksum of the "
+    "disagreeing doc ids (the review queue).  Shares "
+    "_dq_gate_scored's relation — same features, same fit, same "
+    "betas as the gate itself, so the audit can never drift from "
+    "the decision it audits.  The gate-only cell is the interesting "
+    "one operationally: docs the classifier would admit that the "
+    "cascade rejects — since the cascade IS the training label, "
+    "these are the docs the model generalizes differently on, the "
+    "first place label noise shows up.  Scale shape: inherited from "
+    "the gate (fixed 1024-bucket broadcast tables, 1-row beta, "
+    "map-side scoring); the audit adds one per-lang rollup.",
+    tags=("llm", "text", "quality", "ml"),
+)
+def quality_gate_disagreement_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scored = _dq_gate_scored(spark, sf_dir)
+    gate = (
+        F.col("b0") + F.col("b1") * F.col("f1") + F.col("b2") * F.col("f2")
+        >= 0
+    )
+    casc = F.col("y") == 1
+    cnt = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            cnt(gate & casc).alias("n_both_keep"),
+            cnt(gate & ~casc).alias("n_gate_only"),
+            cnt(~gate & casc).alias("n_cascade_only"),
+            cnt(~gate & ~casc).alias("n_both_drop"),
+            F.round(
+                F.sum((gate == casc).cast("int")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("agree_rate"),
+            F.sum(F.when(gate != casc, F.col("doc_id")))
+            .cast("bigint")
+            .alias("disagree_id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "hot_bucket_skew_report",
+    oracle=f"""
+    WITH {_band_core_sql()},
+    cells AS (
+        SELECT band_id, band_val, CAST(count(*) AS BIGINT) AS occ
+        FROM bands GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT band_id, band_val, occ,
+               row_number() OVER (PARTITION BY band_id
+                                  ORDER BY occ, band_val) AS rn,
+               count(*) OVER (PARTITION BY band_id) AS n
+        FROM cells
+    ),
+    p50 AS (SELECT band_id, occ AS p50_occ FROM r WHERE rn = (n + 1) // 2),
+    p99 AS (
+        SELECT band_id, occ AS p99_occ FROM r
+        WHERE rn = (99 * n + 99) // 100
+    )
+    SELECT c.band_id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(occ) AS BIGINT) AS n_postings,
+           CAST(any_value(p50_occ) AS BIGINT) AS p50_occ,
+           CAST(any_value(p99_occ) AS BIGINT) AS p99_occ,
+           CAST(max(occ) AS BIGINT) AS max_occ,
+           CAST(sum(CASE WHEN occ > {_MH_MAX_BUCKET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_guard_dropped,
+           CAST(sum(CASE WHEN occ > {_MH_MAX_BUCKET} THEN occ ELSE 0 END)
+                AS BIGINT) AS dropped_postings
+    FROM cells c
+    JOIN p50 USING (band_id) JOIN p99 USING (band_id)
+    GROUP BY c.band_id ORDER BY c.band_id
+    """,
+    doc="LSH band-bucket SKEW observability — the report that "
+    f"justifies (or re-tunes) the {_MH_MAX_BUCKET}-occupancy "
+    "hot-bucket guard every dedup tier relies on: per band, the "
+    "bucket-occupancy distribution (exact lower-median and p99 under "
+    "a deterministic band_val tiebreak, max), plus exactly what the "
+    "guard costs — how many buckets it drops and how much posting "
+    "mass goes with them.  A p99 creeping toward the guard means "
+    "near-dup mass is concentrating (crawl loops, template floods) "
+    "and candidate joins are about to see quadratic pockets; "
+    "dropped_postings quantifies the recall the guard trades for "
+    "that protection.  Scale shape: occupancy cells are "
+    "bucket-count-sized (vocabulary scale, never corpus scale); the "
+    "exact percentile ranks run through the grouped bucket+offset "
+    "rank device with partition_by=(band_id,) — per-(band, range-"
+    "bucket) windows, never one task per band — and the p99 rank is "
+    "computed in INTEGER arithmetic ((99n+99)//100) on both engines.",
+    tags=("llm", "dedup", "stats"),
+)
+def hot_bucket_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import with_global_rank, with_range_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        band_rows(portable_signatures(docs.select("doc_id", "text")))
+        .groupBy("band_id", "band_val")
+        .agg(F.count("*").cast("bigint").alias("occ"))
+        .transform(ckpt)  # read by the rank device AND the rollup
+    )
+    r = with_global_rank(
+        with_range_bucket(cells, "occ"),
+        [F.asc("occ"), F.asc("band_val")],
+        partition_by=("band_id",),
+        total="n",
+    )
+    p50 = r.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
+        "band_id", F.col("occ").alias("p50_occ")
+    )
+    p99 = r.filter(
+        F.col("rn") == F.floor((99 * F.col("n") + 99) / 100)
+    ).select("band_id", F.col("occ").alias("p99_occ"))
+    hot = F.col("occ") > _MH_MAX_BUCKET
+    return (
+        cells.groupBy("band_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum("occ").cast("bigint").alias("n_postings"),
+            F.max("occ").cast("bigint").alias("max_occ"),
+            F.sum(hot.cast("int")).cast("bigint").alias("n_guard_dropped"),
+            F.sum(F.when(hot, F.col("occ")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("dropped_postings"),
+        )
+        .join(p50, "band_id")
+        .join(p99, "band_id")
+        .select(
+            "band_id",
+            "n_buckets",
+            "n_postings",
+            F.col("p50_occ").cast("bigint").alias("p50_occ"),
+            F.col("p99_occ").cast("bigint").alias("p99_occ"),
+            "max_occ",
+            "n_guard_dropped",
+            "dropped_postings",
+        )
+        .orderBy("band_id")
+    )

@@ -218,3 +218,52 @@ def test_msprt_lambda_matches_numpy_replay(spark, sf_dir):
     assert last_q.day == last_d
     assert last_q.log_lambda == pytest.approx(math.log(last_lam), abs=1e-3)
     assert last_q.always_valid_p == pytest.approx(last_p, abs=1e-3)
+
+
+def test_dsir_ess_bounds(spark, sf_dir):
+    """ESS is at most n (equality iff uniform weights) and at least 1
+    (one doc holds the max-normalized weight 1000 per language)."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        dsir_effective_sample_size,
+    )
+
+    rows = dsir_effective_sample_size(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 <= r.ess_docs <= r.n_docs + 1e-6, r
+        assert 0.0 < r.ess_frac <= 1.0 + 1e-9, r
+        # the max-normalized weight 1000 is always present
+        assert r.weight_mass_milli >= 1000, r
+
+
+def test_contrastive_labels_partition_the_jaccard_range(spark, sf_dir):
+    """Positives pool to >= 0.8 Jaccard, hard negatives to < 0.5 —
+    the pooled statistic must respect its own label cut."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        contrastive_pair_mining,
+    )
+
+    rows = contrastive_pair_mining(spark, sf_dir).collect()
+    labels = {r.label for r in rows}
+    assert labels <= {"positive", "hard_negative"}
+    for r in rows:
+        assert r.n_pairs > 0
+        if r.label == "positive":
+            assert r.pooled_jaccard >= 0.8 - 1e-9, r
+        else:
+            # pooled over pairs each < 0.5 stays < 0.5
+            assert r.pooled_jaccard < 0.5, r
+
+
+def test_contamination_matrix_is_canonicalized(spark, sf_dir):
+    """Source pairs are unordered-canonical (lo <= hi) and every cell
+    counts at least one verified pair."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        cross_source_contamination_matrix,
+    )
+
+    rows = cross_source_contamination_matrix(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.src_lo <= r.src_hi, r
+        assert r.n_pairs > 0, r
