@@ -1994,3 +1994,288 @@ def staggered_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_time")
     )
+
+
+# ---------------------------------------------------------------------------
+# bacon_did_decomposition
+# ---------------------------------------------------------------------------
+
+_BACON_T = 4  # weeks 0..3 (the partial week 4 is dropped, as in the ATT)
+
+
+def _bacon_components() -> list[tuple]:
+    """The Goodman-Bacon (2021) 2x2 component list for timing cohorts
+    {1, 2, 3} + never-treated, weeks 0..3 — single source of truth for
+    BOTH the Spark literal table and the oracle's VALUES clause.
+
+    Each row: (comparison, g_treat, g_ctrl, pre_a, pre_b, post_a,
+    post_b, dcoef16) where dcoef16 = 16 x the treatment-variance
+    coefficient of the raw weight n_t * n_c * coef:
+      - treated k vs never:           coef = Dk * (1 - Dk)
+      - early k vs late l (pre-wind): coef = (Dk - Dl) * (1 - Dk)
+      - late l vs early k (post-win): coef = Dl * (Dk - Dl)
+    with Dg = (T - g) / T.  With T = 4 every 16*coef is an exact
+    integer, so the weight numerators and their normalizing sum are
+    BIGINT — aggregation-order-free on both engines."""
+    comps = []
+    for k in (1, 2, 3):
+        dk = (_BACON_T - k) / _BACON_T
+        comps.append(
+            ("treat_vs_never", k, -1, 0, k - 1, k, 3,
+             int(round(16 * dk * (1 - dk))))
+        )
+    for k in (1, 2):
+        for l in range(k + 1, 4):
+            dk = (_BACON_T - k) / _BACON_T
+            dl = (_BACON_T - l) / _BACON_T
+            comps.append(
+                ("early_vs_late_pre", k, l, 0, k - 1, k, l - 1,
+                 int(round(16 * (dk - dl) * (1 - dk))))
+            )
+            comps.append(
+                ("late_vs_early_post", l, k, k, l - 1, l, 3,
+                 int(round(16 * dl * (dk - dl))))
+            )
+    return comps
+
+
+def _bacon_oracle() -> str:
+    rows = ",\n           ".join(
+        f"('{c}', {gt}, {gc}, {pa}, {pb}, {qa}, {qb}, {d16})"
+        for (c, gt, gc, pa, pb, qa, qb, d16) in _bacon_components()
+    )
+
+    def wsum(g: str, a: str, b: str) -> str:
+        return (
+            f"(SELECT coalesce(sum(s), 0) FROM cells "
+            f"WHERE gl = comp.{g} AND w BETWEEN comp.{a} AND comp.{b})"
+        )
+
+    return f"""
+    WITH wk AS (
+        SELECT user_id, {_DAYNUM_SQL} // 7 AS w,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS clicks,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100, 0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS yc
+        FROM events GROUP BY 1, 2
+    ),
+    cohort AS (
+        SELECT user_id, min(CASE WHEN clicks >= 6 THEN w END) AS g
+        FROM wk GROUP BY 1
+    ),
+    sizes AS (
+        SELECT coalesce(g, -1) AS gl, CAST(count(*) AS BIGINT) AS n
+        FROM cohort GROUP BY 1
+    ),
+    cells AS (
+        SELECT coalesce(c.g, -1) AS gl, k.w, CAST(sum(k.yc) AS BIGINT) AS s
+        FROM wk k JOIN cohort c ON c.user_id = k.user_id
+        WHERE k.w <= 3
+        GROUP BY 1, 2
+    ),
+    comp(comparison, g_treat, g_ctrl, pre_a, pre_b, post_a, post_b,
+         dcoef16) AS (
+        VALUES {rows}
+    ),
+    tot AS (
+        SELECT CAST(sum(st2.n * sc2.n * c2.dcoef16) AS BIGINT) AS t
+        FROM comp c2
+        JOIN sizes st2 ON st2.gl = c2.g_treat
+        JOIN sizes sc2 ON sc2.gl = c2.g_ctrl
+    )
+    SELECT comparison, g_treat, g_ctrl,
+           CAST(st.n AS BIGINT) AS n_treat,
+           CAST(sc.n AS BIGINT) AS n_ctrl,
+           round(
+               ({wsum("g_treat", "post_a", "post_b")}
+                / (st.n * (comp.post_b - comp.post_a + 1) * 100.0)
+                - {wsum("g_treat", "pre_a", "pre_b")}
+                / (st.n * (comp.pre_b - comp.pre_a + 1) * 100.0))
+               - ({wsum("g_ctrl", "post_a", "post_b")}
+                  / (sc.n * (comp.post_b - comp.post_a + 1) * 100.0)
+                  - {wsum("g_ctrl", "pre_a", "pre_b")}
+                    / (sc.n * (comp.pre_b - comp.pre_a + 1) * 100.0)),
+               6) AS dd_estimate,
+           round(CAST(st.n * sc.n * comp.dcoef16 AS DOUBLE) / tot.t, 6)
+               AS weight
+    FROM comp
+    JOIN sizes st ON st.gl = comp.g_treat
+    JOIN sizes sc ON sc.gl = comp.g_ctrl
+    CROSS JOIN tot
+    ORDER BY comparison, g_treat, g_ctrl
+    """
+
+
+@register(
+    "bacon_did_decomposition",
+    oracle=_bacon_oracle(),
+    doc="Goodman-Bacon (2021) decomposition of the two-way-fixed-"
+    "effects DiD estimator under staggered adoption — the diagnostic "
+    "that made 'TWFE is a weighted average of all 2x2 DDs' standard "
+    "practice: every timing-cohort pair contributes its 2x2 estimate "
+    "(treated-vs-never, early-vs-late on the late group's pre-window, "
+    "and the FORBIDDEN late-vs-early comparison whose control is "
+    "already treated — the negative-weights pathology this "
+    "decomposition exposes), with variance weights n_t*n_c*f(D) "
+    "normalized to 1.  Same panel as staggered_adoption_att (cohorts "
+    "by the deterministic clicks>=6 rule, weeks 0..3, never-treated "
+    "pool; g=0 excluded — no pre-period).  The DECOMPOSITION THEOREM "
+    "is pytest-pinned: the weight-averaged components equal the "
+    "directly-computed TWFE coefficient on the same balanced panel "
+    "(numpy double-demeaning replay, tests/test_panel.py).  "
+    "Determinism: weekly purchase totals are per-ROW centi-quantized "
+    "(the chow rule) so every window mean is a ratio of exact BIGINTs, "
+    "and with T=4 all 16x-variance-coefficients are integers, so "
+    "weight numerators and their normalizing sum are BIGINT too — no "
+    "float moment sum anywhere.  Scale: one user-week fact reduce; "
+    "everything after runs on a |cohorts|x|weeks| cell table and a "
+    "9-row literal component grid (broadcast joins).",
+    tags=("causality", "panel", "experiments", "agg", "join"),
+)
+def bacon_did_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        ev.groupBy(
+            "user_id", F.floor(_daynum() / 7).cast("bigint").alias("w")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("clicks"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("yc"),
+        )
+        .transform(ckpt)  # feeds the cohort derivation AND the cells
+    )
+    cohort = wk.groupBy("user_id").agg(
+        F.min(F.when(F.col("clicks") >= 6, F.col("w"))).alias("g")
+    )
+    gl = F.coalesce(F.col("g"), F.lit(-1))
+    sizes = (
+        cohort.groupBy(gl.alias("gl"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .transform(ckpt)  # joined for n_treat, n_ctrl, roles, and tot
+    )
+    cells = (
+        wk.filter(F.col("w") <= 3)
+        .join(cohort, "user_id")
+        .groupBy(gl.alias("gl"), "w")
+        .agg(F.sum("yc").cast("bigint").alias("s"))
+        .transform(ckpt)  # four window-role joins read it
+    )
+    comp = spark.createDataFrame(
+        _bacon_components(),
+        "comparison string, g_treat int, g_ctrl int, pre_a int, "
+        "pre_b int, post_a int, post_b int, dcoef16 int",
+    )
+
+    # melt the four window roles, join the cell sums, and pivot back:
+    # window means are ratios of exact BIGINT sums (order-free)
+    role = lambda nm, g, a, b: F.struct(  # noqa: E731
+        F.lit(nm).alias("role"),
+        F.col(g).cast("bigint").alias("rg"),
+        F.col(a).alias("ra"),
+        F.col(b).alias("rb"),
+    )
+    roles = comp.select(
+        "comparison",
+        "g_treat",
+        "g_ctrl",
+        F.explode(
+            F.array(
+                role("t_post", "g_treat", "post_a", "post_b"),
+                role("t_pre", "g_treat", "pre_a", "pre_b"),
+                role("c_post", "g_ctrl", "post_a", "post_b"),
+                role("c_pre", "g_ctrl", "pre_a", "pre_b"),
+            )
+        ).alias("r"),
+    ).select("comparison", "g_treat", "g_ctrl", "r.*")
+    wsums = (
+        roles.join(
+            cells,
+            (F.col("gl") == F.col("rg"))
+            & F.col("w").between(F.col("ra"), F.col("rb")),
+            "left",
+        )
+        .groupBy("comparison", "g_treat", "g_ctrl", "role", "ra", "rb", "rg")
+        .agg(F.coalesce(F.sum("s"), F.lit(0)).cast("bigint").alias("sw"))
+        .join(
+            F.broadcast(sizes.select(F.col("gl").alias("rg"), "n")), "rg"
+        )
+        .select(
+            "comparison",
+            "g_treat",
+            "g_ctrl",
+            "role",
+            (
+                F.col("sw").cast("double")
+                / (F.col("n") * (F.col("rb") - F.col("ra") + 1) * 100.0)
+            ).alias("wmean"),
+        )
+    )
+    pv = lambda nm: F.max(F.when(F.col("role") == nm, F.col("wmean")))  # noqa: E731
+    dd = (
+        wsums.groupBy("comparison", "g_treat", "g_ctrl")
+        .agg(
+            pv("t_post").alias("tp"),
+            pv("t_pre").alias("tq"),
+            pv("c_post").alias("cp"),
+            pv("c_pre").alias("cq"),
+        )
+    )
+    wtab = (
+        comp.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("gl").alias("g_treat"), F.col("n").alias("n_treat")
+                )
+            ),
+            "g_treat",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("gl").alias("g_ctrl"), F.col("n").alias("n_ctrl")
+                )
+            ),
+            "g_ctrl",
+        )
+        .select(
+            "comparison",
+            "g_treat",
+            "g_ctrl",
+            "n_treat",
+            "n_ctrl",
+            (F.col("n_treat") * F.col("n_ctrl") * F.col("dcoef16"))
+            .cast("bigint")
+            .alias("wraw"),
+        )
+        .transform(ckpt)  # read by the total AND the final projection
+    )
+    tot = wtab.agg(F.sum("wraw").cast("bigint").alias("t"))
+    return (
+        wtab.join(dd, ["comparison", "g_treat", "g_ctrl"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "comparison",
+            "g_treat",
+            "g_ctrl",
+            F.col("n_treat").cast("bigint").alias("n_treat"),
+            F.col("n_ctrl").cast("bigint").alias("n_ctrl"),
+            F.round(
+                (F.col("tp") - F.col("tq")) - (F.col("cp") - F.col("cq")), 6
+            ).alias("dd_estimate"),
+            F.round(
+                F.col("wraw").cast("double") / F.col("t"), 6
+            ).alias("weight"),
+        )
+        .orderBy("comparison", "g_treat", "g_ctrl")
+    )

@@ -635,3 +635,71 @@ def test_event_study_is_weighted_cell_average(spark, sf_dir):
         assert out[e].att_event == pytest.approx(num / den, abs=1e-4)
     # composition honesty: cohort support shrinks with event time
     assert out[0].n_cohorts >= out[1].n_cohorts >= out[2].n_cohorts
+
+
+def test_bacon_decomposition_reconstructs_twfe(spark, sf_dir):
+    """The Goodman-Bacon theorem, verified numerically: the
+    weight-averaged 2x2 components equal the TWFE DiD coefficient
+    computed directly by double-demeaning on the same balanced panel
+    (cohorts {1,2,3} + never-treated, weeks 0..3, g=0 and g>=4 users
+    excluded exactly as the query excludes them)."""
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_panel import (
+        _daynum,
+        bacon_did_decomposition,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = bacon_did_decomposition(spark, sf_dir).collect()
+    assert len(rows) == 9
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    beta_decomp = sum(r.dd_estimate * r.weight for r in rows)
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        ev.groupBy(
+            "user_id", F.floor(_daynum() / 7).cast("bigint").alias("w")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("clicks"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("yc"),
+        )
+        .toPandas()
+    )
+    first = (
+        wk[wk.clicks >= 6].groupby("user_id").w.min().to_dict()
+    )
+    cohort = {u: int(first.get(u, -1)) for u in wk.user_id.unique()}
+    users = sorted(u for u, g in cohort.items() if g in (-1, 1, 2, 3))
+    ymap = {
+        (u, w): yc / 100.0
+        for u, w, yc in zip(wk.user_id, wk.w, wk.yc)
+        if w <= 3
+    }
+    T = 4
+    y = np.array(
+        [[ymap.get((u, t), 0.0) for t in range(T)] for u in users]
+    )
+    D = np.array(
+        [
+            [
+                1.0 if (cohort[u] != -1 and t >= cohort[u]) else 0.0
+                for t in range(T)
+            ]
+            for u in users
+        ]
+    )
+    yd = y - y.mean(1, keepdims=True) - y.mean(0, keepdims=True) + y.mean()
+    Dd = D - D.mean(1, keepdims=True) - D.mean(0, keepdims=True) + D.mean()
+    beta_twfe = float((Dd * yd).sum() / (Dd * Dd).sum())
+    assert abs(beta_twfe - beta_decomp) < 1e-4, (beta_twfe, beta_decomp)
