@@ -9777,3 +9777,156 @@ def hot_bucket_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_id")
     )
+
+
+def _sq8_oracle() -> str:
+    return f"""
+    WITH nb AS (
+        SELECT least(greatest(3,
+                   CASE WHEN ((count(*) + {_IVF_TARGET_BUCKET - 1})
+                              // {_IVF_TARGET_BUCKET}) <= 1 THEN 0
+                        ELSE length(bin(((count(*) + {_IVF_TARGET_BUCKET - 1})
+                                         // {_IVF_TARGET_BUCKET}) - 1)) END),
+                     {_IVF_MAX_BITS}) AS bits
+        FROM embeddings
+    ),
+    ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    dims AS (SELECT d, min(v) AS mn, max(v) AS mx FROM ev GROUP BY 1),
+    cl AS (
+        SELECT vec_id,
+               {_rp_cluster_sql(_IVF_MAX_BITS)} % (1::BIGINT << nb.bits)
+                   AS cl
+        FROM embeddings CROSS JOIN nb
+    ),
+    codes AS (
+        SELECT e.vec_id, e.d, s.mn, s.mx,
+               CASE WHEN s.mx > s.mn
+                    THEN least(255, greatest(0,
+                         CAST(round((e.v - s.mn)
+                                    / ((s.mx - s.mn) / 255.0), 0)
+                              AS INTEGER)))
+                    ELSE 0 END AS code
+        FROM ev e JOIN dims s USING (d)
+    ),
+    q AS (SELECT vec_id AS qid, d, v FROM ev WHERE vec_id % 100 = 0),
+    adc AS (
+        SELECT q.qid, c.vec_id AS nid,
+               sum(pow(q.v - (c.mn
+                              + CASE WHEN c.mx > c.mn
+                                     THEN (c.mx - c.mn) / 255.0
+                                     ELSE 0 END * c.code), 2)) AS dist
+        FROM q
+        JOIN cl cq ON cq.vec_id = q.qid
+        JOIN cl cc ON cc.cl = cq.cl AND cc.vec_id <> q.qid
+        JOIN codes c ON c.vec_id = cc.vec_id AND c.d = q.d
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT qid, nid, dist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY round(dist, 6), nid) AS rn
+        FROM adc
+    )
+    SELECT qid, CAST(rn AS INTEGER) AS rn, nid, round(dist, 6) AS adc
+    FROM ranked WHERE rn <= 3 ORDER BY qid, rn
+    """
+
+
+@register(
+    "ann_sq8_ivf_topk",
+    oracle=_sq8_oracle(),
+    doc="IVF + int8 SCALAR-QUANTIZED ANN (the FAISS IVF-SQ8 index "
+    "shape — the memory-bounded tier the ANN family was missing): "
+    "the corpus is stored as per-dimension uint8 codes (4x smaller "
+    "than float32; 16x smaller than the float64 compute form), "
+    "candidates come from the deterministic RP-sign inverted lists "
+    "(the ann_rp_ivf_portable_topk clustering, adaptive bit count), "
+    "and ranking is ASYMMETRIC distance: the raw float query against "
+    "dequantized corpus codes, so quantization error enters once, "
+    "not twice.  Codes are pure integer functions of each value and "
+    "the per-dimension [min, max] range — min/max are order-free "
+    "exact aggregates (unlike k-means centroids, which are float "
+    "moment sums — the reason this tier quantizes scalar ranges, "
+    "not learned codebooks), so the whole code table is "
+    "engine-identical and the pipeline hash-checks end to end.  "
+    "Scale shape: the 64-row dim-stats table broadcasts at any "
+    "corpus size; codes are computed map-side; the probe joins on "
+    "the ADAPTIVE RP cluster key (bits = ceil(log2(n/256)) exactly "
+    "as ann_rp_ivf_portable_topk — the SCALE_r7 fix that keeps "
+    "per-query candidate lists ~256 vectors at any corpus size; "
+    "candidates follow list occupancy, never corpus²); per-query "
+    "top-3 on ROUNDED distances with an id tiebreak (engine-stable "
+    "ordering, the tfidf discipline).  At 100 TB the codes table is "
+    "the resident index (25%% of raw) and raw vectors stay in cold "
+    "storage for optional exact re-rank.",
+    tags=("llm", "similarity", "layout"),
+)
+def ann_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = _rp_adaptive_bits(emb.count())
+    dims = (
+        emb.select(F.posexplode("embedding").alias("d0", "v0"))
+        .select(
+            (F.col("d0") + 1).alias("d"), F.col("v0").cast("double").alias("v")
+        )
+        .groupBy("d")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    # 64-row dim stats folded to one broadcast row of aligned arrays
+    stats = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mn"))),
+            lambda s: s["mn"],
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mx"))),
+            lambda s: s["mx"],
+        ).alias("mxs"),
+    ).transform(ckpt)  # read by the corpus code pass AND the ADC join
+    code_expr = F.expr(
+        f"transform(sequence(1, {_RP_DIM}), d -> "
+        "CASE WHEN element_at(mxs, d) > element_at(mns, d) THEN "
+        "least(255, greatest(0, cast(round("
+        "(cast(element_at(embedding, d) as double) - element_at(mns, d))"
+        " / ((element_at(mxs, d) - element_at(mns, d)) / 255.0), 0)"
+        " as int))) ELSE 0 END)"
+    )
+    corpus = (
+        emb.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            _rp_cluster_spark(bits).alias("cl"),
+            code_expr.alias("codes"),
+        )
+    )
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        _rp_cluster_spark(bits).alias("cl"),
+    )
+    adc = F.expr(
+        f"aggregate(sequence(1, {_RP_DIM}), 0D, (acc, d) -> acc + "
+        "pow(cast(element_at(qv, d) as double) - (element_at(mns, d) + "
+        "CASE WHEN element_at(mxs, d) > element_at(mns, d) THEN "
+        "(element_at(mxs, d) - element_at(mns, d)) / 255.0 ELSE 0D END"
+        " * element_at(codes, d)), 2))"
+    )
+    j = (
+        qs.join(corpus, "cl")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .crossJoin(F.broadcast(stats))
+        .select("qid", F.col("vec_id").alias("nid"), adc.alias("dist"))
+    )
+    w = W.partitionBy("qid").orderBy(F.round("dist", 6).asc(), F.asc("nid"))
+    return (
+        j.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "rn", "nid", F.round("dist", 6).alias("adc"))
+        .orderBy("qid", "rn")
+    )

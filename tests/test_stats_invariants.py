@@ -267,3 +267,24 @@ def test_contamination_matrix_is_canonicalized(spark, sf_dir):
     for r in rows:
         assert r.src_lo <= r.src_hi, r
         assert r.n_pairs > 0, r
+
+
+def test_sq8_adc_topk_is_ranked_and_nonnegative(spark, sf_dir):
+    """ADC is a sum of squares (>= 0) and ranks are contiguous and
+    distance-monotone per query."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        ann_sq8_ivf_topk,
+    )
+
+    rows = ann_sq8_ivf_topk(spark, sf_dir).collect()
+    assert rows
+    byq = {}
+    for r in rows:
+        assert r.adc >= 0, r
+        byq.setdefault(r.qid, []).append((r.rn, r.adc))
+    for q, rs in byq.items():
+        rs.sort()
+        assert [rn for rn, _ in rs] == list(range(1, len(rs) + 1)), (q, rs)
+        assert all(
+            rs[i][1] <= rs[i + 1][1] + 1e-9 for i in range(len(rs) - 1)
+        ), (q, rs)
