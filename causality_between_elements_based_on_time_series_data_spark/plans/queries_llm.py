@@ -8944,25 +8944,30 @@ def _dedup_compaction_oracle() -> str:
     "part of the index the NEXT ingest probes against.  The LSM "
     "lesson applies at 100 TB: rewriting the posting table per ingest "
     "would shuffle the whole index (a bucketed write of `old UNION "
-    "new` re-buckets everything), so compaction instead writes the "
-    "kept batch's postings as a DELTA SEGMENT table bucketed "
-    "identically to the index (batch-proportional write), and merges "
-    "only the bucket-OCCUPANCY counts table (occupancy-sized, orders "
-    "of magnitude smaller than postings) so the next probe's "
-    "hot-bucket guard sees combined totals.  The merge itself is "
-    "exchange-free end to end (plan-gated in tests/test_bucketing."
-    "py): segment counts aggregate on the segment table's own bucket "
-    "keys, and the full-outer count merge joins two relations already "
-    "bucketed on (band_id, band_val) — zero Exchange nodes.  Output: "
-    "the per-band compaction report (index/segment/total postings, "
-    "occupied buckets, hot buckets past the "
-    f"{_MH_MAX_BUCKET}-occupancy guard) read back from the "
-    "MATERIALIZED v2 counts table, so the hash-check proves the "
-    "persisted artifact, not a bypass plan.  Near-dup batch docs stay "
-    "in the index as cluster members (the representative pick is a "
-    "downstream read-side choice — cluster_representative_pick); "
-    "full posting-table rewrites are the amortized background job, "
-    "exactly as in LSM compaction.",
+    "new` re-buckets everything), so the per-ingest write is ONE "
+    "batch-proportional artifact — the kept batch's postings as a "
+    "DELTA SEGMENT table bucketed identically to the index.  The "
+    "occupancy merge the next probe's hot-bucket guard needs happens "
+    "at READ time and is exchange-free end to end (plan-gated in "
+    "tests/test_bucketing.py): segment counts aggregate on the "
+    "segment table's own bucket keys, and the full-outer count merge "
+    "joins two relations already bucketed on (band_id, band_val) — "
+    "zero Exchange nodes, exactly the shape the probe already uses "
+    "for its batch-side counts.  (An earlier revision REWROTE a "
+    "merged v2 counts table per ingest; tools/scale_compaction.py "
+    "measured that write index-proportional — occupancy ≈ postings "
+    "when buckets are near-singleton — which is why the merge moved "
+    "read-side; SCALE_r12_compaction.json holds the before/after.)  "
+    "Output: the per-band compaction report (index/segment/total "
+    "postings, occupied buckets, hot buckets past the "
+    f"{_MH_MAX_BUCKET}-occupancy guard) computed from the two "
+    "PERSISTED tables, so the hash-check proves the artifacts, not a "
+    "bypass plan.  Near-dup batch docs stay in the index as cluster "
+    "members (the representative pick is a downstream read-side "
+    "choice — cluster_representative_pick); full posting-table "
+    "rewrites are the amortized BACKGROUND job, exactly as in LSM "
+    "compaction (its linear cost is measured as the naive_rewrite_s "
+    "contrast in the same artifact).",
     tags=("llm", "dedup", "pipeline", "layout"),
 )
 def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8989,10 +8994,13 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # delta segment: batch-proportional write, bucketed like the index
+    # — the ONLY per-ingest write.  An earlier revision also rewrote a
+    # merged v2 counts table; tools/scale_compaction.py measured that
+    # rewrite index-proportional (occupancy ≈ postings when buckets
+    # are near-singleton), so the counts merge moved to READ time,
+    # where it is exchange-free anyway (both sides bucketed).
     t_seg = session_bucket_table(spark, "cmp_seg_bands")
-    t_v2 = session_bucket_table(spark, "cmp_idx_bcounts_v2")
-    for t in (t_seg, t_v2):
-        reset_bucket_table(spark, t)
+    reset_bucket_table(spark, t_seg)
     (
         band_rows(portable_signatures(kept))
         .write.bucketBy(n_bkts, "band_id", "band_val")
@@ -9000,19 +9008,13 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .saveAsTable(t_seg)
     )
 
+    # read-time occupancy merge over the two PERSISTED tables — the
+    # exact relation the next probe's hot-bucket guard consumes
     merged = _merge_occupancy_counts(
         spark.table(t_counts), spark.table(t_seg)
     )
-    (
-        merged.write.bucketBy(n_bkts, "band_id", "band_val")
-        .sortBy("band_id", "band_val")
-        .saveAsTable(t_v2)
-    )
-
-    # the report reads the MATERIALIZED v2 table — proving the artifact
     return (
-        spark.table(t_v2)
-        .groupBy("band_id")
+        merged.groupBy("band_id")
         .agg(
             F.sum("n_idx").cast("bigint").alias("n_post_index"),
             F.sum("n_seg").cast("bigint").alias("n_post_segment"),
