@@ -9932,3 +9932,113 @@ def ann_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rn", "nid", F.round("dist", 6).alias("adc"))
         .orderBy("qid", "rn")
     )
+
+
+@register(
+    "sq8_reconstruction_error_audit",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    dims AS (SELECT d, min(v) AS mn, max(v) AS mx FROM ev GROUP BY 1),
+    errs AS (
+        SELECT e.vec_id,
+               sum(pow(e.v - (s.mn
+                              + CASE WHEN s.mx > s.mn
+                                     THEN (s.mx - s.mn) / 255.0
+                                     ELSE 0 END
+                              * CASE WHEN s.mx > s.mn
+                                     THEN least(255, greatest(0,
+                                          CAST(round((e.v - s.mn)
+                                               / ((s.mx - s.mn) / 255.0),
+                                               0) AS INTEGER)))
+                                     ELSE 0 END), 2)) AS sse
+        FROM ev e JOIN dims s USING (d)
+        GROUP BY 1
+    ),
+    q AS (
+        SELECT x.label,
+               CAST(round(e.sse * 1000000000, 0) AS BIGINT) AS nano
+        FROM errs e JOIN embeddings x ON x.vec_id = e.vec_id
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(nano) AS DOUBLE) / (count(*) * 1e9 * {_RP_DIM}),
+                 9) AS mean_dim_mse,
+           CAST(max(nano) AS BIGINT) AS max_sse_nano
+    FROM q GROUP BY label ORDER BY label
+    """,
+    doc="SQ8 quantizer HEALTH audit — the reconstruction-error table "
+    "(the FAISS index-health metric) that justifies trusting "
+    "ann_sq8_ivf_topk's asymmetric distances: per label, the mean "
+    "per-dimension squared reconstruction error and the worst "
+    "vector's total error after the uint8 round-trip.  A label whose "
+    "error spikes marks a sub-population living in a narrow slice of "
+    "some dimension's global [min, max] range — the signal to switch "
+    "that index to per-cluster ranges.  Determinism: the per-vector "
+    "SSE is a row-local ordered fold over the 64 dims (same codes, "
+    "same dequant as the ANN tier), quantized per ROW to integer "
+    "nano-units before any aggregation — per-label sums are BIGINT, "
+    "aggregation-order-free (the chow rule through yet another "
+    "family).  Nano-unit sizing: SSE ≤ 64·(range/510)² per vector; "
+    "sums stay far inside 2^63 past 10^9 vectors per label.  Scale: "
+    "dim stats broadcast; everything else map-side + one bounded "
+    "per-label rollup.",
+    tags=("llm", "similarity", "quality"),
+)
+def sq8_reconstruction_error_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(F.posexplode("embedding").alias("d0", "v0"))
+        .select(
+            (F.col("d0") + 1).alias("d"), F.col("v0").cast("double").alias("v")
+        )
+        .groupBy("d")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    stats = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mn"))),
+            lambda s: s["mn"],
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mx"))),
+            lambda s: s["mx"],
+        ).alias("mxs"),
+    )
+    sse = F.expr(
+        f"aggregate(sequence(1, {_RP_DIM}), 0D, (acc, d) -> acc + "
+        "pow(cast(element_at(embedding, d) as double) - "
+        "(element_at(mns, d) + "
+        "CASE WHEN element_at(mxs, d) > element_at(mns, d) THEN "
+        "(element_at(mxs, d) - element_at(mns, d)) / 255.0 ELSE 0D END * "
+        "CASE WHEN element_at(mxs, d) > element_at(mns, d) THEN "
+        "least(255, greatest(0, cast(round("
+        "(cast(element_at(embedding, d) as double) - element_at(mns, d))"
+        " / ((element_at(mxs, d) - element_at(mns, d)) / 255.0), 0)"
+        " as int))) ELSE 0 END), 2))"
+    )
+    nano = (
+        emb.crossJoin(F.broadcast(stats))
+        .select(
+            "label",
+            F.round(sse * 1e9, 0).cast("bigint").alias("nano"),
+        )
+    )
+    return (
+        nano.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum("nano").cast("double")
+                / (F.count("*") * 1e9 * _RP_DIM),
+                9,
+            ).alias("mean_dim_mse"),
+            F.max("nano").cast("bigint").alias("max_sse_nano"),
+        )
+        .orderBy("label")
+    )
