@@ -747,3 +747,75 @@ def streaming_eval_decontamination_q(
     from ..streaming.events_stream import streaming_eval_decontamination
 
     return streaming_eval_decontamination(spark, sf_dir)
+
+
+from .queries_llm import _MH_MAX_BUCKET as _MHB
+from .queries_llm import _band_core_sql as _bands_sql
+
+
+@register(
+    "streaming_incremental_dedup_report",
+    oracle=f"""
+    WITH thr AS (
+        SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS t
+        FROM documents
+    ),
+    {_bands_sql()},
+    idxb AS (
+        SELECT b.band_id, b.band_val, count(*) AS n_idx
+        FROM bands b JOIN thr ON b.doc_id < thr.t
+        GROUP BY 1, 2
+    ),
+    okidx AS (
+        SELECT band_id, band_val FROM idxb WHERE n_idx <= {_MHB}
+    ),
+    candd AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands b
+        JOIN thr ON b.doc_id >= thr.t
+        JOIN okidx USING (band_id, band_val)
+    ),
+    exact AS (
+        SELECT DISTINCT b.doc_id
+        FROM documents b JOIN thr ON b.doc_id >= thr.t
+        WHERE EXISTS (
+            SELECT 1 FROM documents i, thr t2
+            WHERE i.doc_id < t2.t AND i.text = b.text
+        )
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_dup,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cand_docs,
+           CAST(coalesce(sum(CASE WHEN e.doc_id IS NULL
+                                  THEN d.doc_id END), 0) AS BIGINT)
+               AS clean_id_checksum
+    FROM documents d
+    JOIN thr ON d.doc_id >= thr.t
+    LEFT JOIN exact e ON e.doc_id = d.doc_id
+    LEFT JOIN candd c ON c.doc_id = d.doc_id
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    doc="Per-ingest dedup report as the batch STREAMS in, probing the "
+    "persisted index (tables built once batch-side; arriving docs "
+    "probe them per micro-batch through foreachBatch — tier-1 exact "
+    "sha2 semi-join + tier-2 band-signature semi-join against the "
+    "index's guarded buckets).  Per-doc verdicts depend only on "
+    "(doc, static index), so the summed report is micro-batch-"
+    "partitioning-independent and equals the one-shot batch "
+    "computation bit-for-bit — which this oracle hash-checks.  The "
+    "hot-bucket guard sees INDEX-side occupancy only (a stream "
+    "cannot know its whole batch's occupancy mid-flight); batch-side "
+    "occupancy refinement and tier-3 Jaccard verify remain the batch "
+    "probe's job, fed by the quarantined candidates this report "
+    "counts.",
+    tags=("streaming", "llm", "dedup", "pipeline"),
+)
+def streaming_incremental_dedup_report_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.events_stream import streaming_incremental_dedup_report
+
+    return streaming_incremental_dedup_report(spark, sf_dir)
