@@ -120,6 +120,32 @@ def test_registry_appendix_is_fresh():
     )
 
 
+def test_readme_registry_count_is_current():
+    """README count gate (round 13, VERDICT r12 nit #1): the front
+    page's "**N queries**" headline and the plan-gate "(0/N)" sweep
+    denominator must equal ``len(REGISTRY)``.  The ARCHITECTURE.md
+    appendix is already sync-gated; README.md was not, and drifted
+    382→400 unnoticed across two rounds.  Adding a query now requires
+    touching README — deliberate friction, same as the allowlist."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+
+    text = open(f"{REPO}/README.md").read()
+    m = re.search(r"\*\*(\d+) queries", text)
+    assert m, "README.md lost its '**N queries' registry headline"
+    assert int(m.group(1)) == len(REGISTRY), (
+        f"README.md says {m.group(1)} queries; registry holds "
+        f"{len(REGISTRY)} — update the front page"
+    )
+    m2 = re.search(r"CartesianProducts \(0/(\d+)\)", text)
+    assert m2, "README.md lost its 'CartesianProducts (0/N)' claim"
+    assert int(m2.group(1)) == len(REGISTRY), (
+        f"README.md plan-sweep denominator {m2.group(1)} != "
+        f"{len(REGISTRY)}"
+    )
+
+
 def test_survey_ext_rows_name_live_registry_entries():
     """SURVEY §2.11-2.13 row gate (round 9, VERDICT r8 next-round #8):
     every [EXT] operator-table row must name at least one LIVE registry
