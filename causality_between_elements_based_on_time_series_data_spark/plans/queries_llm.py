@@ -9817,10 +9817,12 @@ def _sq8_oracle() -> str:
     q AS (SELECT vec_id AS qid, d, v FROM ev WHERE vec_id % 100 = 0),
     adc AS (
         SELECT q.qid, c.vec_id AS nid,
-               sum(pow(q.v - (c.mn
+               CAST(sum(CAST(round(pow(q.v - (c.mn
                               + CASE WHEN c.mx > c.mn
                                      THEN (c.mx - c.mn) / 255.0
-                                     ELSE 0 END * c.code), 2)) AS dist
+                                     ELSE 0 END * c.code), 2)
+                                   * 1000000000, 0) AS BIGINT))
+                    AS BIGINT) AS dist_nano
         FROM q
         JOIN cl cq ON cq.vec_id = q.qid
         JOIN cl cc ON cc.cl = cq.cl AND cc.vec_id <> q.qid
@@ -9828,12 +9830,12 @@ def _sq8_oracle() -> str:
         GROUP BY 1, 2
     ),
     ranked AS (
-        SELECT qid, nid, dist,
+        SELECT qid, nid, dist_nano,
                row_number() OVER (PARTITION BY qid
-                                  ORDER BY round(dist, 6), nid) AS rn
+                                  ORDER BY dist_nano, nid) AS rn
         FROM adc
     )
-    SELECT qid, CAST(rn AS INTEGER) AS rn, nid, round(dist, 6) AS adc
+    SELECT qid, CAST(rn AS INTEGER) AS rn, nid, dist_nano AS adc_nano
     FROM ranked WHERE rn <= 3 ORDER BY qid, rn
     """
 
@@ -9861,8 +9863,12 @@ def _sq8_oracle() -> str:
     "as ann_rp_ivf_portable_topk — the SCALE_r7 fix that keeps "
     "per-query candidate lists ~256 vectors at any corpus size; "
     "candidates follow list occupancy, never corpus²); per-query "
-    "top-3 on ROUNDED distances with an id tiebreak (engine-stable "
-    "ordering, the tfidf discipline).  At 100 TB the codes table is "
+    "top-3 on INTEGER nano-unit ADC with an id tiebreak: each "
+    "per-dimension squared term is quantized to BIGINT nano-units "
+    "BEFORE the 64-dim fold, so the within-vector sum is exact "
+    "integer arithmetic on both engines — no ordered-float-fold vs "
+    "unordered-SQL-sum boundary risk (the chow rule applied inside "
+    "the vector, round-13 ADVICE fix).  At 100 TB the codes table is "
     "the resident index (25%% of raw) and raw vectors stay in cold "
     "storage for optional exact re-rank.",
     tags=("llm", "similarity", "layout"),
@@ -9913,23 +9919,24 @@ def ann_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rp_cluster_spark(bits).alias("cl"),
     )
     adc = F.expr(
-        f"aggregate(sequence(1, {_RP_DIM}), 0D, (acc, d) -> acc + "
-        "pow(cast(element_at(qv, d) as double) - (element_at(mns, d) + "
+        f"aggregate(sequence(1, {_RP_DIM}), 0L, (acc, d) -> acc + "
+        "cast(round(pow("
+        "cast(element_at(qv, d) as double) - (element_at(mns, d) + "
         "CASE WHEN element_at(mxs, d) > element_at(mns, d) THEN "
         "(element_at(mxs, d) - element_at(mns, d)) / 255.0 ELSE 0D END"
-        " * element_at(codes, d)), 2))"
+        " * element_at(codes, d)), 2) * 1e9, 0) as bigint))"
     )
     j = (
         qs.join(corpus, "cl")
         .filter(F.col("vec_id") != F.col("qid"))
         .crossJoin(F.broadcast(stats))
-        .select("qid", F.col("vec_id").alias("nid"), adc.alias("dist"))
+        .select("qid", F.col("vec_id").alias("nid"), adc.alias("dist_nano"))
     )
-    w = W.partitionBy("qid").orderBy(F.round("dist", 6).asc(), F.asc("nid"))
+    w = W.partitionBy("qid").orderBy(F.asc("dist_nano"), F.asc("nid"))
     return (
         j.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= 3)
-        .select("qid", "rn", "nid", F.round("dist", 6).alias("adc"))
+        .select("qid", "rn", "nid", F.col("dist_nano").alias("adc_nano"))
         .orderBy("qid", "rn")
     )
 
@@ -9945,7 +9952,7 @@ def ann_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims AS (SELECT d, min(v) AS mn, max(v) AS mx FROM ev GROUP BY 1),
     errs AS (
         SELECT e.vec_id,
-               sum(pow(e.v - (s.mn
+               CAST(sum(CAST(round(pow(e.v - (s.mn
                               + CASE WHEN s.mx > s.mn
                                      THEN (s.mx - s.mn) / 255.0
                                      ELSE 0 END
@@ -9954,13 +9961,13 @@ def ann_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           CAST(round((e.v - s.mn)
                                                / ((s.mx - s.mn) / 255.0),
                                                0) AS INTEGER)))
-                                     ELSE 0 END), 2)) AS sse
+                                     ELSE 0 END), 2) * 1000000000, 0)
+                             AS BIGINT)) AS BIGINT) AS nano
         FROM ev e JOIN dims s USING (d)
         GROUP BY 1
     ),
     q AS (
-        SELECT x.label,
-               CAST(round(e.sse * 1000000000, 0) AS BIGINT) AS nano
+        SELECT x.label, e.nano
         FROM errs e JOIN embeddings x ON x.vec_id = e.vec_id
     )
     SELECT label,
@@ -9977,11 +9984,12 @@ def ann_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector's total error after the uint8 round-trip.  A label whose "
     "error spikes marks a sub-population living in a narrow slice of "
     "some dimension's global [min, max] range — the signal to switch "
-    "that index to per-cluster ranges.  Determinism: the per-vector "
-    "SSE is a row-local ordered fold over the 64 dims (same codes, "
-    "same dequant as the ANN tier), quantized per ROW to integer "
-    "nano-units before any aggregation — per-label sums are BIGINT, "
-    "aggregation-order-free (the chow rule through yet another "
+    "that index to per-cluster ranges.  Determinism: each squared "
+    "per-dimension term (same codes, same dequant as the ANN tier) "
+    "is quantized to integer nano-units BEFORE the within-vector "
+    "sum, so the per-vector SSE and every per-label sum are exact "
+    "BIGINTs — aggregation-order-free at BOTH levels, within the "
+    "64-dim fold and across rows (the chow rule through yet another "
     "family).  Nano-unit sizing: SSE ≤ 64·(range/510)² per vector; "
     "sums stay far inside 2^63 past 10^9 vectors per label.  Scale: "
     "dim stats broadcast; everything else map-side + one bounded "
@@ -10010,9 +10018,9 @@ def sq8_reconstruction_error_audit(
             lambda s: s["mx"],
         ).alias("mxs"),
     )
-    sse = F.expr(
-        f"aggregate(sequence(1, {_RP_DIM}), 0D, (acc, d) -> acc + "
-        "pow(cast(element_at(embedding, d) as double) - "
+    sse_nano = F.expr(
+        f"aggregate(sequence(1, {_RP_DIM}), 0L, (acc, d) -> acc + "
+        "cast(round(pow(cast(element_at(embedding, d) as double) - "
         "(element_at(mns, d) + "
         "CASE WHEN element_at(mxs, d) > element_at(mns, d) THEN "
         "(element_at(mxs, d) - element_at(mns, d)) / 255.0 ELSE 0D END * "
@@ -10020,14 +10028,11 @@ def sq8_reconstruction_error_audit(
         "least(255, greatest(0, cast(round("
         "(cast(element_at(embedding, d) as double) - element_at(mns, d))"
         " / ((element_at(mxs, d) - element_at(mns, d)) / 255.0), 0)"
-        " as int))) ELSE 0 END), 2))"
+        " as int))) ELSE 0 END), 2) * 1e9, 0) as bigint))"
     )
     nano = (
         emb.crossJoin(F.broadcast(stats))
-        .select(
-            "label",
-            F.round(sse * 1e9, 0).cast("bigint").alias("nano"),
-        )
+        .select("label", sse_nano.alias("nano"))
     )
     return (
         nano.groupBy("label")

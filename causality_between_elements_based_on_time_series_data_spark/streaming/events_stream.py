@@ -959,9 +959,11 @@ def streaming_incremental_dedup_report(
     through foreachBatch, where each micro-batch runs tier 1 (exact
     sha2 semi-join against the bucketed key table) and tier 2 (band
     signatures semi-joined against the index's guarded buckets) with
-    full batch semantics, appending a |langs|-bounded report fragment
-    to a parquet accumulator; the returned DataFrame sums the
-    fragments.  Per-doc verdicts depend only on (doc, static index),
+    full batch semantics, writing a |langs|-bounded report fragment
+    into a parquet accumulator KEYED BY batch_id (overwrite-per-batch
+    directory, so a replayed micro-batch replaces its own fragment —
+    the rollup is idempotent under foreachBatch's at-least-once
+    replay contract); the returned DataFrame sums the fragments.  Per-doc verdicts depend only on (doc, static index),
     so the rollup is micro-batch-partitioning-independent and equals
     the one-shot batch computation bit-for-bit — the oracle
     hash-checks that.  DESIGN NOTE vs incremental_dedup_new_batch:
@@ -1040,8 +1042,13 @@ def streaming_incremental_dedup_report(
                 .cast("bigint")
                 .alias("clean_id_checksum"),
             )
-            .write.mode("append")
-            .parquet(f"{out}/data")
+            # IDEMPOTENT sink (round-13 ADVICE): fragments are keyed
+            # by batch_id — a retried/replayed micro-batch OVERWRITES
+            # its own partition directory instead of appending a
+            # duplicate, so the read-time rollup is exactly-once even
+            # under foreachBatch's at-least-once replay contract.
+            .write.mode("overwrite")
+            .parquet(f"{out}/data/batch_id={int(batch_id)}")
         )
 
     stream = (

@@ -280,11 +280,11 @@ def test_sq8_adc_topk_is_ranked_and_nonnegative(spark, sf_dir):
     assert rows
     byq = {}
     for r in rows:
-        assert r.adc >= 0, r
-        byq.setdefault(r.qid, []).append((r.rn, r.adc))
+        assert r.adc_nano >= 0, r
+        byq.setdefault(r.qid, []).append((r.rn, r.adc_nano))
     for q, rs in byq.items():
         rs.sort()
         assert [rn for rn, _ in rs] == list(range(1, len(rs) + 1)), (q, rs)
         assert all(
-            rs[i][1] <= rs[i + 1][1] + 1e-9 for i in range(len(rs) - 1)
+            rs[i][1] <= rs[i + 1][1] for i in range(len(rs) - 1)
         ), (q, rs)
