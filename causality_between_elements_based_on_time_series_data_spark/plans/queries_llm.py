@@ -9815,8 +9815,17 @@ def _sq8_oracle() -> str:
         FROM ev e JOIN dims s USING (d)
     ),
     q AS (SELECT vec_id AS qid, d, v FROM ev WHERE vec_id % 100 = 0),
+    probes AS (
+        SELECT cq.vec_id AS qid,
+               unnest(list_prepend(cq.cl, list_transform(
+                   list_filter({list(range(_IVF_MAX_BITS))},
+                               i -> i < nb.bits),
+                   i -> xor(cq.cl, CAST(1 << i AS BIGINT))))) AS cl
+        FROM cl cq CROSS JOIN nb
+        WHERE cq.vec_id % 100 = 0
+    ),
     adc AS (
-        SELECT q.qid, c.vec_id AS nid,
+        SELECT q.qid, cc.vec_id AS nid,
                CAST(sum(CAST(round(pow(q.v - (c.mn
                               + CASE WHEN c.mx > c.mn
                                      THEN (c.mx - c.mn) / 255.0
@@ -9824,8 +9833,8 @@ def _sq8_oracle() -> str:
                                    * 1000000000, 0) AS BIGINT))
                     AS BIGINT) AS dist_nano
         FROM q
-        JOIN cl cq ON cq.vec_id = q.qid
-        JOIN cl cc ON cc.cl = cq.cl AND cc.vec_id <> q.qid
+        JOIN probes p ON p.qid = q.qid
+        JOIN cl cc ON cc.cl = p.cl AND cc.vec_id <> q.qid
         JOIN codes c ON c.vec_id = cc.vec_id AND c.d = q.d
         GROUP BY 1, 2
     ),
@@ -9860,8 +9869,11 @@ def _sq8_oracle() -> str:
     "Scale shape: the 64-row dim-stats table broadcasts at any "
     "corpus size; codes are computed map-side; the probe joins on "
     "the ADAPTIVE RP cluster key (bits = ceil(log2(n/256)) exactly "
-    "as ann_rp_ivf_portable_topk — the SCALE_r7 fix that keeps "
-    "per-query candidate lists ~256 vectors at any corpus size; "
+    "as ann_rp_ivf_portable_topk — the SCALE_r7 fix) and MULTI-"
+    "PROBES home + every Hamming-1 list, again exactly as the "
+    "portable tier (~(1+bits)·256 candidates per query at any "
+    "corpus size — single-probe measured recall at the 0.07 pruning "
+    "ceiling in sq8_recall_audit; "
     "candidates follow list occupancy, never corpus²); per-query "
     "top-3 on INTEGER nano-unit ADC with an id tiebreak: each "
     "per-dimension squared term is quantized to BIGINT nano-units "
@@ -9913,10 +9925,30 @@ def ann_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             code_expr.alias("codes"),
         )
     )
-    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qv"),
-        _rp_cluster_spark(bits).alias("cl"),
+    # multi-probe: home list + every Hamming-1 neighbor — the same
+    # candidate generation as ann_rp_ivf_portable_topk (single-probe
+    # here measured recall@3 = the 0.07 pruning ceiling in
+    # sq8_recall_audit, round 13; quantization itself loses nothing)
+    qs = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            _rp_cluster_spark(bits).alias("cl0"),
+        )
+        .select(
+            "qid",
+            "qv",
+            F.explode(
+                F.array(
+                    F.col("cl0"),
+                    *[
+                        F.col("cl0").bitwiseXOR(F.lit(1 << i))
+                        for i in range(bits)
+                    ],
+                )
+            ).alias("cl"),
+        )
     )
     adc = F.expr(
         f"aggregate(sequence(1, {_RP_DIM}), 0L, (acc, d) -> acc + "
@@ -9927,7 +9959,7 @@ def ann_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * element_at(codes, d)), 2) * 1e9, 0) as bigint))"
     )
     j = (
-        qs.join(corpus, "cl")
+        corpus.join(F.broadcast(qs), "cl")
         .filter(F.col("vec_id") != F.col("qid"))
         .crossJoin(F.broadcast(stats))
         .select("qid", F.col("vec_id").alias("nid"), adc.alias("dist_nano"))
@@ -10044,6 +10076,436 @@ def sq8_reconstruction_error_audit(
                 9,
             ).alias("mean_dim_mse"),
             F.max("nano").cast("bigint").alias("max_sse_nano"),
+        )
+        .orderBy("label")
+    )
+
+
+def _sq8_recall_oracle() -> str:
+    from .registry import REGISTRY
+
+    sq8 = REGISTRY["ann_sq8_ivf_topk"].oracle
+    return f"""
+    WITH sq8 AS (SELECT * FROM ({sq8})),
+    nb2 AS (
+        SELECT least(greatest(3,
+                   CASE WHEN ((count(*) + {_IVF_TARGET_BUCKET - 1})
+                              // {_IVF_TARGET_BUCKET}) <= 1 THEN 0
+                        ELSE length(bin(((count(*) + {_IVF_TARGET_BUCKET - 1})
+                                         // {_IVF_TARGET_BUCKET}) - 1)) END),
+                     {_IVF_MAX_BITS}) AS bits
+        FROM embeddings
+    ),
+    cl2 AS (
+        SELECT vec_id,
+               {_rp_cluster_sql(_IVF_MAX_BITS)} % (1::BIGINT << nb2.bits)
+                   AS cl
+        FROM embeddings CROSS JOIN nb2
+    ),
+    probes2 AS (
+        SELECT cq.vec_id AS qid,
+               unnest(list_prepend(cq.cl, list_transform(
+                   list_filter({list(range(_IVF_MAX_BITS))},
+                               i -> i < nb2.bits),
+                   i -> xor(cq.cl, CAST(1 << i AS BIGINT))))) AS pcl
+        FROM cl2 cq CROSS JOIN nb2
+        WHERE cq.vec_id % 100 = 0
+    ),
+    qev AS (
+        SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    cev AS (
+        SELECT vec_id AS nid, generate_subscripts(embedding, 1) AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    dist AS (
+        SELECT q.qid, c.nid,
+               CAST(sum(CAST(round(pow(q.v - c.v, 2) * 1000000000, 0)
+                             AS BIGINT)) AS BIGINT) AS dn
+        FROM qev q JOIN cev c ON c.d = q.d AND c.nid <> q.qid
+        GROUP BY 1, 2
+    ),
+    exact3 AS (
+        SELECT qid, nid, rn FROM (
+            SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dn, nid) AS rn
+            FROM dist
+        ) WHERE rn <= 3
+    ),
+    per_q AS (
+        SELECT b.qid,
+               CAST(count(i.nid) AS BIGINT) AS n_hit,
+               CAST(count(*) AS BIGINT) AS k
+        FROM exact3 b
+        LEFT JOIN sq8 i ON i.qid = b.qid AND i.nid = b.nid
+        GROUP BY 1
+    ),
+    top1 AS (
+        SELECT b.qid,
+               max(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS agree
+        FROM exact3 b
+        LEFT JOIN sq8 i ON i.qid = b.qid AND i.nid = b.nid AND i.rn = 1
+        WHERE b.rn = 1
+        GROUP BY 1
+    ),
+    listq AS (
+        SELECT b.qid,
+               CAST(count(p.pcl) AS BIGINT) AS n_list,
+               CAST(count(*) AS BIGINT) AS lk
+        FROM exact3 b
+        JOIN cl2 n ON n.vec_id = b.nid
+        LEFT JOIN probes2 p ON p.qid = b.qid AND p.pcl = n.cl
+        GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(CAST(p.n_hit AS DOUBLE) / p.k), 4) AS recall_at_3,
+           round(avg(CAST(t.agree AS DOUBLE)), 4) AS top1_agreement,
+           round(avg(CAST(l.n_list AS DOUBLE) / l.lk), 4)
+               AS list_recall_ceiling
+    FROM per_q p
+    JOIN top1 t ON t.qid = p.qid
+    JOIN listq l ON l.qid = p.qid
+    """
+
+
+@register(
+    "sq8_recall_audit",
+    oracle=_sq8_recall_oracle(),
+    doc="SQ8 ROLLOUT GATE — recall@3 and top-1 agreement of the "
+    "quantized tier (ann_sq8_ivf_topk: IVF candidate lists + integer "
+    "nano-unit asymmetric distance on uint8 codes) against the EXACT "
+    "squared-L2 top-3 over the full corpus, on the same query sample "
+    "and the same metric the ADC approximates — so the number folds "
+    "in BOTH approximation losses at once: inverted-list pruning and "
+    "uint8 quantization.  This is the dashboard number that makes "
+    "sq8_reconstruction_error_audit actionable (error nano-units say "
+    "the codes are healthy; this says the RANKINGS survive), the "
+    "mirror of ann_recall_audit for the quantized tier.  The report "
+    "DECOMPOSES the loss: list_recall_ceiling is the fraction of "
+    "exact top-3 reachable through the probe lists at all (home + "
+    "Hamming-1) — recall_at_3 can never exceed it, and the gap "
+    "between the two is pure quantization damage (measured ZERO on "
+    "the fixture: recall sits exactly on the ceiling; the round-13 "
+    "single-probe defect this audit caught showed up as a 0.07 "
+    "ceiling, not as a code error).  Determinism: "
+    "the exact baseline quantizes each per-dimension squared "
+    "difference to BIGINT nano-units before the within-vector fold "
+    "(same discipline as the ADC itself), so baseline distances and "
+    "rankings are exact integers on both engines.  Scale shape: the "
+    "baseline is the declared exact-baseline pattern (query sample "
+    "broadcasts, corpus never moves — cosine_topk_bruteforce's "
+    "contract); the gate runs on a fixed query SAMPLE in production, "
+    "so baseline cost is sample × corpus, not corpus².  Costs one "
+    "hash join over two top-k lists beyond the two tiers themselves.",
+    tags=("llm", "similarity", "quality", "dataops"),
+)
+def sq8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("cv")
+    )
+    l2_nano = F.expr(
+        f"aggregate(sequence(1, {_RP_DIM}), 0L, (acc, d) -> acc + "
+        "cast(round(pow(cast(element_at(qv, d) as double) - "
+        "cast(element_at(cv, d) as double), 2) * 1e9, 0) as bigint))"
+    )
+    pairs = c.join(F.broadcast(q), F.col("nid") != F.col("qid")).select(
+        "qid", "nid", l2_nano.alias("dn")
+    )
+    w = W.partitionBy("qid").orderBy(F.asc("dn"), F.asc("nid"))
+    exact3 = (
+        pairs.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "nid", "rn")
+        .transform(ckpt)  # read by the recall join AND the top-1 join
+    )
+    sq8 = ann_sq8_ivf_topk(spark, sf_dir).transform(ckpt)
+    # pruning CEILING: fraction of exact top-3 reachable through the
+    # tier's probe lists (home + Hamming-1) — recall_at_3 can never
+    # exceed it; the gap between the two is pure quantization loss.
+    bits = _rp_adaptive_bits(emb.count())
+    ncl = emb.select(
+        F.col("vec_id").alias("nid"), _rp_cluster_spark(bits).alias("ncl")
+    )
+    qprobes = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("pqid"), _rp_cluster_spark(bits).alias("cl0"))
+        .select(
+            "pqid",
+            F.explode(
+                F.array(
+                    F.col("cl0"),
+                    *[
+                        F.col("cl0").bitwiseXOR(F.lit(1 << i))
+                        for i in range(bits)
+                    ],
+                )
+            ).alias("pcl"),
+        )
+    )
+    listq = (
+        exact3.join(ncl, "nid")
+        .join(
+            F.broadcast(qprobes),
+            (F.col("pqid") == F.col("qid")) & (F.col("pcl") == F.col("ncl")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("pcl").cast("bigint").alias("n_list"),
+            F.count("*").cast("bigint").alias("lk"),
+        )
+    )
+    b, i = exact3.alias("b"), sq8.alias("i")
+    per_q = (
+        b.join(
+            i,
+            (F.col("i.qid") == F.col("b.qid"))
+            & (F.col("i.nid") == F.col("b.nid")),
+            "left",
+        )
+        .groupBy(F.col("b.qid").alias("qid"))
+        .agg(
+            F.count("i.nid").cast("bigint").alias("n_hit"),
+            F.count("*").cast("bigint").alias("k"),
+        )
+    )
+    top1 = (
+        b.filter(F.col("b.rn") == 1)
+        .join(
+            i,
+            (F.col("i.qid") == F.col("b.qid"))
+            & (F.col("i.nid") == F.col("b.nid"))
+            & (F.col("i.rn") == 1),
+            "left",
+        )
+        .groupBy(F.col("b.qid").alias("qid"))
+        .agg(F.max(F.col("i.nid").isNotNull().cast("int")).alias("agree"))
+    )
+    p, t, lq = per_q.alias("p"), top1.alias("t"), listq.alias("lq")
+    return (
+        p.join(t, F.col("t.qid") == F.col("p.qid"))
+        .join(lq, F.col("lq.qid") == F.col("p.qid"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.round(
+                F.avg(F.col("p.n_hit").cast("double") / F.col("p.k")), 4
+            ).alias("recall_at_3"),
+            F.round(F.avg(F.col("t.agree").cast("double")), 4).alias(
+                "top1_agreement"
+            ),
+            F.round(
+                F.avg(F.col("lq.n_list").cast("double") / F.col("lq.lk")),
+                4,
+            ).alias("list_recall_ceiling"),
+        )
+    )
+
+
+@register(
+    "sq8_cluster_range_refinement",
+    oracle=f"""
+    WITH nb AS (
+        SELECT least(greatest(3,
+                   CASE WHEN ((count(*) + {_IVF_TARGET_BUCKET - 1})
+                              // {_IVF_TARGET_BUCKET}) <= 1 THEN 0
+                        ELSE length(bin(((count(*) + {_IVF_TARGET_BUCKET - 1})
+                                         // {_IVF_TARGET_BUCKET}) - 1)) END),
+                     {_IVF_MAX_BITS}) AS bits
+        FROM embeddings
+    ),
+    ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cl AS (
+        SELECT vec_id,
+               {_rp_cluster_sql(_IVF_MAX_BITS)} % (1::BIGINT << nb.bits)
+                   AS cl
+        FROM embeddings CROSS JOIN nb
+    ),
+    gdims AS (SELECT d, min(v) AS mn, max(v) AS mx FROM ev GROUP BY 1),
+    cdims AS (
+        SELECT cl.cl, e.d, min(e.v) AS mn, max(e.v) AS mx
+        FROM ev e JOIN cl ON cl.vec_id = e.vec_id
+        GROUP BY 1, 2
+    ),
+    gerr AS (
+        SELECT e.vec_id,
+               CAST(sum(CAST(round(pow(e.v - (s.mn
+                              + CASE WHEN s.mx > s.mn
+                                     THEN (s.mx - s.mn) / 255.0
+                                     ELSE 0 END
+                              * CASE WHEN s.mx > s.mn
+                                     THEN least(255, greatest(0,
+                                          CAST(round((e.v - s.mn)
+                                               / ((s.mx - s.mn) / 255.0),
+                                               0) AS INTEGER)))
+                                     ELSE 0 END), 2) * 1000000000, 0)
+                             AS BIGINT)) AS BIGINT) AS nano
+        FROM ev e JOIN gdims s USING (d)
+        GROUP BY 1
+    ),
+    cerr AS (
+        SELECT e.vec_id,
+               CAST(sum(CAST(round(pow(e.v - (s.mn
+                              + CASE WHEN s.mx > s.mn
+                                     THEN (s.mx - s.mn) / 255.0
+                                     ELSE 0 END
+                              * CASE WHEN s.mx > s.mn
+                                     THEN least(255, greatest(0,
+                                          CAST(round((e.v - s.mn)
+                                               / ((s.mx - s.mn) / 255.0),
+                                               0) AS INTEGER)))
+                                     ELSE 0 END), 2) * 1000000000, 0)
+                             AS BIGINT)) AS BIGINT) AS nano
+        FROM ev e
+        JOIN cl ON cl.vec_id = e.vec_id
+        JOIN cdims s ON s.cl = cl.cl AND s.d = e.d
+        GROUP BY 1
+    ),
+    q AS (
+        SELECT x.label, g.nano AS gn, c.nano AS cn
+        FROM embeddings x
+        JOIN gerr g ON g.vec_id = x.vec_id
+        JOIN cerr c ON c.vec_id = x.vec_id
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(gn) AS DOUBLE) / (count(*) * 1e9 * {_RP_DIM}),
+                 9) AS mse_global,
+           round(CAST(sum(cn) AS DOUBLE) / (count(*) * 1e9 * {_RP_DIM}),
+                 9) AS mse_cluster,
+           round((1.0 - CAST(sum(cn) AS DOUBLE) / CAST(sum(gn) AS DOUBLE))
+                 * 100.0, 4) AS improvement_pct
+    FROM q GROUP BY label ORDER BY label
+    """,
+    doc="Per-CLUSTER SQ8 range refinement — the upgrade "
+    "sq8_reconstruction_error_audit's docstring cues ('a label whose "
+    "error spikes marks a sub-population living in a narrow slice of "
+    "some dimension's global [min, max] — switch that index to "
+    "per-cluster ranges'): quantize each vector against its own "
+    "inverted list's per-dimension [min, max] (the FAISS "
+    "ScalarQuantizer-per-list layout) and report the reconstruction "
+    "error DELTA vs the global-range codes, side by side per label.  "
+    "Cluster ranges are still order-free exact min/max aggregates — "
+    "no float centroids — so the refined pipeline hash-checks end to "
+    "end exactly like the global tier; each squared per-dimension "
+    "term is quantized to BIGINT nano-units before the within-vector "
+    "fold (both variants, both engines).  Scale shape: the "
+    "per-cluster dim-stats table has (n_lists x 64) rows — n_lists "
+    "tracks corpus/256 under the adaptive-bits rule, so it GROWS "
+    "with the corpus and is therefore JOINED on cl, never broadcast "
+    "(the rank-device offset-table rule; AQE upgrades it at small "
+    "SF); the 64-row global stats stay a 1-row array broadcast.  "
+    "Storage cost of adopting per-list ranges: 512 bytes/list — "
+    "negligible beside the codes.",
+    tags=("llm", "similarity", "quality"),
+)
+def sq8_cluster_range_refinement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = _rp_adaptive_bits(emb.count())
+    base = emb.select(
+        "vec_id", "label", "embedding", _rp_cluster_spark(bits).alias("cl")
+    ).transform(ckpt)  # read by cluster-stats build AND both error passes
+    gdims = (
+        emb.select(F.posexplode("embedding").alias("d0", "v0"))
+        .select(
+            (F.col("d0") + 1).alias("d"),
+            F.col("v0").cast("double").alias("v"),
+        )
+        .groupBy("d")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    gstats = gdims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mn"))),
+            lambda s: s["mn"],
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mx"))),
+            lambda s: s["mx"],
+        ).alias("mxs"),
+    )
+    cstats = (
+        base.select("cl", F.posexplode("embedding").alias("d0", "v0"))
+        .select(
+            "cl",
+            (F.col("d0") + 1).alias("d"),
+            F.col("v0").cast("double").alias("v"),
+        )
+        .groupBy("cl", "d")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .groupBy("cl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "mn"))),
+                lambda s: s["mn"],
+            ).alias("mns"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "mx"))),
+                lambda s: s["mx"],
+            ).alias("mxs"),
+        )
+    )
+    sse_nano = F.expr(
+        f"aggregate(sequence(1, {_RP_DIM}), 0L, (acc, d) -> acc + "
+        "cast(round(pow(cast(element_at(embedding, d) as double) - "
+        "(element_at(mns, d) + "
+        "CASE WHEN element_at(mxs, d) > element_at(mns, d) THEN "
+        "(element_at(mxs, d) - element_at(mns, d)) / 255.0 ELSE 0D END * "
+        "CASE WHEN element_at(mxs, d) > element_at(mns, d) THEN "
+        "least(255, greatest(0, cast(round("
+        "(cast(element_at(embedding, d) as double) - element_at(mns, d))"
+        " / ((element_at(mxs, d) - element_at(mns, d)) / 255.0), 0)"
+        " as int))) ELSE 0 END), 2) * 1e9, 0) as bigint))"
+    )
+    # global pass: 1-row stats broadcast; cluster pass: stats table is
+    # n_lists-sized (grows ~corpus/256 under adaptive bits) -> JOINED
+    # on cl, never broadcast (AQE upgrades it at small SF).
+    g = (
+        emb.crossJoin(F.broadcast(gstats))
+        .select("vec_id", sse_nano.alias("gn"))
+    )
+    c = base.join(cstats, "cl").select(
+        "vec_id", "label", sse_nano.alias("cn")
+    )
+    return (
+        c.join(g, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum("gn").cast("double")
+                / (F.count("*") * 1e9 * _RP_DIM),
+                9,
+            ).alias("mse_global"),
+            F.round(
+                F.sum("cn").cast("double")
+                / (F.count("*") * 1e9 * _RP_DIM),
+                9,
+            ).alias("mse_cluster"),
+            F.round(
+                (
+                    F.lit(1.0)
+                    - F.sum("cn").cast("double")
+                    / F.sum("gn").cast("double")
+                )
+                * 100.0,
+                4,
+            ).alias("improvement_pct"),
         )
         .orderBy("label")
     )

@@ -47,7 +47,7 @@ NON_QUERY_ALLOWLIST = {
     "topk_ranked", "with_range_bucket", "with_global_rank",
     "with_global_cumsum", "with_hot_cell_subsplit", "broadcast_offsets",
     "ckpt", "ckpt_eager", "lineage_cuts_disabled",
-    "candidate_jaccard_scores",
+    "candidate_jaccard_scores", "list_recall_ceiling",
     "test_compaction_occupancy_merge_has_zero_exchange",
     # test names cited in prose
     "test_streaming_merge_upsert_multibatch_out_of_order",

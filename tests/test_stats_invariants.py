@@ -288,3 +288,42 @@ def test_sq8_adc_topk_is_ranked_and_nonnegative(spark, sf_dir):
         assert all(
             rs[i][1] <= rs[i + 1][1] for i in range(len(rs) - 1)
         ), (q, rs)
+
+
+def test_sq8_recall_audit_floor(spark, sf_dir):
+    """Rollout-gate floor (VERDICT r12 #2): the quantized tier must
+    keep recall@3 / top-1 agreement vs the exact-L2 baseline above
+    the fixture floor (measured 0.8 / 0.6 after the multi-probe fix
+    this audit forced — single-probe sat at the 0.07 pruning
+    ceiling), recall can never exceed the list ceiling, and the
+    ceiling-to-recall gap (pure quantization loss) stays small
+    (measured zero on the fixture)."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        sq8_recall_audit,
+    )
+
+    row = sq8_recall_audit(spark, sf_dir).collect()[0]
+    assert row.n_queries > 0
+    assert row.recall_at_3 >= 0.4, row
+    assert row.top1_agreement >= 0.3, row
+    assert row.recall_at_3 <= row.list_recall_ceiling + 1e-9, row
+    assert row.list_recall_ceiling - row.recall_at_3 <= 0.2, row
+
+
+def test_sq8_cluster_ranges_reduce_error(spark, sf_dir):
+    """Per-cluster [min,max] ranges must reduce reconstruction MSE vs
+    the global ranges for EVERY label (measured ~40% on the fixture;
+    assert strict improvement and a conservative 10% floor on the
+    corpus-wide aggregate)."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        sq8_cluster_range_refinement,
+    )
+
+    rows = sq8_cluster_range_refinement(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mse_cluster < r.mse_global, r
+        assert r.improvement_pct > 0, r
+    total_g = sum(r.mse_global * r.n_vecs for r in rows)
+    total_c = sum(r.mse_cluster * r.n_vecs for r in rows)
+    assert total_c < 0.9 * total_g, (total_c, total_g)
