@@ -8967,7 +8967,9 @@ def _dedup_compaction_oracle() -> str:
     "choice — cluster_representative_pick); full posting-table "
     "rewrites are the amortized BACKGROUND job, exactly as in LSM "
     "compaction (its linear cost is measured as the naive_rewrite_s "
-    "contrast in the same artifact).",
+    "contrast in the same artifact).  The MULTI-segment half of the "
+    "lifecycle — K accumulated deltas, read-amplification vs K, the "
+    "fold trigger — is dedup_index_segment_lifecycle.",
     tags=("llm", "dedup", "pipeline", "layout"),
 )
 def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9023,6 +9025,272 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("n_total") > _MH_MAX_BUCKET).cast("int"))
             .cast("bigint")
             .alias("n_hot_buckets"),
+        )
+        .orderBy("band_id")
+    )
+
+
+# LSM fold threshold: segments accumulated between index rebuilds.
+# Spark-specific finding (round 13, measured in the lifecycle plan):
+# a K-way bucket merge CANNOT stay fully exchange-free beyond pairwise
+# — FullOuter SortMergeJoin reports UnknownPartitioning, so chained
+# FOJs re-shuffle, and a Union of bucketed scans loses the bucketing
+# too.  The scale-honest read path is therefore: per-segment counts
+# aggregate exchange-free on their own bucketed scans, ONE explicit
+# repartition moves segment-count mass (batch-proportional x K, never
+# the index) onto the index's bucket partitioning, and the final FOJ
+# is exchange-free.  Read cost grows with accumulated segment mass —
+# the LSM read-amplification term — which is why the fold threshold
+# stays LOW and the fold is worth its linear background cost.
+_LSM_FOLD_K = 4
+
+
+def _merge_occupancy_counts_multi(
+    idx_counts: DataFrame, seg_srcs: list[DataFrame], n_bkts: int
+) -> DataFrame:
+    """K-segment read-time occupancy merge (the probe path between
+    folds).  Physical shape, plan-gated in tests/test_bucketing.py:
+    each segment's count aggregate runs on its own bucketed scan with
+    no Exchange; the union of per-segment counts takes exactly ONE
+    Exchange (segment mass only) onto the index's (band_id, band_val)
+    x n_bkts partitioning; the full-outer merge against the persisted
+    index counts then plans exchange-free — the index is never
+    re-shuffled, per ingest or per probe."""
+    from functools import reduce
+
+    seg_counts = [
+        s.groupBy("band_id", "band_val").agg(
+            F.count("*").cast("bigint").alias("n_s")
+        )
+        for s in seg_srcs
+    ]
+    all_seg = (
+        reduce(lambda a, b: a.unionByName(b), seg_counts)
+        .repartition(n_bkts, "band_id", "band_val")
+        .groupBy("band_id", "band_val")
+        .agg(F.sum("n_s").cast("bigint").alias("n_seg"))
+    )
+    return (
+        idx_counts.join(all_seg, ["band_id", "band_val"], "full_outer")
+        .select(
+            "band_id",
+            "band_val",
+            F.coalesce("n_idx", F.lit(0)).cast("bigint").alias("n_idx"),
+            F.coalesce("n_seg", F.lit(0)).cast("bigint").alias("n_seg"),
+            (F.coalesce("n_idx", F.lit(0)) + F.coalesce("n_seg", F.lit(0)))
+            .cast("bigint")
+            .alias("n_total"),
+        )
+    )
+
+
+def _dedup_lifecycle_oracle() -> str:
+    return f"""
+    WITH thr AS (
+        SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS t,
+               CAST(max(doc_id) + 1 AS BIGINT) AS m
+        FROM documents
+    ),
+    {_band_core_sql()},
+    tail AS (
+        SELECT d.doc_id, d.text,
+               least({_LSM_FOLD_K - 1},
+                     ((d.doc_id - thr.t) * {_LSM_FOLD_K})
+                         // (thr.m - thr.t)) AS seg
+        FROM documents d JOIN thr ON d.doc_id >= thr.t
+    ),
+    kept AS (
+        SELECT b.doc_id, b.seg
+        FROM tail b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM documents i, thr t2
+            WHERE i.doc_id < t2.t AND i.text = b.text
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM tail e WHERE e.seg < b.seg AND e.text = b.text
+        )
+    ),
+    cells AS (
+        SELECT band_id, band_val,
+               sum(CASE WHEN side < 0 THEN 1 ELSE 0 END) AS n_idx,
+               sum(CASE WHEN side >= 0 THEN 1 ELSE 0 END) AS n_seg
+        FROM (
+            SELECT b.band_id, b.band_val, CAST(-1 AS BIGINT) AS side
+            FROM bands b JOIN thr ON b.doc_id < thr.t
+            UNION ALL
+            SELECT b.band_id, b.band_val, k.seg AS side
+            FROM bands b JOIN kept k ON k.doc_id = b.doc_id
+        )
+        GROUP BY 1, 2
+    )
+    SELECT band_id,
+           CAST({_LSM_FOLD_K} AS BIGINT) AS n_segments,
+           CAST(sum(n_idx) AS BIGINT) AS n_post_index,
+           CAST(sum(n_seg) AS BIGINT) AS n_post_segments,
+           CAST(sum(n_idx + n_seg) AS BIGINT) AS n_post_total,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN n_idx + n_seg > {_MH_MAX_BUCKET}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets,
+           CAST(sum(n_idx + n_seg) AS BIGINT) AS n_post_total_folded,
+           CAST(count(*) AS BIGINT) AS n_buckets_folded,
+           CAST(sum(CASE WHEN n_idx + n_seg > {_MH_MAX_BUCKET}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hot_buckets_folded
+    FROM cells GROUP BY band_id ORDER BY band_id
+    """
+
+
+@register(
+    "dedup_index_segment_lifecycle",
+    oracle=_dedup_lifecycle_oracle(),
+    doc="MULTI-segment dedup-index lifecycle — the missing half of "
+    "the LSM story dedup_index_compaction models for one segment: "
+    f"{_LSM_FOLD_K} successive ingests each write their own "
+    "batch-proportional delta segment (postings + exact-key table, "
+    "bucketed identically to the index; each ingest's exact-dup "
+    "filter anti-joins the index keys AND every earlier segment's "
+    "keys — the cumulative-key semantics of a real ingest queue), "
+    "the probe-side READ merges occupancy over index + K segments, "
+    "and at the fold threshold the background job rewrites index v2 "
+    "(one linear union-write, amortized over K ingests).  Read-path "
+    "physics, plan-gated: a K-way bucket merge cannot stay fully "
+    "exchange-free in Spark (FullOuter SMJ output partitioning is "
+    "Unknown, chained FOJs re-shuffle; Union drops bucketing), so "
+    "per-segment counts aggregate exchange-free on their own "
+    "bucketed scans, ONE explicit repartition moves segment-count "
+    "mass onto the index partitioning, and the final full-outer "
+    "merge is exchange-free — the INDEX is never re-shuffled; "
+    "read amplification is carried entirely by accumulated segment "
+    "mass, measured vs K in SCALE_r13_lsm.json "
+    "(tools/scale_compaction.py --lifecycle), flat again after the "
+    "fold.  The report carries the multi-segment read-path counts "
+    "AND the folded-v2 counts side by side: SQL-equal by "
+    "construction (the oracle projects one relation twice), so the "
+    "hash-check proves the two PHYSICAL paths — K-way merge and "
+    "rewritten v2 table — agree bucket-for-bucket.",
+    tags=("llm", "dedup", "pipeline", "layout"),
+)
+def dedup_index_segment_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from functools import reduce
+
+    from ..sources.catalog import reset_bucket_table, session_bucket_table
+
+    K = _LSM_FOLD_K
+    docs = load_table(spark, sf_dir, "documents")
+    thr = docs.agg(
+        F.floor(0.8 * (F.max("doc_id") + 1)).cast("bigint").alias("_t"),
+        (F.max("doc_id") + 1).cast("bigint").alias("_m"),
+    ).transform(ckpt)
+    witht = docs.crossJoin(F.broadcast(thr))
+    is_new = F.col("doc_id") >= F.col("_t")
+
+    # index v1: once per corpus version (same builder as the probe)
+    t_bands, t_counts, t_keys, n_bkts = _build_persisted_dedup_index(
+        spark, witht.filter(~is_new).select("doc_id", "text"), "lsm_idx"
+    )
+
+    seg_expr = F.least(
+        F.lit(K - 1), F.expr(f"div((doc_id - _t) * {K}, _m - _t)")
+    ).cast("bigint")
+    tail = witht.filter(is_new).select(
+        "doc_id", "text", seg_expr.alias("seg")
+    )
+
+    # K ingests: each writes its batch-proportional segment postings
+    # + key table; exact-dup filtering sees index + earlier segments
+    # (kept is re-derived per write — never checkpoint a text-bearing
+    # corpus relation, round-10 doctrine)
+    seg_tables: list[str] = []
+    key_tables: list[str] = []
+    for j in range(K):
+        t_seg = session_bucket_table(spark, f"lsm_seg{j}_bands")
+        t_sk = session_bucket_table(spark, f"lsm_seg{j}_keys")
+        reset_bucket_table(spark, t_seg)
+        reset_bucket_table(spark, t_sk)
+        kept = (
+            tail.filter(F.col("seg") == j)
+            .select("doc_id", "text", F.sha2("text", 256).alias("h"))
+            .join(spark.table(t_keys), "h", "anti")
+        )
+        for tk in key_tables:
+            kept = kept.join(spark.table(tk), "h", "anti")
+        (
+            band_rows(portable_signatures(kept.select("doc_id", "text")))
+            .write.bucketBy(n_bkts, "band_id", "band_val")
+            .sortBy("band_id", "band_val")
+            .saveAsTable(t_seg)
+        )
+        (
+            kept.select("h")
+            .distinct()
+            .write.bucketBy(n_bkts, "h")
+            .sortBy("h")
+            .saveAsTable(t_sk)
+        )
+        seg_tables.append(t_seg)
+        key_tables.append(t_sk)
+
+    # probe-side READ between folds: K-way occupancy merge
+    merged = _merge_occupancy_counts_multi(
+        spark.table(t_counts),
+        [spark.table(t) for t in seg_tables],
+        n_bkts,
+    )
+    live = merged.groupBy("band_id").agg(
+        F.sum("n_idx").cast("bigint").alias("n_post_index"),
+        F.sum("n_seg").cast("bigint").alias("n_post_segments"),
+        F.sum("n_total").cast("bigint").alias("n_post_total"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum((F.col("n_total") > _MH_MAX_BUCKET).cast("int"))
+        .cast("bigint")
+        .alias("n_hot_buckets"),
+    )
+
+    # FOLD: K hit the threshold — background rewrite of index v2
+    # (linear in index+segments, amortized over the K ingests)
+    t_b2 = session_bucket_table(spark, "lsm_idx_v2_bands")
+    t_c2 = session_bucket_table(spark, "lsm_idx_v2_bcounts")
+    reset_bucket_table(spark, t_b2)
+    reset_bucket_table(spark, t_c2)
+    v2 = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.table(t_bands)] + [spark.table(t) for t in seg_tables],
+    )
+    (
+        v2.write.bucketBy(n_bkts, "band_id", "band_val")
+        .sortBy("band_id", "band_val")
+        .saveAsTable(t_b2)
+    )
+    (
+        spark.table(t_b2)
+        .groupBy("band_id", "band_val")
+        .agg(F.count("*").cast("bigint").alias("n_occ"))
+        .write.bucketBy(n_bkts, "band_id", "band_val")
+        .sortBy("band_id", "band_val")
+        .saveAsTable(t_c2)
+    )
+    folded = spark.table(t_c2).groupBy("band_id").agg(
+        F.sum("n_occ").cast("bigint").alias("n_post_total_folded"),
+        F.count("*").cast("bigint").alias("n_buckets_folded"),
+        F.sum((F.col("n_occ") > _MH_MAX_BUCKET).cast("int"))
+        .cast("bigint")
+        .alias("n_hot_buckets_folded"),
+    )
+    return (
+        live.join(folded, "band_id")
+        .select(
+            "band_id",
+            F.lit(K).cast("bigint").alias("n_segments"),
+            "n_post_index",
+            "n_post_segments",
+            "n_post_total",
+            "n_buckets",
+            "n_hot_buckets",
+            "n_post_total_folded",
+            "n_buckets_folded",
+            "n_hot_buckets_folded",
         )
         .orderBy("band_id")
     )

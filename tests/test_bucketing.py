@@ -378,3 +378,87 @@ def test_compaction_occupancy_merge_has_zero_exchange(spark, sf_dir):
                   "test_cmp_idx_keys"):
             reset_bucket_table(spark, session_bucket_table(spark, t))
         reset_bucket_table(spark, t_seg)
+
+
+def test_lifecycle_multiseg_merge_single_segment_side_exchange(
+    spark, sf_dir
+):
+    """dedup_index_segment_lifecycle: the K-way read-time occupancy
+    merge must plan with EXACTLY ONE Exchange, carrying segment-count
+    mass only — per-segment aggregates run on their own bucketed
+    scans with no Exchange below them, and the index counts scan
+    feeds the FullOuter merge with no Exchange above it (the index is
+    never re-shuffled).  This is the Spark-specific LSM finding: the
+    chain can't be fully exchange-free (FOJ output partitioning is
+    Unknown; Union drops bucketing), so the gate pins the minimal
+    shape instead of an impossible zero."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        _build_persisted_dedup_index,
+        _merge_occupancy_counts_multi,
+        band_rows,
+        portable_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx_docs = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "text"
+    )
+    _tb, t_counts, _tk, n_bkts = _build_persisted_dedup_index(
+        spark, idx_docs, "test_lsm_idx"
+    )
+    seg_tables = []
+    for j in range(3):
+        t_seg = session_bucket_table(spark, f"test_lsm_seg{j}")
+        reset_bucket_table(spark, t_seg)
+        (
+            band_rows(
+                portable_signatures(
+                    docs.filter(
+                        (F.col("doc_id") % 5 == 0)
+                        & (F.col("doc_id") % 3 == j)
+                    ).select("doc_id", "text")
+                )
+            )
+            .write.bucketBy(n_bkts, "band_id", "band_val")
+            .sortBy("band_id", "band_val")
+            .saveAsTable(t_seg)
+        )
+        seg_tables.append(t_seg)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the SMJ shape a 100 TB counts table would get
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        merged = _merge_occupancy_counts_multi(
+            spark.table(t_counts),
+            [spark.table(t) for t in seg_tables],
+            n_bkts,
+        )
+        plan = _formatted_plan(merged)
+        assert "SortMergeJoin FullOuter" in plan, plan
+        ex_nodes = re.findall(r"\(\d+\)\s+Exchange", plan)
+        assert len(ex_nodes) == 1, plan
+        # the one Exchange sits below the Union->final-agg path, never
+        # above the index counts scan: in the tree rendering the index
+        # scan's branch under the FOJ must be Sort directly over Scan
+        tree = plan.split("\n\n")[0]
+        idx_branch = [
+            ln for ln in tree.splitlines() if "bcounts" in ln.lower()
+        ]
+        assert idx_branch, tree
+        assert "Scan parquet" in idx_branch[0], tree
+        # every bucketed segment scan is read bucketed (exchange-free
+        # per-segment aggregation)
+        assert plan.count("Bucketed: true") >= 4, plan
+        # and the merge preserves posting mass
+        tot = merged.agg(F.sum("n_total")).collect()[0][0]
+        exp = spark.table(t_counts).agg(F.sum("n_idx")).collect()[0][
+            0
+        ] + sum(spark.table(t).count() for t in seg_tables)
+        assert tot == exp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        for t in ("test_lsm_idx_bands", "test_lsm_idx_bcounts",
+                  "test_lsm_idx_keys"):
+            reset_bucket_table(spark, session_bucket_table(spark, t))
+        for t in seg_tables:
+            reset_bucket_table(spark, t)

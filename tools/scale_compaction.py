@@ -31,6 +31,179 @@ FACTORS = [int(x) for x in os.environ.get(
 ).split(",")]
 
 
+def lifecycle() -> None:
+    """--lifecycle: probe read cost vs ACCUMULATED SEGMENT COUNT K —
+    the LSM read-amplification curve behind
+    ``dedup_index_segment_lifecycle``.  Fixed index (x10 replication)
+    + a fixed batch split into 8 ingest slices; measure the K-way
+    occupancy-merge report at K in {1,2,4,8} (growing-before), then
+    fold (one linear v2 rewrite) and measure the single-table report
+    (flat-after).  Writes SCALE_r13_lsm.json."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        _MH_MAX_BUCKET,
+        _merge_occupancy_counts_multi,
+        band_rows,
+        portable_signatures,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.session import (
+        get_spark,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+        reset_bucket_table,
+        session_bucket_table,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    idx_factor = int(os.environ.get("SPARK_GRAFT_LSM_IDX_FACTOR", "10"))
+    n_slices = 8
+    load_before = tuple(round(x, 2) for x in os.getloadavg())
+    spark = get_spark("scale_lsm")
+
+    docs = load_table(spark, sf_dir, "documents")
+    t_split = docs.agg(
+        F.floor(0.8 * (F.max("doc_id") + 1)).cast("bigint")
+    ).first()[0]
+    stride = docs.agg(F.max("doc_id") + 1).first()[0]
+    batch = docs.filter(F.col("doc_id") >= t_split).select(
+        "doc_id", "text"
+    ).localCheckpoint(eager=True)
+    idx_base = docs.filter(F.col("doc_id") < t_split).select(
+        "doc_id", "text"
+    )
+    idx_docs = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            idx_base.select(
+                (F.col("doc_id") + F.lit(i * stride)).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(f" rep{i}tok"),
+                    (F.col("doc_id") % 97).cast("string"),
+                ).alias("text"),
+            )
+            for i in range(idx_factor)
+        ],
+    )
+
+    try:
+        initial_parts = int(spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        ))
+    except Exception:
+        initial_parts = 0
+    n_bkts = max(
+        64,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        initial_parts,
+    )
+
+    t_counts = session_bucket_table(spark, "lsm_bench_bcounts")
+    t_bands = session_bucket_table(spark, "lsm_bench_bands")
+    reset_bucket_table(spark, t_counts)
+    reset_bucket_table(spark, t_bands)
+    idx_bands = band_rows(portable_signatures(idx_docs))
+    (idx_bands.write.bucketBy(n_bkts, "band_id", "band_val")
+     .sortBy("band_id", "band_val").saveAsTable(t_bands))
+    (spark.table(t_bands).groupBy("band_id", "band_val")
+     .agg(F.count("*").cast("bigint").alias("n_idx"))
+     .write.bucketBy(n_bkts, "band_id", "band_val")
+     .sortBy("band_id", "band_val").saveAsTable(t_counts))
+    n_idx_post = spark.table(t_bands).count()
+
+    seg_tables = []
+    for j in range(n_slices):
+        t_seg = session_bucket_table(spark, f"lsm_bench_seg{j}")
+        reset_bucket_table(spark, t_seg)
+        (
+            band_rows(portable_signatures(
+                batch.filter(F.col("doc_id") % n_slices == j)
+            ))
+            .write.bucketBy(n_bkts, "band_id", "band_val")
+            .sortBy("band_id", "band_val")
+            .saveAsTable(t_seg)
+        )
+        seg_tables.append(t_seg)
+
+    def probe_report(merged) -> float:
+        t0 = time.monotonic()
+        (
+            merged.groupBy("band_id")
+            .agg(
+                F.sum("n_idx").alias("a"),
+                F.sum("n_seg").alias("b"),
+                F.sum("n_total").alias("c"),
+                F.count("*").alias("d"),
+                F.sum((F.col("n_total") > _MH_MAX_BUCKET).cast("int"))
+                .alias("e"),
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        return round(time.monotonic() - t0, 3)
+
+    rows = []
+    for k in (1, 2, 4, 8):
+        merged = _merge_occupancy_counts_multi(
+            spark.table(t_counts),
+            [spark.table(t) for t in seg_tables[:k]],
+            n_bkts,
+        )
+        probe_s = min(probe_report(merged) for _ in range(3))
+        rows.append({"k_segments": k, "probe_s": probe_s})
+        print(f"[lsm] K={k}: probe_s={probe_s}", file=sys.stderr)
+
+    # the FOLD: one linear v2 rewrite, then the flat-after probe
+    t_b2 = session_bucket_table(spark, "lsm_bench_v2_bands")
+    t_c2 = session_bucket_table(spark, "lsm_bench_v2_bcounts")
+    reset_bucket_table(spark, t_b2)
+    reset_bucket_table(spark, t_c2)
+    t0 = time.monotonic()
+    v2 = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.table(t_bands)] + [spark.table(t) for t in seg_tables],
+    )
+    (v2.write.bucketBy(n_bkts, "band_id", "band_val")
+     .sortBy("band_id", "band_val").saveAsTable(t_b2))
+    (spark.table(t_b2).groupBy("band_id", "band_val")
+     .agg(F.count("*").cast("bigint").alias("n_idx"))
+     .write.bucketBy(n_bkts, "band_id", "band_val")
+     .sortBy("band_id", "band_val").saveAsTable(t_c2))
+    fold_s = round(time.monotonic() - t0, 3)
+
+    folded = spark.table(t_c2).select(
+        "band_id", "band_val", "n_idx",
+        F.lit(0).cast("bigint").alias("n_seg"),
+        F.col("n_idx").alias("n_total"),
+    )
+    probe_after_fold_s = min(probe_report(folded) for _ in range(3))
+    print(
+        f"[lsm] fold_s={fold_s} probe_after_fold_s={probe_after_fold_s}",
+        file=sys.stderr,
+    )
+
+    out = {
+        "sf_dir": sf_dir,
+        "idx_factor": idx_factor,
+        "n_bkts": n_bkts,
+        "n_idx_postings": n_idx_post,
+        "n_slices": n_slices,
+        "load_before": load_before,
+        "probe_vs_k": rows,
+        "fold_s": fold_s,
+        "probe_after_fold_s": probe_after_fold_s,
+    }
+    line = json.dumps(out)
+    print(line)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALE_r13_lsm.json"), "w") as fh:
+        fh.write(line + "\n")
+    for t in [t_counts, t_bands, t_b2, t_c2] + seg_tables:
+        reset_bucket_table(spark, t)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -211,4 +384,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--lifecycle" in sys.argv:
+        lifecycle()
+    else:
+        main()
