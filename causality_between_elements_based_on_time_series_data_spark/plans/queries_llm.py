@@ -4899,6 +4899,121 @@ def exact_substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# pseudo-line width for within-doc line dedup: the fixture's
+# synthetic texts are single-line word streams, so "lines" are fixed
+# W-token segments (W=2 exercises real removals, ~1.8% of lines on
+# the fixture); on a real corpus the segmentation expression is
+# swapped for split(text, '\n') and nothing else changes.
+_LINE_W = 2
+
+
+@register(
+    "within_doc_line_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(text), ' +') AS t
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, lang, CAST(i AS BIGINT) AS ln,
+               array_to_string(
+                   list_slice(t, (i - 1) * {_LINE_W} + 1,
+                              i * {_LINE_W}), ' ') AS line
+        FROM toks,
+             unnest(range(1,
+                 CAST(ceil(len(t) / {_LINE_W}.0) AS BIGINT) + 1)) AS u(i)
+    ),
+    firsts AS (
+        SELECT doc_id, lang, ln, line,
+               min(ln) OVER (PARTITION BY doc_id, line) AS f
+        FROM lines
+    ),
+    cleaned AS (
+        SELECT doc_id, any_value(lang) AS lang,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(line, ' ' ORDER BY ln) AS ctext
+        FROM firsts WHERE ln = f GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        FROM lines GROUP BY 1
+    )
+    SELECT c.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(s.n_lines) AS BIGINT) AS total_lines,
+           CAST(sum(s.n_lines - c.n_kept) AS BIGINT) AS removed_lines,
+           round(CAST(sum(s.n_lines - c.n_kept) AS DOUBLE)
+                 / CAST(sum(s.n_lines) AS DOUBLE), 6) AS removed_frac,
+           CAST(sum(CAST('0x' || substr(md5(c.ctext), 1, 12) AS BIGINT)
+                    % 1000000007) AS BIGINT) AS cleaned_checksum
+    FROM cleaned c JOIN stats s USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="WITHIN-doc line dedup as a TRANSFORMATION — the CCNet "
+    "per-document repeated-line removal (Wenzek et al. 2019), the "
+    "one standard cleaning transformation the suite lacked: "
+    "boilerplate_sentence_audit measures corpus-level boilerplate "
+    "but nothing removed a document's OWN repeated lines.  Keep the "
+    "FIRST occurrence of each distinct line, preserve order, "
+    "reconstruct the cleaned text, report per-language removal "
+    "stats + the cleaned-text checksum (the "
+    "exact_substring_span_removal convention: per-row 48-bit md5 "
+    "prefix reduced mod 1e9+7 BEFORE the sum — ANSI 2^63-safe past "
+    "10^9 docs/language).  Composition note: this is the row-LOCAL "
+    "complement of exact_substring_span_removal — spans are removed "
+    "across documents (corpus-keyed window join), repeated lines "
+    "within one document (array_distinct, which preserves "
+    "first-occurrence order; the oracle mirrors it with an explicit "
+    "min-rank-per-line rule).  Scale shape: zero shuffle until the "
+    "final per-language rollup — the whole transformation is "
+    "row-local array ops over the pruned (doc_id, lang, text) scan.",
+    tags=("llm", "text", "dedup", "pipeline"),
+)
+def within_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W = _LINE_W
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"transform(sequence(1, cast(ceil(size(split(trim(text), "
+            f"' +')) / {W}.0) as int)), i -> array_join(slice("
+            f"split(trim(text), ' +'), (i - 1) * {W} + 1, {W}), ' '))"
+        ).alias("lines"),
+    )
+    cleaned = lines.select(
+        "lang",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        (F.size("lines") - F.size(F.array_distinct("lines")))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.array_join(F.array_distinct("lines"), " ").alias("ctext"),
+    )
+    return (
+        cleaned.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_lines").cast("bigint").alias("total_lines"),
+            F.sum("n_removed").cast("bigint").alias("removed_lines"),
+            F.round(
+                F.sum("n_removed").cast("double")
+                / F.sum("n_lines").cast("double"),
+                6,
+            ).alias("removed_frac"),
+            F.sum(
+                F.conv(F.substring(F.md5("ctext"), 1, 12), 16, 10).cast(
+                    "bigint"
+                )
+                % F.lit(1000000007)
+            )
+            .cast("bigint")
+            .alias("cleaned_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _bpe_merge_sql(seq_expr: str) -> str:
     """The 4-pass non-overlapping replace applying merge ``t`` (a
     1-row ``(l, rr)`` relation aliased ``t``) to a space-delimited
@@ -7500,7 +7615,13 @@ def _corpus_funnel_oracle() -> str:
     tags=("llm", "pipeline", "sampling", "dedup"),
 )
 def corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stages = corpus_stage_tables(spark, sf_dir)
+    return funnel_report(corpus_stage_tables(spark, sf_dir))
+
+
+def funnel_report(stages: list[tuple[str, DataFrame]]) -> DataFrame:
+    """Per-stage (n_docs, id_checksum) accounting over an ordered
+    stage chain — shared by ``corpus_build_funnel`` and the example
+    runner's alternative-gate path."""
 
     def funnel_row(df: DataFrame, ord_: int, stage: str) -> DataFrame:
         return df.agg(
@@ -7521,14 +7642,21 @@ def corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def corpus_stage_tables(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, stage2: str = "perplexity"
 ) -> list[tuple[str, DataFrame]]:
     """The funnel's ordered stage chain as reusable survivor tables
     (metadata-only — doc_id always present).  ``corpus_build_funnel``
     consumes them for accounting; ``examples/run_corpus_pipeline.py``
     takes the final entry as the materialization set — determinism
     (every stage a pure function of ids) makes recompute and persist
-    interchangeable."""
+    interchangeable.
+
+    ``stage2`` selects the LM gate: ``"perplexity"`` (default — the
+    CCNet LM stage the registered funnel oracle pins) or
+    ``"logistic"`` (the doc_quality_logistic_gate classifier's
+    kept-id set semi-joined onto the stage-1 survivors — the
+    alternative composition that gate's registration documents;
+    runnable via ``examples/run_corpus_pipeline.py --logistic-gate``)."""
     from ..operators.ranks import with_global_rank, with_range_bucket
 
     docs = load_table(spark, sf_dir, "documents")
@@ -7556,35 +7684,52 @@ def corpus_stage_tables(
         .transform(ckpt)
     )
 
-    # stage 2: perplexity gate (micro-nat bigram LM retrained on the
-    # s1 survivors, worst per-lang tercile dropped) — the SAME scoring
-    # core as perplexity_quality_filter, shared via
-    # micronat_perplexity_scores rather than claimed-in-prose
-    perdoc = (
-        micronat_perplexity_scores(texts_of(s1))
-        .join(s1.select("doc_id", "lang"), "doc_id")
-        .withColumn(
-            "mean_mnat", F.col("score_u").cast("double") / F.col("n_terms")
+    # stage 2: the LM gate.  Default: perplexity gate (micro-nat
+    # bigram LM retrained on the s1 survivors, worst per-lang tercile
+    # dropped) — the SAME scoring core as perplexity_quality_filter,
+    # shared via micronat_perplexity_scores rather than
+    # claimed-in-prose.  Alternative (stage2="logistic"): the trained
+    # classifier gate's kept-id set (same fit/features/betas as
+    # doc_quality_logistic_gate via _dq_gate_scored), semi-joined
+    # onto the s1 survivors.
+    if stage2 == "logistic":
+        scored = _dq_gate_scored(spark, sf_dir)
+        eta = (
+            F.col("b0")
+            + F.col("b1") * F.col("f1")
+            + F.col("b2") * F.col("f2")
         )
-    )
-    pbucketed = with_range_bucket(perdoc, "mean_mnat").transform(ckpt)
-    pranked = with_global_rank(
-        pbucketed,
-        [F.col("mean_mnat"), F.col("doc_id")],
-        partition_by=("lang",),
-        out="rn",
-        total="n_lang",
-        # language IDs are a bounded enum (ISO codes — a few hundred
-        # at most, at any corpus scale), so the ≤ |langs|·128-row
-        # offset broadcast is safe; contrast the domain-cap stages,
-        # which group by the UNBOUNDED `source` domain and use the
-        # round-11 shuffled-join default.
-        broadcast_offsets=True,
-    )
-    keep_ppl = pranked.filter(
-        F.floor(((F.col("rn") - 1) * 3).cast("double") / F.col("n_lang")) <= 1
-    ).select("doc_id")
-    s2 = s1.join(keep_ppl, "doc_id", "semi").transform(ckpt)
+        keep_lm = scored.filter(eta >= 0).select("doc_id")
+        stage2_name = "logistic_gate"
+    else:
+        perdoc = (
+            micronat_perplexity_scores(texts_of(s1))
+            .join(s1.select("doc_id", "lang"), "doc_id")
+            .withColumn(
+                "mean_mnat",
+                F.col("score_u").cast("double") / F.col("n_terms"),
+            )
+        )
+        pbucketed = with_range_bucket(perdoc, "mean_mnat").transform(ckpt)
+        pranked = with_global_rank(
+            pbucketed,
+            [F.col("mean_mnat"), F.col("doc_id")],
+            partition_by=("lang",),
+            out="rn",
+            total="n_lang",
+            # language IDs are a bounded enum (ISO codes — a few
+            # hundred at most, at any corpus scale), so the ≤
+            # |langs|·128-row offset broadcast is safe; contrast the
+            # domain-cap stages, which group by the UNBOUNDED `source`
+            # domain and use the round-11 shuffled-join default.
+            broadcast_offsets=True,
+        )
+        keep_lm = pranked.filter(
+            F.floor(((F.col("rn") - 1) * 3).cast("double") / F.col("n_lang"))
+            <= 1
+        ).select("doc_id")
+        stage2_name = "perplexity_gate"
+    s2 = s1.join(keep_lm, "doc_id", "semi").transform(ckpt)
 
     # stage 3: exact dedup — min-id survivor per content
     keep3 = (
@@ -7663,7 +7808,7 @@ def corpus_stage_tables(
     return [
         ("ingest", docs.select("doc_id")),
         ("quality_gate", s1),
-        ("perplexity_gate", s2),
+        (stage2_name, s2),
         ("exact_dedup", s3),
         ("near_dedup", s4),
         ("domain_cap", s5),

@@ -22,8 +22,14 @@ shard assignments.  The registry twins of each stage are hash-checked
 against DuckDB oracles per round (CORRECTNESS_full_r{N}.json); this
 script is the user-facing composition.
 
-Run: ``python examples/run_corpus_pipeline.py [sf_dir] [out_dir]``
-(defaults: /root/testdata/sf0.01 → /tmp/spark_graft_corpus_out).
+Run: ``python examples/run_corpus_pipeline.py [sf_dir] [out_dir]
+[--logistic-gate]`` (defaults: /root/testdata/sf0.01 →
+/tmp/spark_graft_corpus_out).  ``--logistic-gate`` swaps the funnel's
+stage-2 LM gate from the CCNet perplexity tercile filter to the
+trained curated-vs-crawl classifier (``doc_quality_logistic_gate``'s
+kept-id set, semi-joined — the alternative composition that gate's
+registration documents); the funnel report shows the substituted
+stage and downstream stages re-run over its kept set.
 """
 
 from __future__ import annotations
@@ -45,14 +51,26 @@ N_SHARDS = 16
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_corpus_out"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    logistic = "--logistic-gate" in sys.argv
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out_dir = args[1] if len(args) > 1 else "/tmp/spark_graft_corpus_out"
+    stage2 = "logistic" if logistic else "perplexity"
     spark = get_spark("corpus-pipeline")
     spark.sparkContext.setLogLevel("WARN")
 
-    # 1. the build funnel — one job, per-stage accounting
-    funnel = REGISTRY["corpus_build_funnel"].fn(spark, sf_dir)
-    print("== corpus build funnel ==")
+    # 1. the build funnel — one job, per-stage accounting.  The
+    # default chain is the registered, oracle-pinned
+    # corpus_build_funnel; --logistic-gate substitutes the trained
+    # classifier as stage 2 and reuses the same accounting.
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        corpus_stage_tables,
+        funnel_report,
+    )
+
+    stages = corpus_stage_tables(spark, sf_dir, stage2=stage2)
+    funnel = funnel_report(stages)
+    print(f"== corpus build funnel (stage-2 gate: {stage2}) ==")
     funnel.show(truncate=False)
 
     # 2. re-derive the final selection (same pure-function stages the
@@ -62,7 +80,7 @@ def main() -> None:
     # way the registered query does — determinism means "recompute"
     # and "persist" are interchangeable.
     docs = load_table(spark, sf_dir, "documents")
-    selected_ids = _selected_ids(spark, sf_dir)
+    selected_ids = _selected_ids(stages)
 
     # 1b. benchmark decontamination — composes as a FINAL anti-join on
     # the funnel's kept set (the eval suite ships separately from the
@@ -113,16 +131,11 @@ def main() -> None:
     print(f"done; corpus at {out_dir}/corpus")
 
 
-def _selected_ids(spark, sf_dir):
+def _selected_ids(stages):
     """The funnel's final kept set — the SAME stage chain the
-    hash-checked ``corpus_build_funnel`` accounts over
-    (``plans.queries_llm.corpus_stage_tables``); pure functions of ids
-    make recompute and persist interchangeable."""
-    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
-        corpus_stage_tables,
-    )
-
-    stages = corpus_stage_tables(spark, sf_dir)
+    accounting above printed (``plans.queries_llm.
+    corpus_stage_tables``, default or --logistic-gate variant); pure
+    functions of ids make recompute and persist interchangeable."""
     name, selected = stages[-1]
     assert name == "weighted_select"
     return selected.select("doc_id")
