@@ -4968,18 +4968,23 @@ _LINE_W = 2
     "min-rank-per-line rule).  Scale shape: zero shuffle until the "
     "final per-language rollup — the whole transformation is "
     "row-local array ops over the pruned (doc_id, lang, text) scan.",
-    tags=("llm", "text", "dedup", "pipeline"),
+    tags=("llm", "text", "dedup", "pipeline", "bench"),
 )
 def within_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     W = _LINE_W
     docs = load_table(spark, sf_dir, "documents")
+    # stage the token array ONCE: a transform() lambda that re-splits
+    # the text per line element is O(lines x split) per row (measured
+    # 2.0 s -> sub-second at sf0.1)
     lines = docs.select(
+        "doc_id", "lang", F.split(F.trim("text"), " +").alias("toks")
+    ).select(
         "doc_id",
         "lang",
         F.expr(
-            f"transform(sequence(1, cast(ceil(size(split(trim(text), "
-            f"' +')) / {W}.0) as int)), i -> array_join(slice("
-            f"split(trim(text), ' +'), (i - 1) * {W} + 1, {W}), ' '))"
+            f"transform(sequence(1, cast(ceil(size(toks) / {W}.0) as "
+            f"int)), i -> array_join(slice(toks, (i - 1) * {W} + 1, "
+            f"{W}), ' '))"
         ).alias("lines"),
     )
     cleaned = lines.select(
@@ -9438,6 +9443,293 @@ def dedup_index_segment_lifecycle(
             "n_hot_buckets_folded",
         )
         .orderBy("band_id")
+    )
+
+
+def _mseg_probe_oracle() -> str:
+    return f"""
+    WITH thr AS (
+        SELECT CAST(floor(0.6 * (max(doc_id) + 1)) AS BIGINT) AS t1,
+               CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS t2
+        FROM documents
+    ),
+    {_band_core_sql()},
+    tail AS (
+        SELECT d.doc_id, d.text,
+               least(1, ((d.doc_id - thr.t1) * 2)
+                            // (thr.t2 - thr.t1)) AS seg
+        FROM documents d JOIN thr
+          ON d.doc_id >= thr.t1 AND d.doc_id < thr.t2
+    ),
+    kept AS (
+        SELECT b.doc_id, b.seg
+        FROM tail b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM documents i, thr t
+            WHERE i.doc_id < t.t1 AND i.text = b.text
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM tail e WHERE e.seg < b.seg AND e.text = b.text
+        )
+    ),
+    side AS (
+        SELECT b.band_id, b.band_val, b.doc_id
+        FROM bands b JOIN thr ON b.doc_id < thr.t1
+        UNION ALL
+        SELECT b.band_id, b.band_val, b.doc_id
+        FROM bands b JOIN kept k ON k.doc_id = b.doc_id
+    ),
+    bat AS (
+        SELECT b.band_id, b.band_val, b.doc_id
+        FROM bands b JOIN thr ON b.doc_id >= thr.t2
+    ),
+    ok2 AS (
+        SELECT band_id, band_val FROM (
+            SELECT band_id, band_val FROM side
+            UNION ALL
+            SELECT band_id, band_val FROM bat
+        )
+        GROUP BY 1, 2 HAVING count(*) <= {_MH_MAX_BUCKET}
+    ),
+    cand AS (
+        SELECT s.doc_id AS id_a, b.doc_id AS id_b
+        FROM side s
+        JOIN bat b
+          ON s.band_id = b.band_id AND s.band_val = b.band_val
+        JOIN ok2 o
+          ON o.band_id = s.band_id AND o.band_val = s.band_val
+        GROUP BY 1, 2
+    ),
+    tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cand c
+        JOIN tok ta ON ta.doc_id = c.id_a
+        JOIN tok tb ON tb.doc_id = c.id_b AND ta.w = tb.w
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT DISTINCT b.doc_id
+        FROM documents b JOIN thr ON b.doc_id >= thr.t2
+        WHERE EXISTS (
+            SELECT 1 FROM documents i, thr t
+            WHERE i.doc_id < t.t2 AND i.text = b.text
+        )
+    ),
+    near AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+          AND id_b NOT IN (SELECT doc_id FROM exact)
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_dup,
+           CAST(sum(CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_dup,
+           CAST(sum(CASE WHEN e.doc_id IS NULL AND nr.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d
+    JOIN thr ON d.doc_id >= thr.t2
+    LEFT JOIN exact e ON e.doc_id = d.doc_id
+    LEFT JOIN near nr ON nr.doc_id = d.doc_id
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """
+
+
+@register(
+    "incremental_dedup_multi_segment_probe",
+    oracle=_mseg_probe_oracle(),
+    doc="The per-ingest PROBE against a segmented index — the "
+    "operational consumer dedup_index_segment_lifecycle's read path "
+    "exists for: corpus = index v1 (first 60%) + 2 accumulated delta "
+    "segments (60-80%, kept-doc postings + key tables, built exactly "
+    "as the lifecycle builds them), probe batch = the last 20%.  "
+    "Tier 1 semi-joins batch hashes against EACH bucketed key table "
+    "(v1 + one per segment — batch-side shuffles only, K+1 of them: "
+    "tier-1's read amplification); tier 2's hot-bucket guard consumes "
+    "the lifecycle's K-way occupancy merge "
+    "(_merge_occupancy_counts_multi — per-segment counts exchange-"
+    "free, one segment-mass repartition, index never re-shuffled) "
+    "plus batch-side counts, so the guard sees exactly the occupancy "
+    "an indexed probe can see: v1 + KEPT segment postings + batch — "
+    "dropped segment docs contribute nothing, which is where this "
+    "report deliberately differs from the monolithic-index probes' "
+    "all-docs guard; candidates union the batch postings equi-joined "
+    "against v1 AND each segment's bucketed postings (each index "
+    "side exchange-free).  Tier 3 is the candidate-proportional "
+    "verify (semi-join before tokenize).  Report: the per-lang "
+    "ingest summary, hash-checked against a DuckDB replay of the "
+    "whole segmented lifecycle + 3-tier probe.",
+    tags=("llm", "dedup", "pipeline", "layout"),
+)
+def incremental_dedup_multi_segment_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.catalog import reset_bucket_table, session_bucket_table
+
+    K = 2
+    docs = load_table(spark, sf_dir, "documents")
+    thr = docs.agg(
+        F.floor(0.6 * (F.max("doc_id") + 1)).cast("bigint").alias("_t1"),
+        F.floor(0.8 * (F.max("doc_id") + 1)).cast("bigint").alias("_t2"),
+    ).transform(ckpt)
+    witht = docs.crossJoin(F.broadcast(thr))
+
+    # index v1 over the first 60%
+    t_bands, t_counts, t_keys, n_bkts = _build_persisted_dedup_index(
+        spark,
+        witht.filter(F.col("doc_id") < F.col("_t1")).select(
+            "doc_id", "text"
+        ),
+        "mseg_idx",
+    )
+
+    # two accumulated ingests -> delta segments (lifecycle shapes)
+    seg_expr = F.least(
+        F.lit(K - 1), F.expr(f"div((doc_id - _t1) * {K}, _t2 - _t1)")
+    ).cast("bigint")
+    tail = witht.filter(
+        (F.col("doc_id") >= F.col("_t1")) & (F.col("doc_id") < F.col("_t2"))
+    ).select("doc_id", "text", seg_expr.alias("seg"))
+    seg_tables: list[str] = []
+    key_tables: list[str] = []
+    for j in range(K):
+        t_seg = session_bucket_table(spark, f"mseg_seg{j}_bands")
+        t_sk = session_bucket_table(spark, f"mseg_seg{j}_keys")
+        reset_bucket_table(spark, t_seg)
+        reset_bucket_table(spark, t_sk)
+        kept = (
+            tail.filter(F.col("seg") == j)
+            .select("doc_id", "text", F.sha2("text", 256).alias("h"))
+            .join(spark.table(t_keys), "h", "anti")
+        )
+        for tk in key_tables:
+            kept = kept.join(spark.table(tk), "h", "anti")
+        (
+            band_rows(portable_signatures(kept.select("doc_id", "text")))
+            .write.bucketBy(n_bkts, "band_id", "band_val")
+            .sortBy("band_id", "band_val")
+            .saveAsTable(t_seg)
+        )
+        (
+            kept.select("h")
+            .distinct()
+            .write.bucketBy(n_bkts, "h")
+            .sortBy("h")
+            .saveAsTable(t_sk)
+        )
+        seg_tables.append(t_seg)
+        key_tables.append(t_sk)
+
+    # ---- PROBE ----
+    batch = witht.filter(F.col("doc_id") >= F.col("_t2"))
+    bh = batch.select("doc_id", F.sha2("text", 256).alias("h"))
+    exact = None
+    for tk in [t_keys] + key_tables:
+        e = bh.join(spark.table(tk), "h", "semi").select("doc_id")
+        exact = e if exact is None else exact.unionByName(e)
+    exact = exact.distinct().transform(ckpt)
+
+    b_bands = band_rows(portable_signatures(batch.select("doc_id", "text")))
+    b_counts = b_bands.groupBy("band_id", "band_val").agg(
+        F.count("*").alias("__bn")
+    )
+    merged = _merge_occupancy_counts_multi(
+        spark.table(t_counts),
+        [spark.table(t) for t in seg_tables],
+        n_bkts,
+    )
+    ok = (
+        b_counts.join(merged, ["band_id", "band_val"], "left")
+        .filter(
+            F.coalesce(F.col("n_total"), F.lit(0)) + F.col("__bn")
+            <= _MH_MAX_BUCKET
+        )
+        .select("band_id", "band_val")
+    )
+    probe = b_bands.join(ok, ["band_id", "band_val"], "semi").transform(
+        ckpt
+    )  # read by K+1 candidate joins
+    cand = None
+    for ts in [t_bands] + seg_tables:
+        c = (
+            spark.table(ts)
+            .select("band_id", "band_val", F.col("doc_id").alias("id_a"))
+            .join(
+                probe.select(
+                    "band_id", "band_val", F.col("doc_id").alias("id_b")
+                ),
+                ["band_id", "band_val"],
+            )
+            .select("id_a", "id_b")
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct().transform(ckpt)
+
+    # tier 3: candidate-proportional verify (semi-join before tokenize)
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    tok = (
+        docs.select("doc_id", "text")
+        .join(cand_ids, "doc_id", "semi")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+        )
+        .transform(ckpt)
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(tok.alias("ta"), F.col("ta.doc_id") == F.col("id_a"))
+        .join(
+            tok.alias("tb"),
+            (F.col("tb.doc_id") == F.col("id_b"))
+            & (F.col("ta.w") == F.col("tb.w")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    near = (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
+        .filter(jac >= 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .join(exact, "doc_id", "anti")
+    )
+    flagged_e = exact.withColumn("_e", F.lit(1))
+    flagged_n = near.withColumn("_n", F.lit(1))
+    return (
+        batch.select("doc_id", "lang")
+        .join(flagged_e, "doc_id", "left")
+        .join(flagged_n, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_new"),
+            F.sum(F.coalesce("_e", F.lit(0))).cast("bigint").alias(
+                "n_exact_dup"
+            ),
+            F.sum(F.coalesce("_n", F.lit(0))).cast("bigint").alias(
+                "n_near_dup"
+            ),
+            F.sum(
+                (F.col("_e").isNull() & F.col("_n").isNull()).cast("int")
+            ).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("lang")
     )
 
 

@@ -263,6 +263,7 @@ def _subtree_ids(plan: str, node_id: int) -> list[int]:
         "incremental_dedup_new_batch",
         "incremental_dedup_persisted_index",
         "incremental_dedup_partitioned_text",
+        "incremental_dedup_multi_segment_probe",
     ],
 )
 def test_incremental_dedup_tier3_tokenize_behind_candidate_semijoin(

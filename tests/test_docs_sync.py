@@ -49,6 +49,7 @@ NON_QUERY_ALLOWLIST = {
     "ckpt", "ckpt_eager", "lineage_cuts_disabled",
     "candidate_jaccard_scores", "list_recall_ceiling",
     "test_compaction_occupancy_merge_has_zero_exchange",
+    "test_lifecycle_multiseg_merge_single_segment_side_exchange",
     # test names cited in prose
     "test_streaming_merge_upsert_multibatch_out_of_order",
     # generated-appendix structural tokens (module headers, column val)

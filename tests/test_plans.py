@@ -855,6 +855,7 @@ BENCH_SCAN_BUDGETS: dict[str, int] = {
     "transfer_entropy_lag1": 0,
     "tumbling_hourly_rollup": 1,
     "window_running_sum_frame": 1,
+    "within_doc_line_dedup": 1,  # one pruned docs scan, all row-local
 }
 
 
