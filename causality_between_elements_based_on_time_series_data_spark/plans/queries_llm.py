@@ -10786,10 +10786,10 @@ def sq8_reconstruction_error_audit(
     )
 
 
-def _sq8_recall_oracle() -> str:
+def _sq8_recall_oracle(tier: str = "ann_sq8_ivf_topk") -> str:
     from .registry import REGISTRY
 
-    sq8 = REGISTRY["ann_sq8_ivf_topk"].oracle
+    sq8 = REGISTRY[tier].oracle
     return f"""
     WITH sq8 AS (SELECT * FROM ({sq8})),
     nb2 AS (
@@ -10909,6 +10909,14 @@ def _sq8_recall_oracle() -> str:
     tags=("llm", "similarity", "quality", "dataops"),
 )
 def sq8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sq8_recall_report(spark, sf_dir, ann_sq8_ivf_topk)
+
+
+def _sq8_recall_report(spark: SparkSession, sf_dir: str, tier) -> DataFrame:
+    """Recall@3 / top-1 / list-ceiling report of a quantized ANN
+    ``tier`` callable against the exact integer-nano-unit L2 top-3 —
+    shared by ``sq8_recall_audit`` (global ranges) and
+    ``sq8pc_recall_audit`` (per-cluster ranges)."""
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -10933,7 +10941,7 @@ def sq8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", "rn")
         .transform(ckpt)  # read by the recall join AND the top-1 join
     )
-    sq8 = ann_sq8_ivf_topk(spark, sf_dir).transform(ckpt)
+    sq8 = tier(spark, sf_dir).transform(ckpt)
     # pruning CEILING: fraction of exact top-3 reachable through the
     # tier's probe lists (home + Hamming-1) — recall_at_3 can never
     # exceed it; the gap between the two is pure quantization loss.
@@ -11214,3 +11222,202 @@ def sq8_cluster_range_refinement(
         )
         .orderBy("label")
     )
+
+
+def _sq8pc_oracle() -> str:
+    return f"""
+    WITH nb AS (
+        SELECT least(greatest(3,
+                   CASE WHEN ((count(*) + {_IVF_TARGET_BUCKET - 1})
+                              // {_IVF_TARGET_BUCKET}) <= 1 THEN 0
+                        ELSE length(bin(((count(*) + {_IVF_TARGET_BUCKET - 1})
+                                         // {_IVF_TARGET_BUCKET}) - 1)) END),
+                     {_IVF_MAX_BITS}) AS bits
+        FROM embeddings
+    ),
+    ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cl AS (
+        SELECT vec_id,
+               {_rp_cluster_sql(_IVF_MAX_BITS)} % (1::BIGINT << nb.bits)
+                   AS cl
+        FROM embeddings CROSS JOIN nb
+    ),
+    cdims AS (
+        SELECT cl.cl, e.d, min(e.v) AS mn, max(e.v) AS mx
+        FROM ev e JOIN cl ON cl.vec_id = e.vec_id
+        GROUP BY 1, 2
+    ),
+    codes AS (
+        SELECT e.vec_id, e.d, s.mn, s.mx,
+               CASE WHEN s.mx > s.mn
+                    THEN least(255, greatest(0,
+                         CAST(round((e.v - s.mn)
+                                    / ((s.mx - s.mn) / 255.0), 0)
+                              AS INTEGER)))
+                    ELSE 0 END AS code
+        FROM ev e
+        JOIN cl ON cl.vec_id = e.vec_id
+        JOIN cdims s ON s.cl = cl.cl AND s.d = e.d
+    ),
+    q AS (SELECT vec_id AS qid, d, v FROM ev WHERE vec_id % 100 = 0),
+    probes AS (
+        SELECT cq.vec_id AS qid,
+               unnest(list_prepend(cq.cl, list_transform(
+                   list_filter({list(range(_IVF_MAX_BITS))},
+                               i -> i < nb.bits),
+                   i -> xor(cq.cl, CAST(1 << i AS BIGINT))))) AS cl
+        FROM cl cq CROSS JOIN nb
+        WHERE cq.vec_id % 100 = 0
+    ),
+    adc AS (
+        SELECT q.qid, cc.vec_id AS nid,
+               CAST(sum(CAST(round(pow(q.v - (c.mn
+                              + CASE WHEN c.mx > c.mn
+                                     THEN (c.mx - c.mn) / 255.0
+                                     ELSE 0 END * c.code), 2)
+                                   * 1000000000, 0) AS BIGINT))
+                    AS BIGINT) AS dist_nano
+        FROM q
+        JOIN probes p ON p.qid = q.qid
+        JOIN cl cc ON cc.cl = p.cl AND cc.vec_id <> q.qid
+        JOIN codes c ON c.vec_id = cc.vec_id AND c.d = q.d
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT qid, nid, dist_nano,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dist_nano, nid) AS rn
+        FROM adc
+    )
+    SELECT qid, CAST(rn AS INTEGER) AS rn, nid, dist_nano AS adc_nano
+    FROM ranked WHERE rn <= 3 ORDER BY qid, rn
+    """
+
+
+@register(
+    "ann_sq8pc_ivf_topk",
+    oracle=_sq8pc_oracle(),
+    doc="IVF-SQ8 with PER-CLUSTER ranges ADOPTED by the tier — the "
+    "conclusion of sq8_cluster_range_refinement's ~40% MSE cut (and "
+    "FAISS's actual IVF-SQ layout: each inverted list carries its own "
+    "scalar-quantizer ranges): corpus codes are uint8 against the "
+    "vector's OWN inverted list's per-dimension [min, max], and the "
+    "asymmetric distance dequantizes with the CANDIDATE's list ranges "
+    "— the ranges arrive via a join on cl (the per-list stats table "
+    "grows ~corpus/256, so it is JOINED, never broadcast; 512 B/list "
+    "— negligible beside the codes it sharpens).  Everything else is "
+    "ann_sq8_ivf_topk verbatim: adaptive RP lists, home + Hamming-1 "
+    "multi-probe, per-dimension BIGINT nano-unit quantization before "
+    "the 64-dim fold (order-free integer ADC on both engines), "
+    "top-3 with an id tiebreak.  Ranking quality is gated by "
+    "sq8pc_recall_audit — per-cluster ranges must not LOSE recall "
+    "while they cut reconstruction error.",
+    tags=("llm", "similarity", "layout"),
+)
+def ann_sq8pc_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = _rp_adaptive_bits(emb.count())
+    base = emb.select(
+        "vec_id", "embedding", _rp_cluster_spark(bits).alias("cl")
+    ).transform(ckpt)  # read by cstats AND the code pass
+    cstats = (
+        base.select("cl", F.posexplode("embedding").alias("d0", "v0"))
+        .select(
+            "cl",
+            (F.col("d0") + 1).alias("d"),
+            F.col("v0").cast("double").alias("v"),
+        )
+        .groupBy("cl", "d")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .groupBy("cl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "mn"))),
+                lambda s: s["mn"],
+            ).alias("mns"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "mx"))),
+                lambda s: s["mx"],
+            ).alias("mxs"),
+        )
+        .transform(ckpt)  # read by the corpus code pass AND the ADC join
+    )
+    code_expr = F.expr(
+        f"transform(sequence(1, {_RP_DIM}), d -> "
+        "CASE WHEN element_at(mxs, d) > element_at(mns, d) THEN "
+        "least(255, greatest(0, cast(round("
+        "(cast(element_at(embedding, d) as double) - element_at(mns, d))"
+        " / ((element_at(mxs, d) - element_at(mns, d)) / 255.0), 0)"
+        " as int))) ELSE 0 END)"
+    )
+    # per-list ranges arrive by JOIN on cl (list count grows with the
+    # corpus — never broadcast; AQE upgrades at small SF)
+    corpus = base.join(cstats, "cl").select(
+        "vec_id", "cl", code_expr.alias("codes")
+    )
+    qs = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            _rp_cluster_spark(bits).alias("cl0"),
+        )
+        .select(
+            "qid",
+            "qv",
+            F.explode(
+                F.array(
+                    F.col("cl0"),
+                    *[
+                        F.col("cl0").bitwiseXOR(F.lit(1 << i))
+                        for i in range(bits)
+                    ],
+                )
+            ).alias("cl"),
+        )
+    )
+    adc = F.expr(
+        f"aggregate(sequence(1, {_RP_DIM}), 0L, (acc, d) -> acc + "
+        "cast(round(pow("
+        "cast(element_at(qv, d) as double) - (element_at(mns, d) + "
+        "CASE WHEN element_at(mxs, d) > element_at(mns, d) THEN "
+        "(element_at(mxs, d) - element_at(mns, d)) / 255.0 ELSE 0D END"
+        " * element_at(codes, d)), 2) * 1e9, 0) as bigint))"
+    )
+    j = (
+        corpus.join(F.broadcast(qs), "cl")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(cstats, "cl")  # the candidate's own list ranges
+        .select("qid", F.col("vec_id").alias("nid"), adc.alias("dist_nano"))
+    )
+    w = W.partitionBy("qid").orderBy(F.asc("dist_nano"), F.asc("nid"))
+    return (
+        j.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "rn", "nid", F.col("dist_nano").alias("adc_nano"))
+        .orderBy("qid", "rn")
+    )
+
+
+@register(
+    "sq8pc_recall_audit",
+    oracle=_sq8_recall_oracle("ann_sq8pc_ivf_topk"),
+    doc="Rollout gate for the PER-CLUSTER-range quantized tier "
+    "(ann_sq8pc_ivf_topk) — same exact integer-nano-unit L2 baseline, "
+    "recall@3 + top-1 agreement + the list_recall_ceiling "
+    "decomposition as sq8_recall_audit (shared _sq8_recall_report "
+    "machinery, so the two tiers' gates cannot desynchronize).  The "
+    "adoption criterion sq8_cluster_range_refinement's ~40% MSE cut "
+    "argues for: per-cluster ranges must hold recall AT the list "
+    "ceiling (zero quantization loss) while cutting reconstruction "
+    "error — this gate is the recall half of that pair.",
+    tags=("llm", "similarity", "quality", "dataops"),
+)
+def sq8pc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sq8_recall_report(spark, sf_dir, ann_sq8pc_ivf_topk)

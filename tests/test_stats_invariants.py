@@ -327,3 +327,17 @@ def test_sq8_cluster_ranges_reduce_error(spark, sf_dir):
     total_g = sum(r.mse_global * r.n_vecs for r in rows)
     total_c = sum(r.mse_cluster * r.n_vecs for r in rows)
     assert total_c < 0.9 * total_g, (total_c, total_g)
+
+
+def test_sq8pc_recall_holds_the_ceiling(spark, sf_dir):
+    """Adoption criterion for per-cluster ranges (round 13): recall
+    must sit AT the list ceiling (zero quantization loss) — the error
+    side of the pair is test_sq8_cluster_ranges_reduce_error."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        sq8pc_recall_audit,
+    )
+
+    row = sq8pc_recall_audit(spark, sf_dir).collect()[0]
+    assert row.recall_at_3 >= 0.4, row
+    assert row.recall_at_3 <= row.list_recall_ceiling + 1e-9, row
+    assert row.list_recall_ceiling - row.recall_at_3 <= 0.2, row

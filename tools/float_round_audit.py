@@ -59,7 +59,14 @@ def main() -> None:
     )
 
     include_streaming = "--streaming" in sys.argv
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_name = "FLOAT_ROUND_AUDIT_r13.json"
+    if "--out" in sys.argv:
+        out_name = sys.argv[sys.argv.index("--out") + 1]
+    names = [
+        a
+        for i, a in enumerate(sys.argv[1:], 1)
+        if not a.startswith("--") and sys.argv[i - 1] != "--out"
+    ]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark("float_round_audit")
     spark.sparkContext.setLogLevel("ERROR")
@@ -113,7 +120,7 @@ def main() -> None:
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "FLOAT_ROUND_AUDIT_r12.json",
+        out_name,
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
