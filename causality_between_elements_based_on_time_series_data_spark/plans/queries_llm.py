@@ -11421,3 +11421,119 @@ def ann_sq8pc_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sq8pc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sq8_recall_report(spark, sf_dir, ann_sq8pc_ivf_topk)
+
+
+@register(
+    "ivf_list_skew_report",
+    oracle=f"""
+    WITH nb AS (
+        SELECT least(greatest(3,
+                   CASE WHEN ((count(*) + {_IVF_TARGET_BUCKET - 1})
+                              // {_IVF_TARGET_BUCKET}) <= 1 THEN 0
+                        ELSE length(bin(((count(*) + {_IVF_TARGET_BUCKET - 1})
+                                         // {_IVF_TARGET_BUCKET}) - 1)) END),
+                     {_IVF_MAX_BITS}) AS bits
+        FROM embeddings
+    ),
+    cl AS (
+        SELECT vec_id,
+               {_rp_cluster_sql(_IVF_MAX_BITS)} % (1::BIGINT << nb.bits)
+                   AS cl
+        FROM embeddings CROSS JOIN nb
+    ),
+    occ AS (SELECT cl, CAST(count(*) AS BIGINT) AS occ
+            FROM cl GROUP BY 1),
+    r AS (
+        SELECT occ, cl,
+               row_number() OVER (ORDER BY occ, cl) AS rn,
+               count(*) OVER () AS n
+        FROM occ
+    ),
+    p50 AS (SELECT occ AS p50_occ FROM r WHERE rn = (n + 1) // 2),
+    p99 AS (SELECT occ AS p99_occ FROM r WHERE rn = (99 * n + 99) // 100)
+    SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vecs,
+           CAST((SELECT bits FROM nb) AS BIGINT) AS bits,
+           CAST(count(*) AS BIGINT) AS n_lists,
+           round(CAST((SELECT count(*) FROM embeddings) AS DOUBLE)
+                 / count(*), 4) AS mean_occ,
+           CAST(any_value(p50_occ) AS BIGINT) AS p50_occ,
+           CAST(any_value(p99_occ) AS BIGINT) AS p99_occ,
+           CAST(max(occ) AS BIGINT) AS max_occ,
+           CAST(sum(CASE WHEN occ > {2 * _IVF_TARGET_BUCKET}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overfull,
+           CAST(sum(CASE WHEN occ > {2 * _IVF_TARGET_BUCKET}
+                         THEN occ ELSE 0 END) AS BIGINT) AS overfull_mass
+    FROM occ CROSS JOIN p50 CROSS JOIN p99
+    """,
+    doc="IVF inverted-LIST skew observability — the hot_bucket_skew_"
+    "report analog for the ANN family: every IVF tier's scale claim "
+    "('adaptive bits keep lists ~256, so per-query candidate work is "
+    "constant') holds only in the MEAN; RP-sign lists skew when the "
+    "embedding distribution is anisotropic (correlated dimensions "
+    "make some sign patterns dominate), and a query landing in an "
+    f"overfull list (> {2 * _IVF_TARGET_BUCKET} = 2x target) pays "
+    "its occupancy in ADC work.  This report makes the tail "
+    "measurable: exact lower-median / p99 / max list occupancy "
+    "(deterministic (occ, cl) tiebreak), plus how many lists exceed "
+    "2x target and how much posting mass sits in them — the signal "
+    "to add hyperplanes or switch the fat lists to per-cluster "
+    "sub-splitting.  Scale shape: the occupancy table is "
+    "n_lists-sized (~corpus/256); exact percentile ranks run through "
+    "the ungrouped bucket+offset rank device (<= 128-row offset "
+    "broadcast — the provably bounded case), never one global "
+    "window task; integer rank rules on both engines.",
+    tags=("llm", "similarity", "ivf", "stats", "dataops"),
+)
+def ivf_list_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import with_global_rank, with_range_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    bits = _rp_adaptive_bits(n_vecs)
+    occ = (
+        emb.select(_rp_cluster_spark(bits).alias("cl"))
+        .groupBy("cl")
+        .agg(F.count("*").cast("bigint").alias("occ"))
+        .transform(ckpt)  # read by the rank device AND the rollup
+    )
+    r = with_global_rank(
+        with_range_bucket(occ, "occ"),
+        [F.asc("occ"), F.asc("cl")],
+        out="rn",
+        total="n",
+    )
+    p50 = r.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
+        F.col("occ").alias("p50_occ")
+    )
+    p99 = r.filter(
+        F.col("rn") == F.floor((99 * F.col("n") + 99) / 100)
+    ).select(F.col("occ").alias("p99_occ"))
+    overfull = F.col("occ") > 2 * _IVF_TARGET_BUCKET
+    return (
+        occ.agg(
+            F.lit(n_vecs).cast("bigint").alias("n_vecs"),
+            F.lit(bits).cast("bigint").alias("bits"),
+            F.count("*").cast("bigint").alias("n_lists"),
+            F.round(F.lit(float(n_vecs)) / F.count("*"), 4).alias(
+                "mean_occ"
+            ),
+            F.max("occ").cast("bigint").alias("max_occ"),
+            F.sum(overfull.cast("int")).cast("bigint").alias("n_overfull"),
+            F.sum(F.when(overfull, F.col("occ")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("overfull_mass"),
+        )
+        .crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            "n_vecs",
+            "bits",
+            "n_lists",
+            "mean_occ",
+            F.col("p50_occ").cast("bigint").alias("p50_occ"),
+            F.col("p99_occ").cast("bigint").alias("p99_occ"),
+            "max_occ",
+            "n_overfull",
+            "overfull_mass",
+        )
+    )
