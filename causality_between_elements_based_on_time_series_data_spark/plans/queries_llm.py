@@ -4907,6 +4907,37 @@ def exact_substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_W = 2
 
 
+def line_dedup_cleaned(docs: DataFrame) -> DataFrame:
+    """The within-doc line-dedup TRANSFORMATION applied to a documents
+    relation — same row-local segmentation + first-occurrence rule as
+    ``within_doc_line_dedup`` (which reports the removal stats this
+    cleaning produces), returning the relation with ``text`` replaced
+    by the cleaned text and ``n_chars`` recomputed.  The stage-0
+    cleaning pass of ``corpus_stage_tables(line_dedup=True)`` /
+    ``examples/run_corpus_pipeline.py --line-dedup``.  Zero shuffle:
+    pure array ops over the pruned scan."""
+    W = _LINE_W
+    other = [c for c in docs.columns if c not in ("text", "n_chars")]
+    return (
+        docs.withColumn("toks", F.split(F.trim("text"), " +"))
+        .withColumn(
+            "text",
+            F.array_join(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, cast(ceil(size(toks) / "
+                        f"{W}.0) as int)), i -> array_join(slice(toks, "
+                        f"(i - 1) * {W} + 1, {W}), ' '))"
+                    )
+                ),
+                " ",
+            ),
+        )
+        .select(*other, "text", F.length("text").cast("bigint").alias("n_chars"))
+        .select(*docs.columns)
+    )
+
+
 @register(
     "within_doc_line_dedup",
     oracle=f"""
@@ -7647,7 +7678,10 @@ def funnel_report(stages: list[tuple[str, DataFrame]]) -> DataFrame:
 
 
 def corpus_stage_tables(
-    spark: SparkSession, sf_dir: str, stage2: str = "perplexity"
+    spark: SparkSession,
+    sf_dir: str,
+    stage2: str = "perplexity",
+    line_dedup: bool = False,
 ) -> list[tuple[str, DataFrame]]:
     """The funnel's ordered stage chain as reusable survivor tables
     (metadata-only — doc_id always present).  ``corpus_build_funnel``
@@ -7661,10 +7695,22 @@ def corpus_stage_tables(
     ``"logistic"`` (the doc_quality_logistic_gate classifier's
     kept-id set semi-joined onto the stage-1 survivors — the
     alternative composition that gate's registration documents;
-    runnable via ``examples/run_corpus_pipeline.py --logistic-gate``)."""
+    runnable via ``examples/run_corpus_pipeline.py --logistic-gate``).
+
+    ``line_dedup=True`` prepends the CCNet within-doc line-dedup
+    cleaning pass (``line_dedup_cleaned`` — the transformation
+    ``within_doc_line_dedup`` reports on) as stage 0: every downstream
+    gate, dedup tier, and text re-derivation then sees the CLEANED
+    text.  A transformation, not a filter — stage 0 keeps every doc_id
+    — so the funnel accounting shows it as a count-preserving stage
+    whose effect surfaces in the downstream survivor sets."""
     from ..operators.ranks import with_global_rank, with_range_bucket
 
     docs = load_table(spark, sf_dir, "documents")
+    stage0: list[tuple[str, DataFrame]] = []
+    if line_dedup:
+        docs = line_dedup_cleaned(docs)
+        stage0 = [("line_dedup", docs.select("doc_id"))]
 
     # Survivor tables carry METADATA ONLY (doc_id, lang, source,
     # n_chars) — those are what the lineage cuts pin, never text: at
@@ -7812,6 +7858,7 @@ def corpus_stage_tables(
 
     return [
         ("ingest", docs.select("doc_id")),
+        *stage0,
         ("quality_gate", s1),
         (stage2_name, s2),
         ("exact_dedup", s3),
@@ -7947,6 +7994,31 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _index_bucket_count(spark: SparkSession) -> int:
+    """Bucket count for persisted index tables: at/above the session's
+    shuffle parallelism INCLUDING AQE's initialPartitionNum — the
+    round-11 EnsureRequirements floor (it prefers the LARGER child
+    partitioning; a smaller bucket count gets the bucketed scan
+    disabled and the index re-shuffled).  Shared by the dedup and ANN
+    index builders; at 100 TB this is sized to the cluster."""
+    try:
+        # conf.get VALIDATES the supplied default (a "0" default on
+        # this positive-int conf raises INVALID_CONF_VALUE), so the
+        # unset case must be caught, not defaulted
+        initial_parts = int(
+            spark.conf.get(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+            )
+        )
+    except Exception:
+        initial_parts = 0
+    return max(
+        64,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        initial_parts,
+    )
+
+
 def _build_persisted_dedup_index(
     spark: SparkSession, idx_docs: DataFrame, base: str
 ) -> tuple[str, str, str, int]:
@@ -7968,22 +8040,7 @@ def _build_persisted_dedup_index(
     (thousands of buckets is normal for a persisted index)."""
     from ..sources.catalog import reset_bucket_table, session_bucket_table
 
-    try:
-        # conf.get VALIDATES the supplied default (a "0" default on
-        # this positive-int conf raises INVALID_CONF_VALUE), so the
-        # unset case must be caught, not defaulted
-        initial_parts = int(
-            spark.conf.get(
-                "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-            )
-        )
-    except Exception:
-        initial_parts = 0
-    n_bkts = max(
-        64,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-        initial_parts,
-    )
+    n_bkts = _index_bucket_count(spark)
     t_bands = session_bucket_table(spark, f"{base}_bands")
     t_counts = session_bucket_table(spark, f"{base}_bcounts")
     t_keys = session_bucket_table(spark, f"{base}_keys")
@@ -10331,7 +10388,7 @@ def dsir_effective_sample_size(
                           THEN 1 ELSE 0 END)
                  / CAST(count(*) AS DOUBLE), 6) AS agree_rate,
            CAST(sum(CASE WHEN (b0 + b1*f1 + b2*f2 >= 0) <> (y = 1)
-                         THEN doc_id END) AS BIGINT)
+                         THEN doc_id % 1000000007 END) AS BIGINT)
                AS disagree_id_checksum
     FROM feat CROSS JOIN beta{_IRLS_ROUNDS}
     GROUP BY lang ORDER BY lang""",
@@ -10376,7 +10433,10 @@ def quality_gate_disagreement_audit(
                 / F.count("*"),
                 6,
             ).alias("agree_rate"),
-            F.sum(F.when(gate != casc, F.col("doc_id")))
+            # per-row mod-1e9+7 before the sum (the ANSI 2^63 rule):
+            # a raw sum of 64-bit doc ids overflows past ~10^9
+            # disagreeing docs per language (ADVICE r13)
+            F.sum(F.when(gate != casc, F.col("doc_id") % F.lit(1000000007)))
             .cast("bigint")
             .alias("disagree_id_checksum"),
         )
@@ -11537,3 +11597,628 @@ def ivf_list_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overfull_mass",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index (round 14): the dedup family's persisted-index /
+# delta-segment / fold lifecycle applied to the quantized ANN tier —
+# SQ8 codes bucketBy(cl) + the per-list [min,max] range table built
+# ONCE per corpus version and probed exchange-free, so no query ever
+# re-derives cluster assignments, ranges, or uint8 codes from raw
+# embeddings (ann_sq8pc_ivf_topk pays two full corpus passes per call;
+# its own docstring calls the codes table "the resident index at 1e9+
+# vectors", which is only true if it is persisted).
+
+
+def _sq8_code_from_ranges() -> Column:
+    """uint8 codes against the row's (mns, mxs) range arrays — the
+    exact quantizer of ann_sq8pc_ivf_topk, null-safe for ranges
+    arriving by LEFT join (a segment vector landing in an inverted
+    list the index version has never seen gets all-zero codes; the
+    reconstruction mirror coalesces the same way)."""
+    return F.expr(
+        f"transform(sequence(1, {_RP_DIM}), d -> "
+        "CASE WHEN element_at(mxs, d) > element_at(mns, d) THEN "
+        "least(255, greatest(0, cast(round("
+        "(cast(element_at(embedding, d) as double) - element_at(mns, d))"
+        " / ((element_at(mxs, d) - element_at(mns, d)) / 255.0), 0)"
+        " as int))) ELSE 0 END)"
+    )
+
+
+def _sq8_adc_from_codes(null_safe: bool = False) -> Column:
+    """Integer nano-unit asymmetric distance between a query's raw
+    dims (``qv``) and a candidate's persisted uint8 ``codes``
+    dequantized with its list's (mns, mxs) — per-dimension BIGINT
+    quantization BEFORE the fold (order-free on both engines, the r13
+    ADVICE discipline).  ``null_safe`` coalesces missing ranges to the
+    all-zero reconstruction (LEFT-joined segment probes)."""
+    mn = "coalesce(element_at(mns, d), 0D)" if null_safe else "element_at(mns, d)"
+    return F.expr(
+        f"aggregate(sequence(1, {_RP_DIM}), 0L, (acc, d) -> acc + "
+        "cast(round(pow("
+        f"cast(element_at(qv, d) as double) - ({mn} + "
+        "CASE WHEN element_at(mxs, d) > element_at(mns, d) THEN "
+        "(element_at(mxs, d) - element_at(mns, d)) / 255.0 ELSE 0D END"
+        " * element_at(codes, d)), 2) * 1e9, 0) as bigint))"
+    )
+
+
+def _sq8_sse_from_codes() -> Column:
+    """Integer nano-unit reconstruction SSE of a row's own
+    ``embedding`` against its persisted ``codes`` dequantized with its
+    list's (mns, mxs) — the lifecycle error audit's kernel, null-safe
+    (missing ranges reconstruct to 0.0, mirroring the quantizer)."""
+    return F.expr(
+        f"aggregate(sequence(1, {_RP_DIM}), 0L, (acc, d) -> acc + "
+        "cast(round(pow("
+        "cast(element_at(embedding, d) as double) - "
+        "(coalesce(element_at(mns, d), 0D) + "
+        "CASE WHEN element_at(mxs, d) > element_at(mns, d) THEN "
+        "(element_at(mxs, d) - element_at(mns, d)) / 255.0 ELSE 0D END"
+        " * element_at(codes, d)), 2) * 1e9, 0) as bigint))"
+    )
+
+
+def _build_persisted_ann_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    base: str,
+    bits: int | None = None,
+) -> tuple[str, str, int, int]:
+    """Materialize the persisted IVF-SQ8pc index for ``emb`` — the
+    uint8 codes table and the per-list [min, max] range table, each
+    bucketBy-sorted on the inverted-list key ``cl`` — and return
+    ``(t_codes, t_ranges, bits, n_bkts)``.  Runs ONCE per corpus
+    version (the `_build_persisted_dedup_index` contract): every probe
+    and every ingest then reads these tables; raw embeddings are never
+    re-quantized per query.  The codes pass reads the PERSISTED range
+    table (not a live recomputation), so the written artifacts are
+    self-consistent by construction.  Session-scoped names; bucket
+    count from `_index_bucket_count` (the EnsureRequirements floor).
+    Storage: codes are 64 uint8-valued ints + one bigint key per
+    vector (~25% of the float32 corpus as parquet ints), ranges 512 B
+    per list."""
+    from ..sources.catalog import reset_bucket_table, session_bucket_table
+
+    n_bkts = _index_bucket_count(spark)
+    if bits is None:
+        bits = _rp_adaptive_bits(emb.count())
+    t_codes = session_bucket_table(spark, f"{base}_codes")
+    t_ranges = session_bucket_table(spark, f"{base}_ranges")
+    for t in (t_codes, t_ranges):
+        reset_bucket_table(spark, t)
+    assigned = emb.select(
+        "vec_id", "embedding", _rp_cluster_spark(bits).alias("cl")
+    ).transform(ckpt)  # read by the range build AND the code pass
+    (
+        assigned.select("cl", F.posexplode("embedding").alias("d0", "v0"))
+        .select(
+            "cl",
+            (F.col("d0") + 1).alias("d"),
+            F.col("v0").cast("double").alias("v"),
+        )
+        .groupBy("cl", "d")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .groupBy("cl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "mn"))),
+                lambda s: s["mn"],
+            ).alias("mns"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "mx"))),
+                lambda s: s["mx"],
+            ).alias("mxs"),
+        )
+        .write.bucketBy(n_bkts, "cl")
+        .sortBy("cl")
+        .saveAsTable(t_ranges)
+    )
+    (
+        assigned.join(spark.table(t_ranges), "cl")
+        .select("vec_id", "cl", _sq8_code_from_ranges().alias("codes"))
+        .write.bucketBy(n_bkts, "cl")
+        .sortBy("cl")
+        .saveAsTable(t_codes)
+    )
+    return t_codes, t_ranges, bits, n_bkts
+
+
+def _sq8_probe_set(emb: DataFrame, bits: int) -> DataFrame:
+    """(qid, qv, cl) — the query sample with home + every-Hamming-1
+    multi-probe fan-out, shared verbatim by every SQ8 tier."""
+    return (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            _rp_cluster_spark(bits).alias("cl0"),
+        )
+        .select(
+            "qid",
+            "qv",
+            F.explode(
+                F.array(
+                    F.col("cl0"),
+                    *[
+                        F.col("cl0").bitwiseXOR(F.lit(1 << i))
+                        for i in range(bits)
+                    ],
+                )
+            ).alias("cl"),
+        )
+    )
+
+
+def _sq8_topk(j: DataFrame) -> DataFrame:
+    """Top-3 per query with the (dist, id) tiebreak over a candidate
+    relation (qid, nid, dist_nano) — the shared tail of every SQ8
+    tier (candidate-proportional shuffle: the only Exchange above the
+    index-side joins)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.asc("dist_nano"), F.asc("nid"))
+    return (
+        j.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "rn", "nid", F.col("dist_nano").alias("adc_nano"))
+        .orderBy("qid", "rn")
+    )
+
+
+@register(
+    "ann_sq8pc_persisted_topk",
+    oracle=_sq8pc_oracle(),
+    doc="IVF-SQ8pc over a PERSISTED index — the dedup family's "
+    "persisted-index template (incremental_dedup_persisted_index) "
+    "applied to the quantized ANN tier: the uint8 codes table "
+    "(bucketBy cl, sortBy cl) and the per-list [min, max] range "
+    "table (bucketed identically) are materialized ONCE per corpus "
+    "version by _build_persisted_ann_index, and the probe reads them "
+    "with ZERO index-side Exchange (plan-gated in "
+    "tests/test_bucketing.py): the broadcast query sample prunes "
+    "candidates on the bucketed codes scan in place, and the "
+    "candidate→ranges join is bucket-co-located (both sides "
+    "pre-bucketed on cl at the same count — the per-list stats table "
+    "arrives by JOIN, never broadcast, because it grows ~corpus/256). "
+    "The only shuffle in the whole probe is the candidate-"
+    "proportional top-k window.  Answers are BIT-IDENTICAL to "
+    "ann_sq8pc_ivf_topk (same quantizer, same integer nano-unit ADC, "
+    "same multi-probe) — same oracle, plus a pytest equality gate — "
+    "only the physical layout differs: at 1e9+ vectors the codes "
+    "table IS the resident index, and persisting it is what makes "
+    "that claim true (the in-memory tier re-derives codes and ranges "
+    "from raw embeddings on every call — two full corpus passes "
+    "before any probe).",
+    tags=("llm", "similarity", "ivf", "layout"),
+)
+def ann_sq8pc_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    t_codes, t_ranges, bits, _n_bkts = _build_persisted_ann_index(
+        spark, emb, "annp"
+    )
+    qs = _sq8_probe_set(emb, bits)
+    j = (
+        spark.table(t_codes)
+        .join(F.broadcast(qs), "cl")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(spark.table(t_ranges), "cl")
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            _sq8_adc_from_codes().alias("dist_nano"),
+        )
+    )
+    return _sq8_topk(j)
+
+
+def _ann_nb_sql(name: str, where: str = "") -> str:
+    """A DuckDB CTE computing the adaptive bit count over
+    ``embeddings`` (optionally filtered) — the engine-identical
+    integer/bin() mirror of `_rp_adaptive_bits`."""
+    return f"""{name} AS (
+        SELECT least(greatest(3,
+                   CASE WHEN ((count(*) + {_IVF_TARGET_BUCKET - 1})
+                              // {_IVF_TARGET_BUCKET}) <= 1 THEN 0
+                        ELSE length(bin(((count(*) + {_IVF_TARGET_BUCKET - 1})
+                                         // {_IVF_TARGET_BUCKET}) - 1)) END),
+                     {_IVF_MAX_BITS}) AS bits
+        FROM embeddings CROSS JOIN thr {where}
+    )"""
+
+
+# the null-safe dequantized reconstruction of a per-dim value e.v
+# against LEFT-joined v1 ranges s — segment vectors landing in lists
+# the index version never saw reconstruct to 0.0 (all-zero codes),
+# exactly as the Spark quantizer/ADC coalesce
+_ANN_RECON_SQL = (
+    "(coalesce(s.mn, 0.0) + CASE WHEN s.mx > s.mn THEN"
+    " (s.mx - s.mn) / 255.0 ELSE 0.0 END"
+    " * CASE WHEN s.mx > s.mn THEN least(255, greatest(0,"
+    " CAST(round((e.v - s.mn) / ((s.mx - s.mn) / 255.0), 0)"
+    " AS INTEGER))) ELSE 0 END)"
+)
+
+
+def _ann_lifecycle_core_sql() -> str:
+    """The shared CTE prefix of the ANN lifecycle oracles: threshold,
+    v1 bit count, per-dim values, v1 cluster assignment for EVERY
+    vector (arriving vectors use the CURRENT index's geometry until
+    the fold), and the v1 per-list per-dim ranges."""
+    return f"""thr AS (
+        SELECT CAST(floor(0.8 * (max(vec_id) + 1)) AS BIGINT) AS t
+        FROM embeddings
+    ),
+    {_ann_nb_sql("nb1", "WHERE vec_id < thr.t")},
+    ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cl1 AS (
+        SELECT vec_id,
+               {_rp_cluster_sql(_IVF_MAX_BITS)} % (1::BIGINT << nb1.bits)
+                   AS cl
+        FROM embeddings CROSS JOIN nb1
+    ),
+    cdims1 AS (
+        SELECT c.cl, e.d, min(e.v) AS mn, max(e.v) AS mx
+        FROM ev e
+        JOIN cl1 c ON c.vec_id = e.vec_id
+        CROSS JOIN thr
+        WHERE e.vec_id < thr.t
+        GROUP BY 1, 2
+    )"""
+
+
+def _ann_lifecycle_oracle() -> str:
+    return f"""
+    WITH {_ann_lifecycle_core_sql()},
+    {_ann_nb_sql("nb2")},
+    cl2 AS (
+        SELECT vec_id,
+               {_rp_cluster_sql(_IVF_MAX_BITS)} % (1::BIGINT << nb2.bits)
+                   AS cl
+        FROM embeddings CROSS JOIN nb2
+    ),
+    cdims2 AS (
+        SELECT c.cl, e.d, min(e.v) AS mn, max(e.v) AS mx
+        FROM ev e JOIN cl2 c ON c.vec_id = e.vec_id
+        GROUP BY 1, 2
+    ),
+    lerr AS (
+        SELECT e.vec_id,
+               CAST(sum(CAST(round(pow(e.v - {_ANN_RECON_SQL}, 2)
+                                   * 1000000000, 0) AS BIGINT))
+                    AS BIGINT) AS nano,
+               max(CASE WHEN s.mn IS NULL OR e.v < s.mn OR e.v > s.mx
+                        THEN 1 ELSE 0 END) AS oob
+        FROM ev e
+        JOIN cl1 c ON c.vec_id = e.vec_id
+        LEFT JOIN cdims1 s ON s.cl = c.cl AND s.d = e.d
+        GROUP BY 1
+    ),
+    ferr AS (
+        SELECT e.vec_id,
+               CAST(sum(CAST(round(pow(e.v - {_ANN_RECON_SQL}, 2)
+                                   * 1000000000, 0) AS BIGINT))
+                    AS BIGINT) AS nano
+        FROM ev e
+        JOIN cl2 c ON c.vec_id = e.vec_id
+        JOIN cdims2 s ON s.cl = c.cl AND s.d = e.d
+        GROUP BY 1
+    )
+    SELECT x.label,
+           CAST({_LSM_FOLD_K} AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN x.vec_id < thr.t THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_index_vecs,
+           CAST(sum(CASE WHEN x.vec_id >= thr.t THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_segment_vecs,
+           CAST(sum(CASE WHEN x.vec_id >= thr.t THEN l.oob ELSE 0 END)
+                AS BIGINT) AS n_oob_segment,
+           round(CAST(sum(l.nano) AS DOUBLE)
+                 / (count(*) * 1e9 * {_RP_DIM}), 9) AS mse_live,
+           round(CAST(sum(f.nano) AS DOUBLE)
+                 / (count(*) * 1e9 * {_RP_DIM}), 9) AS mse_folded,
+           CASE WHEN sum(CASE WHEN x.vec_id >= thr.t THEN 1 ELSE 0 END) > 0
+                THEN round(CAST(sum(CASE WHEN x.vec_id >= thr.t
+                                         THEN l.nano END) AS DOUBLE)
+                           / (sum(CASE WHEN x.vec_id >= thr.t
+                                       THEN 1 ELSE 0 END)
+                              * 1e9 * {_RP_DIM}), 9)
+                ELSE 0 END AS mse_live_segment,
+           CASE WHEN sum(CASE WHEN x.vec_id >= thr.t THEN 1 ELSE 0 END) > 0
+                THEN round(CAST(sum(CASE WHEN x.vec_id >= thr.t
+                                         THEN f.nano END) AS DOUBLE)
+                           / (sum(CASE WHEN x.vec_id >= thr.t
+                                       THEN 1 ELSE 0 END)
+                              * 1e9 * {_RP_DIM}), 9)
+                ELSE 0 END AS mse_folded_segment
+    FROM embeddings x
+    CROSS JOIN thr
+    JOIN lerr l ON l.vec_id = x.vec_id
+    JOIN ferr f ON f.vec_id = x.vec_id
+    GROUP BY x.label ORDER BY x.label
+    """
+
+
+def _build_ann_segmented_index(
+    spark: SparkSession, emb: DataFrame, base: str
+) -> tuple[str, str, list[str], int, int, DataFrame]:
+    """v1 persisted ANN index over the first 80% of ``emb`` plus
+    ``_LSM_FOLD_K`` delta-CODE segments over the tail — each ingest's
+    vectors are assigned with the CURRENT index's cluster geometry
+    (v1 bits) and quantized against the CURRENT per-list ranges (v1),
+    then written as a batch-proportional bucketed codes segment; the
+    index tables are never rewritten per ingest.  Ranges arrive by
+    LEFT join: a vector in a list v1 never saw gets all-zero codes
+    (the clamp/drift cost the fold audit measures).  Returns
+    ``(t_codes, t_ranges, seg_tables, bits, n_bkts, thr)``."""
+    from ..sources.catalog import reset_bucket_table, session_bucket_table
+
+    K = _LSM_FOLD_K
+    thr = emb.agg(
+        F.floor(0.8 * (F.max("vec_id") + 1)).cast("bigint").alias("_t"),
+        (F.max("vec_id") + 1).cast("bigint").alias("_m"),
+    ).transform(ckpt)
+    witht = emb.crossJoin(F.broadcast(thr))
+    t_codes, t_ranges, bits, n_bkts = _build_persisted_ann_index(
+        spark,
+        witht.filter(F.col("vec_id") < F.col("_t")).select(
+            "vec_id", "embedding"
+        ),
+        base,
+    )
+    seg_expr = F.least(
+        F.lit(K - 1), F.expr(f"div((vec_id - _t) * {K}, _m - _t)")
+    ).cast("bigint")
+    tail = witht.filter(F.col("vec_id") >= F.col("_t")).select(
+        "vec_id", "embedding", seg_expr.alias("seg")
+    )
+    seg_tables: list[str] = []
+    for j in range(K):
+        t_seg = session_bucket_table(spark, f"{base}_seg{j}_codes")
+        reset_bucket_table(spark, t_seg)
+        (
+            tail.filter(F.col("seg") == j)
+            .select(
+                "vec_id", "embedding", _rp_cluster_spark(bits).alias("cl")
+            )
+            .join(spark.table(t_ranges), "cl", "left")
+            .select("vec_id", "cl", _sq8_code_from_ranges().alias("codes"))
+            .write.bucketBy(n_bkts, "cl")
+            .sortBy("cl")
+            .saveAsTable(t_seg)
+        )
+        seg_tables.append(t_seg)
+    return t_codes, t_ranges, seg_tables, bits, n_bkts, thr
+
+
+@register(
+    "ann_index_segment_lifecycle",
+    oracle=_ann_lifecycle_oracle(),
+    doc="MULTI-segment ANN-index lifecycle — "
+    "dedup_index_segment_lifecycle's arc applied to the persisted "
+    f"SQ8pc index: {_LSM_FOLD_K} successive vector ingests each "
+    "append a batch-proportional bucketed delta-CODES segment, "
+    "quantized against the CURRENT (v1) per-list ranges and assigned "
+    "with the CURRENT cluster geometry — the index tables are never "
+    "rewritten per ingest — and at the fold threshold the background "
+    "job rebuilds index v2 over the full corpus (ranges REFRESHED, "
+    "every code requantized: the ANN fold does strictly more than "
+    "the dedup fold because scalar-quantizer ranges DRIFT — arriving "
+    "vectors fall outside the stale per-dim [min, max] and clamp).  "
+    "The report is the fold's justification, per label: how many "
+    "segment vectors clamped against stale ranges (n_oob_segment), "
+    "reconstruction MSE on the LIVE read path (v1 codes + segment "
+    "codes, v1 ranges) vs AFTER the fold (v2 ranges, requantized "
+    "codes), corpus-wide and segment-restricted — "
+    "mse_folded_segment < mse_live_segment is the measured claim "
+    "(pytest-gated) that folding heals stale-range damage, the "
+    "sq8_cluster_range_refinement machinery turned into a lifecycle "
+    "decision.  Hash-checked end to end: every statistic is an "
+    "integer nano-unit sum (per-dim quantization BEFORE the 64-dim "
+    "fold, order-free on both engines) computed FROM the persisted "
+    "tables, so the oracle proves the artifacts, not a bypass plan.  "
+    "Scale shape: per-ingest cost is batch-proportional (assign + "
+    "quantize + one bucketed segment write); the fold is one linear "
+    "rebuild amortized over K ingests; the error audit joins codes "
+    "back to raw vectors on vec_id — a once-per-fold linear audit, "
+    "not the probe path.",
+    tags=("llm", "similarity", "ivf", "layout", "pipeline"),
+)
+def ann_index_segment_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from functools import reduce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t_codes, t_ranges, seg_tables, _bits, _n_bkts, thr = (
+        _build_ann_segmented_index(spark, emb, "annlc")
+    )
+    # FOLD: rebuild v2 over the full corpus — ranges refreshed from
+    # every vector, codes requantized (bits re-derived from the grown
+    # count, so the list geometry also tracks the corpus)
+    t2_codes, t2_ranges, _b2, _n2 = _build_persisted_ann_index(
+        spark, emb, "annlc_v2"
+    )
+
+    live_codes = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.table(t_codes)] + [spark.table(t) for t in seg_tables],
+    )
+    oob = F.expr(
+        "CASE WHEN mns IS NULL THEN 1 ELSE cast(exists("
+        f"sequence(1, {_RP_DIM}), d -> "
+        "cast(element_at(embedding, d) as double) < element_at(mns, d) OR "
+        "cast(element_at(embedding, d) as double) > element_at(mxs, d)"
+        ") as int) END"
+    )
+    lrows = (
+        live_codes.join(spark.table(t_ranges), "cl", "left")
+        .join(emb.select("vec_id", "label", "embedding"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            _sq8_sse_from_codes().alias("lnano"),
+            oob.alias("oob"),
+        )
+    )
+    frows = (
+        spark.table(t2_codes)
+        .join(spark.table(t2_ranges), "cl")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", _sq8_sse_from_codes().alias("fnano"))
+    )
+    is_seg = (F.col("vec_id") >= F.col("_t")).cast("int")
+    seg_mse = lambda c: F.when(  # noqa: E731
+        F.sum(is_seg) > 0,
+        F.round(
+            F.sum(F.when(is_seg == 1, F.col(c))).cast("double")
+            / (F.sum(is_seg) * 1e9 * _RP_DIM),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        lrows.join(frows, "vec_id")
+        .crossJoin(F.broadcast(thr))
+        .groupBy("label")
+        .agg(
+            F.lit(_LSM_FOLD_K).cast("bigint").alias("n_segments"),
+            F.sum((F.col("vec_id") < F.col("_t")).cast("int"))
+            .cast("bigint")
+            .alias("n_index_vecs"),
+            F.sum(is_seg).cast("bigint").alias("n_segment_vecs"),
+            F.sum(F.when(is_seg == 1, F.col("oob")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_oob_segment"),
+            F.round(
+                F.sum("lnano").cast("double")
+                / (F.count("*") * 1e9 * _RP_DIM),
+                9,
+            ).alias("mse_live"),
+            F.round(
+                F.sum("fnano").cast("double")
+                / (F.count("*") * 1e9 * _RP_DIM),
+                9,
+            ).alias("mse_folded"),
+            seg_mse("lnano").alias("mse_live_segment"),
+            seg_mse("fnano").alias("mse_folded_segment"),
+        )
+        .select(
+            "label",
+            "n_segments",
+            "n_index_vecs",
+            "n_segment_vecs",
+            "n_oob_segment",
+            "mse_live",
+            "mse_folded",
+            "mse_live_segment",
+            "mse_folded_segment",
+        )
+        .orderBy("label")
+    )
+
+
+def _ann_seg_probe_oracle() -> str:
+    return f"""
+    WITH {_ann_lifecycle_core_sql()},
+    codes AS (
+        SELECT e.vec_id, e.d, s.mn, s.mx,
+               CASE WHEN s.mx > s.mn
+                    THEN least(255, greatest(0,
+                         CAST(round((e.v - s.mn)
+                                    / ((s.mx - s.mn) / 255.0), 0)
+                              AS INTEGER)))
+                    ELSE 0 END AS code
+        FROM ev e
+        JOIN cl1 c ON c.vec_id = e.vec_id
+        LEFT JOIN cdims1 s ON s.cl = c.cl AND s.d = e.d
+    ),
+    q AS (SELECT vec_id AS qid, d, v FROM ev WHERE vec_id % 100 = 0),
+    probes AS (
+        SELECT cq.vec_id AS qid,
+               unnest(list_prepend(cq.cl, list_transform(
+                   list_filter({list(range(_IVF_MAX_BITS))},
+                               i -> i < nb1.bits),
+                   i -> xor(cq.cl, CAST(1 << i AS BIGINT))))) AS cl
+        FROM cl1 cq CROSS JOIN nb1
+        WHERE cq.vec_id % 100 = 0
+    ),
+    adc AS (
+        SELECT q.qid, cc.vec_id AS nid,
+               CAST(sum(CAST(round(pow(q.v - (coalesce(c.mn, 0.0)
+                              + CASE WHEN c.mx > c.mn
+                                     THEN (c.mx - c.mn) / 255.0
+                                     ELSE 0.0 END * c.code), 2)
+                                   * 1000000000, 0) AS BIGINT))
+                    AS BIGINT) AS dist_nano
+        FROM q
+        JOIN probes p ON p.qid = q.qid
+        JOIN cl1 cc ON cc.cl = p.cl AND cc.vec_id <> q.qid
+        JOIN codes c ON c.vec_id = cc.vec_id AND c.d = q.d
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT qid, nid, dist_nano,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dist_nano, nid) AS rn
+        FROM adc
+    )
+    SELECT qid, CAST(rn AS INTEGER) AS rn, nid, dist_nano AS adc_nano
+    FROM ranked WHERE rn <= 3 ORDER BY qid, rn
+    """
+
+
+@register(
+    "ann_sq8pc_segmented_probe",
+    oracle=_ann_seg_probe_oracle(),
+    doc="Top-k probe against the SEGMENTED persisted ANN index — the "
+    "operational consumer ann_index_segment_lifecycle's read path "
+    "exists for (the incremental_dedup_multi_segment_probe analog): "
+    "between folds a query must see v1 vectors AND every ingested "
+    "segment, so the probe joins the broadcast query sample against "
+    f"EACH of the {_LSM_FOLD_K}+1 bucketed codes tables separately — "
+    "every per-table candidate join is exchange-free on the index "
+    "side (bucketed scan pruned in place by the broadcast), each "
+    "branch co-locates its candidate→ranges join on the bucketed cl "
+    "key, and only then are CANDIDATE rows unioned into the top-k "
+    "window (the one shuffle, candidate-proportional).  Joining a "
+    "UNION of the code tables first would discard the bucketing and "
+    "re-shuffle the index (the round-13 K-way-merge finding); the "
+    "per-table-then-union shape is the scale-honest one, plan-gated "
+    "in tests/test_bucketing.py.  Segment codes carry the v1 ranges "
+    "(stale until the fold), so the ADC dequantizes every candidate "
+    "with the index-version ranges — exactly what a production probe "
+    "sees between folds; the recall cost of that staleness is what "
+    "ann_index_segment_lifecycle's error audit prices.  Hash-checked "
+    "against a DuckDB replay of the whole segmented quantization + "
+    "multi-probe + integer nano-unit ADC.",
+    tags=("llm", "similarity", "ivf", "layout"),
+)
+def ann_sq8pc_segmented_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    t_codes, t_ranges, seg_tables, bits, _n_bkts, _thr = (
+        _build_ann_segmented_index(spark, emb, "annsp")
+    )
+    qs = _sq8_probe_set(emb, bits).transform(
+        ckpt
+    )  # read by K+1 per-table candidate joins
+    cand = None
+    for ts in [t_codes] + seg_tables:
+        c = (
+            spark.table(ts)
+            .join(F.broadcast(qs), "cl")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .join(spark.table(t_ranges), "cl", "left")
+            .select(
+                "qid",
+                F.col("vec_id").alias("nid"),
+                _sq8_adc_from_codes(null_safe=True).alias("dist_nano"),
+            )
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    return _sq8_topk(cand)

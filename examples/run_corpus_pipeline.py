@@ -23,13 +23,19 @@ against DuckDB oracles per round (CORRECTNESS_full_r{N}.json); this
 script is the user-facing composition.
 
 Run: ``python examples/run_corpus_pipeline.py [sf_dir] [out_dir]
-[--logistic-gate]`` (defaults: /root/testdata/sf0.01 →
+[--logistic-gate] [--line-dedup]`` (defaults: /root/testdata/sf0.01 →
 /tmp/spark_graft_corpus_out).  ``--logistic-gate`` swaps the funnel's
 stage-2 LM gate from the CCNet perplexity tercile filter to the
 trained curated-vs-crawl classifier (``doc_quality_logistic_gate``'s
 kept-id set, semi-joined — the alternative composition that gate's
 registration documents); the funnel report shows the substituted
 stage and downstream stages re-run over its kept set.
+``--line-dedup`` prepends the CCNet within-doc line-dedup cleaning
+pass as stage 0 (``line_dedup_cleaned`` — the transformation
+``within_doc_line_dedup`` reports on): every downstream gate and
+dedup tier sees the cleaned text, and the WRITTEN corpus carries it.
+Unknown ``--flags`` fail loudly (a typo must not silently change the
+pipeline composition).
 """
 
 from __future__ import annotations
@@ -50,9 +56,23 @@ from causality_between_elements_based_on_time_series_data_spark.sources.catalog 
 N_SHARDS = 16
 
 
+_KNOWN_FLAGS = {"--logistic-gate", "--line-dedup"}
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    logistic = "--logistic-gate" in sys.argv
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    unknown = flags - _KNOWN_FLAGS
+    if unknown:
+        # fail loudly: a misspelled gate selector silently running the
+        # default composition under a success banner is worse than a
+        # crash (ADVICE r13)
+        sys.exit(
+            f"unknown flag(s) {sorted(unknown)}; "
+            f"known: {sorted(_KNOWN_FLAGS)}"
+        )
+    logistic = "--logistic-gate" in flags
+    line_dedup = "--line-dedup" in flags
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     out_dir = args[1] if len(args) > 1 else "/tmp/spark_graft_corpus_out"
     stage2 = "logistic" if logistic else "perplexity"
@@ -66,11 +86,17 @@ def main() -> None:
     from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
         corpus_stage_tables,
         funnel_report,
+        line_dedup_cleaned,
     )
 
-    stages = corpus_stage_tables(spark, sf_dir, stage2=stage2)
+    stages = corpus_stage_tables(
+        spark, sf_dir, stage2=stage2, line_dedup=line_dedup
+    )
     funnel = funnel_report(stages)
-    print(f"== corpus build funnel (stage-2 gate: {stage2}) ==")
+    print(
+        f"== corpus build funnel (stage-2 gate: {stage2}; "
+        f"line-dedup stage 0: {line_dedup}) =="
+    )
     funnel.show(truncate=False)
 
     # 2. re-derive the final selection (same pure-function stages the
@@ -80,6 +106,10 @@ def main() -> None:
     # way the registered query does — determinism means "recompute"
     # and "persist" are interchangeable.
     docs = load_table(spark, sf_dir, "documents")
+    if line_dedup:
+        # the written corpus must carry the same cleaned text the
+        # funnel's gates saw (n_chars recomputed to match)
+        docs = line_dedup_cleaned(docs)
     selected_ids = _selected_ids(stages)
 
     # 1b. benchmark decontamination — composes as a FINAL anti-join on

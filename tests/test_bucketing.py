@@ -463,3 +463,91 @@ def test_lifecycle_multiseg_merge_single_segment_side_exchange(
             reset_bucket_table(spark, session_bucket_table(spark, t))
         for t in seg_tables:
             reset_bucket_table(spark, t)
+
+
+def test_persisted_ann_probe_no_index_side_exchange(spark, sf_dir):
+    """ann_sq8pc_persisted_topk: the probe must never re-shuffle the
+    persisted ANN index — the bucketed codes scan reaches its joins
+    with no Exchange (the broadcast query sample prunes in place), and
+    the candidate→ranges join is bucket-co-located (the per-list range
+    table is JOINED on cl, never broadcast, and arrives exchange-free
+    because both sides are pre-bucketed at the same count)."""
+    from causality_between_elements_based_on_time_series_data_spark.lineage import (
+        lineage_cuts_disabled,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with lineage_cuts_disabled():
+            plan = _formatted_plan(
+                REGISTRY["ann_sq8pc_persisted_topk"].fn(spark, sf_dir)
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    # every read of the codes/ranges tables reaches its SortMergeJoin
+    # with no index-side re-shuffle (Filter/Project/local Sort allowed)
+    for needle in ("annp_codes", "annp_ranges"):
+        for chain in ancestors_until_each(plan, needle, "SortMergeJoin"):
+            assert not any("Exchange" in t for t in chain), (needle, chain)
+    # both index tables read through the bucketed-scan path
+    assert plan.count("Bucketed: true") >= 2, plan
+
+
+def test_persisted_ann_probe_matches_in_memory_tier(spark, sf_dir):
+    """The persisted-index probe must answer BIT-IDENTICALLY to the
+    in-memory per-cluster tier (same quantizer, same ranges, same
+    integer ADC — only the physical layout differs), so recall gates
+    proved for ann_sq8pc_ivf_topk transfer verbatim."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+
+    a = sorted(
+        map(
+            tuple,
+            REGISTRY["ann_sq8pc_ivf_topk"].fn(spark, sf_dir).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            REGISTRY["ann_sq8pc_persisted_topk"].fn(spark, sf_dir).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_segmented_ann_probe_no_index_side_exchange(spark, sf_dir):
+    """ann_sq8pc_segmented_probe: between folds the probe reads v1 +
+    K delta-code segments — each per-table candidate join must be
+    exchange-free on the index side (bucketed scan pruned in place by
+    the broadcast sample; the union happens AFTER candidate
+    generation, on candidate rows only — unioning the bucketed scans
+    first would drop the bucketing and re-shuffle the index, the
+    round-13 K-way-merge finding)."""
+    from causality_between_elements_based_on_time_series_data_spark.lineage import (
+        lineage_cuts_disabled,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with lineage_cuts_disabled():
+            plan = _formatted_plan(
+                REGISTRY["ann_sq8pc_segmented_probe"].fn(spark, sf_dir)
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    for needle in ("annsp_codes", "annsp_seg", "annsp_ranges"):
+        for chain in ancestors_until_each(plan, needle, "SortMergeJoin"):
+            assert not any("Exchange" in t for t in chain), (needle, chain)
+    # v1 codes + 4 segments + the ranges table read per branch: every
+    # index-side scan goes through the bucketed path
+    assert plan.count("Bucketed: true") >= 10, plan

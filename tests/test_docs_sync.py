@@ -145,6 +145,20 @@ def test_readme_registry_count_is_current():
         f"README.md plan-sweep denominator {m2.group(1)} != "
         f"{len(REGISTRY)}"
     )
+    # the MATCH/rows-only split is pinned too (VERDICT r13 #6): the
+    # rows-only count is exactly the oracle=None registrations, and
+    # the two must sum to the registry
+    m3 = re.search(r"\((\d+) MATCH \+ (\d+) rows-only", text)
+    assert m3, "README.md lost its '(N MATCH + M rows-only' split"
+    n_rows_only = sum(1 for q in REGISTRY.values() if q.oracle is None)
+    assert int(m3.group(2)) == n_rows_only, (
+        f"README.md says {m3.group(2)} rows-only; registry declares "
+        f"{n_rows_only} oracle=None entries"
+    )
+    assert int(m3.group(1)) + int(m3.group(2)) == len(REGISTRY), (
+        f"README.md MATCH+rows-only = "
+        f"{int(m3.group(1)) + int(m3.group(2))} != {len(REGISTRY)}"
+    )
 
 
 def test_survey_ext_rows_name_live_registry_entries():

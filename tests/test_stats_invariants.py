@@ -322,8 +322,13 @@ def test_sq8_cluster_ranges_reduce_error(spark, sf_dir):
     rows = sq8_cluster_range_refinement(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert r.mse_cluster < r.mse_global, r
-        assert r.improvement_pct > 0, r
+        # <= per label: a label whose clusters span the full global
+        # per-dim ranges legitimately improves by exactly zero — the
+        # strict 10% floor lives on the corpus-wide aggregate only
+        # (ADVICE r13: a fixture regen must not fail this without a
+        # code defect)
+        assert r.mse_cluster <= r.mse_global, r
+        assert r.improvement_pct >= 0, r
     total_g = sum(r.mse_global * r.n_vecs for r in rows)
     total_c = sum(r.mse_cluster * r.n_vecs for r in rows)
     assert total_c < 0.9 * total_g, (total_c, total_g)
@@ -341,3 +346,23 @@ def test_sq8pc_recall_holds_the_ceiling(spark, sf_dir):
     assert row.recall_at_3 >= 0.4, row
     assert row.recall_at_3 <= row.list_recall_ceiling + 1e-9, row
     assert row.list_recall_ceiling - row.recall_at_3 <= 0.2, row
+
+
+def test_ann_fold_heals_stale_range_damage(spark, sf_dir):
+    """ann_index_segment_lifecycle: segment vectors quantized against
+    the stale v1 ranges must show (a) real drift — at least one
+    clamped vector per label on the fixture — and (b) the fold
+    restoring segment reconstruction error to the refreshed-range
+    level (measured ~100x better than the stale-range live path;
+    gate at a conservative strict inequality per label)."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        ann_index_segment_lifecycle,
+    )
+
+    rows = ann_index_segment_lifecycle(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_segments == 4, r
+        assert r.n_index_vecs > 0 and r.n_segment_vecs > 0, r
+        assert r.n_oob_segment >= 1, r
+        assert r.mse_folded_segment < r.mse_live_segment, r

@@ -147,6 +147,10 @@ def main() -> None:
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
     names = args.queries.split(",") if args.queries else QUERIES
+    # recorded BEFORE any Spark work: the artifact-backed check of the
+    # CLAUDE.md one-workload rule (end-of-run load is this run's own
+    # tail — VERDICT r13 nit #1)
+    load_before = tuple(round(x, 2) for x in os.getloadavg())
 
     from causality_between_elements_based_on_time_series_data_spark.plans import (
         REGISTRY,
@@ -205,6 +209,7 @@ def main() -> None:
         "scales": scales,
         "base_sf_dir": SRC_DIR,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "load_before": load_before,
         "load_avg": tuple(round(x, 2) for x in os.getloadavg()),
         "results": results,
     }

@@ -69,6 +69,11 @@ def lifecycle() -> None:
         F.floor(0.8 * (F.max("doc_id") + 1)).cast("bigint")
     ).first()[0]
     stride = docs.agg(F.max("doc_id") + 1).first()[0]
+    # deliberate bench-isolation checkpoint OUTSIDE the plan-gated
+    # query path: the fixed ingest batch must not be re-derived inside
+    # each timed probe (raw localCheckpoint on a text-bearing relation
+    # is forbidden in query code by the round-10 doctrine; here the
+    # 12k-row batch is the measurement fixture itself)
     batch = docs.filter(F.col("doc_id") >= t_split).select(
         "doc_id", "text"
     ).localCheckpoint(eager=True)
