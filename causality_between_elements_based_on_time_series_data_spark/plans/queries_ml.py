@@ -819,3 +819,66 @@ def streaming_incremental_dedup_report_q(
     from ..streaming.events_stream import streaming_incremental_dedup_report
 
     return streaming_incremental_dedup_report(spark, sf_dir)
+
+
+from .queries_llm import _ann_lifecycle_core_sql as _ann_core_sql
+
+
+@register(
+    "streaming_ann_vector_ingest",
+    oracle=f"""
+    WITH {_ann_core_sql()},
+    codes AS (
+        SELECT e.vec_id, e.d,
+               CASE WHEN s.mx > s.mn
+                    THEN least(255, greatest(0,
+                         CAST(round((e.v - s.mn)
+                                    / ((s.mx - s.mn) / 255.0), 0)
+                              AS INTEGER)))
+                    ELSE 0 END AS code,
+               CASE WHEN s.mn IS NULL OR e.v < s.mn OR e.v > s.mx
+                    THEN 1 ELSE 0 END AS dim_oob
+        FROM ev e
+        JOIN cl1 c ON c.vec_id = e.vec_id
+        LEFT JOIN cdims1 s ON s.cl = c.cl AND s.d = e.d
+        CROSS JOIN thr
+        WHERE e.vec_id >= thr.t
+    ),
+    pervec AS (
+        SELECT vec_id,
+               sum(code) % 1000000007 AS code_sum,
+               max(dim_oob) AS oob
+        FROM codes GROUP BY 1
+    )
+    SELECT x.label,
+           CAST(count(*) AS BIGINT) AS n_ingested,
+           CAST(sum(p.oob) AS BIGINT) AS n_oob,
+           CAST(sum(p.code_sum) AS BIGINT) AS code_checksum
+    FROM embeddings x
+    JOIN pervec p ON p.vec_id = x.vec_id
+    GROUP BY x.label ORDER BY x.label
+    """,
+    doc="Vector INGEST as the batch streams in, quantizing against "
+    "the persisted ANN index (built once batch-side; arriving vectors "
+    "flow through foreachBatch — inverted-list assignment with the "
+    "CURRENT geometry, uint8 quantization against the CURRENT "
+    "per-list ranges, all-zero codes + out-of-band flag for lists the "
+    "index never saw).  Each micro-batch writes a batch_id-keyed "
+    "delta-codes segment fragment (the artifact the segmented probe "
+    "reads between folds; the background fold compacts fragments into "
+    "index v2) and a bounded report fragment — both "
+    "overwrite-per-batch, so the rollup is exactly-once under "
+    "at-least-once replay.  Per-vector codes depend only on (vector, "
+    "static index), so the summed report equals the one-shot batch "
+    "computation bit-for-bit — which this oracle hash-checks (codes "
+    "checksum per-row mod 1e9+7 before summing, the ANSI 2^63 rule).  "
+    "n_oob is the live range-drift signal feeding the fold decision "
+    "(ann_index_segment_lifecycle prices what it costs).",
+    tags=("streaming", "llm", "similarity", "ivf", "pipeline"),
+)
+def streaming_ann_vector_ingest_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.events_stream import streaming_ann_vector_ingest
+
+    return streaming_ann_vector_ingest(spark, sf_dir)

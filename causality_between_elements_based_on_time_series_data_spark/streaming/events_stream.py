@@ -1079,3 +1079,130 @@ def streaming_incremental_dedup_report(
         )
         .orderBy("lang")
     )
+
+
+def streaming_ann_vector_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vector INGEST as the batch streams in, quantizing against the
+    PERSISTED ANN index — the similarity-search twin of
+    ``streaming_incremental_dedup_report``: the IVF-SQ8pc index (uint8
+    codes + per-list ranges, bucketed on cl) is built once batch-side
+    (``_build_persisted_ann_index`` — the static relation a recurring
+    ingest probes), and arriving vectors flow through foreachBatch,
+    where each micro-batch assigns inverted lists with the CURRENT
+    index geometry, quantizes against the CURRENT per-list ranges
+    (LEFT join — a vector landing in a list the index never saw gets
+    all-zero codes and counts as out-of-band), and writes TWO
+    batch_id-keyed artifacts: the delta-CODES segment fragment (the
+    ingest artifact ``ann_sq8pc_segmented_probe`` reads between folds;
+    a background fold compacts fragments into the next bucketed index
+    version) and a |labels|-bounded report fragment.  Both sinks are
+    overwrite-per-batch-directory, so a replayed micro-batch replaces
+    its own fragments — idempotent under foreachBatch's at-least-once
+    contract (the round-13 ADVICE discipline).  Per-vector codes
+    depend only on (vector, static index), so the summed report is
+    micro-batch-partitioning-independent and equals the one-shot
+    batch computation bit-for-bit — the oracle hash-checks that.
+    The n_oob column is the live drift signal that feeds the fold
+    decision (``ann_index_segment_lifecycle``'s n_oob_segment is its
+    batch twin)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..plans.queries_llm import (
+        _RP_DIM,
+        _build_persisted_ann_index,
+        _rp_cluster_spark,
+        _sq8_code_from_ranges,
+    )
+    from ..sources.catalog import TABLES, load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t_split = emb.agg(
+        F.floor(0.8 * (F.max("vec_id") + 1)).cast("bigint")
+    ).first()[0]
+    _tc, t_ranges, bits, _nb = _build_persisted_ann_index(
+        spark,
+        emb.filter(F.col("vec_id") < t_split).select("vec_id", "embedding"),
+        "stream_ann",
+    )
+
+    out = tempfile.mkdtemp(prefix="stream_ann_sink_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_ann_ckpt_")
+    oob = F.expr(
+        "CASE WHEN mns IS NULL THEN 1 ELSE cast(exists("
+        f"sequence(1, {_RP_DIM}), d -> "
+        "cast(element_at(embedding, d) as double) < element_at(mns, d) OR "
+        "cast(element_at(embedding, d) as double) > element_at(mxs, d)"
+        ") as int) END"
+    )
+
+    def ingest_batch(bdf: DataFrame, batch_id: int) -> None:
+        coded = (
+            bdf.select(
+                "vec_id",
+                "label",
+                "embedding",
+                _rp_cluster_spark(bits).alias("cl"),
+            )
+            .join(spark.table(t_ranges), "cl", "left")
+            .select(
+                "vec_id",
+                "label",
+                "cl",
+                _sq8_code_from_ranges().alias("codes"),
+                oob.alias("oob"),
+            )
+        )
+        # (a) the delta-codes segment fragment — batch_id-keyed
+        # overwrite, so replays are idempotent; the background fold
+        # compacts fragments into the next bucketed index version
+        (
+            coded.select("vec_id", "cl", "codes")
+            .write.mode("overwrite")
+            .parquet(f"{out}/segments/batch_id={int(batch_id)}")
+        )
+        # (b) the bounded report fragment (same idempotent keying)
+        (
+            coded.groupBy("label")
+            .agg(
+                F.count("*").cast("bigint").alias("n_ingested"),
+                F.sum("oob").cast("bigint").alias("n_oob"),
+                F.sum(
+                    F.expr("aggregate(codes, 0, (a, x) -> a + x)")
+                    % F.lit(1000000007)
+                )
+                .cast("bigint")
+                .alias("code_checksum"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out}/report/batch_id={int(batch_id)}")
+        )
+
+    stream = (
+        spark.readStream.schema(TABLES["embeddings"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/embeddings.parque*")
+        .filter(F.col("vec_id") >= t_split)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(f"{out}/report")
+        .groupBy("label")
+        .agg(
+            F.sum("n_ingested").cast("bigint").alias("n_ingested"),
+            F.sum("n_oob").cast("bigint").alias("n_oob"),
+            F.sum("code_checksum").cast("bigint").alias("code_checksum"),
+        )
+        .orderBy("label")
+    )

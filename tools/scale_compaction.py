@@ -209,6 +209,202 @@ def lifecycle() -> None:
         reset_bucket_table(spark, t)
 
 
+def ann() -> None:
+    """--ann: the persisted-ANN-index scale curves (round 14).
+
+    (a) probe cost vs corpus scale k in {1,10,30}: the corpus is the
+    sf0.1 embeddings replicated k times (vec_id shifted, vectors
+    untouched), the index is built ONCE per k
+    (`_build_persisted_ann_index` — linear build cost recorded as
+    context), and the probe runs a FIXED 20-query sample (base-copy
+    vec_id % 100 == 0) against the bucketed codes+ranges tables.
+    Claim under test: probe cost stays ~flat while the corpus grows
+    (candidates ~ (1+bits)*mean_occ per query; bits grows log, so
+    "flat" means the log factor, never the corpus).
+
+    (b) probe cost vs K accumulated code segments at x10: a fixed
+    x1-volume ingest split into 8 slices, each quantized against the
+    v1 ranges and written as a bucketed delta segment; the probe
+    unions per-table candidates over v1 + K segments (K in 1,2,4,8),
+    then the fold rebuilds v2 and the probe runs flat-after — the ANN
+    read-amplification curve mirroring SCALE_r13_lsm.json.
+
+    Writes SCALE_r14_ann.json."""
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        _build_persisted_ann_index,
+        _rp_adaptive_bits,
+        _rp_cluster_spark,
+        _sq8_adc_from_codes,
+        _sq8_code_from_ranges,
+        _sq8_topk,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.session import (
+        get_spark,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+        reset_bucket_table,
+        session_bucket_table,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_before = tuple(round(x, 2) for x in os.getloadavg())
+    spark = get_spark("scale_ann")
+
+    base = load_table(spark, sf_dir, "embeddings")
+    stride = base.agg(F.max("vec_id") + 1).first()[0]
+
+    def replicate(k: int):
+        copies = [
+            base.select(
+                (F.col("vec_id") + F.lit(i * stride)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            for i in range(k)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        return out
+
+    def probe_set(emb_k, bits):
+        q = emb_k.filter(
+            (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < stride)
+        ).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            _rp_cluster_spark(bits).alias("cl0"),
+        )
+        return q.select(
+            "qid",
+            "qv",
+            F.explode(
+                F.array(
+                    F.col("cl0"),
+                    *[
+                        F.col("cl0").bitwiseXOR(F.lit(1 << i))
+                        for i in range(bits)
+                    ],
+                )
+            ).alias("cl"),
+        )
+
+    def timed_probe(code_tables, t_ranges, qs, null_safe=False) -> float:
+        t0 = time.monotonic()
+        cand = None
+        for ts in code_tables:
+            c = (
+                spark.table(ts)
+                .join(F.broadcast(qs), "cl")
+                .filter(F.col("vec_id") != F.col("qid"))
+                .join(
+                    spark.table(t_ranges),
+                    "cl",
+                    "left" if null_safe else "inner",
+                )
+                .select(
+                    "qid",
+                    F.col("vec_id").alias("nid"),
+                    _sq8_adc_from_codes(null_safe=null_safe).alias(
+                        "dist_nano"
+                    ),
+                )
+            )
+            cand = c if cand is None else cand.unionByName(c)
+        _sq8_topk(cand).write.format("noop").mode("overwrite").save()
+        return round(time.monotonic() - t0, 3)
+
+    # ---- (a) monolithic persisted index: probe vs corpus scale ----
+    curve = []
+    for k in (1, 10, 30):
+        emb_k = replicate(k)
+        t0 = time.monotonic()
+        t_codes, t_ranges, bits, _nb = _build_persisted_ann_index(
+            spark, emb_k, f"annscale_x{k}"
+        )
+        build_s = round(time.monotonic() - t0, 3)
+        qs = probe_set(emb_k, bits).localCheckpoint(eager=True)
+        probe_s = min(timed_probe([t_codes], t_ranges, qs) for _ in range(3))
+        curve.append(
+            {"k": k, "bits": bits, "build_s": build_s, "probe_s": probe_s}
+        )
+        print(f"[ann] x{k}: {curve[-1]}", file=sys.stderr)
+        for t in (t_codes, t_ranges):
+            reset_bucket_table(spark, t)
+
+    # ---- (b) segmented index at x10: probe vs K, fold, flat-after ----
+    n_slices = 8
+    emb_k = replicate(10)
+    t_codes, t_ranges, bits, n_bkts = _build_persisted_ann_index(
+        spark, emb_k, "annlsm_v1"
+    )
+    batch = base.select(
+        (F.col("vec_id") + F.lit(10 * stride)).alias("vec_id"), "embedding"
+    )
+    seg_tables = []
+    for j in range(n_slices):
+        t_seg = session_bucket_table(spark, f"annlsm_seg{j}")
+        reset_bucket_table(spark, t_seg)
+        (
+            batch.filter(F.col("vec_id") % n_slices == j)
+            .select(
+                "vec_id", "embedding", _rp_cluster_spark(bits).alias("cl")
+            )
+            .join(spark.table(t_ranges), "cl", "left")
+            .select("vec_id", "cl", _sq8_code_from_ranges().alias("codes"))
+            .write.bucketBy(n_bkts, "cl")
+            .sortBy("cl")
+            .saveAsTable(t_seg)
+        )
+        seg_tables.append(t_seg)
+    qs = probe_set(emb_k, bits).localCheckpoint(eager=True)
+    seg_curve = []
+    for kseg in (1, 2, 4, 8):
+        probe_s = min(
+            timed_probe(
+                [t_codes] + seg_tables[:kseg], t_ranges, qs, null_safe=True
+            )
+            for _ in range(3)
+        )
+        seg_curve.append({"k_segments": kseg, "probe_s": probe_s})
+        print(f"[ann-lsm] K={kseg}: probe_s={probe_s}", file=sys.stderr)
+    t0 = time.monotonic()
+    t2_codes, t2_ranges, bits2, _n2 = _build_persisted_ann_index(
+        spark, emb_k.unionByName(batch.withColumn("label", F.lit(0))),
+        "annlsm_v2",
+    )
+    fold_s = round(time.monotonic() - t0, 3)
+    qs2 = probe_set(emb_k, bits2).localCheckpoint(eager=True)
+    probe_after_fold_s = min(
+        timed_probe([t2_codes], t2_ranges, qs2) for _ in range(3)
+    )
+    print(
+        f"[ann-lsm] fold_s={fold_s} probe_after_fold_s={probe_after_fold_s}",
+        file=sys.stderr,
+    )
+    for t in [t_codes, t_ranges, t2_codes, t2_ranges] + seg_tables:
+        reset_bucket_table(spark, t)
+
+    out = {
+        "sf_dir": sf_dir,
+        "load_before": load_before,
+        "probe_vs_corpus": curve,
+        "lsm_idx_scale": 10,
+        "n_slices": n_slices,
+        "probe_vs_k": seg_curve,
+        "fold_s": fold_s,
+        "probe_after_fold_s": probe_after_fold_s,
+    }
+    line = json.dumps(out)
+    print(line)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALE_r14_ann.json"), "w") as fh:
+        fh.write(line + "\n")
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -391,5 +587,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--lifecycle" in sys.argv:
         lifecycle()
+    elif "--ann" in sys.argv:
+        ann()
     else:
         main()
