@@ -12317,6 +12317,58 @@ def _subsplit_lists(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _subsplit_list_stats(assigned: DataFrame) -> DataFrame:
+    """(cl, mns, mxs, is_split) — the per-list quantizer ranges AND
+    the 1.25x-mean split flag in ONE n_lists-sized table, so the
+    corpus needs a single stats join.  Round-14 lesson (measured 10x
+    at x30): joining the corpus against a SEPARATE tiny checkpointed
+    lists relation let the planner broadcast the FACT side and stream
+    the 1-partition stats RDD — every downstream candidate/ADC row
+    then ran in ONE task.  Consumers join this table with an explicit
+    merge hint (the production SMJ shape — the stats table grows
+    ~corpus/256, so it is JOINED, never broadcast, and the hint stops
+    the planner from inverting the build side on unknown RDD stats)."""
+    per_dim = assigned.select(
+        "cl", F.posexplode("embedding").alias("d0", "v0")
+    ).select(
+        "cl",
+        (F.col("d0") + 1).alias("d"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    per_cl = (
+        per_dim.groupBy("cl", "d")
+        .agg(
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.count("*").alias("nv"),
+        )
+        .groupBy("cl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "mn"))),
+                lambda s: s["mn"],
+            ).alias("mns"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "mx"))),
+                lambda s: s["mx"],
+            ).alias("mxs"),
+            F.max("nv").cast("bigint").alias("occ"),
+        )
+    )
+    tot = per_cl.agg(
+        F.count("*").cast("bigint").alias("_nl"),
+        F.sum("occ").cast("bigint").alias("_nv"),
+    )
+    return per_cl.crossJoin(F.broadcast(tot)).select(
+        "cl",
+        "mns",
+        "mxs",
+        (4 * F.col("occ") * F.col("_nl") > 5 * F.col("_nv")).alias(
+            "is_split"
+        ),
+    )
+
+
 @register(
     "ann_sq8pc_subsplit_topk",
     oracle=_sq8pc_oracle(),
@@ -12349,39 +12401,19 @@ def ann_sq8pc_subsplit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = _rp_adaptive_bits(emb.count())
     base = _subsplit_assigned(emb, bits).transform(
         ckpt
-    )  # read by the list stats, the range build, and the code pass
-    lists = _subsplit_lists(base).transform(
+    )  # read by the list-stats build AND the code pass
+    stats = _subsplit_list_stats(base).transform(
         ckpt
     )  # read by the corpus keying AND the probe fan-out
-    cstats = (
-        base.select("cl", F.posexplode("embedding").alias("d0", "v0"))
-        .select(
-            "cl",
-            (F.col("d0") + 1).alias("d"),
-            F.col("v0").cast("double").alias("v"),
-        )
-        .groupBy("cl", "d")
-        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-        .groupBy("cl")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "mn"))),
-                lambda s: s["mn"],
-            ).alias("mns"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "mx"))),
-                lambda s: s["mx"],
-            ).alias("mxs"),
-        )
-        .transform(ckpt)  # read by the corpus code pass AND the ADC join
-    )
-    # corpus child key: split lists separate on the extra sign bit
+    # ONE stats join, merge-hinted (see _subsplit_list_stats: the
+    # planner must stream the CORPUS, never the stats RDD), carrying
+    # ranges through the corpus row so the ADC needs no second stats
+    # join — a second join would re-shuffle candidates on cl and
+    # re-concentrate exactly the hot lists the sub-split just balanced
     corpus = (
-        base.join(lists.select("cl", "is_split"), "cl")
-        .join(cstats, "cl")
+        base.join(stats.hint("merge"), "cl")
         .select(
             "vec_id",
-            "cl",
             F.when(
                 F.col("is_split") & (F.col("sub") == 1),
                 F.col("cl") + F.lit(1 << bits),
@@ -12389,13 +12421,17 @@ def ann_sq8pc_subsplit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("cl"))
             .alias("ckl"),
             _sq8_code_from_ranges().alias("codes"),
+            "mns",
+            "mxs",
         )
     )
     # probe fan-out: parent probes (home + Hamming-1) expand to both
     # children wherever the probed list is split
     parent_probes = _sq8_probe_set(emb, bits)
     qs = (
-        parent_probes.join(lists.select("cl", "is_split"), "cl", "left")
+        parent_probes.join(
+            stats.select("cl", "is_split"), "cl", "left"
+        )
         .select(
             "qid",
             "qv",
@@ -12410,7 +12446,6 @@ def ann_sq8pc_subsplit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         corpus.join(F.broadcast(qs), "ckl")
         .filter(F.col("vec_id") != F.col("qid"))
-        .join(cstats, "cl")  # the candidate's own PARENT-list ranges
         .select(
             "qid",
             F.col("vec_id").alias("nid"),
