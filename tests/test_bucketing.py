@@ -559,3 +559,27 @@ def test_segmented_ann_probe_no_index_side_exchange(spark, sf_dir):
     # v1 codes + 4 segments + the ranges table read per branch: every
     # index-side scan goes through the bucketed path
     assert plan.count("Bucketed: true") >= 10, plan
+
+
+def test_subsplit_stats_join_streams_the_corpus(spark, sf_dir):
+    """ann_sq8pc_subsplit_topk: the per-list stats join must plan as
+    a SortMergeJoin (the merge hint — the production shape for a
+    corpus-growing stats table) and the plan must contain NO
+    BuildLeft broadcast join.  Regression pin for the round-14 10x
+    defect: on unknown LogicalRDD statistics the planner broadcast
+    the FACT side (BroadcastHashJoin Inner BuildLeft) and streamed
+    the 1-partition checkpointed stats RDD, serializing the whole
+    candidate/ADC pipeline into one task (70.9 s -> 11.9 s at x30
+    after the fix).  BuildLeft can only reappear here by
+    re-broadcasting a left-side fact relation — left-outer BHJs are
+    BuildRight-only, and the query sample broadcast is an explicit
+    right-side hint."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+
+    plan = _formatted_plan(
+        REGISTRY["ann_sq8pc_subsplit_topk"].fn(spark, sf_dir)
+    )
+    assert "SortMergeJoin" in plan, plan
+    assert "BuildLeft" not in plan, plan

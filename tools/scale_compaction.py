@@ -318,8 +318,12 @@ def ann() -> None:
         return round(time.monotonic() - t0, 3)
 
     # ---- (a) monolithic persisted index: probe vs corpus scale ----
+    ann_scales = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_ANN_SCALES", "1,10,30").split(",")
+    ]
     curve = []
-    for k in (1, 10, 30):
+    for k in ann_scales:
         emb_k = replicate(k)
         t0 = time.monotonic()
         t_codes, t_ranges, bits, _nb = _build_persisted_ann_index(
