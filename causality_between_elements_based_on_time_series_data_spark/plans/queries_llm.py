@@ -12588,3 +12588,63 @@ def ivf_subsplit_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "over_mass_after",
         )
     )
+
+
+@register(
+    "ann_sq8pc_persisted_serve",
+    oracle=f"SELECT * FROM ({_sq8pc_oracle()}) WHERE qid = 0",
+    doc="Single-query SERVING path over the persisted ANN index — the "
+    "missing read form SCALE_r14.md's x100 point motivates: the "
+    "broadcast-probe batch form (ann_sq8pc_persisted_topk) is "
+    "query-count-agnostic but still SCANS the whole codes table; a "
+    "serving request knows its probe clusters up front, so this path "
+    "computes the ONE query's home + Hamming-1 cluster codes (a "
+    "1-row Spark job with the exact tier expression — never a Python "
+    "reimplementation that could drift), pushes them as a LITERAL "
+    "IN-filter on the bucketed codes scan, and the scan prunes "
+    "unread buckets (SelectedBucketsCount — plan-gated in "
+    "tests/test_bucketing.py): per-request IO is |probed lists|, "
+    "not |corpus|.  The candidate→ranges join stays bucket-"
+    "co-located; the query vector arrives as a 1-row broadcast (the "
+    "documented-safe scalar broadcast); ADC and the (dist, id) "
+    "tiebreak are the tier's own, so answers equal "
+    "ann_sq8pc_persisted_topk's qid=0 rows exactly (the oracle is "
+    "the tier oracle restricted to qid 0).  The top-k window runs "
+    "over one occupancy-bounded candidate set (~(1+bits)*256 rows) — "
+    "bounded by the adaptive-bits rule, never corpus-sized.",
+    tags=("llm", "similarity", "ivf", "layout"),
+)
+def ann_sq8pc_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    t_codes, t_ranges, bits, _n_bkts = _build_persisted_ann_index(
+        spark, emb, "annsv"
+    )
+    # the serving request: query vector + its probe clusters, both from
+    # 1-row Spark jobs using the tier's own expressions
+    qrow = (
+        emb.filter(F.col("vec_id") == 0)
+        .select("embedding", _rp_cluster_spark(bits).alias("cl0"))
+        .first()
+    )
+    probe_cls = [int(qrow.cl0)] + [
+        int(qrow.cl0) ^ (1 << i) for i in range(bits)
+    ]
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in qrow.embedding])],
+        "qid long, qv array<float>",
+    )
+    j = (
+        spark.table(t_codes)
+        # the literal probe-set filter: bucket pruning at the scan —
+        # per-request IO bounded by the probed lists
+        .filter(F.col("cl").isin(probe_cls))
+        .filter(F.col("vec_id") != 0)
+        .join(spark.table(t_ranges), "cl")
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            _sq8_adc_from_codes().alias("dist_nano"),
+        )
+    )
+    return _sq8_topk(j)

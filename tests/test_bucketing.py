@@ -583,3 +583,29 @@ def test_subsplit_stats_join_streams_the_corpus(spark, sf_dir):
     )
     assert "SortMergeJoin" in plan, plan
     assert "BuildLeft" not in plan, plan
+
+
+def test_persisted_ann_serve_prunes_buckets(spark, sf_dir):
+    """ann_sq8pc_persisted_serve: the literal probe-cluster IN-filter
+    must prune unread buckets at the codes scan (SelectedBucketsCount
+    strictly below the table's bucket count) — the serving-path claim
+    that per-request IO is |probed lists|, not |corpus| (the x100
+    full-scan term of the broadcast batch form, closed)."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+
+    plan = _formatted_plan(
+        REGISTRY["ann_sq8pc_persisted_serve"].fn(spark, sf_dir)
+    )
+    # BOTH index scans (codes and ranges) prune to the probed buckets
+    ms = re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert len(ms) >= 2, plan
+    for sel, tot in ms:
+        assert int(sel) < int(tot), plan
+    # the codes scan reaches its first join in place (Filter only, no
+    # Exchange); the ranges side legitimately broadcasts HERE — after
+    # the literal filter it is bounded by the probed-list set, unlike
+    # the batch form's corpus-growing stats table
+    for chain in ancestors_until_each(plan, "annsv_codes", "Join"):
+        assert not any("Exchange" in t for t in chain), chain
