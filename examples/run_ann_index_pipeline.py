@@ -10,7 +10,9 @@ owner runs them against a growing embedding corpus:
    the layout behind ``ann_sq8pc_persisted_topk``).
 2. PROBE: top-3 neighbors for the query sample, read entirely from
    the persisted tables (zero index-side Exchange — plan-gated in
-   ``tests/test_bucketing.py``).
+   ``tests/test_bucketing.py``); plus the SERVING form
+   (``ann_sq8pc_persisted_serve``) — one request's probe clusters as
+   literal filters, bucket-pruned at the scan.
 3. INGEST: append K delta-code segments quantized against the
    CURRENT ranges (``_build_ann_segmented_index``'s per-ingest shape),
    then probe v1 + segments (``ann_sq8pc_segmented_probe``).
@@ -55,6 +57,12 @@ def main() -> None:
     # 1+2. build once, probe from the persisted tables
     print("== persisted-index probe (top-3 per sampled query) ==")
     REGISTRY["ann_sq8pc_persisted_topk"].fn(spark, sf_dir).show(9)
+
+    # 2b. the SERVING form: one request's probe clusters pushed as
+    # literal filters — the bucketed codes scan prunes to the probed
+    # lists (per-request IO = |probed lists|, not |corpus|)
+    print("== serving path (bucket-pruned single request) ==")
+    REGISTRY["ann_sq8pc_persisted_serve"].fn(spark, sf_dir).show()
 
     # 3. segments accumulate between folds; the probe fans over
     # v1 + K bucketed code segments, each branch exchange-free

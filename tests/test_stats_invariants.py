@@ -391,3 +391,37 @@ def test_subsplit_tier_is_bit_identical_and_rebalances(spark, sf_dir):
     assert r.n_lists_after > r.n_lists_before, r
     assert r.max_occ_after < r.max_occ_before, r
     assert r.over_mass_after < r.split_mass, r
+
+
+def test_segmented_probe_ranking_survives_stale_ranges(spark, sf_dir):
+    """ann_sq8pc_segmented_probe vs the monolithic persisted tier:
+    segment codes carry stale v1 ranges (measured ~100x the folded
+    reconstruction error in ann_index_segment_lifecycle), but the
+    RANKING damage must stay small — measured top-1 agreement 5/5 at
+    sf0.001 and 19/20 at sf0.1, top-3 overlap 1.0 / 0.95; gate at a
+    conservative 0.8 floor on both.  This is the precision half of
+    the fold decision: the lifecycle's error report says WHEN ranges
+    drifted, this pins that between folds the probe still answers."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        ann_sq8pc_persisted_topk,
+        ann_sq8pc_segmented_probe,
+    )
+
+    mono3: dict = {}
+    mono1: dict = {}
+    for r in ann_sq8pc_persisted_topk(spark, sf_dir).collect():
+        mono3.setdefault(r.qid, set()).add(r.nid)
+        if r.rn == 1:
+            mono1[r.qid] = r.nid
+    seg3: dict = {}
+    seg1: dict = {}
+    for r in ann_sq8pc_segmented_probe(spark, sf_dir).collect():
+        seg3.setdefault(r.qid, set()).add(r.nid)
+        if r.rn == 1:
+            seg1[r.qid] = r.nid
+    qs = sorted(set(mono1) & set(seg1))
+    assert qs
+    top1 = sum(1 for q in qs if mono1[q] == seg1[q]) / len(qs)
+    top3 = sum(len(mono3[q] & seg3[q]) for q in qs) / (3.0 * len(qs))
+    assert top1 >= 0.8, (top1, qs)
+    assert top3 >= 0.8, top3
