@@ -317,6 +317,10 @@ def ann() -> None:
         _sq8_topk(cand).write.format("noop").mode("overwrite").save()
         return round(time.monotonic() - t0, 3)
 
+    # NOTE on the qs .localCheckpoint(eager=True) calls below:
+    # deliberate bench-isolation checkpoints OUTSIDE the plan-gated
+    # query path — the fixed query sample must not be re-derived
+    # inside each timed probe (tiny: 20 queries x (1+bits) probe rows).
     # ---- (a) monolithic persisted index: probe vs corpus scale ----
     ann_scales = [
         int(x)
