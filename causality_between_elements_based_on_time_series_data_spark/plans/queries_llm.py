@@ -11011,11 +11011,27 @@ def sq8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sq8_recall_report(spark, sf_dir, ann_sq8_ivf_topk)
 
 
-def _sq8_recall_report(spark: SparkSession, sf_dir: str, tier) -> DataFrame:
+def _sq8_recall_report(
+    spark: SparkSession,
+    sf_dir: str,
+    tier,
+    bits: int | None = None,
+    micro: bool = False,
+) -> DataFrame:
     """Recall@3 / top-1 / list-ceiling report of a quantized ANN
     ``tier`` callable against the exact integer-nano-unit L2 top-3 —
-    shared by ``sq8_recall_audit`` (global ranges) and
-    ``sq8pc_recall_audit`` (per-cluster ranges)."""
+    shared by ``sq8_recall_audit`` (global ranges),
+    ``sq8pc_recall_audit`` (per-cluster ranges), and
+    ``ann_seg_recall_audit`` (v1 + delta segments; passes the V1
+    ``bits`` the segmented tier actually probes with).  ``micro``
+    switches the rollup to integer-sum micro-averages (one double
+    division AFTER order-free BIGINT sums — the CLAUDE.md float
+    discipline; identical to the macro-average here because every
+    query contributes exactly k = 3 baseline rows) and appends the
+    staleness decomposition column ``quant_stale_loss`` =
+    list_recall_ceiling − recall_at_3 (what pruning leaves on the
+    table is the ceiling; what quantization + stale ranges cost is
+    the gap)."""
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -11044,7 +11060,8 @@ def _sq8_recall_report(spark: SparkSession, sf_dir: str, tier) -> DataFrame:
     # pruning CEILING: fraction of exact top-3 reachable through the
     # tier's probe lists (home + Hamming-1) — recall_at_3 can never
     # exceed it; the gap between the two is pure quantization loss.
-    bits = _rp_adaptive_bits(emb.count())
+    if bits is None:
+        bits = _rp_adaptive_bits(emb.count())
     ncl = emb.select(
         F.col("vec_id").alias("nid"), _rp_cluster_spark(bits).alias("ncl")
     )
@@ -11104,22 +11121,35 @@ def _sq8_recall_report(spark: SparkSession, sf_dir: str, tier) -> DataFrame:
         .agg(F.max(F.col("i.nid").isNotNull().cast("int")).alias("agree"))
     )
     p, t, lq = per_q.alias("p"), top1.alias("t"), listq.alias("lq")
-    return (
-        p.join(t, F.col("t.qid") == F.col("p.qid"))
-        .join(lq, F.col("lq.qid") == F.col("p.qid"))
-        .agg(
-            F.count("*").cast("bigint").alias("n_queries"),
-            F.round(
-                F.avg(F.col("p.n_hit").cast("double") / F.col("p.k")), 4
-            ).alias("recall_at_3"),
-            F.round(F.avg(F.col("t.agree").cast("double")), 4).alias(
-                "top1_agreement"
-            ),
-            F.round(
-                F.avg(F.col("lq.n_list").cast("double") / F.col("lq.lk")),
-                4,
-            ).alias("list_recall_ceiling"),
+    joined = p.join(t, F.col("t.qid") == F.col("p.qid")).join(
+        lq, F.col("lq.qid") == F.col("p.qid")
+    )
+    if micro:
+        rec = F.sum(F.col("p.n_hit")).cast("double") / F.sum(F.col("p.k"))
+        ceil = F.sum(F.col("lq.n_list")).cast("double") / F.sum(
+            F.col("lq.lk")
         )
+        return joined.agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.round(rec, 4).alias("recall_at_3"),
+            F.round(
+                F.sum(F.col("t.agree")).cast("double") / F.count("*"), 4
+            ).alias("top1_agreement"),
+            F.round(ceil, 4).alias("list_recall_ceiling"),
+            F.round(ceil - rec, 4).alias("quant_stale_loss"),
+        )
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(
+            F.avg(F.col("p.n_hit").cast("double") / F.col("p.k")), 4
+        ).alias("recall_at_3"),
+        F.round(F.avg(F.col("t.agree").cast("double")), 4).alias(
+            "top1_agreement"
+        ),
+        F.round(
+            F.avg(F.col("lq.n_list").cast("double") / F.col("lq.lk")),
+            4,
+        ).alias("list_recall_ceiling"),
     )
 
 
@@ -11706,62 +11736,124 @@ def _build_persisted_ann_index(
     bits: int | None = None,
 ) -> tuple[str, str, int, int]:
     """Materialize the persisted IVF-SQ8pc index for ``emb`` — the
-    uint8 codes table and the per-list [min, max] range table, each
-    bucketBy-sorted on the inverted-list key ``cl`` — and return
-    ``(t_codes, t_ranges, bits, n_bkts)``.  Runs ONCE per corpus
+    uint8 codes table bucketBy-sorted on the CHILD list key ``ckl``
+    and the merged per-list stats table (quantizer [min, max] ranges
+    PLUS the hot-list sub-split flag, one row per child key) — and
+    return ``(t_codes, t_stats, bits, n_bkts)``.  Runs ONCE per corpus
     version (the `_build_persisted_dedup_index` contract): every probe
     and every ingest then reads these tables; raw embeddings are never
-    re-quantized per query.  The codes pass reads the PERSISTED range
-    table (not a live recomputation), so the written artifacts are
-    self-consistent by construction.  Session-scoped names; bucket
-    count from `_index_bucket_count` (the EnsureRequirements floor).
-    Storage: codes are 64 uint8-valued ints + one bigint key per
-    vector (~25% of the float32 corpus as parquet ints), ranges 512 B
-    per list."""
+    re-quantized per query.
+
+    Round 15: the sub-split GEOMETRY is part of the index version.
+    Skew is a property of the corpus, so the 1.25x-mean split decision
+    (`_subsplit_lists`) is taken once at build time and baked into the
+    layout: vectors of a split list land in two bucketed children
+    (``ckl`` in {cl, cl + 2^bits}) while quantizer ranges stay
+    per-PARENT list — codes, ADC distances, and top-k answers are
+    BIT-IDENTICAL to the plain layout (pytest equality gate vs
+    ann_sq8pc_subsplit_topk); what changes is the PHYSICAL read: the
+    production probe/serve/segment paths no longer pay a hot list's
+    full occupancy in one task.  The stats table carries the parent
+    ranges on BOTH children so the candidate→stats ADC join stays
+    bucket-co-located on ``ckl``; split parents are discoverable from
+    the sub-0 child rows (``ckl == cl``), which every probe fan-out
+    reads (`_sq8_fan_to_children`).
+
+    The codes pass reads the PERSISTED stats (not a live
+    recomputation), so the written artifacts are self-consistent by
+    construction; the stats join is merge-hinted (the round-14
+    stats-join-direction rule — the table grows ~corpus/256).
+    Session-scoped names; bucket count from `_index_bucket_count`
+    (the EnsureRequirements floor).  Storage: codes are 64
+    uint8-valued ints + one bigint key per vector (~25% of the
+    float32 corpus as parquet ints), stats 512 B per child list."""
     from ..sources.catalog import reset_bucket_table, session_bucket_table
 
     n_bkts = _index_bucket_count(spark)
     if bits is None:
         bits = _rp_adaptive_bits(emb.count())
     t_codes = session_bucket_table(spark, f"{base}_codes")
-    t_ranges = session_bucket_table(spark, f"{base}_ranges")
-    for t in (t_codes, t_ranges):
+    t_stats = session_bucket_table(spark, f"{base}_stats")
+    for t in (t_codes, t_stats):
         reset_bucket_table(spark, t)
-    assigned = emb.select(
-        "vec_id", "embedding", _rp_cluster_spark(bits).alias("cl")
-    ).transform(ckpt)  # read by the range build AND the code pass
+    assigned = _subsplit_assigned(emb, bits).transform(
+        ckpt
+    )  # read by the stats build AND the code pass
     (
-        assigned.select("cl", F.posexplode("embedding").alias("d0", "v0"))
+        _subsplit_list_stats(assigned)
         .select(
+            F.explode(
+                F.when(
+                    F.col("is_split"),
+                    F.array(F.col("cl"), F.col("cl") + F.lit(1 << bits)),
+                ).otherwise(F.array(F.col("cl")))
+            ).alias("ckl"),
             "cl",
-            (F.col("d0") + 1).alias("d"),
-            F.col("v0").cast("double").alias("v"),
+            "mns",
+            "mxs",
+            "is_split",
         )
-        .groupBy("cl", "d")
-        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-        .groupBy("cl")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "mn"))),
-                lambda s: s["mn"],
-            ).alias("mns"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "mx"))),
-                lambda s: s["mx"],
-            ).alias("mxs"),
-        )
-        .write.bucketBy(n_bkts, "cl")
-        .sortBy("cl")
-        .saveAsTable(t_ranges)
+        .write.bucketBy(n_bkts, "ckl")
+        .sortBy("ckl")
+        .saveAsTable(t_stats)
     )
+    pstats = _ann_parent_stats(spark, t_stats)
     (
-        assigned.join(spark.table(t_ranges), "cl")
-        .select("vec_id", "cl", _sq8_code_from_ranges().alias("codes"))
-        .write.bucketBy(n_bkts, "cl")
-        .sortBy("cl")
+        assigned.join(pstats.hint("merge"), "cl")
+        .select(
+            "vec_id",
+            F.when(
+                F.col("is_split") & (F.col("sub") == 1),
+                F.col("cl") + F.lit(1 << bits),
+            )
+            .otherwise(F.col("cl"))
+            .alias("ckl"),
+            _sq8_code_from_ranges().alias("codes"),
+        )
+        .write.bucketBy(n_bkts, "ckl")
+        .sortBy("ckl")
         .saveAsTable(t_codes)
     )
-    return t_codes, t_ranges, bits, n_bkts
+    return t_codes, t_stats, bits, n_bkts
+
+
+def _ann_parent_stats(spark: SparkSession, t_stats: str) -> DataFrame:
+    """One row per PARENT inverted list from the persisted stats table
+    (the sub-0 child of a split list keeps ``ckl == cl``, so the
+    parent view is a per-row filter over the bucketed scan — no
+    re-derivation, no shuffle): (cl, mns, mxs, is_split)."""
+    return (
+        spark.table(t_stats)
+        .filter(F.col("ckl") == F.col("cl"))
+        .drop("ckl")
+    )
+
+
+def _sq8_fan_to_children(
+    spark: SparkSession, qs_parent: DataFrame, t_stats: str, bits: int
+) -> DataFrame:
+    """(qid, qv, ckl) — fan a parent-keyed probe set over the
+    persisted index's sub-split geometry.  Parent probes keep their
+    key verbatim (the sub-0 child of a split list retains
+    ``ckl == cl``, and a probe to a list the index never saw — live
+    only on segment reads — stays addressable at ``cl``); each probe
+    whose parent list is SPLIT adds one extra child probe at
+    ``cl + 2^bits``, derived from the persisted stats' parent rows by
+    an INNER join that streams the bucketed stats scan against the
+    broadcast probe set (exchange-free on the index side; BuildRight,
+    never the round-14 inversion).  Candidate sets are exactly the
+    probed parent lists' populations — bit-identical to the plain
+    fan-out."""
+    extra = (
+        _ann_parent_stats(spark, t_stats)
+        .filter(F.col("is_split"))
+        .select("cl")
+        .join(F.broadcast(qs_parent), "cl")
+        .select("qid", "qv", (F.col("cl") + F.lit(1 << bits)).alias("ckl"))
+    )
+    return qs_parent.select(
+        "qid", "qv", F.col("cl").alias("ckl")
+    ).unionByName(extra)
 
 
 def _sq8_probe_set(emb: DataFrame, bits: int) -> DataFrame:
@@ -11790,17 +11882,17 @@ def _sq8_probe_set(emb: DataFrame, bits: int) -> DataFrame:
     )
 
 
-def _sq8_topk(j: DataFrame) -> DataFrame:
-    """Top-3 per query with the (dist, id) tiebreak over a candidate
-    relation (qid, nid, dist_nano) — the shared tail of every SQ8
-    tier (candidate-proportional shuffle: the only Exchange above the
-    index-side joins)."""
+def _sq8_topk(j: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` per query with the (dist, id) tiebreak over a
+    candidate relation (qid, nid, dist_nano) — the shared tail of
+    every SQ8 tier (candidate-proportional shuffle: the only Exchange
+    above the index-side joins)."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("qid").orderBy(F.asc("dist_nano"), F.asc("nid"))
     return (
         j.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= k)
         .select("qid", "rn", "nid", F.col("dist_nano").alias("adc_nano"))
         .orderBy("qid", "rn")
     )
@@ -11829,20 +11921,27 @@ def _sq8_topk(j: DataFrame) -> DataFrame:
     "table IS the resident index, and persisting it is what makes "
     "that claim true (the in-memory tier re-derives codes and ranges "
     "from raw embeddings on every call — two full corpus passes "
-    "before any probe).",
+    "before any probe).  Round 15: the index VERSION carries the "
+    "hot-list sub-split geometry (codes bucketed on the child key "
+    "ckl, the 1.25x-mean split flag persisted in the merged stats "
+    "table), so the production read path gets the actuator's "
+    "balanced lists for free — probes fan to both children via the "
+    "persisted stats (_sq8_fan_to_children), answers still "
+    "bit-identical (pytest equality vs ann_sq8pc_subsplit_topk AND "
+    "the plain tier).",
     tags=("llm", "similarity", "ivf", "layout"),
 )
 def ann_sq8pc_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    t_codes, t_ranges, bits, _n_bkts = _build_persisted_ann_index(
+    t_codes, t_stats, bits, _n_bkts = _build_persisted_ann_index(
         spark, emb, "annp"
     )
-    qs = _sq8_probe_set(emb, bits)
+    qs = _sq8_fan_to_children(spark, _sq8_probe_set(emb, bits), t_stats, bits)
     j = (
         spark.table(t_codes)
-        .join(F.broadcast(qs), "cl")
+        .join(F.broadcast(qs), "ckl")
         .filter(F.col("vec_id") != F.col("qid"))
-        .join(spark.table(t_ranges), "cl")
+        .join(spark.table(t_stats), "ckl")
         .select(
             "qid",
             F.col("vec_id").alias("nid"),
@@ -11988,12 +12087,14 @@ def _build_ann_segmented_index(
     """v1 persisted ANN index over the first 80% of ``emb`` plus
     ``_LSM_FOLD_K`` delta-CODE segments over the tail — each ingest's
     vectors are assigned with the CURRENT index's cluster geometry
-    (v1 bits) and quantized against the CURRENT per-list ranges (v1),
-    then written as a batch-proportional bucketed codes segment; the
-    index tables are never rewritten per ingest.  Ranges arrive by
-    LEFT join: a vector in a list v1 never saw gets all-zero codes
-    (the clamp/drift cost the fold audit measures).  Returns
-    ``(t_codes, t_ranges, seg_tables, bits, n_bkts, thr)``."""
+    (v1 bits + the v1 SUB-SPLIT map: arriving vectors in a split list
+    land in the same child key the index uses) and quantized against
+    the CURRENT per-list ranges (v1), then written as a
+    batch-proportional bucketed codes segment; the index tables are
+    never rewritten per ingest.  Stats arrive by LEFT join: a vector
+    in a list v1 never saw gets all-zero codes and keeps ``ckl ==
+    cl`` (the clamp/drift cost the fold audit measures).  Returns
+    ``(t_codes, t_stats, seg_tables, bits, n_bkts, thr)``."""
     from ..sources.catalog import reset_bucket_table, session_bucket_table
 
     K = _LSM_FOLD_K
@@ -12002,7 +12103,7 @@ def _build_ann_segmented_index(
         (F.max("vec_id") + 1).cast("bigint").alias("_m"),
     ).transform(ckpt)
     witht = emb.crossJoin(F.broadcast(thr))
-    t_codes, t_ranges, bits, n_bkts = _build_persisted_ann_index(
+    t_codes, t_stats, bits, n_bkts = _build_persisted_ann_index(
         spark,
         witht.filter(F.col("vec_id") < F.col("_t")).select(
             "vec_id", "embedding"
@@ -12020,18 +12121,28 @@ def _build_ann_segmented_index(
         t_seg = session_bucket_table(spark, f"{base}_seg{j}_codes")
         reset_bucket_table(spark, t_seg)
         (
-            tail.filter(F.col("seg") == j)
-            .select(
-                "vec_id", "embedding", _rp_cluster_spark(bits).alias("cl")
+            _subsplit_assigned(
+                tail.filter(F.col("seg") == j).select("vec_id", "embedding"),
+                bits,
             )
-            .join(spark.table(t_ranges), "cl", "left")
-            .select("vec_id", "cl", _sq8_code_from_ranges().alias("codes"))
-            .write.bucketBy(n_bkts, "cl")
-            .sortBy("cl")
+            .join(_ann_parent_stats(spark, t_stats), "cl", "left")
+            .select(
+                "vec_id",
+                F.when(
+                    F.coalesce(F.col("is_split"), F.lit(False))
+                    & (F.col("sub") == 1),
+                    F.col("cl") + F.lit(1 << bits),
+                )
+                .otherwise(F.col("cl"))
+                .alias("ckl"),
+                _sq8_code_from_ranges().alias("codes"),
+            )
+            .write.bucketBy(n_bkts, "ckl")
+            .sortBy("ckl")
             .saveAsTable(t_seg)
         )
         seg_tables.append(t_seg)
-    return t_codes, t_ranges, seg_tables, bits, n_bkts, thr
+    return t_codes, t_stats, seg_tables, bits, n_bkts, thr
 
 
 @register(
@@ -12073,13 +12184,13 @@ def ann_index_segment_lifecycle(
     from functools import reduce
 
     emb = load_table(spark, sf_dir, "embeddings")
-    t_codes, t_ranges, seg_tables, _bits, _n_bkts, thr = (
+    t_codes, t_stats, seg_tables, _bits, _n_bkts, thr = (
         _build_ann_segmented_index(spark, emb, "annlc")
     )
     # FOLD: rebuild v2 over the full corpus — ranges refreshed from
     # every vector, codes requantized (bits re-derived from the grown
     # count, so the list geometry also tracks the corpus)
-    t2_codes, t2_ranges, _b2, _n2 = _build_persisted_ann_index(
+    t2_codes, t2_stats, _b2, _n2 = _build_persisted_ann_index(
         spark, emb, "annlc_v2"
     )
 
@@ -12095,7 +12206,7 @@ def ann_index_segment_lifecycle(
         ") as int) END"
     )
     lrows = (
-        live_codes.join(spark.table(t_ranges), "cl", "left")
+        live_codes.join(spark.table(t_stats), "ckl", "left")
         .join(emb.select("vec_id", "label", "embedding"), "vec_id")
         .select(
             "vec_id",
@@ -12106,7 +12217,7 @@ def ann_index_segment_lifecycle(
     )
     frows = (
         spark.table(t2_codes)
-        .join(spark.table(t2_ranges), "cl")
+        .join(spark.table(t2_stats), "ckl")
         .join(emb.select("vec_id", "embedding"), "vec_id")
         .select("vec_id", _sq8_sse_from_codes().alias("fnano"))
     )
@@ -12240,19 +12351,19 @@ def ann_sq8pc_segmented_probe(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    t_codes, t_ranges, seg_tables, bits, _n_bkts, _thr = (
+    t_codes, t_stats, seg_tables, bits, _n_bkts, _thr = (
         _build_ann_segmented_index(spark, emb, "annsp")
     )
-    qs = _sq8_probe_set(emb, bits).transform(
-        ckpt
-    )  # read by K+1 per-table candidate joins
+    qs = _sq8_fan_to_children(
+        spark, _sq8_probe_set(emb, bits), t_stats, bits
+    ).transform(ckpt)  # read by K+1 per-table candidate joins
     cand = None
     for ts in [t_codes] + seg_tables:
         c = (
             spark.table(ts)
-            .join(F.broadcast(qs), "cl")
+            .join(F.broadcast(qs), "ckl")
             .filter(F.col("vec_id") != F.col("qid"))
-            .join(spark.table(t_ranges), "cl", "left")
+            .join(spark.table(t_stats), "ckl", "left")
             .select(
                 "qid",
                 F.col("vec_id").alias("nid"),
@@ -12590,6 +12701,73 @@ def ivf_subsplit_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_probe_parents(qrow, bits: int, probe_budget: int | None) -> list[int]:
+    """The serving request's parent-list probe set — home cluster
+    first, then the Hamming-1 neighbors in plane order, truncated to
+    ``probe_budget`` lists (None = the tier's full 1 + bits fan).  A
+    smaller budget trades recall for per-request IO linearly."""
+    parents = [int(qrow.cl0)] + [int(qrow.cl0) ^ (1 << i) for i in range(bits)]
+    return parents if probe_budget is None else parents[:probe_budget]
+
+
+def _ann_serve(
+    spark: SparkSession,
+    code_tables: list[str],
+    t_stats: str,
+    bits: int,
+    qv: list[float],
+    probe_parents: list[int],
+    k: int = 3,
+    exclude_id: int | None = None,
+    null_safe: bool = False,
+) -> DataFrame:
+    """Parameterized single-request ANN serving path over a persisted
+    (optionally segmented) index: (query vector, k, probe set) in,
+    top-k out.  The probed parent lists expand to their sub-split
+    children via ONE bounded stats lookup (<= |probe_parents| rows —
+    request-side, never corpus-sized), and the resulting child-key
+    set is pushed as a LITERAL IN-filter on EVERY bucketed codes scan
+    (v1 and each delta segment), so each scan prunes to the probed
+    buckets (SelectedBucketsCount, plan-gated) — per-request IO is
+    |probed lists| * |tables|, not |corpus|.  The stats scan for the
+    ADC join is literal-filtered identically; after the filter it is
+    bounded by the probe set, so the broadcast the planner picks here
+    is the documented-safe bounded case, unlike the batch form's
+    corpus-growing stats join.  ``null_safe`` covers segment reads
+    (vectors in lists v1 never saw carry all-zero codes)."""
+    split_rows = (
+        _ann_parent_stats(spark, t_stats)
+        .filter(F.col("is_split"))
+        .filter(F.col("cl").isin([int(c) for c in probe_parents]))
+        .select("cl")
+        .collect()
+    )
+    probe_ckls = sorted(
+        {int(c) for c in probe_parents}
+        | {int(r.cl) + (1 << bits) for r in split_rows}
+    )
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in qv])], "qid long, qv array<float>"
+    )
+    stats = spark.table(t_stats).filter(F.col("ckl").isin(probe_ckls))
+    cand = None
+    for ts in code_tables:
+        c = spark.table(ts).filter(F.col("ckl").isin(probe_ckls))
+        if exclude_id is not None:
+            c = c.filter(F.col("vec_id") != exclude_id)
+        c = (
+            c.join(stats, "ckl", "left" if null_safe else "inner")
+            .crossJoin(F.broadcast(qdf))
+            .select(
+                "qid",
+                F.col("vec_id").alias("nid"),
+                _sq8_adc_from_codes(null_safe=null_safe).alias("dist_nano"),
+            )
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    return _sq8_topk(cand, k=k)
+
+
 @register(
     "ann_sq8pc_persisted_serve",
     oracle=f"SELECT * FROM ({_sq8pc_oracle()}) WHERE qid = 0",
@@ -12611,12 +12789,17 @@ def ivf_subsplit_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_sq8pc_persisted_topk's qid=0 rows exactly (the oracle is "
     "the tier oracle restricted to qid 0).  The top-k window runs "
     "over one occupancy-bounded candidate set (~(1+bits)*256 rows) — "
-    "bounded by the adaptive-bits rule, never corpus-sized.",
+    "bounded by the adaptive-bits rule, never corpus-sized.  "
+    "Round 15: the registered entry is the qid-0 instantiation of "
+    "the PARAMETERIZED request form _ann_serve(query vector, k, "
+    "probe budget) — the probed parents expand over the persisted "
+    "sub-split geometry via one bounded stats lookup, and every "
+    "scan (codes AND stats) prunes on the literal child-key set.",
     tags=("llm", "similarity", "ivf", "layout"),
 )
 def ann_sq8pc_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    t_codes, t_ranges, bits, _n_bkts = _build_persisted_ann_index(
+    t_codes, t_stats, bits, _n_bkts = _build_persisted_ann_index(
         spark, emb, "annsv"
     )
     # the serving request: query vector + its probe clusters, both from
@@ -12626,21 +12809,108 @@ def ann_sq8pc_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("embedding", _rp_cluster_spark(bits).alias("cl0"))
         .first()
     )
-    probe_cls = [int(qrow.cl0)] + [
-        int(qrow.cl0) ^ (1 << i) for i in range(bits)
-    ]
-    qdf = spark.createDataFrame(
-        [(0, [float(x) for x in qrow.embedding])],
-        "qid long, qv array<float>",
+    return _ann_serve(
+        spark,
+        [t_codes],
+        t_stats,
+        bits,
+        [float(x) for x in qrow.embedding],
+        _ann_probe_parents(qrow, bits, probe_budget=None),
+        k=3,
+        exclude_id=0,
     )
+
+
+@register(
+    "ann_sq8pc_segmented_serve",
+    oracle=f"SELECT * FROM ({_ann_seg_probe_oracle()}) WHERE qid = 0",
+    doc="Single-query SERVING path over the SEGMENTED index — the "
+    "between-folds form ann_sq8pc_persisted_serve was missing: a "
+    "served answer must see v1 AND everything ingested since the "
+    "last fold, so the request's literal child-key probe set (one "
+    "bounded stats lookup expands the probed parents over the "
+    "persisted sub-split geometry) filters EVERY bucketed codes "
+    f"table — v1 plus each of the {_LSM_FOLD_K} delta-code segments "
+    "— and each scan prunes to the probed buckets "
+    "(SelectedBucketsCount on every table, plan-gated in "
+    "tests/test_bucketing.py): per-request IO is |probed lists| x "
+    "(K+1) tables, never |corpus|, and the K+1 term is exactly the "
+    "read-amplification the fold resets (ann_fold_policy_report "
+    "turns it into the fold verdict).  Candidate rows union AFTER "
+    "per-table pruning (the round-13 K-way-merge lesson), one "
+    "bounded top-k; segment codes carry v1 ranges by LEFT stats "
+    "join (null-safe ADC — a vector in a list v1 never saw "
+    "reconstructs to the all-zero codes it was written with).  "
+    "Answers equal ann_sq8pc_segmented_probe's qid-0 rows exactly "
+    "(the oracle is the segmented-tier oracle restricted to qid 0); "
+    "the registered entry is the qid-0 instantiation of the "
+    "parameterized _ann_serve(query vector, k, probe budget).",
+    tags=("llm", "similarity", "ivf", "layout"),
+)
+def ann_sq8pc_segmented_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    t_codes, t_stats, seg_tables, bits, _n_bkts, _thr = (
+        _build_ann_segmented_index(spark, emb, "annss")
+    )
+    qrow = (
+        emb.filter(F.col("vec_id") == 0)
+        .select("embedding", _rp_cluster_spark(bits).alias("cl0"))
+        .first()
+    )
+    return _ann_serve(
+        spark,
+        [t_codes] + seg_tables,
+        t_stats,
+        bits,
+        [float(x) for x in qrow.embedding],
+        _ann_probe_parents(qrow, bits, probe_budget=None),
+        k=3,
+        exclude_id=0,
+        null_safe=True,
+    )
+
+
+def _ann_batch_probe(
+    spark: SparkSession,
+    t_codes: str,
+    t_stats: str,
+    bits: int,
+    qs_parent: DataFrame,
+) -> DataFrame:
+    """Batch probe over the persisted index with a DETERMINISTIC
+    route choice — the middle ground between the broadcast batch form
+    (scans all codes) and the single-request serve (literal prune):
+    the batch's unioned child-key probe set is collected (bounded by
+    |batch| x (2 + bits) rows — request-side, never corpus-sized, the
+    same justified collect class as the serve path's .first()) and,
+    when it covers at most HALF the index's child lists
+    (2 x |probe set| <= n_children — an integer predicate), pushed as
+    a literal IN-filter so every index scan bucket-prunes; otherwise
+    the probe set is broadcast against the full bucketed scans (a
+    dense batch reads the whole index either way, and the broadcast
+    form wins by skipping the pruning bookkeeping).  Both routes are
+    candidate-identical, so the answer does not depend on the route —
+    only the IO does.  At production scale n_children ~ corpus/256
+    while a serving batch stays bounded, so the literal route is the
+    steady state and per-batch IO is |union of probed lists|, not
+    |corpus| — closing the x100 full-scan term SCALE_r14_ann.json
+    measured on the always-broadcast form."""
+    qs = _sq8_fan_to_children(spark, qs_parent, t_stats, bits).transform(
+        ckpt
+    )  # read by the route decision AND the candidate join
+    probe_ckls = sorted(
+        r.ckl for r in qs.select("ckl").distinct().collect()
+    )
+    n_children = spark.table(t_stats).count()
+    codes = spark.table(t_codes)
+    stats = spark.table(t_stats)
+    if 2 * len(probe_ckls) <= n_children:
+        codes = codes.filter(F.col("ckl").isin(probe_ckls))
+        stats = stats.filter(F.col("ckl").isin(probe_ckls))
     j = (
-        spark.table(t_codes)
-        # the literal probe-set filter: bucket pruning at the scan —
-        # per-request IO bounded by the probed lists
-        .filter(F.col("cl").isin(probe_cls))
-        .filter(F.col("vec_id") != 0)
-        .join(spark.table(t_ranges), "cl")
-        .crossJoin(F.broadcast(qdf))
+        codes.join(F.broadcast(qs), "ckl")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(stats, "ckl")
         .select(
             "qid",
             F.col("vec_id").alias("nid"),
@@ -12648,3 +12918,304 @@ def ann_sq8pc_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _sq8_topk(j)
+
+
+@register(
+    "ann_sq8pc_batch_pruned_topk",
+    oracle=_sq8pc_oracle(),
+    doc="Batch probe with DETERMINISTIC literal-vs-broadcast routing "
+    "(_ann_batch_probe): the real serving workload sits between the "
+    "broadcast batch form (ann_sq8pc_persisted_topk — scans every "
+    "code at any batch size) and the 1-request serve "
+    "(ann_sq8pc_persisted_serve — literal prune): a BOUNDED query "
+    "batch whose unioned probe-cluster set is far below n_lists.  "
+    "When the union covers at most half the child lists (integer "
+    "predicate, 2x|union| <= n_children), it is pushed as a literal "
+    "IN-filter and every index scan bucket-prunes "
+    "(SelectedBucketsCount, plan-gated on the sparse-batch shape in "
+    "tests/test_bucketing.py); above the threshold the broadcast "
+    "form is used unchanged.  The routes are candidate-identical — "
+    "same oracle as the tier, answers bit-identical regardless of "
+    "route — only per-batch IO changes, which is why the choice can "
+    "be an integer rule instead of a cost model.  The probe-set "
+    "collect is bounded by |batch| x (2 + bits) rows (request-side); "
+    "the index is never re-derived or re-shuffled on either route.",
+    tags=("llm", "similarity", "ivf", "layout"),
+)
+def ann_sq8pc_batch_pruned_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    t_codes, t_stats, bits, _n_bkts = _build_persisted_ann_index(
+        spark, emb, "annbp"
+    )
+    return _ann_batch_probe(
+        spark, t_codes, t_stats, bits, _sq8_probe_set(emb, bits)
+    )
+
+
+def _ann_seg_recall_oracle() -> str:
+    """Recall oracle for the SEGMENTED probe: the tier replay is the
+    segmented-probe oracle verbatim; the pruning ceiling fans with
+    the V1 bit count (nb1 — the geometry the tier actually probes
+    with, derived over vec_id < thr.t exactly like the builder); the
+    rollup is integer-sum micro-averages (order-free BIGINT sums,
+    one double division at the end)."""
+    return f"""
+    WITH seg AS (SELECT * FROM ({_ann_seg_probe_oracle()})),
+    thr AS (
+        SELECT CAST(floor(0.8 * (max(vec_id) + 1)) AS BIGINT) AS t
+        FROM embeddings
+    ),
+    {_ann_nb_sql("nb1", "WHERE vec_id < thr.t")},
+    cl1 AS (
+        SELECT vec_id,
+               {_rp_cluster_sql(_IVF_MAX_BITS)} % (1::BIGINT << nb1.bits)
+                   AS cl
+        FROM embeddings CROSS JOIN nb1
+    ),
+    probes1 AS (
+        SELECT cq.vec_id AS qid,
+               unnest(list_prepend(cq.cl, list_transform(
+                   list_filter({list(range(_IVF_MAX_BITS))},
+                               i -> i < nb1.bits),
+                   i -> xor(cq.cl, CAST(1 << i AS BIGINT))))) AS pcl
+        FROM cl1 cq CROSS JOIN nb1
+        WHERE cq.vec_id % 100 = 0
+    ),
+    qev AS (
+        SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    cev AS (
+        SELECT vec_id AS nid, generate_subscripts(embedding, 1) AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    dist AS (
+        SELECT q.qid, c.nid,
+               CAST(sum(CAST(round(pow(q.v - c.v, 2) * 1000000000, 0)
+                             AS BIGINT)) AS BIGINT) AS dn
+        FROM qev q JOIN cev c ON c.d = q.d AND c.nid <> q.qid
+        GROUP BY 1, 2
+    ),
+    exact3 AS (
+        SELECT qid, nid, rn FROM (
+            SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dn, nid) AS rn
+            FROM dist
+        ) WHERE rn <= 3
+    ),
+    per_q AS (
+        SELECT b.qid,
+               CAST(count(i.nid) AS BIGINT) AS n_hit,
+               CAST(count(*) AS BIGINT) AS k
+        FROM exact3 b
+        LEFT JOIN seg i ON i.qid = b.qid AND i.nid = b.nid
+        GROUP BY 1
+    ),
+    top1 AS (
+        SELECT b.qid,
+               max(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS agree
+        FROM exact3 b
+        LEFT JOIN seg i ON i.qid = b.qid AND i.nid = b.nid AND i.rn = 1
+        WHERE b.rn = 1
+        GROUP BY 1
+    ),
+    listq AS (
+        SELECT b.qid,
+               CAST(count(p.pcl) AS BIGINT) AS n_list,
+               CAST(count(*) AS BIGINT) AS lk
+        FROM exact3 b
+        JOIN cl1 n ON n.vec_id = b.nid
+        LEFT JOIN probes1 p ON p.qid = b.qid AND p.pcl = n.cl
+        GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(CAST(sum(p.n_hit) AS DOUBLE) / sum(p.k), 4)
+               AS recall_at_3,
+           round(CAST(sum(t.agree) AS DOUBLE) / count(*), 4)
+               AS top1_agreement,
+           round(CAST(sum(l.n_list) AS DOUBLE) / sum(l.lk), 4)
+               AS list_recall_ceiling,
+           round(CAST(sum(l.n_list) AS DOUBLE) / sum(l.lk)
+                 - CAST(sum(p.n_hit) AS DOUBLE) / sum(p.k), 4)
+               AS quant_stale_loss
+    FROM per_q p
+    JOIN top1 t ON t.qid = p.qid
+    JOIN listq l ON l.qid = p.qid
+    """
+
+
+@register(
+    "ann_seg_recall_audit",
+    oracle=_ann_seg_recall_oracle(),
+    doc="RECALL GATE for the between-folds read path — what "
+    "ann_index_segment_lifecycle prices in reconstruction MSE, "
+    "priced in what a USER sees: recall@3 and top-1 agreement of "
+    "the v1 + K-segments answer (ann_sq8pc_segmented_probe) against "
+    "the exact integer-nano-unit L2 top-3 over the FULL corpus "
+    "(index + everything ingested since the fold), with the loss "
+    "DECOMPOSED: list_recall_ceiling is the fraction of exact top-3 "
+    "reachable through the V1 probe lists at all (the tier fans "
+    "with v1 bits until the fold — the ceiling uses exactly that "
+    "geometry), and quant_stale_loss = ceiling - recall is the "
+    "damage from uint8 quantization PLUS stale v1 ranges clamping "
+    "segment vectors — the component the fold heals (the MSE heal "
+    "is ~100x, gated in tests/test_stats_invariants.py; this audit "
+    "gates that the RANKINGS survive too).  Fold policy rule: when "
+    "quant_stale_loss grows past the fold budget while the "
+    "out-of-band count streaming_ann_vector_ingest emits keeps "
+    "rising, ann_fold_policy_report flips to fold=true — this audit "
+    "is the user-facing number that justifies the threshold.  "
+    "Rollup discipline: integer BIGINT sums per component, ONE "
+    "double division after aggregation (order-free on both "
+    "engines).  Scale: exact baseline = query sample x corpus "
+    "(the declared exact-baseline pattern), tier cost = the "
+    "segmented probe itself; audit class — run on a sample per "
+    "fold cycle, never per query.",
+    tags=("llm", "similarity", "quality", "dataops"),
+)
+def ann_seg_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.agg(
+        F.floor(0.8 * (F.max("vec_id") + 1)).cast("bigint")
+    ).first()[0]
+    v1_bits = _rp_adaptive_bits(emb.filter(F.col("vec_id") < t).count())
+    return _sq8_recall_report(
+        spark, sf_dir, ann_sq8pc_segmented_probe, bits=v1_bits, micro=True
+    )
+
+
+# Fold-policy thresholds — literals on purpose (an integer rule both
+# engines evaluate exactly, not a cost model): fold when the segment
+# count reaches the LSM budget, when >5% of ingested vectors clamped
+# against stale v1 ranges (20 * n_oob > n_seg), or when segments carry
+# >25% of the corpus (4 * n_seg > n_total).
+_ANN_FOLD_MAX_SEGMENTS = _LSM_FOLD_K
+
+
+def _ann_fold_policy_oracle() -> str:
+    return f"""
+    WITH {_ann_lifecycle_core_sql()},
+    segv AS (
+        SELECT e.vec_id,
+               max(CASE WHEN s.mn IS NULL OR e.v < s.mn OR e.v > s.mx
+                        THEN 1 ELSE 0 END) AS oob
+        FROM ev e
+        JOIN cl1 c ON c.vec_id = e.vec_id
+        LEFT JOIN cdims1 s ON s.cl = c.cl AND s.d = e.d
+        CROSS JOIN thr
+        WHERE e.vec_id >= thr.t
+        GROUP BY 1
+    ),
+    sega AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_seg,
+               CAST(sum(oob) AS BIGINT) AS n_oob
+        FROM segv
+    ),
+    idxa AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_idx
+        FROM embeddings CROSS JOIN thr WHERE vec_id < thr.t
+    )
+    SELECT CAST({_LSM_FOLD_K} AS BIGINT) AS n_segments,
+           n_idx AS n_index_vecs,
+           n_seg AS n_segment_vecs,
+           n_oob AS n_oob_segment,
+           round(CAST(n_oob AS DOUBLE) / n_seg, 6) AS oob_frac,
+           round(CAST(n_seg AS DOUBLE) / (n_seg + n_idx), 6) AS seg_frac,
+           CAST({_LSM_FOLD_K + 1} AS BIGINT) AS probe_read_amp,
+           ({1 if _LSM_FOLD_K >= _ANN_FOLD_MAX_SEGMENTS else 0} = 1)
+               OR (20 * n_oob > n_seg)
+               OR (4 * n_seg > n_seg + n_idx) AS should_fold,
+           CASE WHEN {1 if _LSM_FOLD_K >= _ANN_FOLD_MAX_SEGMENTS else 0} = 1
+                     THEN 'k_segments_at_budget'
+                WHEN 20 * n_oob > n_seg THEN 'stale_range_oob'
+                WHEN 4 * n_seg > n_seg + n_idx THEN 'segment_mass'
+                ELSE 'none' END AS reason
+    FROM sega CROSS JOIN idxa
+    """
+
+
+@register(
+    "ann_fold_policy_report",
+    oracle=_ann_fold_policy_oracle(),
+    doc="FOLD-DECISION operator — the verdict the fold signals were "
+    "missing: ann_index_segment_lifecycle prices the drift, "
+    "streaming_ann_vector_ingest emits the out-of-band counts, the "
+    "segmented probe/serve pay the (K+1)-table read-amplification — "
+    "this query turns those inputs into fold / no-fold with the "
+    "thresholds as LITERALS (an integer rule, not a cost model): "
+    f"fold when K >= {_ANN_FOLD_MAX_SEGMENTS} segments (the LSM "
+    "budget — read-amp is K+1 tables per request), when >5% of "
+    "ingested vectors clamped against stale v1 ranges "
+    "(20 * n_oob > n_seg — the precursor of the recall damage "
+    "ann_seg_recall_audit measures), or when segments carry >25% of "
+    "the corpus (4 * n_seg > n_total — the fold's linear rebuild is "
+    "then amortized).  All three predicates are exact integer "
+    "comparisons on both engines; the fractions are reported "
+    "(rounded) for the dashboard, never compared.  Every input is "
+    "computed FROM the persisted artifacts (segment codes + v1 "
+    "stats), so the report audits the index as it exists, not a "
+    "bypass plan; examples/run_ann_index_pipeline.py folds WHEN "
+    "this report says so rather than unconditionally.  Scale "
+    "shape: one linear pass over segment codes joined to the "
+    "n_lists-sized stats table on the bucketed child key, two "
+    "1-row aggregates — audit class, run per ingest cycle.",
+    tags=("llm", "similarity", "ivf", "stats", "dataops", "pipeline"),
+)
+def ann_fold_policy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t_codes, t_stats, seg_tables, _bits, _n_bkts, _thr = (
+        _build_ann_segmented_index(spark, emb, "annfp")
+    )
+    seg_codes = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.table(t) for t in seg_tables],
+    )
+    oob = F.expr(
+        "CASE WHEN mns IS NULL THEN 1 ELSE cast(exists("
+        f"sequence(1, {_RP_DIM}), d -> "
+        "cast(element_at(embedding, d) as double) < element_at(mns, d) OR "
+        "cast(element_at(embedding, d) as double) > element_at(mxs, d)"
+        ") as int) END"
+    )
+    sega = (
+        seg_codes.join(spark.table(t_stats), "ckl", "left")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_seg"),
+            F.sum(oob).cast("bigint").alias("n_oob"),
+        )
+    )
+    idxa = spark.table(t_codes).agg(
+        F.count("*").cast("bigint").alias("n_idx")
+    )
+    k_full = F.lit(_LSM_FOLD_K >= _ANN_FOLD_MAX_SEGMENTS)
+    oob_hot = 20 * F.col("n_oob") > F.col("n_seg")
+    seg_heavy = 4 * F.col("n_seg") > F.col("n_seg") + F.col("n_idx")
+    return sega.crossJoin(F.broadcast(idxa)).select(
+        F.lit(_LSM_FOLD_K).cast("bigint").alias("n_segments"),
+        F.col("n_idx").alias("n_index_vecs"),
+        F.col("n_seg").alias("n_segment_vecs"),
+        F.col("n_oob").alias("n_oob_segment"),
+        F.round(F.col("n_oob").cast("double") / F.col("n_seg"), 6).alias(
+            "oob_frac"
+        ),
+        F.round(
+            F.col("n_seg").cast("double")
+            / (F.col("n_seg") + F.col("n_idx")),
+            6,
+        ).alias("seg_frac"),
+        F.lit(_LSM_FOLD_K + 1).cast("bigint").alias("probe_read_amp"),
+        (k_full | oob_hot | seg_heavy).alias("should_fold"),
+        F.when(k_full, F.lit("k_segments_at_budget"))
+        .when(oob_hot, F.lit("stale_range_oob"))
+        .when(seg_heavy, F.lit("segment_mass"))
+        .otherwise(F.lit("none"))
+        .alias("reason"),
+    )

@@ -1112,7 +1112,9 @@ def streaming_ann_vector_ingest(
     from pyspark.sql import functions as F
 
     from ..plans.queries_llm import (
+        _IVF_MAX_BITS,
         _RP_DIM,
+        _ann_parent_stats,
         _build_persisted_ann_index,
         _rp_cluster_spark,
         _sq8_code_from_ranges,
@@ -1123,11 +1125,16 @@ def streaming_ann_vector_ingest(
     t_split = emb.agg(
         F.floor(0.8 * (F.max("vec_id") + 1)).cast("bigint")
     ).first()[0]
-    _tc, t_ranges, bits, _nb = _build_persisted_ann_index(
+    _tc, t_stats, bits, _nb = _build_persisted_ann_index(
         spark,
         emb.filter(F.col("vec_id") < t_split).select("vec_id", "embedding"),
         "stream_ann",
     )
+    # ranges per PARENT list (round 15: the stats table is child-keyed;
+    # split parents appear on both children with identical ranges, so
+    # joining the full table on cl would duplicate their vectors)
+    pstats = _ann_parent_stats(spark, t_stats)
+    ext = min(bits + 1, _IVF_MAX_BITS)
 
     out = tempfile.mkdtemp(prefix="stream_ann_sink_")
     ckpt_dir = tempfile.mkdtemp(prefix="stream_ann_ckpt_")
@@ -1145,13 +1152,26 @@ def streaming_ann_vector_ingest(
                 "vec_id",
                 "label",
                 "embedding",
-                _rp_cluster_spark(bits).alias("cl"),
+                _rp_cluster_spark(ext).alias("cle"),
             )
-            .join(spark.table(t_ranges), "cl", "left")
             .select(
                 "vec_id",
                 "label",
-                "cl",
+                "embedding",
+                (F.col("cle") % F.lit(1 << bits)).alias("cl"),
+                F.expr(f"div(cle, {1 << bits})").alias("sub"),
+            )
+            .join(pstats, "cl", "left")
+            .select(
+                "vec_id",
+                "label",
+                F.when(
+                    F.coalesce(F.col("is_split"), F.lit(False))
+                    & (F.col("sub") == 1),
+                    F.col("cl") + F.lit(1 << bits),
+                )
+                .otherwise(F.col("cl"))
+                .alias("ckl"),
                 _sq8_code_from_ranges().alias("codes"),
                 oob.alias("oob"),
             )
@@ -1159,8 +1179,10 @@ def streaming_ann_vector_ingest(
         # (a) the delta-codes segment fragment — batch_id-keyed
         # overwrite, so replays are idempotent; the background fold
         # compacts fragments into the next bucketed index version
+        # (fragments carry the index's CHILD list key, so the fold and
+        # the segmented probe see the same geometry as the index)
         (
-            coded.select("vec_id", "cl", "codes")
+            coded.select("vec_id", "ckl", "codes")
             .write.mode("overwrite")
             .parquet(f"{out}/segments/batch_id={int(batch_id)}")
         )

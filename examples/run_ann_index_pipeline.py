@@ -1,24 +1,34 @@
 """Persisted-ANN-index lifecycle runner — the similarity-search
 companion to ``run_corpus_pipeline.py``.
 
-Chains the round-14 persisted-index operators the way a vector-search
-owner runs them against a growing embedding corpus:
+Chains the persisted-index operators the way a vector-search owner
+runs them against a growing embedding corpus:
 
-1. BUILD: materialize the IVF-SQ8pc index — uint8 codes bucketed on
-   the inverted-list key + the per-list [min, max] range table —
-   once for the current corpus version (``_build_persisted_ann_index``,
-   the layout behind ``ann_sq8pc_persisted_topk``).
-2. PROBE: top-3 neighbors for the query sample, read entirely from
-   the persisted tables (zero index-side Exchange — plan-gated in
-   ``tests/test_bucketing.py``); plus the SERVING form
-   (``ann_sq8pc_persisted_serve``) — one request's probe clusters as
-   literal filters, bucket-pruned at the scan.
+1. BUILD + PROBE: materialize the IVF-SQ8pc index — uint8 codes
+   bucketed on the CHILD list key (the round-15 layout: the hot-list
+   sub-split geometry is part of the index version) plus the merged
+   per-list stats table — once for the current corpus version, then
+   top-3 for the query sample read entirely from the persisted tables
+   (zero index-side Exchange — plan-gated in
+   ``tests/test_bucketing.py``).
+2. SERVE: the single-request form (``ann_sq8pc_persisted_serve``,
+   the parameterized ``_ann_serve``) — one request's probe clusters
+   as literal filters, every scan bucket-pruned; and the BATCH form
+   with deterministic literal-vs-broadcast routing
+   (``ann_sq8pc_batch_pruned_topk``).
 3. INGEST: append K delta-code segments quantized against the
-   CURRENT ranges (``_build_ann_segmented_index``'s per-ingest shape),
-   then probe v1 + segments (``ann_sq8pc_segmented_probe``).
-4. FOLD DECISION: print ``ann_index_segment_lifecycle``'s drift
-   report — clamped segment vectors and live-vs-folded reconstruction
-   MSE — the table that justifies (or defers) the v2 rebuild.
+   CURRENT ranges (``_build_ann_segmented_index``'s per-ingest
+   shape), then probe v1 + segments (``ann_sq8pc_segmented_probe``)
+   and serve over v1 + segments (``ann_sq8pc_segmented_serve`` —
+   between folds a served answer must see everything ingested).
+4. AUDIT: ``ann_seg_recall_audit`` — recall@3 / top-1 of the
+   between-folds path vs the exact baseline, staleness decomposed
+   from the v1 list ceiling.
+5. FOLD DECISION: ``ann_fold_policy_report`` turns the fold signals
+   (segment count vs the LSM budget, stale-range out-of-band
+   fraction, segment mass) into fold / no-fold with literal integer
+   thresholds — and the fold (``ann_index_segment_lifecycle``'s v2
+   rebuild + drift pricing) runs ONLY when the verdict says so.
 
 Every stage is deterministic (integer/sign arithmetic only), so
 re-running reproduces identical codes, candidates, and rankings; the
@@ -54,31 +64,53 @@ def main() -> None:
     spark = get_spark("ann-index-pipeline")
     spark.sparkContext.setLogLevel("WARN")
 
-    # 1+2. build once, probe from the persisted tables
+    # 1. build once (sub-split geometry baked into the version), probe
+    # from the persisted tables
     print("== persisted-index probe (top-3 per sampled query) ==")
     REGISTRY["ann_sq8pc_persisted_topk"].fn(spark, sf_dir).show(9)
 
-    # 2b. the SERVING form: one request's probe clusters pushed as
-    # literal filters — the bucketed codes scan prunes to the probed
-    # lists (per-request IO = |probed lists|, not |corpus|)
+    # 2. the SERVING forms: one request's probe clusters pushed as
+    # literal filters (bucket-pruned scans), and the batch form whose
+    # route — literal prune vs broadcast — is an integer rule on the
+    # batch's unioned probe set
     print("== serving path (bucket-pruned single request) ==")
     REGISTRY["ann_sq8pc_persisted_serve"].fn(spark, sf_dir).show()
+    print("== batch probe (deterministic literal/broadcast routing) ==")
+    REGISTRY["ann_sq8pc_batch_pruned_topk"].fn(spark, sf_dir).show(9)
 
-    # 3. segments accumulate between folds; the probe fans over
-    # v1 + K bucketed code segments, each branch exchange-free
+    # 3. segments accumulate between folds; probe AND serve fan over
+    # v1 + K bucketed code segments, each branch exchange-free /
+    # bucket-pruned
     print("== segmented probe (v1 + delta-code segments) ==")
     REGISTRY["ann_sq8pc_segmented_probe"].fn(spark, sf_dir).show(9)
+    print("== segmented serve (one request over v1 + segments) ==")
+    REGISTRY["ann_sq8pc_segmented_serve"].fn(spark, sf_dir).show()
 
-    # 4. the fold decision table: stale-range drift vs post-fold error
-    print("== segment lifecycle / fold-decision report ==")
-    REGISTRY["ann_index_segment_lifecycle"].fn(spark, sf_dir).show(
-        truncate=False
-    )
-    print(
-        "fold rule of thumb: mse_live_segment >> mse_folded_segment "
-        "(stale ranges clamp arriving vectors) or probe_vs_k read-amp "
-        "past budget (SCALE_r14_ann.json) -> run the fold."
-    )
+    # 4. the user-facing staleness gate: recall of the between-folds
+    # path vs the exact baseline, loss decomposed from the v1 ceiling
+    print("== segmented recall audit ==")
+    REGISTRY["ann_seg_recall_audit"].fn(spark, sf_dir).show(truncate=False)
+
+    # 5. fold ONLY when the policy says so (segment budget / stale
+    # out-of-band fraction / segment mass — literal integer rules)
+    print("== fold policy ==")
+    policy = REGISTRY["ann_fold_policy_report"].fn(spark, sf_dir)
+    policy.show(truncate=False)
+    verdict = policy.collect()[0]
+    if verdict.should_fold:
+        print(
+            f"fold verdict: FOLD ({verdict.reason}) -> running the v2 "
+            "rebuild + drift pricing"
+        )
+        print("== segment lifecycle / fold report ==")
+        REGISTRY["ann_index_segment_lifecycle"].fn(spark, sf_dir).show(
+            truncate=False
+        )
+    else:
+        print(
+            "fold verdict: DEFER (reason=none) — segments stay live; "
+            "re-run the policy after the next ingest"
+        )
 
 
 if __name__ == "__main__":

@@ -473,13 +473,36 @@ def test_lifecycle_multiseg_merge_single_segment_side_exchange(
             reset_bucket_table(spark, t)
 
 
+def assert_index_scans_unshuffled(plan, needle):
+    """Every read of the ``needle`` index table must reach its
+    SortMergeJoin with NO index-side re-shuffle (Filter / Project /
+    local Sort allowed).  A BroadcastExchange is allowed only ABOVE a
+    join in the chain — that broadcasts a probe-side join RESULT
+    (bounded by the query sample), never the raw index scan; a
+    shuffle Exchange anywhere, or a broadcast of the scan itself, is
+    the regression."""
+    for chain in ancestors_until_each(plan, needle, "SortMergeJoin"):
+        seen_join = False
+        for t in chain:  # nearest ancestor first
+            if "BroadcastExchange" in t:
+                assert seen_join, (needle, chain)
+            elif "Exchange" in t:
+                raise AssertionError((needle, chain))
+            if "Join" in t:
+                seen_join = True
+
+
 def test_persisted_ann_probe_no_index_side_exchange(spark, sf_dir):
     """ann_sq8pc_persisted_topk: the probe must never re-shuffle the
     persisted ANN index — the bucketed codes scan reaches its joins
     with no Exchange (the broadcast query sample prunes in place), and
-    the candidate→ranges join is bucket-co-located (the per-list range
-    table is JOINED on cl, never broadcast, and arrives exchange-free
-    because both sides are pre-bucketed at the same count)."""
+    the candidate→stats join is bucket-co-located on the child key
+    ckl (the merged per-list stats table is JOINED, never broadcast,
+    and arrives exchange-free because both sides are pre-bucketed at
+    the same count).  The stats table is also read by the probe
+    fan-out (_sq8_fan_to_children): that scan streams into a
+    BroadcastHashJoin against the broadcast query sample and only the
+    join RESULT is broadcast."""
     from causality_between_elements_based_on_time_series_data_spark.lineage import (
         lineage_cuts_disabled,
     )
@@ -496,11 +519,8 @@ def test_persisted_ann_probe_no_index_side_exchange(spark, sf_dir):
             )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
-    # every read of the codes/ranges tables reaches its SortMergeJoin
-    # with no index-side re-shuffle (Filter/Project/local Sort allowed)
-    for needle in ("annp_codes", "annp_ranges"):
-        for chain in ancestors_until_each(plan, needle, "SortMergeJoin"):
-            assert not any("Exchange" in t for t in chain), (needle, chain)
+    for needle in ("annp_codes", "annp_stats"):
+        assert_index_scans_unshuffled(plan, needle)
     # both index tables read through the bucketed-scan path
     assert plan.count("Bucketed: true") >= 2, plan
 
@@ -527,6 +547,15 @@ def test_persisted_ann_probe_matches_in_memory_tier(spark, sf_dir):
         )
     )
     assert a == b and len(a) > 0
+    # and to the in-memory SUB-SPLIT tier — the persisted index carries
+    # the split geometry (round 15), answers unchanged by identity
+    c = sorted(
+        map(
+            tuple,
+            REGISTRY["ann_sq8pc_subsplit_topk"].fn(spark, sf_dir).collect(),
+        )
+    )
+    assert a == c
 
 
 def test_segmented_ann_probe_no_index_side_exchange(spark, sf_dir):
@@ -553,12 +582,71 @@ def test_segmented_ann_probe_no_index_side_exchange(spark, sf_dir):
             )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
-    for needle in ("annsp_codes", "annsp_seg", "annsp_ranges"):
-        for chain in ancestors_until_each(plan, needle, "SortMergeJoin"):
-            assert not any("Exchange" in t for t in chain), (needle, chain)
-    # v1 codes + 4 segments + the ranges table read per branch: every
+    for needle in ("annsp_codes", "annsp_seg", "annsp_stats"):
+        assert_index_scans_unshuffled(plan, needle)
+    # v1 codes + 4 segments + the stats table read per branch: every
     # index-side scan goes through the bucketed path
     assert plan.count("Bucketed: true") >= 10, plan
+
+
+def test_persisted_index_carries_subsplit_geometry(spark, sf_dir):
+    """Round 15: the sub-split decision is part of the index VERSION —
+    the PERSISTED codes table's occupancy distribution (grouped by its
+    child key ckl) must show the actuator's effect: over-threshold
+    mass 0 and max child occupancy equal to what
+    ivf_subsplit_skew_report measures on the in-memory tier, and the
+    persisted stats table must carry one row per child with parent
+    ranges duplicated onto both children of every split list."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        _build_persisted_ann_index,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table as lt,
+        reset_bucket_table,
+    )
+
+    emb = lt(spark, sf_dir, "embeddings")
+    t_codes, t_stats, bits, _n = _build_persisted_ann_index(
+        spark, emb, "annsubgeo"
+    )
+    try:
+        rep = REGISTRY["ivf_subsplit_skew_report"].fn(spark, sf_dir).collect()[0]
+        occ2 = (
+            spark.table(t_codes)
+            .groupBy("ckl")
+            .agg(F.count("*").alias("occ"))
+            .collect()
+        )
+        assert rep.n_split >= 1, rep  # fixture must exercise a split
+        assert len(occ2) == rep.n_lists_after, (len(occ2), rep)
+        assert max(r.occ for r in occ2) == rep.max_occ_after, rep
+        # over-threshold mass on the PERSISTED layout (the before-mean
+        # yardstick, exactly the report's integer predicate)
+        over = sum(
+            r.occ
+            for r in occ2
+            if 4 * r.occ * rep.n_lists_before > 5 * rep.n_vecs
+        )
+        assert over == rep.over_mass_after == 0, (over, rep)
+        # stats: one row per child, split parents present on BOTH keys
+        # with identical parent ranges
+        stats = spark.table(t_stats).collect()
+        assert len(stats) == rep.n_lists_after
+        by_parent = {}
+        for r in stats:
+            by_parent.setdefault(r.cl, []).append(r)
+        for cl, rows in by_parent.items():
+            assert len(rows) == (2 if rows[0].is_split else 1), rows
+            if len(rows) == 2:
+                assert rows[0].mns == rows[1].mns
+                assert rows[0].mxs == rows[1].mxs
+                assert {r.ckl for r in rows} == {cl, cl + (1 << bits)}
+    finally:
+        for t in (t_codes, t_stats):
+            reset_bucket_table(spark, t)
 
 
 def test_subsplit_stats_join_streams_the_corpus(spark, sf_dir):
@@ -609,3 +697,72 @@ def test_persisted_ann_serve_prunes_buckets(spark, sf_dir):
     # the batch form's corpus-growing stats table
     for chain in ancestors_until_each(plan, "annsv_codes", "Join"):
         assert not any("Exchange" in t for t in chain), chain
+
+
+def test_segmented_ann_serve_prunes_all_tables(spark, sf_dir):
+    """ann_sq8pc_segmented_serve: the literal child-key probe set must
+    prune EVERY scanned table — v1 codes, each delta-code segment, and
+    the stats reads (SelectedBucketsCount strictly below the bucket
+    count on each) — per-request IO is |probed lists| x (K+1) tables,
+    never |corpus|; and every codes scan reaches its first join in
+    place (Filter only, no Exchange)."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+
+    plan = _formatted_plan(
+        REGISTRY["ann_sq8pc_segmented_serve"].fn(spark, sf_dir)
+    )
+    ms = re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    # v1 codes + 4 segments + their stats reads
+    assert len(ms) >= 6, plan
+    for sel, tot in ms:
+        assert int(sel) < int(tot), plan
+    for needle in ("annss_codes", "annss_seg"):
+        assert needle in plan, plan
+        for chain in ancestors_until_each(plan, needle, "Join"):
+            assert not any("Exchange" in t for t in chain), (needle, chain)
+
+
+def test_batch_probe_literal_route_prunes_and_matches(spark, sf_dir):
+    """_ann_batch_probe (ann_sq8pc_batch_pruned_topk's engine): a
+    sparse batch (one query) must take the LITERAL route — index scans
+    bucket-prune to the unioned probe set — and answer exactly the
+    broadcast tier's rows for that query (the routes are
+    candidate-identical; only IO differs)."""
+    from causality_between_elements_based_on_time_series_data_spark.plans import (
+        REGISTRY,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        _ann_batch_probe,
+        _build_persisted_ann_index,
+        _sq8_probe_set,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t_codes, t_stats, bits, _n = _build_persisted_ann_index(
+        spark, emb, "annbl"
+    )
+    try:
+        qs1 = _sq8_probe_set(emb, bits).filter(F.col("qid") == 0)
+        out = _ann_batch_probe(spark, t_codes, t_stats, bits, qs1)
+        plan = _formatted_plan(out)
+        ms = re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert len(ms) >= 2, plan  # codes AND stats scans prune
+        for sel, tot in ms:
+            assert int(sel) < int(tot), plan
+        got = sorted(map(tuple, out.collect()))
+        full = sorted(
+            t
+            for t in map(
+                tuple,
+                REGISTRY["ann_sq8pc_persisted_topk"]
+                .fn(spark, sf_dir)
+                .collect(),
+            )
+            if t[0] == 0
+        )
+        assert got == full and len(got) == 3
+    finally:
+        for t in (t_codes, t_stats):
+            reset_bucket_table(spark, t)

@@ -48,6 +48,8 @@ NON_QUERY_ALLOWLIST = {
     "with_global_cumsum", "with_hot_cell_subsplit", "broadcast_offsets",
     "ckpt", "ckpt_eager", "lineage_cuts_disabled",
     "candidate_jaccard_scores", "list_recall_ceiling",
+    # round-15 persisted-ANN layout columns documented in prose
+    "ckl", "quant_stale_loss",
     "test_compaction_occupancy_merge_has_zero_exchange",
     "test_lifecycle_multiseg_merge_single_segment_side_exchange",
     # test names cited in prose

@@ -425,3 +425,49 @@ def test_segmented_probe_ranking_survives_stale_ranges(spark, sf_dir):
     top3 = sum(len(mono3[q] & seg3[q]) for q in qs) / (3.0 * len(qs))
     assert top1 >= 0.8, (top1, qs)
     assert top3 >= 0.8, top3
+
+
+def test_seg_recall_audit_floor_and_decomposition(spark, sf_dir):
+    """ann_seg_recall_audit (round 15): the between-folds read path's
+    user-facing gate — recall@3 of the v1+K-segments answer vs the
+    exact L2 baseline can never exceed the v1 list ceiling, the
+    staleness decomposition must reconcile, and stale ranges must not
+    eat rankings (measured quant_stale_loss = 0.0 at sf0.01 AND
+    sf0.1: recall sits exactly on the pruning ceiling — gate at a
+    conservative 0.05)."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        ann_seg_recall_audit,
+    )
+
+    r = ann_seg_recall_audit(spark, sf_dir).collect()[0]
+    assert r.n_queries >= 5
+    assert r.recall_at_3 <= r.list_recall_ceiling + 1e-9, r
+    assert (
+        abs(r.quant_stale_loss - (r.list_recall_ceiling - r.recall_at_3))
+        <= 2e-4
+    ), r
+    assert r.recall_at_3 >= 0.5, r  # fixture floor (0.5333 measured)
+    assert r.quant_stale_loss <= 0.05, r
+
+
+def test_fold_policy_report_consistency(spark, sf_dir):
+    """ann_fold_policy_report (round 15): the verdict's inputs must
+    reconcile with the lifecycle audit's own accounting (same
+    persisted artifacts, same oob rule), read-amp must be K+1, and at
+    the LSM budget (K = _LSM_FOLD_K segments) the verdict is
+    deterministically fold=true with the budget reason."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        _LSM_FOLD_K,
+        ann_fold_policy_report,
+        ann_index_segment_lifecycle,
+    )
+
+    p = ann_fold_policy_report(spark, sf_dir).collect()[0]
+    lc = ann_index_segment_lifecycle(spark, sf_dir).collect()
+    assert p.n_oob_segment == sum(r.n_oob_segment for r in lc), (p, lc)
+    assert p.n_segment_vecs == sum(r.n_segment_vecs for r in lc)
+    assert p.n_index_vecs == sum(r.n_index_vecs for r in lc)
+    assert p.n_segments == _LSM_FOLD_K
+    assert p.probe_read_amp == p.n_segments + 1
+    assert bool(p.should_fold) is True
+    assert p.reason == "k_segments_at_budget"

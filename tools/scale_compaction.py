@@ -210,7 +210,9 @@ def lifecycle() -> None:
 
 
 def ann() -> None:
-    """--ann: the persisted-ANN-index scale curves (round 14).
+    """--ann: the persisted-ANN-index scale curves (round 15: the
+    index carries the sub-split geometry — probes fan over the
+    persisted child keys).
 
     (a) probe cost vs corpus scale k in {1,10,30}: the corpus is the
     sf0.1 embeddings replicated k times (vec_id shifted, vectors
@@ -229,16 +231,19 @@ def ann() -> None:
     then the fold rebuilds v2 and the probe runs flat-after — the ANN
     read-amplification curve mirroring SCALE_r13_lsm.json.
 
-    Writes SCALE_r14_ann.json."""
+    Writes SCALE_r15_ann.json."""
     from pyspark.sql import functions as F
 
     from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        _ann_parent_stats,
         _build_persisted_ann_index,
         _rp_adaptive_bits,
         _rp_cluster_spark,
         _sq8_adc_from_codes,
         _sq8_code_from_ranges,
+        _sq8_fan_to_children,
         _sq8_topk,
+        _subsplit_assigned,
     )
     from causality_between_elements_based_on_time_series_data_spark.session import (
         get_spark,
@@ -270,7 +275,7 @@ def ann() -> None:
             out = out.unionByName(c)
         return out
 
-    def probe_set(emb_k, bits):
+    def probe_set(emb_k, bits, t_stats):
         q = emb_k.filter(
             (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < stride)
         ).select(
@@ -278,7 +283,7 @@ def ann() -> None:
             F.col("embedding").alias("qv"),
             _rp_cluster_spark(bits).alias("cl0"),
         )
-        return q.select(
+        parents = q.select(
             "qid",
             "qv",
             F.explode(
@@ -291,18 +296,19 @@ def ann() -> None:
                 )
             ).alias("cl"),
         )
+        return _sq8_fan_to_children(spark, parents, t_stats, bits)
 
-    def timed_probe(code_tables, t_ranges, qs, null_safe=False) -> float:
+    def timed_probe(code_tables, t_stats, qs, null_safe=False) -> float:
         t0 = time.monotonic()
         cand = None
         for ts in code_tables:
             c = (
                 spark.table(ts)
-                .join(F.broadcast(qs), "cl")
+                .join(F.broadcast(qs), "ckl")
                 .filter(F.col("vec_id") != F.col("qid"))
                 .join(
-                    spark.table(t_ranges),
-                    "cl",
+                    spark.table(t_stats),
+                    "ckl",
                     "left" if null_safe else "inner",
                 )
                 .select(
@@ -330,23 +336,23 @@ def ann() -> None:
     for k in ann_scales:
         emb_k = replicate(k)
         t0 = time.monotonic()
-        t_codes, t_ranges, bits, _nb = _build_persisted_ann_index(
+        t_codes, t_stats, bits, _nb = _build_persisted_ann_index(
             spark, emb_k, f"annscale_x{k}"
         )
         build_s = round(time.monotonic() - t0, 3)
-        qs = probe_set(emb_k, bits).localCheckpoint(eager=True)
-        probe_s = min(timed_probe([t_codes], t_ranges, qs) for _ in range(3))
+        qs = probe_set(emb_k, bits, t_stats).localCheckpoint(eager=True)
+        probe_s = min(timed_probe([t_codes], t_stats, qs) for _ in range(3))
         curve.append(
             {"k": k, "bits": bits, "build_s": build_s, "probe_s": probe_s}
         )
         print(f"[ann] x{k}: {curve[-1]}", file=sys.stderr)
-        for t in (t_codes, t_ranges):
+        for t in (t_codes, t_stats):
             reset_bucket_table(spark, t)
 
     # ---- (b) segmented index at x10: probe vs K, fold, flat-after ----
     n_slices = 8
     emb_k = replicate(10)
-    t_codes, t_ranges, bits, n_bkts = _build_persisted_ann_index(
+    t_codes, t_stats, bits, n_bkts = _build_persisted_ann_index(
         spark, emb_k, "annlsm_v1"
     )
     batch = base.select(
@@ -357,43 +363,52 @@ def ann() -> None:
         t_seg = session_bucket_table(spark, f"annlsm_seg{j}")
         reset_bucket_table(spark, t_seg)
         (
-            batch.filter(F.col("vec_id") % n_slices == j)
-            .select(
-                "vec_id", "embedding", _rp_cluster_spark(bits).alias("cl")
+            _subsplit_assigned(
+                batch.filter(F.col("vec_id") % n_slices == j), bits
             )
-            .join(spark.table(t_ranges), "cl", "left")
-            .select("vec_id", "cl", _sq8_code_from_ranges().alias("codes"))
-            .write.bucketBy(n_bkts, "cl")
-            .sortBy("cl")
+            .join(_ann_parent_stats(spark, t_stats), "cl", "left")
+            .select(
+                "vec_id",
+                F.when(
+                    F.coalesce(F.col("is_split"), F.lit(False))
+                    & (F.col("sub") == 1),
+                    F.col("cl") + F.lit(1 << bits),
+                )
+                .otherwise(F.col("cl"))
+                .alias("ckl"),
+                _sq8_code_from_ranges().alias("codes"),
+            )
+            .write.bucketBy(n_bkts, "ckl")
+            .sortBy("ckl")
             .saveAsTable(t_seg)
         )
         seg_tables.append(t_seg)
-    qs = probe_set(emb_k, bits).localCheckpoint(eager=True)
+    qs = probe_set(emb_k, bits, t_stats).localCheckpoint(eager=True)
     seg_curve = []
     for kseg in (1, 2, 4, 8):
         probe_s = min(
             timed_probe(
-                [t_codes] + seg_tables[:kseg], t_ranges, qs, null_safe=True
+                [t_codes] + seg_tables[:kseg], t_stats, qs, null_safe=True
             )
             for _ in range(3)
         )
         seg_curve.append({"k_segments": kseg, "probe_s": probe_s})
         print(f"[ann-lsm] K={kseg}: probe_s={probe_s}", file=sys.stderr)
     t0 = time.monotonic()
-    t2_codes, t2_ranges, bits2, _n2 = _build_persisted_ann_index(
+    t2_codes, t2_stats, bits2, _n2 = _build_persisted_ann_index(
         spark, emb_k.unionByName(batch.withColumn("label", F.lit(0))),
         "annlsm_v2",
     )
     fold_s = round(time.monotonic() - t0, 3)
-    qs2 = probe_set(emb_k, bits2).localCheckpoint(eager=True)
+    qs2 = probe_set(emb_k, bits2, t2_stats).localCheckpoint(eager=True)
     probe_after_fold_s = min(
-        timed_probe([t2_codes], t2_ranges, qs2) for _ in range(3)
+        timed_probe([t2_codes], t2_stats, qs2) for _ in range(3)
     )
     print(
         f"[ann-lsm] fold_s={fold_s} probe_after_fold_s={probe_after_fold_s}",
         file=sys.stderr,
     )
-    for t in [t_codes, t_ranges, t2_codes, t2_ranges] + seg_tables:
+    for t in [t_codes, t_stats, t2_codes, t2_stats] + seg_tables:
         reset_bucket_table(spark, t)
 
     out = {
@@ -409,7 +424,7 @@ def ann() -> None:
     line = json.dumps(out)
     print(line)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SCALE_r14_ann.json"), "w") as fh:
+    with open(os.path.join(root, "SCALE_r15_ann.json"), "w") as fh:
         fh.write(line + "\n")
 
 
