@@ -9347,6 +9347,73 @@ def _dedup_lifecycle_oracle() -> str:
     """
 
 
+def _build_segmented_dedup_index(
+    spark: SparkSession, docs: DataFrame, base: str
+) -> tuple[str, str, str, list[str], list[str], int]:
+    """v1 persisted dedup index over the first 80% of ``docs`` plus
+    ``_LSM_FOLD_K`` delta segments over the tail — the build half of
+    ``dedup_index_segment_lifecycle``, factored so the fold-policy
+    report audits the same artifacts.  Each ingest's exact-dup filter
+    anti-joins the index keys AND every earlier segment's keys (the
+    cumulative-key semantics of a real ingest queue); ``kept`` is
+    re-derived per write — never checkpoint a text-bearing corpus
+    relation (round-10 doctrine).  Returns ``(t_bands, t_counts,
+    t_keys, seg_tables, key_tables, n_bkts)``."""
+    from ..sources.catalog import reset_bucket_table, session_bucket_table
+
+    K = _LSM_FOLD_K
+    thr = docs.agg(
+        F.floor(0.8 * (F.max("doc_id") + 1)).cast("bigint").alias("_t"),
+        (F.max("doc_id") + 1).cast("bigint").alias("_m"),
+    ).transform(ckpt)
+    witht = docs.crossJoin(F.broadcast(thr))
+    is_new = F.col("doc_id") >= F.col("_t")
+
+    # index v1: once per corpus version (same builder as the probe)
+    t_bands, t_counts, t_keys, n_bkts = _build_persisted_dedup_index(
+        spark, witht.filter(~is_new).select("doc_id", "text"), f"{base}_idx"
+    )
+
+    seg_expr = F.least(
+        F.lit(K - 1), F.expr(f"div((doc_id - _t) * {K}, _m - _t)")
+    ).cast("bigint")
+    tail = witht.filter(is_new).select(
+        "doc_id", "text", seg_expr.alias("seg")
+    )
+
+    seg_tables: list[str] = []
+    key_tables: list[str] = []
+    for j in range(K):
+        t_seg = session_bucket_table(spark, f"{base}_seg{j}_bands")
+        t_sk = session_bucket_table(spark, f"{base}_seg{j}_keys")
+        reset_bucket_table(spark, t_seg)
+        reset_bucket_table(spark, t_sk)
+        kept = (
+            tail.filter(F.col("seg") == j)
+            .select("doc_id", "text", F.sha2("text", 256).alias("h"))
+            .join(spark.table(t_keys), "h", "anti")
+        )
+        for tk in key_tables:
+            kept = kept.join(spark.table(tk), "h", "anti")
+        (
+            band_rows(portable_signatures(kept.select("doc_id", "text")))
+            .write.bucketBy(n_bkts, "band_id", "band_val")
+            .sortBy("band_id", "band_val")
+            .saveAsTable(t_seg)
+        )
+        (
+            kept.select("h")
+            .distinct()
+            .write.bucketBy(n_bkts, "h")
+            .sortBy("h")
+            .saveAsTable(t_sk)
+        )
+        seg_tables.append(t_seg)
+        key_tables.append(t_sk)
+    return t_bands, t_counts, t_keys, seg_tables, key_tables, n_bkts
+
+
+
 @register(
     "dedup_index_segment_lifecycle",
     oracle=_dedup_lifecycle_oracle(),
@@ -9386,58 +9453,9 @@ def dedup_index_segment_lifecycle(
 
     K = _LSM_FOLD_K
     docs = load_table(spark, sf_dir, "documents")
-    thr = docs.agg(
-        F.floor(0.8 * (F.max("doc_id") + 1)).cast("bigint").alias("_t"),
-        (F.max("doc_id") + 1).cast("bigint").alias("_m"),
-    ).transform(ckpt)
-    witht = docs.crossJoin(F.broadcast(thr))
-    is_new = F.col("doc_id") >= F.col("_t")
-
-    # index v1: once per corpus version (same builder as the probe)
-    t_bands, t_counts, t_keys, n_bkts = _build_persisted_dedup_index(
-        spark, witht.filter(~is_new).select("doc_id", "text"), "lsm_idx"
+    t_bands, t_counts, _t_keys, seg_tables, _key_tables, n_bkts = (
+        _build_segmented_dedup_index(spark, docs, "lsm")
     )
-
-    seg_expr = F.least(
-        F.lit(K - 1), F.expr(f"div((doc_id - _t) * {K}, _m - _t)")
-    ).cast("bigint")
-    tail = witht.filter(is_new).select(
-        "doc_id", "text", seg_expr.alias("seg")
-    )
-
-    # K ingests: each writes its batch-proportional segment postings
-    # + key table; exact-dup filtering sees index + earlier segments
-    # (kept is re-derived per write — never checkpoint a text-bearing
-    # corpus relation, round-10 doctrine)
-    seg_tables: list[str] = []
-    key_tables: list[str] = []
-    for j in range(K):
-        t_seg = session_bucket_table(spark, f"lsm_seg{j}_bands")
-        t_sk = session_bucket_table(spark, f"lsm_seg{j}_keys")
-        reset_bucket_table(spark, t_seg)
-        reset_bucket_table(spark, t_sk)
-        kept = (
-            tail.filter(F.col("seg") == j)
-            .select("doc_id", "text", F.sha2("text", 256).alias("h"))
-            .join(spark.table(t_keys), "h", "anti")
-        )
-        for tk in key_tables:
-            kept = kept.join(spark.table(tk), "h", "anti")
-        (
-            band_rows(portable_signatures(kept.select("doc_id", "text")))
-            .write.bucketBy(n_bkts, "band_id", "band_val")
-            .sortBy("band_id", "band_val")
-            .saveAsTable(t_seg)
-        )
-        (
-            kept.select("h")
-            .distinct()
-            .write.bucketBy(n_bkts, "h")
-            .sortBy("h")
-            .saveAsTable(t_sk)
-        )
-        seg_tables.append(t_seg)
-        key_tables.append(t_sk)
 
     # probe-side READ between folds: K-way occupancy merge
     merged = _merge_occupancy_counts_multi(
@@ -13215,6 +13233,417 @@ def ann_fold_policy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k_full | oob_hot | seg_heavy).alias("should_fold"),
         F.when(k_full, F.lit("k_segments_at_budget"))
         .when(oob_hot, F.lit("stale_range_oob"))
+        .when(seg_heavy, F.lit("segment_mass"))
+        .otherwise(F.lit("none"))
+        .alias("reason"),
+    )
+
+
+def _ann_probe_budget_oracle() -> str:
+    """Per-budget replay: the tier's quantization + per-parent-list
+    candidates, each probe carrying its rank (home = 0, plane i =
+    i + 1), budgets 1..bits+1, per-budget top-3 vs the exact
+    integer-nano L2 baseline — integer sums, one double division."""
+    branches = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id, {i + 1} AS pidx,"
+        f" xor(cl, CAST({1 << i} AS BIGINT)) AS cl"
+        f" FROM clq CROSS JOIN nb WHERE {i} < nb.bits"
+        for i in range(_IVF_MAX_BITS)
+    )
+    return f"""
+    WITH nb AS (
+        SELECT least(greatest(3,
+                   CASE WHEN ((count(*) + {_IVF_TARGET_BUCKET - 1})
+                              // {_IVF_TARGET_BUCKET}) <= 1 THEN 0
+                        ELSE length(bin(((count(*) + {_IVF_TARGET_BUCKET - 1})
+                                         // {_IVF_TARGET_BUCKET}) - 1)) END),
+                     {_IVF_MAX_BITS}) AS bits
+        FROM embeddings
+    ),
+    ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cl AS (
+        SELECT vec_id,
+               {_rp_cluster_sql(_IVF_MAX_BITS)} % (1::BIGINT << nb.bits)
+                   AS cl
+        FROM embeddings CROSS JOIN nb
+    ),
+    cdims AS (
+        SELECT cl.cl, e.d, min(e.v) AS mn, max(e.v) AS mx
+        FROM ev e JOIN cl ON cl.vec_id = e.vec_id
+        GROUP BY 1, 2
+    ),
+    codes AS (
+        SELECT e.vec_id, e.d, s.mn, s.mx,
+               CASE WHEN s.mx > s.mn
+                    THEN least(255, greatest(0,
+                         CAST(round((e.v - s.mn)
+                                    / ((s.mx - s.mn) / 255.0), 0)
+                              AS INTEGER)))
+                    ELSE 0 END AS code
+        FROM ev e
+        JOIN cl ON cl.vec_id = e.vec_id
+        JOIN cdims s ON s.cl = cl.cl AND s.d = e.d
+    ),
+    q AS (SELECT vec_id AS qid, d, v FROM ev WHERE vec_id % 100 = 0),
+    clq AS (SELECT vec_id, cl FROM cl WHERE vec_id % 100 = 0),
+    probes AS (
+        SELECT vec_id AS qid, 0 AS pidx, cl FROM clq
+        UNION ALL
+{branches}
+    ),
+    adc AS (
+        SELECT q.qid, p.pidx, cc.vec_id AS nid,
+               CAST(sum(CAST(round(pow(q.v - (c.mn
+                              + CASE WHEN c.mx > c.mn
+                                     THEN (c.mx - c.mn) / 255.0
+                                     ELSE 0 END * c.code), 2)
+                                   * 1000000000, 0) AS BIGINT))
+                    AS BIGINT) AS dist_nano
+        FROM q
+        JOIN probes p ON p.qid = q.qid
+        JOIN cl cc ON cc.cl = p.cl AND cc.vec_id <> q.qid
+        JOIN codes c ON c.vec_id = cc.vec_id AND c.d = q.d
+        GROUP BY 1, 2, 3
+    ),
+    bud AS (
+        SELECT unnest(generate_series(1, nb.bits + 1)) AS b FROM nb
+    ),
+    byb AS (
+        SELECT a.qid, a.nid, a.dist_nano, bu.b
+        FROM adc a JOIN bud bu ON bu.b > a.pidx
+    ),
+    topb AS (
+        SELECT qid, b, nid FROM (
+            SELECT qid, b, nid,
+                   row_number() OVER (PARTITION BY qid, b
+                                      ORDER BY dist_nano, nid) AS rn
+            FROM byb
+        ) WHERE rn <= 3
+    ),
+    ncand AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS n_cand FROM byb GROUP BY 1
+    ),
+    qev AS (
+        SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    cev AS (
+        SELECT vec_id AS nid, generate_subscripts(embedding, 1) AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    dist AS (
+        SELECT qe.qid, c.nid,
+               CAST(sum(CAST(round(pow(qe.v - c.v, 2) * 1000000000, 0)
+                             AS BIGINT)) AS BIGINT) AS dn
+        FROM qev qe JOIN cev c ON c.d = qe.d AND c.nid <> qe.qid
+        GROUP BY 1, 2
+    ),
+    exact3 AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dn, nid) AS rn
+            FROM dist
+        ) WHERE rn <= 3
+    ),
+    rec AS (
+        SELECT bu.b,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(t.nid) AS BIGINT) AS n_hit
+        FROM exact3 e
+        CROSS JOIN bud bu
+        LEFT JOIN topb t ON t.qid = e.qid AND t.b = bu.b
+                        AND t.nid = e.nid
+        GROUP BY 1
+    )
+    SELECT CAST(r.b AS INTEGER) AS budget,
+           CAST(r.n_rows // 3 AS BIGINT) AS n_queries,
+           round(CAST(coalesce(n.n_cand, 0) AS DOUBLE)
+                 / (r.n_rows // 3), 4) AS avg_candidates,
+           round(CAST(r.n_hit AS DOUBLE) / r.n_rows, 4) AS recall_at_3
+    FROM rec r LEFT JOIN ncand n ON n.b = r.b
+    ORDER BY 1
+    """
+
+
+@register(
+    "ann_probe_budget_curve",
+    oracle=_ann_probe_budget_oracle(),
+    doc="PROBE-BUDGET / RECALL tradeoff curve — the measurement "
+    "behind _ann_serve's probe_budget parameter: for every budget b "
+    "in 1..(1 + bits) (home list first, then Hamming-1 neighbors in "
+    "plane order — exactly the order _ann_probe_parents truncates), "
+    "recall@3 of the budget-b answer against the exact "
+    "integer-nano-unit L2 top-3, next to the candidate volume the "
+    "budget buys (avg_candidates = per-request IO in rows).  A "
+    "serving operator reads this table to pick the cheapest budget "
+    "meeting its recall SLO; monotonicity (recall and IO both "
+    "non-decreasing in b) is pytest-gated, and the b = 1 + bits row "
+    "equals sq8pc_recall_audit's recall by construction.  Physical "
+    "shape: probes carry their rank through the ONE candidate pass "
+    "over the persisted index (each vector's list is probed at "
+    "exactly one rank, so candidates expand to budgets by a "
+    "map-side sequence explode — no per-budget re-probe, no join); "
+    "the per-(query, budget) top-k window is "
+    "candidate-x-budget-bounded, never corpus-sized.  Rollup: "
+    "integer BIGINT sums, one double division (order-free).",
+    tags=("llm", "similarity", "quality", "dataops"),
+)
+def ann_probe_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t_codes, t_stats, bits, _n_bkts = _build_persisted_ann_index(
+        spark, emb, "annpbc"
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        _rp_cluster_spark(bits).alias("cl0"),
+    )
+    probes = q.select(
+        "qid",
+        "qv",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("pidx"), F.col("cl0").alias("cl")
+                ),
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("pidx"),
+                        F.col("cl0").bitwiseXOR(F.lit(1 << i)).alias("cl"),
+                    )
+                    for i in range(bits)
+                ],
+            )
+        ).alias("p"),
+    ).select("qid", "qv", F.col("p.pidx").alias("pidx"), F.col("p.cl").alias("cl"))
+    extra = (
+        _ann_parent_stats(spark, t_stats)
+        .filter(F.col("is_split"))
+        .select("cl")
+        .join(F.broadcast(probes), "cl")
+        .select(
+            "qid",
+            "qv",
+            "pidx",
+            (F.col("cl") + F.lit(1 << bits)).alias("ckl"),
+        )
+    )
+    qs = (
+        probes.select("qid", "qv", "pidx", F.col("cl").alias("ckl"))
+        .unionByName(extra)
+        .transform(ckpt)  # read by the candidate pass AND nothing else
+    )
+    cand = (
+        spark.table(t_codes)
+        .join(F.broadcast(qs), "ckl")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(spark.table(t_stats), "ckl")
+        .select(
+            "qid",
+            "pidx",
+            F.col("vec_id").alias("nid"),
+            _sq8_adc_from_codes().alias("dist_nano"),
+        )
+    )
+    byb = cand.select(
+        "qid",
+        "nid",
+        "dist_nano",
+        F.explode(F.expr(f"sequence(pidx + 1, {bits + 1})")).alias("b"),
+    ).transform(ckpt)  # read by the top-k pass AND the volume rollup
+    w = W.partitionBy("qid", "b").orderBy(F.asc("dist_nano"), F.asc("nid"))
+    topb = (
+        byb.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "b", F.col("nid").alias("tnid"))
+    )
+    ncand = byb.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("n_cand")
+    )
+    # exact baseline on the same sample (the declared exact-baseline
+    # pattern: query sample broadcasts, corpus never moves)
+    c = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cv"))
+    l2_nano = F.expr(
+        f"aggregate(sequence(1, {_RP_DIM}), 0L, (acc, d) -> acc + "
+        "cast(round(pow(cast(element_at(qv, d) as double) - "
+        "cast(element_at(cv, d) as double), 2) * 1e9, 0) as bigint))"
+    )
+    pairs = c.join(
+        F.broadcast(q.select("qid", "qv")), F.col("nid") != F.col("qid")
+    ).select("qid", "nid", l2_nano.alias("dn"))
+    we = W.partitionBy("qid").orderBy(F.asc("dn"), F.asc("nid"))
+    exact3 = (
+        pairs.withColumn("rn", F.row_number().over(we).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "nid")
+    )
+    budgets = (
+        spark.range(1)
+        .select(F.explode(F.expr(f"sequence(1, {bits + 1})")).alias("b"))
+    )
+    # explicit-condition left join (qid, b, nid == tnid)
+    e = exact3.crossJoin(F.broadcast(budgets)).alias("e")
+    t = topb.alias("t")
+    rec = (
+        e.join(
+            t,
+            (F.col("e.qid") == F.col("t.qid"))
+            & (F.col("e.b") == F.col("t.b"))
+            & (F.col("e.nid") == F.col("t.tnid")),
+            "left",
+        )
+        .groupBy(F.col("e.b").alias("b"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count(F.col("t.tnid")).cast("bigint").alias("n_hit"),
+        )
+    )
+    return (
+        rec.join(ncand, "b", "left")
+        .select(
+            F.col("b").cast("int").alias("budget"),
+            F.expr("n_rows div 3").cast("bigint").alias("n_queries"),
+            F.round(
+                F.coalesce(F.col("n_cand"), F.lit(0)).cast("double")
+                / F.expr("n_rows div 3"),
+                4,
+            ).alias("avg_candidates"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_rows"), 4
+            ).alias("recall_at_3"),
+        )
+        .orderBy("budget")
+    )
+
+
+def _dedup_fold_policy_oracle() -> str:
+    return f"""
+    WITH thr AS (
+        SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS t,
+               CAST(max(doc_id) + 1 AS BIGINT) AS m
+        FROM documents
+    ),
+    {_band_core_sql()},
+    tail AS (
+        SELECT d.doc_id, d.text,
+               least({_LSM_FOLD_K - 1},
+                     ((d.doc_id - thr.t) * {_LSM_FOLD_K})
+                         // (thr.m - thr.t)) AS seg
+        FROM documents d JOIN thr ON d.doc_id >= thr.t
+    ),
+    kept AS (
+        SELECT b.doc_id, b.seg
+        FROM tail b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM documents i, thr t2
+            WHERE i.doc_id < t2.t AND i.text = b.text
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM tail e WHERE e.seg < b.seg AND e.text = b.text
+        )
+    ),
+    cells AS (
+        SELECT band_id, band_val,
+               sum(CASE WHEN side < 0 THEN 1 ELSE 0 END) AS n_idx,
+               sum(CASE WHEN side >= 0 THEN 1 ELSE 0 END) AS n_seg
+        FROM (
+            SELECT b.band_id, b.band_val, CAST(-1 AS BIGINT) AS side
+            FROM bands b JOIN thr ON b.doc_id < thr.t
+            UNION ALL
+            SELECT b.band_id, b.band_val, k.seg AS side
+            FROM bands b JOIN kept k ON k.doc_id = b.doc_id
+        )
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT CAST(sum(n_idx) AS BIGINT) AS n_idx,
+               CAST(sum(n_seg) AS BIGINT) AS n_seg,
+               CAST(sum(CASE WHEN n_idx + n_seg > {_MH_MAX_BUCKET}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+        FROM cells
+    )
+    SELECT CAST({_LSM_FOLD_K} AS BIGINT) AS n_segments,
+           n_idx AS n_index_postings,
+           n_seg AS n_segment_postings,
+           round(CAST(n_seg AS DOUBLE) / (n_idx + n_seg), 6) AS seg_frac,
+           n_hot AS n_hot_buckets,
+           CAST({_LSM_FOLD_K + 1} AS BIGINT) AS probe_read_amp,
+           ({1 if _LSM_FOLD_K >= _ANN_FOLD_MAX_SEGMENTS else 0} = 1)
+               OR (4 * n_seg > n_idx + n_seg) AS should_fold,
+           CASE WHEN {1 if _LSM_FOLD_K >= _ANN_FOLD_MAX_SEGMENTS else 0} = 1
+                     THEN 'k_segments_at_budget'
+                WHEN 4 * n_seg > n_idx + n_seg THEN 'segment_mass'
+                ELSE 'none' END AS reason
+    FROM agg
+    """
+
+
+@register(
+    "dedup_fold_policy_report",
+    oracle=_dedup_fold_policy_oracle(),
+    doc="Dedup fold-decision operator — ann_fold_policy_report's "
+    "twin for the dedup LSM (the shared-policy shape VERDICT r14 #4 "
+    "asked for): the dedup fold buys ONLY read-amplification (v2 = "
+    "union of v1 + segments, occupancy identical bucket-for-bucket — "
+    "dedup_index_segment_lifecycle hash-proves it), so the verdict "
+    f"has two signals, both integer literals: K >= "
+    f"{_ANN_FOLD_MAX_SEGMENTS} segments (probe read-amp = K+1 "
+    "bucketed tables per ingest) and segment posting mass above 25% "
+    "of the live total (4 * n_seg > n_total — the one linear "
+    "union-write is then amortized).  The hot-bucket count is "
+    "REPORTED as context but is deliberately NOT a fold signal — "
+    "folding cannot reduce occupancy, only per-bucket caps "
+    "(_MH_MAX_BUCKET) do.  Inputs computed FROM the persisted "
+    "artifacts via the same K-way occupancy merge the probe path "
+    "reads (_merge_occupancy_counts_multi — one segment-mass "
+    "Exchange, index never re-shuffled); the policy-gated fold is "
+    "demonstrated on the ANN twin in "
+    "examples/run_ann_index_pipeline.py.  "
+    "Scale: the merge is posting-count-sized; the verdict is two "
+    "1-row aggregates.",
+    tags=("llm", "dedup", "pipeline", "stats", "dataops"),
+)
+def dedup_fold_policy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    _tb, t_counts, _tk, seg_tables, _kts, n_bkts = (
+        _build_segmented_dedup_index(spark, docs, "dfp")
+    )
+    merged = _merge_occupancy_counts_multi(
+        spark.table(t_counts),
+        [spark.table(t) for t in seg_tables],
+        n_bkts,
+    )
+    agg = merged.agg(
+        F.sum("n_idx").cast("bigint").alias("n_idx"),
+        F.sum("n_seg").cast("bigint").alias("n_seg"),
+        F.sum((F.col("n_total") > _MH_MAX_BUCKET).cast("int"))
+        .cast("bigint")
+        .alias("n_hot"),
+    )
+    k_full = F.lit(_LSM_FOLD_K >= _ANN_FOLD_MAX_SEGMENTS)
+    seg_heavy = 4 * F.col("n_seg") > F.col("n_idx") + F.col("n_seg")
+    return agg.select(
+        F.lit(_LSM_FOLD_K).cast("bigint").alias("n_segments"),
+        F.col("n_idx").alias("n_index_postings"),
+        F.col("n_seg").alias("n_segment_postings"),
+        F.round(
+            F.col("n_seg").cast("double")
+            / (F.col("n_idx") + F.col("n_seg")),
+            6,
+        ).alias("seg_frac"),
+        F.col("n_hot").alias("n_hot_buckets"),
+        F.lit(_LSM_FOLD_K + 1).cast("bigint").alias("probe_read_amp"),
+        (k_full | seg_heavy).alias("should_fold"),
+        F.when(k_full, F.lit("k_segments_at_budget"))
         .when(seg_heavy, F.lit("segment_mass"))
         .otherwise(F.lit("none"))
         .alias("reason"),

@@ -471,3 +471,51 @@ def test_fold_policy_report_consistency(spark, sf_dir):
     assert p.probe_read_amp == p.n_segments + 1
     assert bool(p.should_fold) is True
     assert p.reason == "k_segments_at_budget"
+
+
+def test_probe_budget_curve_monotone(spark, sf_dir):
+    """ann_probe_budget_curve (round 15): recall and candidate volume
+    must both be non-decreasing in the probe budget (each budget adds
+    whole lists to the candidate set), and the full-budget row must
+    equal sq8pc_recall_audit's recall (same probes, same quantizer —
+    the curve is the audit refined by budget)."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        ann_probe_budget_curve,
+        sq8pc_recall_audit,
+    )
+
+    rows = ann_probe_budget_curve(spark, sf_dir).collect()
+    assert len(rows) >= 4
+    assert [r.budget for r in rows] == list(
+        range(1, len(rows) + 1)
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b.recall_at_3 >= a.recall_at_3 - 1e-9, (a, b)
+        assert b.avg_candidates >= a.avg_candidates, (a, b)
+    audit = sq8pc_recall_audit(spark, sf_dir).collect()[0]
+    assert abs(rows[-1].recall_at_3 - audit.recall_at_3) <= 1e-4, (
+        rows[-1],
+        audit,
+    )
+
+
+def test_dedup_fold_policy_consistency(spark, sf_dir):
+    """dedup_fold_policy_report (round 15): inputs must reconcile with
+    the lifecycle audit's own per-band accounting (same persisted
+    artifacts, same K-way merge), and at the LSM budget the verdict
+    is deterministically fold=true."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        _LSM_FOLD_K,
+        dedup_fold_policy_report,
+        dedup_index_segment_lifecycle,
+    )
+
+    p = dedup_fold_policy_report(spark, sf_dir).collect()[0]
+    lc = dedup_index_segment_lifecycle(spark, sf_dir).collect()
+    assert p.n_index_postings == sum(r.n_post_index for r in lc)
+    assert p.n_segment_postings == sum(r.n_post_segments for r in lc)
+    assert p.n_hot_buckets == sum(r.n_hot_buckets for r in lc)
+    assert p.n_segments == _LSM_FOLD_K
+    assert p.probe_read_amp == p.n_segments + 1
+    assert bool(p.should_fold) is True
+    assert p.reason == "k_segments_at_budget"

@@ -607,9 +607,147 @@ def main() -> None:
         fh.write(line + "\n")
 
 
+def annserve() -> None:
+    """--annserve: per-request serving IO vs corpus scale (round 15).
+
+    The batch-pruned route's claim: a BOUNDED request batch against a
+    growing corpus takes the literal route (its unioned child-key
+    probe set stays far below n_children once adaptive bits grow the
+    list count), so per-batch cost tracks |probed lists| * mean list
+    occupancy (~constant under the adaptive-bits rule), NOT the
+    corpus — the x100 full-scan term SCALE_r14_ann.json measured on
+    the always-broadcast form, closed and re-measured.
+
+    Per scale k (default 1,10,30,100 via SPARK_GRAFT_ANNSERVE_SCALES):
+    build the round-15 persisted index over the replicated corpus,
+    then time _ann_batch_probe for a FIXED 20-query batch (base-copy
+    vec_id % 100 == 0), recording which route it took and the probe
+    fraction.  Writes SCALE_r15_annserve.json."""
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        _ann_batch_probe,
+        _build_persisted_ann_index,
+        _rp_cluster_spark,
+        _sq8_fan_to_children,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.session import (
+        get_spark,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+        reset_bucket_table,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_before = tuple(round(x, 2) for x in os.getloadavg())
+    spark = get_spark("scale_annserve")
+
+    base = load_table(spark, sf_dir, "embeddings")
+    stride = base.agg(F.max("vec_id") + 1).first()[0]
+
+    def replicate(k: int):
+        copies = [
+            base.select(
+                (F.col("vec_id") + F.lit(i * stride)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            for i in range(k)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        return out
+
+    scales = [
+        int(x)
+        for x in os.environ.get(
+            "SPARK_GRAFT_ANNSERVE_SCALES", "1,10,30,100"
+        ).split(",")
+    ]
+    curve = []
+    for k in scales:
+        emb_k = replicate(k)
+        t0 = time.monotonic()
+        t_codes, t_stats, bits, _nb = _build_persisted_ann_index(
+            spark, emb_k, f"annsrv_x{k}"
+        )
+        build_s = round(time.monotonic() - t0, 3)
+        qs_parent = (
+            emb_k.filter(
+                (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < stride)
+            )
+            .select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qv"),
+                _rp_cluster_spark(bits).alias("cl0"),
+            )
+            .select(
+                "qid",
+                "qv",
+                F.explode(
+                    F.array(
+                        F.col("cl0"),
+                        *[
+                            F.col("cl0").bitwiseXOR(F.lit(1 << i))
+                            for i in range(bits)
+                        ],
+                    )
+                ).alias("cl"),
+            )
+            # deliberate bench-isolation checkpoint OUTSIDE the gated
+            # query path: the fixed sample must not re-derive per pass
+            .localCheckpoint(eager=True)
+        )
+        n_probe = (
+            _sq8_fan_to_children(spark, qs_parent, t_stats, bits)
+            .select("ckl")
+            .distinct()
+            .count()
+        )
+        n_children = spark.table(t_stats).count()
+        times = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            _ann_batch_probe(
+                spark, t_codes, t_stats, bits, qs_parent
+            ).write.format("noop").mode("overwrite").save()
+            times.append(round(time.monotonic() - t0, 3))
+        curve.append(
+            {
+                "k": k,
+                "bits": bits,
+                "build_s": build_s,
+                "n_probe_ckls": n_probe,
+                "n_children": n_children,
+                "route": "literal"
+                if 2 * n_probe <= n_children
+                else "broadcast",
+                "probe_s": min(times),
+            }
+        )
+        print(f"[annserve] x{k}: {curve[-1]}", file=sys.stderr)
+        for t in (t_codes, t_stats):
+            reset_bucket_table(spark, t)
+
+    out = {
+        "sf_dir": sf_dir,
+        "load_before": load_before,
+        "batch_probe_vs_corpus": curve,
+    }
+    line = json.dumps(out)
+    print(line)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALE_r15_annserve.json"), "w") as fh:
+        fh.write(line + "\n")
+
+
 if __name__ == "__main__":
     if "--lifecycle" in sys.argv:
         lifecycle()
+    elif "--annserve" in sys.argv:
+        annserve()
     elif "--ann" in sys.argv:
         ann()
     else:
