@@ -86,6 +86,55 @@ def main() -> None:
     print("== segmented serve (one request over v1 + segments) ==")
     REGISTRY["ann_sq8pc_segmented_serve"].fn(spark, sf_dir).show()
 
+    # 3b. SLO-driven probe budget: read the budget/recall curve, pick
+    # the cheapest budget meeting the recall floor, serve with it
+    # (the parameterized _ann_serve the registered serve instantiates)
+    print("== probe-budget / recall curve ==")
+    curve = REGISTRY["ann_probe_budget_curve"].fn(spark, sf_dir)
+    curve.show(truncate=False)
+    slo = 0.45
+    rows = sorted(curve.collect(), key=lambda r: r.budget)
+    chosen = next(
+        (r for r in rows if r.recall_at_3 >= slo), rows[-1]
+    )
+    print(
+        f"SLO recall@3 >= {slo}: cheapest budget = {chosen.budget} "
+        f"(recall {chosen.recall_at_3}, ~{chosen.avg_candidates} "
+        "candidates/request)"
+    )
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        _ann_probe_parents,
+        _ann_serve,
+        _build_persisted_ann_index,
+        _rp_cluster_spark,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t_codes, t_stats, bits, _n = _build_persisted_ann_index(
+        spark, emb, "annslo"
+    )
+    qrow = (
+        emb.filter(F.col("vec_id") == 0)
+        .select("embedding", _rp_cluster_spark(bits).alias("cl0"))
+        .first()
+    )
+    print(f"== serve at the chosen budget ({chosen.budget}) ==")
+    _ann_serve(
+        spark,
+        [t_codes],
+        t_stats,
+        bits,
+        [float(x) for x in qrow.embedding],
+        _ann_probe_parents(qrow, bits, probe_budget=int(chosen.budget)),
+        k=3,
+        exclude_id=0,
+    ).show()
+
     # 4. the user-facing staleness gate: recall of the between-folds
     # path vs the exact baseline, loss decomposed from the v1 ceiling
     print("== segmented recall audit ==")

@@ -519,3 +519,52 @@ def test_dedup_fold_policy_consistency(spark, sf_dir):
     assert p.probe_read_amp == p.n_segments + 1
     assert bool(p.should_fold) is True
     assert p.reason == "k_segments_at_budget"
+
+
+def test_cdc_dominates_fixed_under_shifts(spark, sf_dir):
+    """multimodal_cdc_shift_robustness (round 15): both chunkers must
+    cover every payload byte exactly once, and content-defined
+    chunking must recover an order of magnitude more of the shifted
+    twins' overlap than fixed 32-byte chunks (measured ~0.42 vs
+    ~0.028 saved fraction at sf0.001/sf0.01/sf0.1 — gate at 5x and a
+    0.25 absolute floor)."""
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        multimodal_cdc_shift_robustness,
+    )
+
+    rows = {
+        r.variant: r
+        for r in multimodal_cdc_shift_robustness(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"cdc", "fixed32"}
+    assert (
+        rows["cdc"].chunk_bytes_total == rows["fixed32"].chunk_bytes_total
+    ), rows
+    assert rows["cdc"].saved_frac >= 0.25, rows
+    assert rows["cdc"].saved_frac > 5 * rows["fixed32"].saved_frac, rows
+
+
+def test_chunk_dedup_estimate_mass_conservation(spark, sf_dir):
+    """multimodal_chunk_dedup_estimate (round 15): per-source chunk
+    byte mass must sum to the corpus payload byte mass (chunking
+    covers every byte exactly once), and the near-dup-bearing fixture
+    must show a strictly positive CAS saving."""
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        multimodal_chunk_dedup_estimate,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = multimodal_chunk_dedup_estimate(spark, sf_dir).collect()
+    corpus_bytes = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.sum(F.length(F.encode("text", "UTF-8"))))
+        .collect()[0][0]
+    )
+    assert sum(r.chunk_bytes_total for r in rows) == corpus_bytes
+    assert sum(r.n_dup_chunks for r in rows) > 0
+    for r in rows:
+        assert r.bytes_saved_cas <= r.chunk_bytes_total
