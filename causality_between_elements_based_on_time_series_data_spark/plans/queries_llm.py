@@ -13723,16 +13723,22 @@ def multimodal_chunk_dedup_estimate(
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    m = docs.select(
-        "doc_id",
-        "source",
-        F.hex(F.encode("text", "UTF-8")).alias("hx"),
-        F.length(F.encode("text", "UTF-8")).cast("bigint").alias("nb"),
-    ).filter(F.col("nb") > 0)
+    m = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.hex(F.encode("text", "UTF-8")).alias("hx"),
+            F.length(F.encode("text", "UTF-8")).cast("bigint").alias("nb"),
+        )
+        .filter(F.col("nb") > 0)
+        # decode hex chars ONCE per row; the chunk folds index the
+        # code array (the CDC device's constant-factor lesson)
+        .withColumn("cs", F.expr(_CDC_CODES_EXPR))
+    )
     ch = m.select(
         "doc_id",
         "source",
-        "hx",
+        "cs",
         "nb",
         F.explode(
             F.expr("sequence(0, cast(div(nb + 31, 32) as int) - 1)")
@@ -13747,7 +13753,7 @@ def multimodal_chunk_dedup_estimate(
         F.expr(
             "aggregate(sequence(1, cast(2 * least(32, nb - 32 * j) as int)),"
             " 0L, (acc, i) ->"
-            " (acc * 131 + ascii(substring(hx, 64 * j + i, 1)))"
+            " (acc * 131 + element_at(cs, cast(64 * j + i as int)))"
             " % 1000000007)"
         ).alias("fp"),
     )
@@ -13779,10 +13785,19 @@ def multimodal_chunk_dedup_estimate(
 # (expected chunk ~61 bytes); purely positional, so chunking is
 # embarrassingly parallel — the min/max chunk bounds real CDC adds
 # are a sequential optimization deliberately left out.
+# hex chars are decoded ONCE per row into a code array (`cs`); the
+# window/chunk folds index it — a char is otherwise re-extracted
+# ~18x (16-wide window per position + chunk fold), measured 2.5x
+# slower via per-access substring+ascii at x30
+_CDC_CODES_EXPR = (
+    "transform(sequence(1, cast(2 * nb as int)), i -> "
+    "cast(ascii(substring(hx, i, 1)) as bigint))"
+)
+
 _CDC_CUTS_EXPR = (
     "CASE WHEN nb >= 9 THEN filter(sequence(8L, nb - 1), p -> "
     "aggregate(sequence(2 * (p - 8) + 1, 2 * p), 0L, (acc, i) -> "
-    "(acc * 131 + ascii(substring(hx, cast(i as int), 1)))"
+    "(acc * 131 + element_at(cs, cast(i as int)))"
     " % 1000000007) % 61 = 0) "
     "ELSE array() END"
 )
@@ -13794,7 +13809,7 @@ _CDC_FPS_EXPR = (
     "'fp', aggregate("
     "sequence(2 * element_at(bnd, cast(k as int)) + 1,"
     " 2 * element_at(bnd, cast(k + 1 as int))), 0L, (acc, i) -> "
-    "(acc * 131 + ascii(substring(hx, cast(i as int), 1)))"
+    "(acc * 131 + element_at(cs, cast(i as int)))"
     " % 1000000007)))"
 )
 
@@ -13937,12 +13952,14 @@ def multimodal_cdc_shift_robustness(
             F.length(F.encode("text", "UTF-8")).cast("bigint").alias("nb"),
         )
         .filter(F.col("nb") > 0)
+        .withColumn("cs", F.expr(_CDC_CODES_EXPR))
+        .drop("hx")
         .transform(ckpt)  # read by BOTH chunker branches
     )
     fixed = corpus.select(
         F.lit("fixed32").alias("variant"),
         "doc_id",
-        "hx",
+        "cs",
         "nb",
         F.explode(
             F.expr("sequence(0, cast(div(nb + 31, 32) as int) - 1)")
@@ -13954,7 +13971,7 @@ def multimodal_cdc_shift_robustness(
         F.expr(
             "aggregate(sequence(1, cast(2 * least(32, nb - 32 * j) as int)),"
             " 0L, (acc, i) ->"
-            " (acc * 131 + ascii(substring(hx, cast(64 * j + i as int), 1)))"
+            " (acc * 131 + element_at(cs, cast(64 * j + i as int)))"
             " % 1000000007)"
         ).alias("fp"),
     )
