@@ -13954,47 +13954,42 @@ def multimodal_cdc_shift_robustness(
         .filter(F.col("nb") > 0)
         .withColumn("cs", F.expr(_CDC_CODES_EXPR))
         .drop("hx")
-        .transform(ckpt)  # read by BOTH chunker branches
+        # single-consumer by construction (both chunkers evaluate in
+        # ONE pass below), so the payload-derived code array is never
+        # checkpointed (round-10 doctrine) NOR re-derived per branch
+        # (measured 60% slower at x30 when the branches were separate)
     )
-    fixed = corpus.select(
-        F.lit("fixed32").alias("variant"),
-        "doc_id",
-        "cs",
-        "nb",
-        F.explode(
-            F.expr("sequence(0, cast(div(nb + 31, 32) as int) - 1)")
-        ).alias("j"),
-    ).select(
-        "variant",
-        "doc_id",
-        F.expr("cast(least(32, nb - 32 * j) as bigint)").alias("len"),
-        F.expr(
-            "aggregate(sequence(1, cast(2 * least(32, nb - 32 * j) as int)),"
-            " 0L, (acc, i) ->"
-            " (acc * 131 + element_at(cs, cast(64 * j + i as int)))"
-            " % 1000000007)"
-        ).alias("fp"),
+    fixed_structs = (
+        "transform(sequence(0, cast(div(nb + 31, 32) as int) - 1), j ->"
+        " named_struct("
+        "'variant', 'fixed32',"
+        " 'len', cast(least(32, nb - 32 * j) as bigint),"
+        " 'fp', aggregate("
+        "sequence(1, cast(2 * least(32, nb - 32 * j) as int)), 0L,"
+        " (acc, i) -> (acc * 131 + element_at(cs, cast(64 * j + i as int)))"
+        " % 1000000007)))"
     )
-    cdc = (
+    cdc_structs = _CDC_FPS_EXPR.replace(
+        "named_struct(", "named_struct('variant', 'cdc', ", 1
+    )
+    chunks = (
         corpus.withColumn(
             "bnd",
-            F.expr(
-                f"concat(array(0L), {_CDC_CUTS_EXPR}, array(nb))"
-            ),
+            F.expr(f"concat(array(0L), {_CDC_CUTS_EXPR}, array(nb))"),
         )
         .select(
-            F.lit("cdc").alias("variant"),
             "doc_id",
-            F.explode(F.expr(_CDC_FPS_EXPR)).alias("s"),
+            F.explode(
+                F.expr(f"concat({fixed_structs}, {cdc_structs})")
+            ).alias("s"),
         )
         .select(
-            "variant",
+            F.col("s.variant").alias("variant"),
             "doc_id",
             F.col("s.len").cast("bigint").alias("len"),
             F.col("s.fp").cast("bigint").alias("fp"),
         )
     )
-    chunks = fixed.unionByName(cdc)
     w = W.partitionBy("variant", "fp").orderBy("doc_id", "len")
     owned = chunks.withColumn("rn", F.row_number().over(w))
     saved = F.when(F.col("rn") > 1, F.col("len")).otherwise(F.lit(0))
