@@ -14005,3 +14005,108 @@ def multimodal_cdc_shift_robustness(
         )
         .orderBy("variant")
     )
+
+
+@register(
+    "multimodal_modality_router",
+    oracle="""
+    WITH mx AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS m
+                FROM documents),
+    mixed AS (
+        SELECT doc_id,
+               CASE WHEN substring(text, 1, 2) = 'RG'
+                         AND octet_length(encode(text)) >= 8
+                         AND substring(text, 7, 1) = chr(3)
+                    THEN 'raw-rgb' ELSE 'opaque' END AS modality,
+               CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        FROM documents
+        UNION ALL
+        SELECT doc_id + mx.m, 'raw-rgb',
+               CAST(8 + (8 + doc_id % 5) * (6 + doc_id % 7) * 3
+                    AS BIGINT)
+        FROM documents CROSS JOIN mx
+    ),
+    per AS (
+        SELECT modality,
+               CAST(count(*) AS BIGINT) AS n_payloads,
+               CAST(sum(nb) AS BIGINT) AS total_bytes,
+               CAST(min(nb) AS BIGINT) AS min_bytes,
+               CAST(max(nb) AS BIGINT) AS max_bytes
+        FROM mixed GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_payloads) AS BIGINT) AS t FROM per)
+    SELECT modality, n_payloads, total_bytes, min_bytes, max_bytes,
+           round(CAST(n_payloads AS DOUBLE) / t, 6) AS share
+    FROM per CROSS JOIN tot ORDER BY modality
+    """,
+    doc="Modality ROUTER over a mixed-media table — the dispatch "
+    "stage a real multimodal lake needs before any typed transform: "
+    "payloads are classified by MAGIC BYTES, never by the "
+    "(untrusted) mime column — a payload routes to 'raw-rgb' iff its "
+    "first two bytes are the RAWRGB magic, it is long enough to "
+    "carry the 8-byte header, and the channel byte reads 3 (the "
+    "decoder's own precondition, so everything routed to the decoder "
+    "passes its header validation by construction); everything else "
+    "stays 'opaque'.  The mixed corpus is the text media table "
+    "unioned with the RAWRGB synthesis (ids offset), so the router "
+    "faces both modalities; detection runs on the REAL payload "
+    "bytes Spark-side (binary substring vs X'5247'/X'03' literals) "
+    "while the oracle replays the byte arithmetic (header length "
+    "8 + w*h*3 with the synthesis dims).  Per-modality routing "
+    "table: count, byte mass, min/max payload size, corpus share — "
+    "the numbers that size each downstream decode fleet.  Scale "
+    "shape: sniffing reads the payload PREFIX only (first 8 bytes — "
+    "columnar readers fetch the column, but no fold touches the "
+    "body), classification is map-side, and the rollup is "
+    "|modalities|-sized; the 1-row total broadcasts for the share.",
+    tags=("llm", "multimodal", "dataops"),
+)
+def multimodal_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import to_media_table, to_raw_rgb_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).cast("bigint").alias("_m"))
+    text_media = to_media_table(docs).select("doc_id", "payload")
+    rgb = (
+        to_raw_rgb_media(docs)
+        .crossJoin(F.broadcast(mx))
+        .select((F.col("doc_id") + F.col("_m")).alias("doc_id"), "payload")
+    )
+    mixed = text_media.unionByName(rgb)
+    sniff = (
+        F.when(
+            (F.length("payload") >= 8)
+            & F.expr("substring(payload, 1, 2) = X'5247'")
+            & F.expr("substring(payload, 7, 1) = X'03'"),
+            F.lit("raw-rgb"),
+        )
+        .otherwise(F.lit("opaque"))
+    )
+    per = (
+        mixed.select(
+            sniff.alias("modality"),
+            F.length("payload").cast("bigint").alias("nb"),
+        )
+        .groupBy("modality")
+        .agg(
+            F.count("*").cast("bigint").alias("n_payloads"),
+            F.sum("nb").cast("bigint").alias("total_bytes"),
+            F.min("nb").cast("bigint").alias("min_bytes"),
+            F.max("nb").cast("bigint").alias("max_bytes"),
+        )
+    )
+    tot = per.agg(F.sum("n_payloads").cast("bigint").alias("_t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "modality",
+            "n_payloads",
+            "total_bytes",
+            "min_bytes",
+            "max_bytes",
+            F.round(
+                F.col("n_payloads").cast("double") / F.col("_t"), 6
+            ).alias("share"),
+        )
+        .orderBy("modality")
+    )

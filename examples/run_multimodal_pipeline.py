@@ -55,6 +55,11 @@ def main() -> None:
     print("== payload stats (BINARY column + typed meta) ==")
     REGISTRY["multimodal_payload_stats"].fn(spark, sf_dir).show(5)
 
+    print("== modality routing (magic-byte sniff over the mixed corpus) ==")
+    REGISTRY["multimodal_modality_router"].fn(spark, sf_dir).show(
+        truncate=False
+    )
+
     print("== resize stage (mapInPandas, geometry-real stub) ==")
     REGISTRY["multimodal_resize_stats"].fn(spark, sf_dir).show(5)
 

@@ -568,3 +568,39 @@ def test_chunk_dedup_estimate_mass_conservation(spark, sf_dir):
     assert sum(r.n_dup_chunks for r in rows) > 0
     for r in rows:
         assert r.bytes_saved_cas <= r.chunk_bytes_total
+
+
+def test_modality_router_feeds_the_decoder(spark, sf_dir):
+    """multimodal_modality_router (round 15): the router's 'raw-rgb'
+    predicate is the decoder's own precondition, so every payload it
+    routes there must decode WITHOUT error — and the mixed corpus
+    must split exactly |docs| / |docs| between the modalities (the
+    text fixture contains no RAWRGB-magic payloads)."""
+    from pyspark.sql import functions as F
+
+    from causality_between_elements_based_on_time_series_data_spark.operators.multimodal import (
+        decode_raw_rgb,
+        to_raw_rgb_media,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.plans.queries_llm import (
+        multimodal_modality_router,
+    )
+    from causality_between_elements_based_on_time_series_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = {r.modality: r for r in multimodal_modality_router(spark, sf_dir).collect()}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert rows["raw-rgb"].n_payloads == n_docs, rows
+    assert rows["opaque"].n_payloads == n_docs, rows
+    assert abs(rows["raw-rgb"].share - 0.5) < 1e-9
+    # everything routed to the decoder decodes (the router predicate
+    # IS the decoder precondition)
+    media = to_raw_rgb_media(load_table(spark, sf_dir, "documents"))
+    routed = media.filter(
+        (F.length("payload") >= 8)
+        & F.expr("substring(payload, 1, 2) = X'5247'")
+        & F.expr("substring(payload, 7, 1) = X'03'")
+    )
+    decoded = decode_raw_rgb(routed)
+    assert decoded.count() == n_docs  # no ValueError raised map-side
