@@ -923,12 +923,14 @@ def approx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rn <= 3
     """,
     doc="TF-IDF top-3 terms per document as pure DataFrame ops "
-    "(explode → tf groupBy → df countDistinct → smoothed idf join → "
-    "ranking window). The tf⋈df join shuffles on term — NOT a "
-    "vocabulary broadcast: by Heaps' law the vocabulary grows with the "
-    "corpus and at 100 TB is billions of terms, far past broadcast "
-    "size. Both sides are already term-keyed so the hash join is the "
-    "right plan; only the single-row corpus count broadcasts.",
+    "(explode → tf groupBy → df as a term-partitioned window over tf "
+    "→ ranking window). df is computed ON the tf relation (tf rows "
+    "are unique per (doc, term), so rows-per-term IS the document "
+    "frequency) — never a vocabulary broadcast: by Heaps' law the "
+    "vocabulary grows with the corpus and at 100 TB is billions of "
+    "terms, far past broadcast size. The term window shuffles the "
+    "(doc, term, tf) pairs once on term; only the single-row corpus "
+    "count broadcasts.",
     tags=("llm", "text", "bench"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -937,14 +939,25 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # the posting list feeds tf AND df: cut the lineage so the token
     # explode runs once
+    # tok now has exactly ONE consumer (tf) — df comes from a window
+    # over tf below — so the former posting-list lineage cut would
+    # materialize the token fact (the query's largest intermediate)
+    # for nothing: dropped per the derive-once rule's converse.
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
-    ).transform(ckpt)
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df = distinct docs containing the term = the tf relation's row
+    # count per term (tf rows are unique per (doc, term)), so a
+    # term-partitioned window over tf REPLACES the second token-level
+    # countDistinct pass AND the tf⋈df hash join — one exchange and
+    # one posting-list scan fewer, values integer-identical (opt
+    # guide §2.4: two operations keyed the same way share one
+    # exchange).
+    wt = W.partitionBy("term")
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(dfq, "term")
+        tf.withColumn("df", F.count("*").over(wt))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -2746,21 +2759,27 @@ def _dq_gate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("bigint")
         % _DSIR_BUCKETS
     )
-    # (doc_id, bucket) int pairs — three consumers (bc, tgt, rawc);
-    # same cut dsir_importance_weights applies to the identical shape
-    toks = (
+    # Aggregate BEFORE the cut (opt guide §2.3): the token-level
+    # (doc_id, b) pairs collapse to per-(doc, bucket) counts in the
+    # same map-side pass that used to materialize them raw, so the
+    # checkpoint holds ≤ |docs|·1024 rows instead of one row per
+    # token, and all three downstream consumers (tgt, rawc, fr)
+    # aggregate integer counts — sums of counts equal the old
+    # per-token counts EXACTLY, so results are bit-identical.
+    bc = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("cnt"))
         .transform(ckpt)
     )
-    bc = toks.groupBy("doc_id", "b").agg(F.count("*").alias("cnt"))
     curated = verd.filter(F.col("verdict") == "keep").select("doc_id")
     tgt = (
-        toks.join(curated, "doc_id", "semi")
+        bc.join(curated, "doc_id", "semi")
         .groupBy("b")
-        .agg(F.count("*").cast("double").alias("gc"))
+        .agg(F.sum("cnt").cast("double").alias("gc"))
     )
-    rawc = toks.groupBy("b").agg(F.count("*").cast("double").alias("rc"))
+    rawc = bc.groupBy("b").agg(F.sum("cnt").cast("double").alias("rc"))
     tgt_tot = tgt.agg(F.sum("gc").alias("gtot"))
     raw_tot = rawc.agg(F.sum("rc").alias("rtot"))
     nb = F.lit(float(_DSIR_BUCKETS))
@@ -3204,26 +3223,41 @@ def trajectory_similarity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "quality", "bench"),
 )
 def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     docs = load_table(spark, sf_dir, "documents")
-    # bg (the windowed bigram fact) is checkpointed because BOTH the
-    # count model and the scoring join consume it — recomputing it
-    # would mean a second fact-sized window shuffle.  toks is NOT:
+    # bg (the bigram fact) is checkpointed because BOTH the count
+    # model and the scoring join consume it — recomputing it would
+    # mean a second corpus scan + re-explode.  toks is NOT:
     # materializing the exploded token fact stores the single largest
     # intermediate of the query for the price of saving one cheap
     # map-side re-explode (vocab's second scan), which measured as the
     # dominant variance source at 30x volume (SCALE_r7.md) and is
     # exactly the intermediate you cannot afford to pin at 100 TB.
-    toks = docs.select(
-        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    # Bigrams are derived ROW-LOCALLY from the token array (adjacent
+    # positions live in the same array cell) instead of a lead()
+    # window — the doc-keyed shuffle+sort was pure overhead; the
+    # bigram multiset is identical (opt guide §2.4).
+    ts = F.split("text", " ")
     bg = (
-        toks.withColumn("w2", F.lead("tok").over(wdoc))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "lang", F.col("tok").alias("w1"), "w2")
+        docs.select("doc_id", "lang", ts.alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ts"), i.cast("int")).alias("w1"),
+                        F.element_at(F.col("ts"), (i + 1).cast("int")).alias("w2"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "lang", "g.w1", "g.w2")
         .transform(ckpt)
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("double").alias("c1"))
@@ -7306,21 +7340,34 @@ def micronat_perplexity_scores(texts: DataFrame) -> DataFrame:
     aggregation-order-free.  The model joins are TERM-keyed shuffles —
     the bigram/unigram count tables grow with the vocabulary and are
     never broadcast (same rule as bigram_lm_perplexity); only the
-    1-row V scalar is.  ``bg`` (the windowed bigram fact) is
-    checkpointed: two consumers, and recomputing it costs a second
-    fact-sized window shuffle (bigram_lm_perplexity's documented
-    trade)."""
-    from pyspark.sql import Window as W
-
-    toks = texts.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    1-row V scalar is.  Bigrams are derived ROW-LOCALLY from the
+    token array (adjacent positions live in the same array cell —
+    opt guide §2.4: the lead() window's doc-keyed shuffle+sort was
+    pure overhead; the bigram multiset is identical).  ``bg`` is
+    still checkpointed: two consumers, and recomputing it costs a
+    second corpus scan + re-explode (bigram_lm_perplexity's
+    documented trade)."""
+    ts = F.split("text", " ")
     bg = (
-        toks.withColumn("w2", F.lead("tok").over(wdoc))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.col("tok").alias("w1"), "w2")
+        texts.select("doc_id", ts.alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ts"), i.cast("int")).alias("w1"),
+                        F.element_at(F.col("ts"), (i + 1).cast("int")).alias("w2"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2")
         .transform(ckpt)
+    )
+    toks = texts.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     is_train = F.col("doc_id") % 10 < 5
     c12 = bg.filter(is_train).groupBy("w1", "w2").agg(

@@ -1392,9 +1392,12 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "draws quantity independent of price, so the within estimate is "
     "a null calibration (~0) — the pipeline, not the number, is the "
     "product.  Per-part means are rounded 6dp so both engines "
-    "demean identical values.  Scale: ONE window pass partitioned "
-    "by l_partkey (the natural key, no skew), then a single moment "
-    "aggregate — no join at all.",
+    "demean identical values.  Scale: ONE map-side-combined moment "
+    "aggregate grouped by l_partkey (the within-part demeaned sums "
+    "expand algebraically over the rounded means, so no row ever "
+    "carries its part's mean — r15 opt: this replaced a full-row "
+    "part-keyed window + global countDistinct), then a tiny "
+    "per-part reduce — no join at all.",
     tags=("causality", "panel", "window", "agg", "bench"),
 )
 def price_elasticity_within_part(
@@ -1407,27 +1410,52 @@ def price_elasticity_within_part(
             F.log(F.col("l_extendedprice") / F.col("l_quantity")), 6
         ).alias("x"),
     )
-    wpk = Window.partitionBy("pk")
-    demeaned = li.select(
-        "pk",
-        "x",
-        "y",
-        (F.col("x") - F.round(F.avg("x").over(wpk), 6)).alias("xt"),
-        (F.col("y") - F.round(F.avg("y").over(wpk), 6)).alias("yt"),
+    # Per-part MOMENTS instead of a part-keyed window (opt guide
+    # §2.3 "aggregate before you shuffle"): the within-part demeaned
+    # sums expand algebraically over the rounded per-part means —
+    # Σ(x−mx̂)(y−mŷ) = Sxy − mx̂·Sy − mŷ·Sx + n·mx̂·mŷ with
+    # mx̂ = round(Sx/n, 6) — so one map-side-combined groupBy(pk)
+    # replaces the full-row window shuffle+sort AND the global
+    # countDistinct(pk) expand (n_parts = the group count).  Same
+    # statistic, same rounded means; only float summation grouping
+    # differs (well inside the oracle tolerance, checked by the
+    # float-round audit).
+    per = li.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    x, y = F.col("x"), F.col("y")
-    xt, yt = F.col("xt"), F.col("yt")
-    cnt = F.count(F.lit(1))
-    return demeaned.agg(
-        cnt.cast("bigint").alias("n_lines"),
-        F.countDistinct("pk").cast("bigint").alias("n_parts"),
+    rmx = F.round(F.col("sx") / F.col("n"), 6)
+    rmy = F.round(F.col("sy") / F.col("n"), 6)
+    within = per.select(
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        (
+            F.col("sxy")
+            - rmx * F.col("sy")
+            - rmy * F.col("sx")
+            + F.col("n") * rmx * rmy
+        ).alias("wxy"),
+        (
+            F.col("sxx") - 2 * rmx * F.col("sx") + F.col("n") * rmx * rmx
+        ).alias("wxx"),
+    )
+    N = F.sum("n")
+    return within.agg(
+        F.sum("n").cast("bigint").alias("n_lines"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         F.round(
-            F.sum(xt * yt) / F.nullif(F.sum(xt * xt), F.lit(0.0)), 4
+            F.sum("wxy") / F.nullif(F.sum("wxx"), F.lit(0.0)), 4
         ).alias("elasticity_within"),
         F.round(
-            (F.sum(x * y) - F.sum(x) * F.sum(y) / cnt)
+            (F.sum("sxy") - F.sum("sx") * F.sum("sy") / N)
             / F.nullif(
-                F.sum(x * x) - F.sum(x) * F.sum(x) / cnt, F.lit(0.0)
+                F.sum("sxx") - F.sum("sx") * F.sum("sx") / N, F.lit(0.0)
             ),
             4,
         ).alias("elasticity_pooled"),

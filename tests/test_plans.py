@@ -851,7 +851,11 @@ BENCH_SCAN_BUDGETS: dict[str, int] = {
     "retain_entity_features": 1,
     "sessionize_events": 1,
     "staggered_adoption_att": 0,  # cohort/cell tables are cut (r9 fix)
-    "tfidf_top_terms": 1,
+    # r15 opt: df now derives from tf (term window), so the posting
+    # list has ONE consumer and its lineage cut was dropped — the
+    # explode scan (1) + the corpus-count scan (1) are both visible,
+    # each read exactly once (no re-derivation).
+    "tfidf_top_terms": 2,
     "transfer_entropy_lag1": 0,
     "tumbling_hourly_rollup": 1,
     "window_running_sum_frame": 1,
