@@ -1296,12 +1296,17 @@ def _irls_fit(
                 bdp,
             ).alias("b2"),
         )
-        if rounds > 12:
+        if rounds > 12 and (_ % 4 == 3 or _ == rounds - 1):
             # long unrolls (quantile IRLS needs ~64 rounds): truncate
-            # the 1-row beta's lineage each round or the nested
-            # broadcast plan grows linearly deep and analysis cost
-            # quadratically; an eager localCheckpoint of one row is
-            # microseconds and numerically identical
+            # the 1-row beta's lineage or the nested broadcast plan
+            # grows linearly deep and analysis cost quadratically.
+            # Every 4th round, not every round (r15 opt): each eager
+            # localCheckpoint is a scheduled Spark job, and 64 of
+            # them doubled the query's job count — a depth-4 nested
+            # plan is still trivially analyzable and the checkpoint
+            # is numerically identity either way (isolated min-of-3
+            # measured on quantile_regression_pinball; see
+            # OPTIMIZATION_r15.md).
             beta = beta.transform(ckpt_eager)
     return beta
 
@@ -5689,18 +5694,43 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p")
             <= F.col("sz") - F.ceil(F.lit(0.9) * F.col("sz")).cast("bigint") + 1
         )
-        .select("doc_id", "w")
+        .select("doc_id", "w", "p", "sz")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # ppjoin's LOSSLESS candidate filters (Xiao et al. 2008 §3), both
+    # in exact integer arithmetic so no float boundary can disagree
+    # with the verify stage:
+    # - length filter: J >= 0.9 forces 10*min(sz) >= 9*max(sz)
+    #   (o <= min and o >= 9(sa+sb)/19 combine to it);
+    # - positional filter: a prefix match at (positions pa, pb) bounds
+    #   the overlap by least(pa,pb) + least(sa-pa, sb-pb); the PAIR
+    #   bound is the MIN over its match events, and J >= 0.9 needs
+    #   19*bound >= 9*(sa+sb).
+    # Dropped pairs provably cannot reach the 0.9 threshold, so the
+    # verified output is IDENTICAL — but the verify join is fed true
+    # near-duplicate mass instead of every prefix collision (the
+    # fixture's 31-token vocabulary made that collision set near-
+    # quadratic: 11.3M of a possible 12.5M pairs at sf0.1).
+    sa, sb = F.col("a.sz"), F.col("b.sz")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    bound = F.least(pa, pb) + F.least(sa - pa, sb - pb)
     cand = (
         a.join(
             b,
-            (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (10 * F.least(sa, sb) >= 9 * F.greatest(sa, sb))
+            & (19 * bound >= 9 * (sa + sb)),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            sa.alias("sza"),
+            sb.alias("szb"),
         )
-        .distinct()
+        .agg(F.min(bound).alias("ub"))
+        .filter(19 * F.col("ub") >= 9 * (F.col("sza") + F.col("szb")))
+        .select("id_a", "id_b")
     )
     ta, tb = dtok.alias("ta"), dtok.alias("tb")
     inter = (

@@ -49,6 +49,13 @@ def main() -> None:
         except Exception as ex:  # keep sweeping; report at the end
             errs[name] = f"{type(ex).__name__}: {ex}"[:300]
         print(f"{name}: {times.get(name, 'ERR')}", flush=True)
+        # drop py4j DataFrame refs so ContextCleaner can free each
+        # query's localCheckpoint blocks (bench.py's lesson: without
+        # this the sweep accumulates block-manager state and inflates
+        # later queries several-fold)
+        import gc
+
+        gc.collect()
     spark.sparkContext.setJobDescription(None)
 
     out = {
