@@ -4865,9 +4865,14 @@ def exact_substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "i",
-            F.md5(F.array_join(F.slice("toks", F.col("i"), w), " ")).alias(
-                "wh"
-            ),
+            # unhex halves the hash column (16 binary bytes vs a
+            # 32-char hex string) with identical equality semantics —
+            # md5 equality is what defines a duplicated window, and
+            # unhex is a bijection on md5 output (r15 opt §2.3:
+            # narrower types, fewer shuffle/checkpoint bytes)
+            F.unhex(
+                F.md5(F.array_join(F.slice("toks", F.col("i"), w), " "))
+            ).alias("wh"),
         )
         .transform(ckpt)  # hash windows, no text payload; 2 consumers
     )
