@@ -121,6 +121,13 @@ def main() -> None:
         "unit": "sec",
         "median_total": median_total,
         "passes": n_passes,
+        # $SPARK_GRAFT_CPUS passthrough made self-evident (VERDICT r15
+        # item 1a): "cpus" is the env the driver set, "parallelism" is
+        # what the running SparkContext actually got — the driver's
+        # low/high-core scaling probe can sanity-check both without
+        # reading session.py.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "parallelism": spark.sparkContext.defaultParallelism,
         "queries": timings,
         "sf": sf,
     }

@@ -91,6 +91,7 @@ def with_global_rank(
     total: str | None = None,
     partition_by: tuple[str, ...] = (),
     broadcast_offsets: bool | None = None,
+    pre_shuffle: bool = False,
 ) -> DataFrame:
     """Exact ``row_number()`` over ``order_by`` given a bucket column
     that ascends in that order (see ``with_range_bucket``): per-bucket
@@ -114,8 +115,23 @@ def with_global_rank(
     whenever the table is actually tiny (2 arms, |langs|).
     ``broadcast_offsets`` overrides the auto choice for callers that
     KNOW their group domain is bounded.
+
+    ``pre_shuffle=True`` (the r16 fused form, guide §2.4 "two
+    operations keyed the same way can share one exchange"): the input
+    is explicitly hash-repartitioned on ``(partition_by…, bucket_col)``
+    FIRST, so the device's two consumers — the bucket-count aggregate
+    and the rank window — hang off ONE identical Exchange subtree that
+    physical planning deduplicates (ReusedExchange): the input lineage
+    executes once and the fact crosses the network once, instead of
+    twice (the agg's exchange + the window's exchange) from a
+    caller-materialized checkpoint.  Callers that only checkpointed
+    the bucketed input to stop the device re-deriving it can drop that
+    cut.  Results are bit-identical (partitioning never affects the
+    per-(grp, bkt) window or counts).
     """
     grp = list(partition_by)
+    if pre_shuffle:
+        df = df.repartition(*grp, bucket_col)
     counts = df.groupBy(*grp, bucket_col).agg(
         F.count("*").alias("_gr_cnt")
     )
@@ -157,6 +173,7 @@ def with_global_cumsum(
     sums: dict[str, str],
     *,
     bucket_col: str = "bkt",
+    pre_shuffle: bool = False,
 ) -> DataFrame:
     """Exact global running sums over ``order_by`` (``sums`` maps input
     column -> output column), given an order-ascending bucket column:
@@ -168,7 +185,14 @@ def with_global_cumsum(
     partial sums) only when the caller's values are bucket-prefix
     associative — for floats, keep inputs rounded/integral if the
     oracle compares exactly.
+
+    ``pre_shuffle=True``: same fused single-exchange form as
+    ``with_global_rank`` (the totals aggregate and the cumulative
+    window share one explicit bucket repartition via ReusedExchange);
+    callers drop the input checkpoint they held for the device.
     """
+    if pre_shuffle:
+        df = df.repartition(bucket_col)
     totals = df.groupBy(bucket_col).agg(
         *[F.sum(c).alias(f"_gc_{c}") for c in sums]
     )

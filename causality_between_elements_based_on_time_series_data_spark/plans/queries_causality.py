@@ -4980,6 +4980,7 @@ def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_range_bucket(grid, "x"),
         [F.col("x")],
         {"ca": "cuma", "cb": "cumb"},
+        pre_shuffle=True,
     ).select("x", "cuma", "cumb")
     d = F.abs(F.col("cuma") / F.col("na") - F.col("cumb") / F.col("nb"))
     crit = 1.36 * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb")))

@@ -423,7 +423,8 @@ def key_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identity makes per-key ranks unnecessary
     hist = kc.groupBy("c").agg(F.count("*").cast("double").alias("m"))
     cum = with_global_cumsum(
-        with_range_bucket(hist, "c"), [F.col("c")], {"m": "cum_m"}
+        with_range_bucket(hist, "c"), [F.col("c")], {"m": "cum_m"},
+        pre_shuffle=True,
     )
     m, c = F.col("m"), F.col("c")
     off = F.col("cum_m") - m

@@ -1547,12 +1547,13 @@ def uplift_by_decile_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bucketed = with_range_bucket(
         per_user, "score", descending=True
-    ).transform(ckpt)
+    )
     ranked = with_global_rank(
         bucketed,
         [F.desc("score"), F.asc("user_id")],
         out="rn",
         total="n",
+        pre_shuffle=True,
     ).select("t", "y", "rn", "n")
     dec = ranked.select(
         F.ceil(F.col("rn") * 10.0 / F.col("n")).cast("int").alias("decile"),

@@ -923,41 +923,44 @@ def approx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rn <= 3
     """,
     doc="TF-IDF top-3 terms per document as pure DataFrame ops "
-    "(explode → tf groupBy → df as a term-partitioned window over tf "
-    "→ ranking window). df is computed ON the tf relation (tf rows "
+    "(explode → tf groupBy → grouped df count → term-keyed join → "
+    "ranking window). df is computed ON the tf relation (tf rows "
     "are unique per (doc, term), so rows-per-term IS the document "
     "frequency) — never a vocabulary broadcast: by Heaps' law the "
     "vocabulary grows with the corpus and at 100 TB is billions of "
-    "terms, far past broadcast size. The term window shuffles the "
-    "(doc, term, tf) pairs once on term; only the single-row corpus "
-    "count broadcasts.",
+    "terms, far past broadcast size. df is a streamed grouped count "
+    "(map-side partial agg collapses stopword hot keys), never a "
+    "term-partitioned window (which would buffer a |docs|-sized "
+    "partition in one task for every stopword); the join's build "
+    "side is 1 row per term, so no operator ever buffers an "
+    "unbounded key. Only the single-row corpus count broadcasts.",
     tags=("llm", "text", "bench"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    # the posting list feeds tf AND df: cut the lineage so the token
-    # explode runs once
-    # tok now has exactly ONE consumer (tf) — df comes from a window
-    # over tf below — so the former posting-list lineage cut would
-    # materialize the token fact (the query's largest intermediate)
-    # for nothing: dropped per the derive-once rule's converse.
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds df AND the scored join — derive-once cut.  The cut
+    # holds one row per DISTINCT (doc, term), far smaller than the
+    # pre-r15 token-level posting-list cut it replaces.
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).transform(ckpt)
     # df = distinct docs containing the term = the tf relation's row
-    # count per term (tf rows are unique per (doc, term)), so a
-    # term-partitioned window over tf REPLACES the second token-level
-    # countDistinct pass AND the tf⋈df hash join — one exchange and
-    # one posting-list scan fewer, values integer-identical (opt
-    # guide §2.4: two operations keyed the same way share one
-    # exchange).
-    wt = W.partitionBy("term")
+    # count per term (tf rows are unique per (doc, term)).  r15 used
+    # `count(*) OVER (PARTITION BY term)` on tf; at crawl scale a
+    # stopword term appears in ~every document, so that WindowExec
+    # buffers a |docs|-sized partition in ONE task (guide §2.5: never
+    # put an unbounded hot key through a buffering window).  The
+    # grouped count STREAMS the hot key through partial (map-side)
+    # aggregation, and the join back attaches a 1-row-per-term build
+    # side — SMJ/BHJ buffer exactly one row per key, skew-safe.  Still
+    # one posting-list scan (the tf cut).  Values integer-identical.
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.withColumn("df", F.count("*").over(wt))
+        tf.join(dfq, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -2536,10 +2539,13 @@ _QF_VERDICT_CTES = """tok AS (
     )"""
 
 
-def _quality_verdict_df(docs: DataFrame) -> DataFrame:
+def _quality_verdict_df(docs: DataFrame, with_tokens: bool = False) -> DataFrame:
     """(doc_id, lang, n_tokens, verdict) — the Spark half of
     ``_QF_VERDICT_CTES`` (Gopher/C4-style ordered rule cascade), all
-    row-local array/string arithmetic."""
+    row-local array/string arithmetic.  ``with_tokens=True`` appends
+    the split token array (``ts``) so a consumer that ALSO needs the
+    tokens (the classifier gate's hashed-bucket counts) gets both from
+    ONE scan of documents instead of two."""
     ts = F.split(F.col("text"), " ")
     tri = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size("ts") - 2, F.lit(1))),
@@ -2550,6 +2556,7 @@ def _quality_verdict_df(docs: DataFrame) -> DataFrame:
             F.element_at(F.col("ts"), (i + 2).cast("int")),
         ),
     )
+    carry = ["ts"] if with_tokens else []
     sig = docs.select(
         "doc_id",
         "lang",
@@ -2558,6 +2565,7 @@ def _quality_verdict_df(docs: DataFrame) -> DataFrame:
     ).select(
         "doc_id",
         "lang",
+        *carry,
         F.size("ts").alias("n_tokens"),
         (
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
@@ -2582,6 +2590,7 @@ def _quality_verdict_df(docs: DataFrame) -> DataFrame:
     return sig.select(
         "doc_id",
         "lang",
+        *carry,
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         verdict.alias("verdict"),
     )
@@ -2753,40 +2762,43 @@ def _dq_gate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate_calibration_report (same fit, same features, same betas;
     the two reports cannot desynchronize)."""
     docs = load_table(spark, sf_dir, "documents")
-    # metadata-only (doc_id, lang, verdict); consumed by the curated
-    # filter AND the feat join — derive-once cut
-    verd = (
-        _quality_verdict_df(docs)
-        .select("doc_id", "lang", "verdict")
-        .transform(ckpt)
-    )
     bucket = (
         F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("bigint")
         % _DSIR_BUCKETS
     )
-    # Aggregate BEFORE the cut (opt guide §2.3): the token-level
-    # (doc_id, b) pairs collapse to per-(doc, bucket) counts in the
-    # same map-side pass that used to materialize them raw, so the
-    # checkpoint holds ≤ |docs|·1024 rows instead of one row per
-    # token, and all three downstream consumers (tgt, rawc, fr)
-    # aggregate integer counts — sums of counts equal the old
-    # per-token counts EXACTLY, so results are bit-identical.
+    # ONE scan of documents computes BOTH text passes (guide §2.3/§6,
+    # r16): the heuristic verdict cascade (row-local, evaluated once
+    # per doc before the token explode duplicates the row) and the
+    # hashed-bucket token counts.  (lang, verdict) ride the per-(doc,
+    # bucket) rollup as grouping columns — doc_id determines both, so
+    # the group count is unchanged — which deletes the former verd
+    # relation entirely: its second full text scan, its checkpoint,
+    # the curated semi-join (now a verdict filter on bc), and the
+    # feat⋈verd join.  Aggregate BEFORE the cut as in r15: the
+    # checkpoint holds ≤ |docs|·1024 rows, integer counts whose sums
+    # equal the old per-token counts EXACTLY — bit-identical results.
     bc = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .select("doc_id", bucket.alias("b"))
-        .groupBy("doc_id", "b")
+        _quality_verdict_df(docs, with_tokens=True)
+        .select("doc_id", "lang", "verdict", F.explode("ts").alias("tok"))
+        .select("doc_id", "lang", "verdict", bucket.alias("b"))
+        .groupBy("doc_id", "lang", "verdict", "b")
         .agg(F.count("*").alias("cnt"))
         .transform(ckpt)
     )
-    curated = verd.filter(F.col("verdict") == "keep").select("doc_id")
-    tgt = (
-        bc.join(curated, "doc_id", "semi")
-        .groupBy("b")
-        .agg(F.sum("cnt").cast("double").alias("gc"))
+    # ONE bucket aggregate computes BOTH distributions (r16): gc is a
+    # conditional sum inside the rc pass — sum(when(keep, cnt)) is
+    # NULL exactly where the former keep-filtered aggregate had no
+    # row, so the downstream coalesce(gc, 0) sees identical inputs.
+    # Deletes the second aggregate job, the rawc⋈tgt left join, and
+    # one of the two total crossJoins; integer sums throughout, so
+    # values are bit-identical.
+    gb = bc.groupBy("b").agg(
+        F.sum("cnt").cast("double").alias("rc"),
+        F.sum(F.when(F.col("verdict") == "keep", F.col("cnt")))
+        .cast("double")
+        .alias("gc"),
     )
-    rawc = bc.groupBy("b").agg(F.sum("cnt").cast("double").alias("rc"))
-    tgt_tot = tgt.agg(F.sum("gc").alias("gtot"))
-    raw_tot = rawc.agg(F.sum("rc").alias("rtot"))
+    tots = gb.agg(F.sum("rc").alias("rtot"), F.sum("gc").alias("gtot"))
     nb = F.lit(float(_DSIR_BUCKETS))
     lm = (
         F.round(
@@ -2805,15 +2817,12 @@ def _dq_gate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # <= _DSIR_BUCKETS rows by construction — the provably bounded
     # broadcast case (the hashed-feature design exists to pin this)
-    lmicro = (
-        rawc.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tgt_tot))
-        .crossJoin(F.broadcast(raw_tot))
-        .select("b", lm)
-    )
+    lmicro = gb.crossJoin(F.broadcast(tots)).select("b", lm)
+    # (lang, verdict) are functions of doc_id, so grouping by them too
+    # changes nothing about the groups — and feat needs no verd join.
     fr = (
         bc.join(F.broadcast(lmicro), "b")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang", "verdict")
         .agg(
             F.sum(F.col("cnt") * F.col("lm")).cast("bigint").alias("f1i"),
             F.sum("cnt").cast("bigint").alias("ntok"),
@@ -2822,8 +2831,7 @@ def _dq_gate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read by 4 IRLS rounds + the final scoring pass — cut or the
     # token pipeline re-derives per round
     feat = (
-        fr.join(verd, "doc_id")
-        .select(
+        fr.select(
             "doc_id",
             "lang",
             F.round(F.col("f1i") / (1000000.0 * F.col("ntok")), 6).alias("f1"),
@@ -4650,15 +4658,25 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("bigint")
         % _DSIR_BUCKETS
     )
+    # Collapse the token-level (doc, b) pairs to per-(doc, bucket)
+    # counts BEFORE the cut (r16, the doc_quality_logistic_gate move,
+    # guide §2.3): the checkpoint holds ≤ |docs|·1024 rows instead of
+    # one row per token.  Downstream integer count sums are exact; the
+    # per-doc logw becomes Σ cnt·ln(r) instead of the per-token
+    # Σ ln(r) — mathematically equal, different float summation
+    # grouping, cleared by tools/float_round_audit.py (r16 artifact:
+    # result hash stable across 2/32/61 shuffle partitions).
     toks = (
         docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
         .select("doc_id", "lang", bucket.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("cnt"))
         .transform(ckpt)
     )
     tgt = toks.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count("*").cast("double").alias("gc")
+        F.sum("cnt").cast("double").alias("gc")
     )
-    raw = toks.groupBy("b").agg(F.count("*").cast("double").alias("rc"))
+    raw = toks.groupBy("b").agg(F.sum("cnt").cast("double").alias("rc"))
     tgt_tot = tgt.agg(F.sum("gc").alias("gtot"))
     raw_tot = raw.agg(F.sum("rc").alias("rtot"))
     nb = F.lit(float(_DSIR_BUCKETS))
@@ -4670,7 +4688,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(
             F.sum(
-                F.log(
+                F.col("cnt")
+                * F.log(
                     ((F.coalesce(F.col("gc"), F.lit(0.0)) + 1.0) / (F.col("gtot") + nb))
                     / ((F.col("rc") + 1.0) / (F.col("rtot") + nb))
                 )
@@ -5668,14 +5687,13 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast prefix offsets
     from ..operators.ranks import with_global_rank, with_range_bucket
 
-    df_b = with_range_bucket(
-        df_t, "dfreq", out="vbkt"
-    ).transform(ckpt)
+    df_b = with_range_bucket(df_t, "dfreq", out="vbkt")
     ranked_vocab = with_global_rank(
         df_b,
         [F.asc("dfreq"), F.asc("w")],
         bucket_col="vbkt",
         out="rnk",
+        pre_shuffle=True,
     ).select("w", "rnk")
     dtok = (
         tok.alias("t")
@@ -6835,11 +6853,12 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cumulative window (and overflow-safe: bucketing is double-path)
     from ..operators.ranks import with_global_cumsum, with_range_bucket
 
-    bucketed = with_range_bucket(per_doc, "doc_id").transform(ckpt)
+    bucketed = with_range_bucket(per_doc, "doc_id")
     cum = with_global_cumsum(
         bucketed,
         [F.col("doc_id")],
         {"n_tok": "cum_tokens", "n_new": "cum_vocab"},
+        pre_shuffle=True,
     ).select("doc_id", "cum_tokens", "cum_vocab")
     return cum.agg(
         F.count("*").cast("bigint").alias("n_points"),
@@ -6907,12 +6926,13 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id").cast("bigint") * 2654435761) % 1000000007
     ).cast("double") / 1000000007
     t = docs.select("source", "doc_id", u.alias("u"))
-    bucketed = with_range_bucket(t, "u").transform(ckpt)
+    bucketed = with_range_bucket(t, "u")
     ranked = with_global_rank(
         bucketed,
         [F.col("u"), F.col("doc_id")],
         partition_by=("source",),
         out="rn",
+        pre_shuffle=True,
     )
     kept = F.col("rn") <= 10
     return (
@@ -7330,14 +7350,15 @@ def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((did * 1597334677 + 31) % 1000000007).alias("h2"),
     ).transform(ckpt)  # one hashed projection feeds both rank branches
 
-    b1 = with_range_bucket(t.select("doc_id", "h1"), "h1").transform(ckpt)
+    b1 = with_range_bucket(t.select("doc_id", "h1"), "h1")
     r1 = with_global_rank(
-        b1, [F.col("h1"), F.col("doc_id")], out="r1", total="n"
+        b1, [F.col("h1"), F.col("doc_id")], out="r1", total="n",
+        pre_shuffle=True,
     ).select("doc_id", "r1", "n")
-    b2 = with_range_bucket(t.select("doc_id", "h2"), "h2").transform(ckpt)
-    r2 = with_global_rank(b2, [F.col("h2"), F.col("doc_id")], out="r2").select(
-        "doc_id", "r2"
-    )
+    b2 = with_range_bucket(t.select("doc_id", "h2"), "h2")
+    r2 = with_global_rank(
+        b2, [F.col("h2"), F.col("doc_id")], out="r2", pre_shuffle=True
+    ).select("doc_id", "r2")
 
     j = t.select("doc_id", "source").join(r1, "doc_id").join(r2, "doc_id")
     n = F.max("n").cast("double")
@@ -7529,13 +7550,14 @@ def perplexity_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_mnat", F.col("score_u").cast("double") / F.col("n_terms")
         )
     )
-    bucketed = with_range_bucket(perdoc, "mean_mnat").transform(ckpt)
+    bucketed = with_range_bucket(perdoc, "mean_mnat")
     ranked = with_global_rank(
         bucketed,
         [F.col("mean_mnat"), F.col("doc_id")],
         partition_by=("lang",),
         out="rn",
         total="n_lang",
+        pre_shuffle=True,
         # bounded group domain (ISO language enum) — broadcast is safe
         # at any corpus scale; see the funnel's domain-cap stage for
         # the unbounded-domain contrast (shuffled-join default).
@@ -7843,13 +7865,14 @@ def corpus_stage_tables(
                 F.col("score_u").cast("double") / F.col("n_terms"),
             )
         )
-        pbucketed = with_range_bucket(perdoc, "mean_mnat").transform(ckpt)
+        pbucketed = with_range_bucket(perdoc, "mean_mnat")
         pranked = with_global_rank(
             pbucketed,
             [F.col("mean_mnat"), F.col("doc_id")],
             partition_by=("lang",),
             out="rn",
             total="n_lang",
+            pre_shuffle=True,
             # language IDs are a bounded enum (ISO codes — a few
             # hundred at most, at any corpus scale), so the ≤
             # |langs|·128-row offset broadcast is safe; contrast the
@@ -7911,12 +7934,13 @@ def corpus_stage_tables(
     h = (F.col("doc_id").cast("bigint") * 2654435761) % 1000000007
     capd = with_range_bucket(
         s4.select("doc_id", "source", h.alias("h")), "h"
-    ).transform(ckpt)
+    )
     capr = with_global_rank(
         capd,
         [F.col("h"), F.col("doc_id")],
         partition_by=("source",),
         out="crn",
+        pre_shuffle=True,
     )
     s5 = (
         s4.join(capr.filter(F.col("crn") <= 18).select("doc_id"), "doc_id", "semi")
@@ -8521,6 +8545,7 @@ def exact_median_mad_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.asc("tok"), F.asc("doc_id")],
         partition_by=("lang",),
         total="n",
+        pre_shuffle=True,
     )
     med = r.filter(
         F.col("rn") == F.floor((F.col("n") + 1) / 2)
@@ -8541,6 +8566,7 @@ def exact_median_mad_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.asc("dev"), F.asc("doc_id")],
         partition_by=("lang",),
         total="n2",
+        pre_shuffle=True,
     )
     return (
         r2.filter(F.col("rn") == F.floor((F.col("n2") + 1) / 2))
@@ -8611,25 +8637,33 @@ def domain_interleaved_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = ((F.col("doc_id").cast("bigint") * 2654435761) % 1000000007).cast(
         "bigint"
     )
-    # metadata-only relations, each consumed by >= 2 branches (bounds
-    # fold + crossJoin, stats + join, counts + join) — derive-once
-    # cuts per the CLAUDE.md rule; without them the rn bounds fold
-    # re-derived FOUR times (one per downstream consumer)
+    # Two cuts, not five (r16, guide §2.4): each rank device runs in
+    # its fused pre_shuffle form, so the bucketed relation between the
+    # cuts hangs off ONE repartition Exchange that both device
+    # consumers (counts agg + rank window) reuse — the former bu/b/b2
+    # checkpoints existed only to stop the device re-deriving its
+    # input and are now pure overhead (three materialization jobs).
+    # t stays cut (bounds fold + the device subtree both consume it);
+    # r stays cut (the second device's bounds fold, subsplit stats and
+    # join all re-derive from it — and it truncates the cross-device
+    # plan).
     t = docs.select("doc_id", "source", u.alias("u")).transform(ckpt)
-    bu = with_range_bucket(t, "u").transform(ckpt)
+    bu = with_range_bucket(t, "u")
     r = with_global_rank(
         bu,
         [F.asc("u"), F.asc("doc_id")],
         partition_by=("source",),
+        pre_shuffle=True,
     ).select("doc_id", "source", "u", "rn").transform(ckpt)
-    b = with_range_bucket(r, "rn", out="bkt").transform(ckpt)
-    b2 = with_hot_cell_subsplit(b, "rn", "u").transform(ckpt)
+    b = with_range_bucket(r, "rn", out="bkt")
+    b2 = with_hot_cell_subsplit(b, "rn", "u")
     p = with_global_rank(
         b2,
         [F.asc("rn"), F.asc("u"), F.asc("doc_id")],
         bucket_col="bkt2",
         out="pos",
         total="n",
+        pre_shuffle=True,
     )
     return (
         p.groupBy("source")
@@ -10436,22 +10470,28 @@ def dsir_effective_sample_size(
         F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("bigint")
         % _DSIR_BUCKETS
     )
-    toks = (
+    # Collapse to per-(doc, bucket) counts BEFORE the cut (r16, same
+    # move as dsir_importance_weights/doc-quality gate): the ckpt is
+    # bounded by |docs|·1024 instead of token count, and both
+    # distributions come from ONE bucket aggregate over it — gc is a
+    # conditional sum (NULL exactly where the old filtered aggregate
+    # had no row, same coalesce semantics), integer sums throughout.
+    bc = (
         docs.select(
             "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
         )
         .select("doc_id", "lang", bucket.alias("b"))
-        .transform(ckpt)  # read by bc, tgt, rawc
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("cnt"))
+        .transform(ckpt)  # read by gb and the scoring join
     )
-    bc = toks.groupBy("doc_id", "lang", "b").agg(
-        F.count("*").alias("cnt")
+    gb = bc.groupBy("b").agg(
+        F.sum("cnt").cast("double").alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")))
+        .cast("double")
+        .alias("gc"),
     )
-    tgt = toks.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count("*").cast("double").alias("gc")
-    )
-    rawc = toks.groupBy("b").agg(F.count("*").cast("double").alias("rc"))
-    tgt_tot = tgt.agg(F.sum("gc").alias("gtot"))
-    raw_tot = rawc.agg(F.sum("rc").alias("rtot"))
+    tots = gb.agg(F.sum("rc").alias("rtot"), F.sum("gc").alias("gtot"))
     nb = F.lit(float(_DSIR_BUCKETS))
     lm = (
         F.round(
@@ -10468,12 +10508,7 @@ def dsir_effective_sample_size(
     )
     # <= _DSIR_BUCKETS rows by construction — the provably bounded
     # broadcast case (the hashed-feature design exists to pin this)
-    lmicro = (
-        rawc.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tgt_tot))
-        .crossJoin(F.broadcast(raw_tot))
-        .select("b", lm)
-    )
+    lmicro = gb.crossJoin(F.broadcast(tots)).select("b", lm)
     li = (
         bc.join(F.broadcast(lmicro), "b")
         .groupBy("doc_id", "lang")
@@ -10650,6 +10685,7 @@ def hot_bucket_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.asc("occ"), F.asc("band_val")],
         partition_by=("band_id",),
         total="n",
+        pre_shuffle=True,
     )
     p50 = r.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
         "band_id", F.col("occ").alias("p50_occ")
@@ -11730,6 +11766,7 @@ def ivf_list_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.asc("occ"), F.asc("cl")],
         out="rn",
         total="n",
+        pre_shuffle=True,
     )
     p50 = r.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
         F.col("occ").alias("p50_occ")

@@ -1312,13 +1312,14 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literal row_number() OVER (PARTITION BY arm ORDER BY o, user_id)
     from ..operators.ranks import with_global_rank, with_range_bucket
 
-    bucketed = with_range_bucket(per_user, "o").transform(ckpt)
+    bucketed = with_range_bucket(per_user, "o")
     ranked = with_global_rank(
         bucketed,
         [F.asc("o"), F.asc("user_id")],
         out="rn",
         total="cnt",
         partition_by=("arm",),
+        pre_shuffle=True,
         # |arms| = 2 by construction — the offset table is ≤ 2·128
         # rows at ANY data scale, so the broadcast is safe and keeps
         # the plan shuffle-free (grouped mode defaults to a shuffled

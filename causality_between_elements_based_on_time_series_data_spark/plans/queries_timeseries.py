@@ -308,7 +308,8 @@ def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(ckpt)
     bucketed = with_range_bucket(scored, "score")
     ranked = with_global_rank(
-        bucketed, [F.col("score"), F.col("vec_id")], out="rn"
+        bucketed, [F.col("score"), F.col("vec_id")], out="rn",
+        pre_shuffle=True,
     ).select("label", F.col("rn").cast("double").alias("r"))
     pos = F.sum(F.when(F.col("label") == 1, 1.0).otherwise(0.0))
     neg = F.sum(F.when(F.col("label") == 0, 1.0).otherwise(0.0))

@@ -85,6 +85,7 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("o_totalprice"), F.asc("o_orderkey")],
         out="grn",
         total="ntot",
+        pre_shuffle=True,
     )
     # SQL-standard ntile(4): q = n div 4, r = n mod 4; the first r
     # groups get q+1 rows (same arithmetic as propensity_stratified_

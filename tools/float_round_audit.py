@@ -20,7 +20,8 @@ real stream; their rollups are the same aggregates the batch twins
 exercise) — pass --streaming to include them.
 
 Usage: python tools/float_round_audit.py [--streaming] [names...]
-Writes FLOAT_ROUND_AUDIT_r12.json at the repo root.
+Writes FLOAT_ROUND_AUDIT_r16.json at the repo root
+(override with $SPARK_GRAFT_AUDIT_OUT).
 """
 
 from __future__ import annotations
@@ -59,7 +60,7 @@ def main() -> None:
     )
 
     include_streaming = "--streaming" in sys.argv
-    out_name = "FLOAT_ROUND_AUDIT_r13.json"
+    out_name = os.environ.get("SPARK_GRAFT_AUDIT_OUT", "FLOAT_ROUND_AUDIT_r16.json")
     if "--out" in sys.argv:
         out_name = sys.argv[sys.argv.index("--out") + 1]
     names = [

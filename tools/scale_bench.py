@@ -41,6 +41,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import math
 import os
@@ -194,6 +195,15 @@ def main() -> None:
                 t0 = time.monotonic()
                 q.fn(spark, dirs[k]).write.format("noop").mode("overwrite").save()
                 ts.append(round(time.monotonic() - t0, 3))
+                # bench.py's round-11 lesson, re-learned by the r15
+                # registry sweep (VERDICT r15 item 7): drop py4j
+                # DataFrame refs so ContextCleaner frees each query's
+                # localCheckpoint blocks — without this the block
+                # manager accumulates state across queries/scales and
+                # later points read several-fold slow
+                # (incremental_dedup_new_batch: 104.7 s swept vs 5.4 s
+                # isolated).
+                gc.collect()
             passes[k] = ts
             per_scale[k] = min(ts)
             print(f"[time] {name} x{k}: {min(ts):.2f}s {ts}", file=sys.stderr)

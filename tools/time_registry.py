@@ -25,7 +25,13 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--json", default="/tmp/registry_times.json")
     ap.add_argument("--only", default=None, help="substring filter on query name")
+    ap.add_argument(
+        "--skip-tags",
+        default=None,
+        help="comma list of tags to skip (e.g. streaming,eager)",
+    )
     args = ap.parse_args()
+    skip_tags = set(args.skip_tags.split(",")) if args.skip_tags else set()
 
     from causality_between_elements_based_on_time_series_data_spark.plans import REGISTRY
     from causality_between_elements_based_on_time_series_data_spark.session import get_spark
@@ -36,6 +42,8 @@ def main() -> None:
     names = sorted(REGISTRY)
     if args.only:
         names = [n for n in names if args.only in n]
+    if skip_tags:
+        names = [n for n in names if not (skip_tags & set(REGISTRY[n].tags))]
     for name in names:
         q = REGISTRY[name]
         spark.sparkContext.setJobDescription(f"time-registry: {name}")
