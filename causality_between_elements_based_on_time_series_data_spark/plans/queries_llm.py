@@ -7543,12 +7543,20 @@ def perplexity_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranks import with_global_rank, with_range_bucket
 
     docs = load_table(spark, sf_dir, "documents")
+    # perdoc is consumed by TWO branches even with the fused device —
+    # with_range_bucket's min/max bounds aggregate plus the device's
+    # pre-shuffled repartition — and its lineage scans the corpus
+    # (vocab countDistinct + the lang join), so it gets the derive-once
+    # cut (id/metadata grain: one row per doc, no text).  Dropping this
+    # cut (first r16 attempt) put 8 executed documents scans in the
+    # production plan — the scan-budget gate's catch.
     perdoc = (
         micronat_perplexity_scores(docs.select("doc_id", "text"))
         .join(docs.select("doc_id", "lang"), "doc_id")
         .withColumn(
             "mean_mnat", F.col("score_u").cast("double") / F.col("n_terms")
         )
+        .transform(ckpt)
     )
     bucketed = with_range_bucket(perdoc, "mean_mnat")
     ranked = with_global_rank(
