@@ -46,7 +46,7 @@ NON_QUERY_ALLOWLIST = {
     "dynamicpruning",
     "topk_ranked", "with_range_bucket", "with_global_rank",
     "with_global_cumsum", "with_hot_cell_subsplit", "broadcast_offsets",
-    "ckpt", "ckpt_eager", "lineage_cuts_disabled",
+    "ckpt", "ckpt_eager", "lineage_cuts_disabled", "pre_shuffle",
     "candidate_jaccard_scores", "list_recall_ceiling",
     # round-15 persisted-ANN layout columns documented in prose
     "ckl", "quant_stale_loss",
